@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine core: session factory with scale-aware defaults and the table
+  * registry (the Spark-native analog of the reference's subject library —
+  * SURVEY.md §2A A2/A6; the session catalog replaces ZooKeeper).
+  *
+  * Design notes for cluster scale (tested on local[32], designed for
+  * 1000 executors / 100 TB):
+  *   - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *     splitting, and broadcast-join demotion/promotion.
+  *   - `spark.sql.shuffle.partitions` defaults to the local core count;
+  *     on a real cluster this is overridden to ~2-3x total cores (AQE
+  *     coalesces down, so erring high is safe).
+  *   - All scans are parquet via the vectorized reader; queries select
+  *     narrow column sets so pushdown + pruning reach the footer.
+  */
+object Engine {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(
+      appName: String = "graft",
+      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Load one table from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every test table as a temp view (enables spark.sql paths). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { n =>
+      table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+}

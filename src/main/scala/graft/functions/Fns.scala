@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine-deterministic building blocks shared by the query corpus.
+  *
+  * The t2 gate hash-compares engine output against DuckDB, so every
+  * floating-point aggregate must be bit-identical across engines, not just
+  * "close". Strategy: per-row double arithmetic is IEEE-identical
+  * everywhere; only aggregation ORDER differs between engines — so we sum
+  * exactly in DECIMAL (associative, order-insensitive) and cast the exact
+  * result back to double.
+  */
+object Fns {
+
+  /** Exact sum of a double column: cast each row to DECIMAL(28,10)
+    * (exact, order-insensitive), sum, cast back to double.
+    * DuckDB mirror: CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE).
+    *
+    * Scale note: decimal sum is marginally slower than double sum but
+    * stays inside whole-stage codegen and partial aggregation; at 100 TB
+    * the shuffle of partial aggregates dominates either way.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 10))).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum / count.
+    * DuckDB mirror: CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x).
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** 60-bit cross-engine hash of a string: first 15 hex chars of md5,
+    * parsed base-16. DuckDB mirror: ('0x' || substr(md5(x),1,15))::BIGINT.
+    * Used as the shared hash primitive for MinHash/SimHash/fingerprints
+    * (xxhash64 is Spark-only; DuckDB hash() is DuckDB-only).
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB-side mirror of [[h60]] as a SQL fragment. */
+  def h60Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** DuckDB-side mirror of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(28,10))) AS DOUBLE)"
+}

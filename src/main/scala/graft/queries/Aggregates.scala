@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.{Engine, QueryDef, QueryModule}
+import graft.functions.Fns._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation surface (SURVEY.md §2B-4): hash agg with partial/final
+  * phases (Catalyst plans map-side combine automatically), count distinct,
+  * grouping sets/rollup/cube, deterministic statistics.
+  *
+  * Scale: every query here is a single shuffle on the group keys with
+  * partial aggregation before the exchange — the canonical
+  * scales-to-100TB shape. No collect, no driver loops.
+  */
+object Aggregates extends QueryModule {
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // TPC-H Q1 shape: the flagship scan->filter->agg pipeline.
+    "q1_agg" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("2000-12-01").cast(TimestampType))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+            (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+            (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+          sum(l_quantity) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+          CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_price,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // count(distinct): Catalyst expands to a two-phase distinct aggregate.
+    "q_agg_countd" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("nd_part"),
+            countDistinct($"l_suppkey").as("nd_supp"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS nd_part,
+          count(DISTINCT l_suppkey) AS nd_supp,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // min/max/min_by-style extremes, all on deterministic integer/date cols.
+    "q_agg_minmax" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"),
+            min($"o_orderdate").as("min_date"),
+            max($"o_orderdate").as("max_date"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+          min(o_totalprice) AS min_price,
+          max(o_totalprice) AS max_price,
+          CAST(min(o_orderdate) AS TIMESTAMP) AS min_date,
+          CAST(max(o_orderdate) AS TIMESTAMP) AS max_date,
+          count(*) AS n
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // rollup + grouping_id (B-4 grouping sets row).
+    "q_agg_rollup" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = Engine.table(s, dir, "customer")
+        val n = Engine.table(s, dir, "nation")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .rollup($"n_name", $"c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum($"c_acctbal").as("sum_bal"),
+            grouping_id().as("gid"))
+      },
+      oracle = Some("""
+        SELECT n_name, c_mktsegment,
+          count(*) AS n,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS sum_bal,
+          CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, c_mktsegment)""")),
+
+    // cube over two low-cardinality dims.
+    "q_agg_cube" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
+    // Deterministic second-moment statistics: var/stddev/corr expanded to
+    // exact decimal sums so both engines compute the identical double.
+    // (Built-in stddev/corr are demonstrated in unit tests; their
+    // cross-engine bitwise equality is not guaranteed, so the oracle uses
+    // the algebraic expansion.)
+    "q_agg_stats" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = Engine.table(s, dir, "lineitem")
+        val n = count(lit(1)).cast(DoubleType)
+        val sx = dsum($"l_quantity")
+        val sxx = dsum($"l_quantity" * $"l_quantity")
+        val sy = dsum($"l_extendedprice")
+        val syy = dsum($"l_extendedprice" * $"l_extendedprice")
+        val sxy = dsum($"l_quantity" * $"l_extendedprice")
+        li.groupBy($"l_returnflag")
+          .agg(
+            ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
+            sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("std_qty"),
+            (((sxy - sx * sy / n))
+              / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_price"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+            CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          (sxx - sx * sx / n) / (n - 1.0) AS var_qty,
+          sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_qty,
+          (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+        FROM m""")),
+
+    // Exact percentiles / median over integral-valued doubles (linear
+    // interpolation on exact values — identical in both engines).
+    "q_agg_percentile" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.95)").as("p95"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS p50,
+          quantile_cont(l_quantity, 0.25) AS p25,
+          quantile_cont(l_quantity, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // collect_list sorted (order-insensitive via explicit array_sort).
+    "q_agg_collect" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "nation")
+          .groupBy($"n_regionkey")
+          .agg(
+            array_sort(collect_list($"n_name")).as("nations"),
+            array_sort(collect_set($"n_name")).as("nation_set"))
+      },
+      oracle = Some("""
+        SELECT n_regionkey,
+          list(n_name ORDER BY n_name) AS nations,
+          list(DISTINCT n_name ORDER BY n_name) AS nation_set
+        FROM nation GROUP BY n_regionkey""")),
+
+    // approx_count_distinct (HLL): no cross-engine oracle — rows-only gate;
+    // accuracy asserted against exact counts in unit tests.
+    "q_agg_approx_distinct" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+      },
+      oracle = None)
+  )
+}
