@@ -39,7 +39,20 @@ object Engine {
 
   /** Load one table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default. Read it as long (legacy conf) and convert ns->us
+    * with integer division (`div`, not `/`: ns-since-epoch ~1.7e18 exceeds
+    * exact double range, float division would corrupt timestamps).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   /** Register every test table as a temp view (enables spark.sql paths). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

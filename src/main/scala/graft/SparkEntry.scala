@@ -11,7 +11,9 @@ import graft.{queries => q}
 object SparkEntry {
 
   private val modules: Vector[QueryModule] = Vector(
-    q.Aggregates)
+    q.Aggregates,
+    q.Joins,
+    q.RowOps)
 
   /** All declared queries, in module order. Names must be unique. */
   lazy val all: Vector[(String, QueryDef)] = {

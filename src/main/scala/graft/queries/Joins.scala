@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.{Engine, QueryDef, QueryModule}
+import graft.functions.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2B-3): every join type, plus range and as-of
+  * joins composed from built-ins (reference centerpiece A9's batch analog).
+  *
+  * Scale notes:
+  *   - fact⋈fact joins (lineitem⋈orders) shuffle on the join key —
+  *     correct at 100 TB; AQE handles skew splits.
+  *   - dim joins (part, nation) use explicit broadcast() so no shuffle
+  *     of the fact side is wasted.
+  *   - the as-of join is the union+running-last trick: ONE shuffle by
+  *     user_id, no range explosion, no cross product — this is the
+  *     formulation that survives scale (a naive join+filter+argmax is
+  *     quadratic per key).
+  */
+object Joins extends QueryModule {
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // Inner equi join of the two fact tables (shuffle join at scale).
+    "q_join_inner" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = Engine.table(s, dir, "lineitem")
+        val o = Engine.table(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy($"o_orderpriority")
+          .agg(
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority"""),
+      headline = true),
+
+    // Left outer: customers keep rows with no orders (count skips nulls).
+    "q_join_left" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = Engine.table(s, dir, "customer")
+        val o = Engine.table(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy($"c_mktsegment")
+          .agg(count($"o_orderkey").as("n_orders"), count(lit(1)).as("n_rows"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment""")),
+
+    // Right outer (symmetric form).
+    "q_join_right" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val o = Engine.table(s, dir, "orders")
+        val c = Engine.table(s, dir, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .groupBy($"c_mktsegment")
+          .agg(count($"o_orderkey").as("n_orders"), count(lit(1)).as("n_rows"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
+
+    // Full outer over per-nation aggregates (nulls on both sides).
+    "q_join_full" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = Engine.table(s, dir, "customer")
+          .groupBy($"c_nationkey").agg(count(lit(1)).as("c_cnt"))
+        val sup = Engine.table(s, dir, "supplier")
+          .groupBy($"s_nationkey").agg(count(lit(1)).as("s_cnt"))
+        c.join(sup, $"c_nationkey" === $"s_nationkey", "full")
+          .select(
+            coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+            $"c_cnt", $"s_cnt")
+      },
+      oracle = Some("""
+        SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, c_cnt, s_cnt
+        FROM (SELECT c_nationkey, count(*) AS c_cnt FROM customer GROUP BY 1) cc
+        FULL JOIN (SELECT s_nationkey, count(*) AS s_cnt FROM supplier GROUP BY 1) ss
+          ON c_nationkey = s_nationkey""")),
+
+    // Left semi: EXISTS.
+    "q_join_semi" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = Engine.table(s, dir, "customer")
+        val o = Engine.table(s, dir, "orders")
+          .filter($"o_totalprice" > 400000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""")),
+
+    // Left anti: NOT EXISTS.
+    "q_join_anti" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = Engine.table(s, dir, "customer")
+        val o = Engine.table(s, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select($"c_custkey", $"c_name")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')""")),
+
+    // Cross join (small dims only — BNLJ is fine for 5x25).
+    "q_join_cross" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val r = Engine.table(s, dir, "region")
+        val n = Engine.table(s, dir, "nation")
+        r.crossJoin(n).select($"r_name", $"n_name", $"n_regionkey", $"r_regionkey")
+      },
+      oracle = Some("""
+        SELECT r_name, n_name, n_regionkey, r_regionkey FROM region CROSS JOIN nation""")),
+
+    // Broadcast hint: fact ⋈ broadcast(dim) — no shuffle of lineitem.
+    "q_join_broadcast" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = Engine.table(s, dir, "lineitem")
+        val p = Engine.table(s, dir, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy($"p_brand")
+          .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand"""),
+      headline = true),
+
+    // Theta residual on an equi backbone: same nation, acctbal ordering.
+    // (Equi key keeps it a hash/SMJ join at scale; the inequality is a
+    // post-join residual, not a BNLJ.)
+    "q_join_theta" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val sup = Engine.table(s, dir, "supplier")
+        val c = Engine.table(s, dir, "customer")
+        sup.join(c, sup("s_nationkey") === c("c_nationkey")
+            && sup("s_acctbal") > c("c_acctbal"))
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"), dsum($"s_acctbal" - $"c_acctbal").as("sum_gap"))
+      },
+      oracle = Some(s"""
+        SELECT s_nationkey, count(*) AS n,
+          ${dsumSql("s_acctbal - c_acctbal")} AS sum_gap
+        FROM supplier JOIN customer
+          ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        GROUP BY s_nationkey""")),
+
+    // Range join: equi key + time-band residual.
+    "q_join_range" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = Engine.table(s, dir, "lineitem")
+        val o = Engine.table(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey")
+            && li("l_shipdate") >= o("o_orderdate")
+            && li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy(date_trunc("month", $"o_orderdate").as("order_month"))
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      },
+      oracle = Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+          count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1""")),
+
+    // As-of join (nearest purchase at ts <= click ts per user), composed
+    // scale-safely: union both sides, one shuffle by user_id, running
+    // last_value(ignore nulls) — vs DuckDB's native ASOF LEFT JOIN.
+    "q_join_asof" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "events")
+        // collapse same-(user,ts) purchases deterministically
+        val purch = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("p_value"))
+        val clicks = e.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id")
+        val u = purch.select($"user_id", $"ts", lit(0).as("tag"),
+            $"ts".as("p_ts"), $"p_value", lit(null).cast("long").as("event_id"))
+          .unionByName(clicks.select($"user_id", $"ts", lit(1).as("tag"),
+            lit(null).cast("timestamp").as("p_ts"),
+            lit(null).cast("double").as("p_value"), $"event_id"))
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("last_p_ts", last($"p_ts", ignoreNulls = true).over(w))
+          .withColumn("last_p_value", last($"p_value", ignoreNulls = true).over(w))
+          .filter($"tag" === 1)
+          .select($"user_id", $"event_id", $"ts", $"last_p_ts", $"last_p_value")
+      },
+      oracle = Some("""
+        SELECT c.user_id, c.event_id, CAST(c.ts AS TIMESTAMP) AS ts,
+          CAST(p.ts AS TIMESTAMP) AS last_p_ts, p.p_value AS last_p_value
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, max(value) AS p_value FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+          ON c.user_id = p.user_id AND c.ts >= p.ts"""))
+  )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{Engine, QueryDef, QueryModule}
+import graft.functions.Fns._
+import org.apache.spark.sql.functions._
+
+/** Row-level surface (SURVEY.md §2B-2): projection, computed columns,
+  * predicate families, distinct, explode/posexplode (UDTF shape), typed
+  * Dataset map (reference A7 record-transformer analog), sampling.
+  * All narrow transformations — no shuffle except the final aggregates.
+  */
+object RowOps extends QueryModule {
+
+  /** Typed view of lineitem for the Dataset API demonstration. */
+  final case class LineSlim(
+      l_orderkey: Long, l_linenumber: Int,
+      l_extendedprice: Double, l_discount: Double)
+  final case class LineRev(l_orderkey: Long, revenue: Double)
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // Projection + computed columns + rename; row-level double arithmetic
+    // is IEEE-identical cross-engine so raw values are oracle-safe.
+    "q_row_project" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .select(
+            $"l_orderkey", $"l_linenumber",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"),
+            when($"l_discount" >= 0.05, lit("HIGH")).otherwise(lit("LOW")).as("disc_band"),
+            concat_ws("|", $"l_returnflag", $"l_linestatus").as("flag_status"))
+          .withColumnRenamed("net_price", "revenue")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+          l_extendedprice * (1.0 - l_discount) AS revenue,
+          CASE WHEN l_discount >= 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band,
+          concat_ws('|', l_returnflag, l_linestatus) AS flag_status
+        FROM lineitem""")),
+
+    // Predicate families: IN, BETWEEN, LIKE, RLIKE, NOT, IS NULL, <=>.
+    "q_row_filter" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "orders")
+          .filter(
+            $"o_orderstatus".isin("F", "P")
+              && $"o_totalprice".between(100000.0, 300000.0)
+              && ($"o_orderpriority".like("1-%") || $"o_orderpriority".rlike("^[23]-"))
+              && !($"o_orderpriority" === "3-MEDIUM")
+              && $"o_custkey".isNotNull
+              && ($"o_orderstatus" <=> "F" || $"o_orderstatus" <=> "P"))
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('F','P')
+          AND o_totalprice BETWEEN 100000.0 AND 300000.0
+          AND (o_orderpriority LIKE '1-%' OR regexp_matches(o_orderpriority, '^[23]-'))
+          AND NOT (o_orderpriority = '3-MEDIUM')
+          AND o_custkey IS NOT NULL
+          AND (o_orderstatus IS NOT DISTINCT FROM 'F'
+               OR o_orderstatus IS NOT DISTINCT FROM 'P')""")),
+
+    // Distinct over a projection.
+    "q_row_distinct" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus").distinct()
+      },
+      oracle = Some(
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // Explode (UDTF shape): word frequencies over documents.
+    "q_row_explode" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT word, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word""")),
+
+    // posexplode: positional flattening (0-based in Spark).
+    "q_row_posexplode" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .filter($"doc_id" < 20)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      },
+      oracle = Some("""
+        SELECT d.doc_id, u.i - 1 AS pos, u.w AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 20) d,
+          LATERAL (SELECT unnest(d.words) AS w,
+                          generate_subscripts(d.words, 1) AS i) u""")),
+
+    // Typed Dataset map (A7 analog): case-class in, case-class out, then
+    // relational agg on the typed result.
+    "q_row_typed_map" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+          .as[LineSlim]
+          .map(r => LineRev(r.l_orderkey, r.l_extendedprice * (1.0 - r.l_discount)))
+          .groupBy($"l_orderkey")
+          .agg(dsum($"revenue").as("order_revenue"), count(lit(1)).as("n_lines"))
+      },
+      oracle = Some(s"""
+        SELECT l_orderkey,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS order_revenue,
+          count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey""")),
+
+    // Seeded sampling: not cross-engine reproducible — rows-only gate.
+    "q_row_sample" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .select($"l_orderkey", $"l_linenumber")
+      },
+      oracle = None)
+  )
+}
