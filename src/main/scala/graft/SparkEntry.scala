@@ -13,7 +13,10 @@ object SparkEntry {
   private val modules: Vector[QueryModule] = Vector(
     q.Aggregates,
     q.Joins,
-    q.RowOps)
+    q.RowOps,
+    q.Windows,
+    q.SetOps,
+    q.Scalars)
 
   /** All declared queries, in module order. Names must be unique. */
   lazy val all: Vector[(String, QueryDef)] = {

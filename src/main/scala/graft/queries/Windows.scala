@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{Engine, QueryDef, QueryModule}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytic window functions + sort/limit/top-k (SURVEY.md §2B-5/6).
+  *
+  * Determinism rules used throughout:
+  *   - rank/dense_rank/percent_rank/cume_dist depend only on ORDER BY key
+  *     VALUES, so they are deterministic even with ties;
+  *   - row_number/ntile/lag/lead need a TOTAL order -> always include a
+  *     unique tiebreaker key in their window's ORDER BY;
+  *   - windowed sums of doubles route through DECIMAL (DuckDB's segment
+  *     tree associates differently than Spark's running accumulation).
+  *
+  * Scale: one shuffle per distinct partitioning; frames evaluated
+  * streaming per partition — no state blowup.
+  */
+object Windows extends QueryModule {
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // Ranking family; bucketed order key produces real ties.
+    "q_win_rank" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val o = Engine.table(s, dir, "orders")
+          .withColumn("bucket", floor($"o_totalprice" / 10000))
+        val wTies = Window.partitionBy($"o_orderpriority").orderBy($"bucket")
+        val wTotal = Window.partitionBy($"o_orderpriority")
+          .orderBy($"bucket", $"o_orderkey")
+        o.select(
+          $"o_orderkey", $"o_orderpriority", $"bucket",
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          cume_dist().over(wTies).as("cdist"),
+          row_number().over(wTotal).as("rn"),
+          ntile(4).over(wTotal).as("quartile"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority, bucket,
+          rank() OVER w1 AS rnk,
+          dense_rank() OVER w1 AS drnk,
+          percent_rank() OVER w1 AS prnk,
+          cume_dist() OVER w1 AS cdist,
+          row_number() OVER w2 AS rn,
+          ntile(4) OVER w2 AS quartile
+        FROM (SELECT *, CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket
+              FROM orders)
+        WINDOW
+          w1 AS (PARTITION BY o_orderpriority ORDER BY bucket),
+          w2 AS (PARTITION BY o_orderpriority ORDER BY bucket, o_orderkey)""")),
+
+    // lag/lead with per-customer order history.
+    "q_win_lag" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        Engine.table(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta_prev"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+          o_totalprice,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          lead(o_totalprice, 1) OVER w AS next_price,
+          o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // Frames: running totals (decimal-routed) + moving min/max/count.
+    "q_win_frames" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val moving = w.rowsBetween(-2, Window.currentRow)
+        Engine.table(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          sum($"o_totalprice".cast(DecimalType(28, 10))).over(running)
+            .cast(DoubleType).as("running_total"),
+          count(lit(1)).over(running).as("running_n"),
+          min($"o_totalprice").over(moving).as("moving_min"),
+          max($"o_totalprice").over(moving).as("moving_max"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS running_total,
+          count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS running_n,
+          min(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS moving_min,
+          max(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS moving_max
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // first/last/nth over an explicit full frame.
+    "q_win_firstlast" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Engine.table(s, dir, "orders").select(
+          $"o_orderkey", $"o_orderpriority",
+          first($"o_totalprice").over(w).as("top_price"),
+          last($"o_totalprice").over(w).as("bottom_price"),
+          nth_value($"o_totalprice", 2).over(w).as("second_price"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority,
+          first_value(o_totalprice) OVER w AS top_price,
+          last_value(o_totalprice) OVER w AS bottom_price,
+          nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // Per-group top-k (row_number <= k).
+    "q_win_topk_group" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey")
+        Engine.table(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"c_mktsegment", $"rn", $"c_custkey", $"c_name", $"c_acctbal")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, rn, c_custkey, c_name, c_acctbal FROM (
+          SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer) WHERE rn <= 3""")),
+
+    // Global top-k: Spark plans TakeOrderedAndProject (no full sort).
+    "q_sort_topk_global" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          .limit(100)
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""")),
+
+    // Multi-key sort with explicit NULL placement (nulls manufactured
+    // via nullif) + limit.
+    "q_sort_nulls" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "orders")
+          .withColumn("status_np", nullif($"o_orderstatus", lit("P")))
+          .orderBy($"status_np".asc_nulls_first, $"o_totalprice".desc, $"o_orderkey")
+          .limit(50)
+          .select($"o_orderkey", $"status_np", $"o_totalprice")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_np, o_totalprice
+        FROM orders
+        ORDER BY nullif(o_orderstatus, 'P') ASC NULLS FIRST,
+                 o_totalprice DESC, o_orderkey
+        LIMIT 50"""))
+  )
+}
