@@ -16,7 +16,9 @@ object SparkEntry {
     q.RowOps,
     q.Windows,
     q.SetOps,
-    q.Scalars)
+    q.Scalars,
+    q.Streaming,
+    q.SubjectOps)
 
   /** All declared queries, in module order. Names must be unique. */
   lazy val all: Vector[(String, QueryDef)] = {

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.{Engine, QueryDef, QueryModule}
+import graft.streaming.Replay
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2B-9) made t2-checkable:
+  * each query REALLY runs a streaming MicroBatchExecution (file replay,
+  * multiple triggers, watermarks, state) and the drained sink is compared
+  * against a batch DuckDB oracle.
+  *
+  * Scale: these are the per-trigger incremental versions of the batch
+  * plans — state is keyed and watermark-bounded, so executor state stays
+  * O(active windows/keys), not O(stream length).
+  */
+object Streaming extends QueryModule {
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // Tumbling 1h event-time window (Complete mode: all windows emitted).
+    "q_stream_tumbling" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Replay.run(s, Replay.events(s, dir), mode = "complete") { st =>
+          st.withWatermark("ts", "1 hour")
+            .groupBy(window($"ts", "1 hour"), $"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+            .select($"window.start".as("wstart"), $"window.end".as("wend"),
+              $"event_type", $"n", $"sum_v")
+        }
+      },
+      oracle = Some("""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+          CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS wend,
+          event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events GROUP BY 1, 2, 3"""),
+      headline = true),
+
+    // Sliding 1h/15min windows (each event lands in 4 windows; Spark
+    // aligns starts to the slide grid at epoch origin — mirrored exactly).
+    "q_stream_sliding" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Replay.run(s, Replay.events(s, dir), mode = "complete") { st =>
+          st.withWatermark("ts", "1 hour")
+            .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+            .agg(count(lit(1)).as("n"))
+            .select($"window.start".as("wstart"), $"event_type", $"n")
+        }
+      },
+      oracle = Some("""
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - g.i * 900)
+            AS TIMESTAMP) AS wstart,
+          event_type, count(*) AS n
+        FROM events, (VALUES (0),(1),(2),(3)) g(i)
+        GROUP BY 1, 2""")),
+
+    // Session windows, 30-minute gap. Spark starts a NEW session when the
+    // time since the previous event is >= gap; the oracle sessionizes with
+    // the same rule via lag + running sum.
+    "q_stream_session" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        // Single-trigger replay: session merging + watermark late-drop
+        // interact with arrival order; one AvailableNow batch keeps the
+        // watermark at -inf during processing so semantics match batch.
+        Replay.run(s, Replay.events(s, dir), mode = "complete",
+          filesPerTrigger = 1, nFiles = 1) { st =>
+          st.withWatermark("ts", "1 hour")
+            .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+            .select($"session_window.start".as("sstart"),
+              $"session_window.end".as("send"), $"user_id", $"n_events", $"sum_v")
+        }
+      },
+      oracle = Some("""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+          SELECT user_id, ts, value,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked)
+        SELECT CAST(min(ts) AS TIMESTAMP) AS sstart,
+          CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS send,
+          user_id, count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM sessions GROUP BY user_id, sid""")),
+
+    // Stateful streaming dedup: first row per (user_id, event_type) wins;
+    // output only the key columns so the result set is deterministic
+    // regardless of arrival order.
+    "q_stream_dedup" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Replay.run(s, Replay.events(s, dir), mode = "append") { st =>
+          st.dropDuplicates(Seq("user_id", "event_type"))
+            .select($"user_id", $"event_type")
+        }
+      },
+      oracle = Some(
+        "SELECT DISTINCT user_id, event_type FROM events")),
+
+    // Stream-stream inner join: purchase followed by a click of the same
+    // user within 1 hour. Watermarks bound both sides' state.
+    "q_stream_join" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        // Single-trigger replay (see q_stream_session note): join state
+        // eviction by watermark must not race unordered file arrival.
+        Replay.run(s, Replay.events(s, dir), mode = "append",
+          filesPerTrigger = 1, nFiles = 1) { st =>
+          val clicks = st.filter($"event_type" === "click")
+            .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+              $"event_id".as("c_id"))
+            .withWatermark("c_ts", "2 hours")
+          val purchases = st.filter($"event_type" === "purchase")
+            .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+              $"event_id".as("p_id"), $"value".as("p_value"))
+            .withWatermark("p_ts", "2 hours")
+          purchases.join(clicks,
+            expr("""p_user = c_user AND
+                    c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 1 HOUR"""))
+            .select($"p_id", $"c_id", $"p_user", $"p_value")
+        }
+      },
+      oracle = Some("""
+        SELECT p.event_id AS p_id, c.event_id AS c_id,
+          p.user_id AS p_user, p.value AS p_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+          AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR""")),
+
+    // Stream-static join: streaming events against the static customer
+    // dim (broadcast at scale), then keyless windowless agg per segment.
+    "q_stream_static_join" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cust = Engine.table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+        Replay.run(s, Replay.events(s, dir), mode = "append") { st =>
+          st.join(broadcast(cust), st("user_id") === cust("c_custkey"))
+            .select($"event_id", $"user_id", $"c_mktsegment", $"event_type")
+        }
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, c_mktsegment, event_type
+        FROM events JOIN customer ON user_id = c_custkey"""))
+  )
+}
