@@ -18,7 +18,9 @@ object SparkEntry {
     q.SetOps,
     q.Scalars,
     q.Streaming,
-    q.SubjectOps)
+    q.SubjectOps,
+    q.LlmText,
+    q.LlmSim)
 
   /** All declared queries, in module order. Names must be unique. */
   lazy val all: Vector[(String, QueryDef)] = {

@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.{Engine, QueryDef, QueryModule}
+import graft.functions.{Fns, VecMeanAgg}
+import graft.operators.{Multimodal, VectorOps => V}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline similarity + multimodal + UDF/UDAF surface (SURVEY.md
+  * §2B-10/11): brute-force cosine top-k (baseline), LSH-bucketed ANN and
+  * IVF-style ANN (the scale paths), embedding near-dup, multimodal decode
+  * plumbing, typed vector-mean UDAF, registered scalar UDF.
+  *
+  * Scale: brute force is the correctness baseline (broadcast queries x
+  * full scan); LSH prunes candidates by hyperplane bucket (shuffle on
+  * bucket id); IVF prunes by nearest coarse centroid (tiny centroid
+  * table broadcast both ways). All vector folds are the bit-reproducible
+  * formulations from VectorOps.
+  */
+object LlmSim extends QueryModule {
+
+  private val Planes = 4 // LSH hyperplanes -> 16 buckets
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // Embedding-cosine near-duplicates within a label (candidate scope).
+    "q_llm_embed_neardup" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", $"label", V.toDouble($"embedding").as("v"))
+        e.as("a").join(e.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+          .withColumn("cos", V.cosine($"a.v", $"b.v"))
+          .filter($"cos" >= 0.30)
+          .select($"a.label".as("label"), $"a.vec_id".as("vec_a"),
+            $"b.vec_id".as("vec_b"), $"cos")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+          ${V.cosineSql("a.v", "b.v")} AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30""")),
+
+    // Brute-force cosine top-k: the exact baseline every ANN variant is
+    // judged against. Queries broadcast; ranking deterministic (cos is
+    // bit-identical cross-engine, vec_id tiebreak).
+    "q_llm_cosine_topk" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", V.toDouble($"embedding").as("v"))
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+        q.join(broadcast(e), $"q_id" =!= $"vec_id")
+          .withColumn("cos", V.cosine($"qv", $"v"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 10)
+          .select($"q_id", $"rank", $"vec_id", $"cos")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            ${V.cosineSql("q.v", "e.v")} AS cos
+          FROM e q JOIN e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 10"""),
+      headline = true),
+
+    // LSH-bucketed ANN: sign bits against 4 deterministic pseudo-random
+    // hyperplanes (weights +-1 from the shared md5 hash) -> 16 buckets;
+    // search only the query's bucket.
+    "q_llm_ann_lsh" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val planeW = (p: Int) => transform(sequence(lit(0), lit(63)), d =>
+          when(Fns.h60(concat(lit(p + "_"), d.cast("string")))
+            .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)))
+        val bucketCol = (0 until Planes).map(p =>
+          when(V.dot($"v", planeW(p)) >= 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", V.toDouble($"embedding").as("v"))
+          .withColumn("bucket", bucketCol)
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket".as("qb"))
+        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+        q.join(e, $"qb" === $"bucket" && $"q_id" =!= $"vec_id")
+          .withColumn("cos", V.cosine($"qv", $"v"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"rank", $"vec_id", $"cos", $"bucket")
+      },
+      oracle = Some {
+        def planeSql(p: Int) =
+          s"""[CASE WHEN (CAST(('0x' || substr(md5(concat('${p}_',
+             CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) & 1) = 1
+             THEN 1.0 ELSE -1.0 END FOR d IN generate_series(0, 63)]"""
+        val bucket = (0 until Planes).map(p =>
+          s"(CASE WHEN ${V.dotSql("v", planeSql(p))} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, v, $bucket AS bucket FROM (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings)),
+        scored AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            ${V.cosineSql("q.v", "e.v")} AS cos, e.bucket AS bucket
+          FROM e q JOIN e ON q.vec_id < 5 AND q.bucket = e.bucket
+            AND q.vec_id <> e.vec_id)
+        SELECT q_id, rank, vec_id, cos, bucket FROM (
+          SELECT q_id, vec_id, cos, bucket, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3"""
+      }),
+
+    // IVF-style ANN: coarse centroids = exact per-label means (integer-
+    // quantized sums), probe the nearest centroid's partition only.
+    "q_llm_ann_ivf" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", $"label", V.toDouble($"embedding").as("v"))
+        val cent = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
+          .groupBy($"label", $"dim")
+          .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
+            / 1e7 / count(lit(1))).as("m"))
+          .groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+            s0 => s0.getField("m")).as("c"))
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val wBest = Window.partitionBy($"q_id").orderBy($"dist2", $"label")
+        val best = q.join(broadcast(cent), lit(true))
+          .withColumn("dist2", aggregate(
+            zip_with($"qv", $"c", (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, el) => acc + el))
+          .withColumn("rn", row_number().over(wBest))
+          .filter($"rn" === 1)
+          .select($"q_id", $"qv", $"label".as("best_label"))
+        val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+        best.join(e, $"best_label" === $"label" && $"q_id" =!= $"vec_id")
+          .withColumn("cos", V.cosine($"qv", $"v"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"best_label", $"rank", $"vec_id", $"cos")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT label, list(m ORDER BY dim) AS c FROM (
+            SELECT label, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS m
+            FROM (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) - 1 AS dim FROM e)
+            GROUP BY label, dim)
+          GROUP BY label),
+        best AS (
+          SELECT q_id, qv, label AS best_label FROM (
+            SELECT q.vec_id AS q_id, q.v AS qv, c.label,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_reduce(list_prepend(0.0,
+                  list_transform(list_zip(q.v, c.c),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y),
+                c.label) AS rn
+            FROM e q, cent c WHERE q.vec_id < 5)
+          WHERE rn = 1),
+        scored AS (
+          SELECT b.q_id, b.best_label, e.vec_id,
+            ${V.cosineSql("b.qv", "e.v")} AS cos
+          FROM best b JOIN e ON b.best_label = e.label AND b.q_id <> e.vec_id)
+        SELECT q_id, best_label, rank, vec_id, cos FROM (
+          SELECT q_id, best_label, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
+    // Multimodal decode plumbing: binary payload -> batched per-partition
+    // feature extraction (stub kernel, oracle mirrors the byte math on
+    // the ascii source text).
+    "q_llm_multimodal" -> QueryDef(
+      fn = (s, dir) => {
+        Multimodal.decode(
+          Multimodal.asMedia(Engine.table(s, dir, "documents"))).toDF()
+      },
+      oracle = Some("""
+        SELECT doc_id AS media_id,
+          CAST(length(text) AS BIGINT) AS n_bytes,
+          CAST(list_reduce(list_prepend(0,
+            list_transform(string_split(text[1:16], ''), c -> ascii(c))),
+            (a, b) -> a + b) AS BIGINT) AS head_sum,
+          CAST(length(text) % 640 AS INT) AS fake_width,
+          CAST(length(text) // 640 + 1 AS INT) AS fake_height,
+          'text/plain' AS format
+        FROM documents""")),
+
+    // Typed UDAF: exact per-label embedding mean (quantized-integer sums).
+    "q_udaf_vec_mean" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val vecMean = udaf(VecMeanAgg)
+        Engine.table(s, dir, "embeddings")
+          .groupBy($"label")
+          .agg(vecMean($"embedding").as("mean_vec"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT label, list(m ORDER BY dim) AS mean_vec, min(cnt) AS n FROM (
+          SELECT label, dim,
+            CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+              AS DOUBLE) / 10000000 / count(*) AS m,
+            count(*) AS cnt
+          FROM (SELECT label, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings)
+          GROUP BY label, dim)
+        GROUP BY label""")),
+
+    // Registered scalar UDF (B-11 surface; codegen note: UDFs are opaque
+    // to Catalyst — the built-in formulations elsewhere are preferred).
+    "q_udf_scalar" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        s.udf.register("quality_band",
+          (nChars: Long, nWords: Int) =>
+            if (nWords == 0) "EMPTY"
+            else if (nChars / nWords.toDouble > 6.0) "LONGWORDS"
+            else "NORMAL")
+        Engine.table(s, dir, "documents")
+          .withColumn("nw", size(split($"text", " ")))
+          .selectExpr("doc_id", "quality_band(n_chars, nw) AS band")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) = 0 THEN 'EMPTY'
+            WHEN CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) > 6.0
+              THEN 'LONGWORDS'
+            ELSE 'NORMAL' END AS band
+        FROM documents"""))
+  )
+}

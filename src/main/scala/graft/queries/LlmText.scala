@@ -1,0 +1,374 @@
+package graft.queries
+
+import graft.{Engine, QueryDef, QueryModule}
+import graft.functions.Fns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text operators (SURVEY.md §2B-10): exact dedup,
+  * MinHash+LSH banding, SimHash, n-gram Jaccard, language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * The source documents contain no natural duplicates (verified), so the
+  * dedup queries union in DETERMINISTIC synthetic copies: exact copies
+  * for exact dedup, one-word-appended copies (doc_id + 100000) for the
+  * near-dup detectors — both mirrored in the oracle CTEs.
+  *
+  * Scale shapes: exact dedup = hash groupBy (one shuffle); MinHash = map
+  * (signatures) -> explode bands -> shuffle on (band, hash) -> self-join
+  * within buckets (the candidate set, NOT the n^2 cross product — this is
+  * the formulation that survives 100 TB); SimHash pair scan is bounded to
+  * the banded/bucketed world in production (demonstrated exhaustively here
+  * because n=550).
+  */
+object LlmText extends QueryModule {
+
+  private val K = 8 // minhash signatures
+  private val Bands = 4 // x 2 rows/band
+  private val SimBits = 24
+  private val P = 144115188075855872L // 2^57, fingerprint modulus
+
+  /** documents + near-dup copies (one appended word). */
+  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Engine.table(s, dir, "documents")
+    d.select(d("doc_id"), d("text"), d("source"))
+      .unionByName(d.filter(d("doc_id") % 10 === 0).select(
+        (d("doc_id") + 100000L).as("doc_id"),
+        concat(d("text"), lit(" graftdup")).as("text"),
+        d("source")))
+  }
+
+  private val nearDupSql =
+    """base AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, concat(text, ' graftdup'), source
+      FROM documents WHERE doc_id % 10 = 0)"""
+
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // Exact dedup: hash-groupBy on content, keep min id, count copies.
+    "q_llm_dedup_exact" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+        val base = d.select($"doc_id", $"text")
+          .unionByName(d.filter($"doc_id" % 10 === 0)
+            .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+        base.groupBy($"text")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM base GROUP BY text""")),
+
+    // MinHash over word trigram shingles + LSH banding self-join, with
+    // signature agreement and true shingle Jaccard per candidate pair.
+    "q_llm_dedup_minhash" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val words = split($"text", " ")
+        val shingled = withNearDups(s, dir).withColumn("shingles",
+          when(size(words) >= 3,
+            transform(sequence(lit(0), size(words) - 3), i =>
+              concat_ws(" ", element_at(words, i + 1),
+                element_at(words, i + 2), element_at(words, i + 3))))
+            .otherwise(array($"text")))
+        val sigCols = (0 until K).map(j =>
+          array_min(transform($"shingles", x =>
+            Fns.h60(concat(lit(j + ":"), x)))).as(s"s$j"))
+        val sig = shingled.select(($"doc_id" +: $"shingles" +: sigCols): _*)
+        val bandStructs = (0 until Bands).map(b => struct(
+          lit(b).as("band"),
+          Fns.h60(concat_ws(",", col(s"s${2 * b}").cast("string"),
+            col(s"s${2 * b + 1}").cast("string"))).as("bh")))
+        val bands = sig.select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
+          .select($"doc_id", $"bs.band".as("band"), $"bs.bh".as("bh"))
+        val pairs = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh"
+            && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+        val sa = sig.as("sa")
+        val sb = sig.as("sb")
+        val agree: Column = (0 until K).map(j =>
+          when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0): Column)
+          .reduce(_ + _)
+        pairs.join(sa, $"doc_a" === $"sa.doc_id")
+          .join(sb, $"doc_b" === $"sb.doc_id")
+          .select($"doc_a", $"doc_b",
+            (agree / lit(8.0)).as("sig_frac"),
+            (size(array_intersect(array_distinct($"sa.shingles"),
+              array_distinct($"sb.shingles"))).cast("double")
+              / size(array_distinct(concat($"sa.shingles", $"sb.shingles"))))
+              .as("jaccard"))
+      },
+      oracle = Some {
+        val sigExprs = (0 until K).map(j =>
+          s"list_min(list_transform(shingles, x -> ${h60Sql(s"concat('$j:', x)")})) AS s$j")
+          .mkString(",\n            ")
+        val bandSelects = (0 until Bands).map(b =>
+          s"""SELECT doc_id, $b AS band, ${h60Sql(
+            s"concat(CAST(s${2 * b} AS VARCHAR), ',', CAST(s${2 * b + 1} AS VARCHAR))")} AS bh FROM sig""")
+          .mkString("\n          UNION ALL ")
+        val agree = (0 until K).map(j =>
+          s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""
+        WITH $nearDupSql,
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(words) >= 3
+              THEN [concat_ws(' ', words[i+1], words[i+2], words[i+3])
+                    FOR i IN generate_series(0, len(words)-3)]
+              ELSE [text] END AS shingles
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM base)),
+        sig AS (
+          SELECT doc_id, shingles,
+            $sigExprs
+          FROM sh),
+        bands AS (
+          $bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        SELECT p.doc_a, p.doc_b,
+          ($agree) / 8.0 AS sig_frac,
+          CAST(len(list_intersect(list_distinct(sa.shingles),
+              list_distinct(sb.shingles))) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM pairs p
+        JOIN sig sa ON p.doc_a = sa.doc_id
+        JOIN sig sb ON p.doc_b = sb.doc_id"""
+      }),
+
+    // SimHash (24-bit) + hamming-distance near-dup pairs.
+    "q_llm_dedup_simhash" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val tok = withNearDups(s, dir)
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .withColumn("h", Fns.h60($"w"))
+        val bitSums = (0 until SimBits).map(i =>
+          sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"b$i"))
+        val sims = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select($"doc_id",
+            (0 until SimBits).map(i =>
+              when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)): Column)
+              .reduce(_ + _).as("simhash"))
+        sims.as("a").join(sims.as("b"), $"a.doc_id" < $"b.doc_id")
+          .withColumn("hamming",
+            bit_count($"a.simhash".bitwiseXOR($"b.simhash")))
+          .filter($"hamming" <= 3)
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"hamming".cast("int").as("hamming"))
+      },
+      oracle = Some {
+        val bitSums = (0 until SimBits).map(i =>
+          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n            ")
+        val assemble = (0 until SimBits).map(i =>
+          s"(CASE WHEN b$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH $nearDupSql,
+        tok AS (
+          SELECT doc_id, ${h60Sql("w")} AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM base)),
+        bits AS (
+          SELECT doc_id,
+            $bitSums
+          FROM tok GROUP BY doc_id),
+        sims AS (SELECT doc_id, $assemble AS simhash FROM bits)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+      }),
+
+    // Unigram-set Jaccard within same source (bounded candidate set).
+    "q_llm_dedup_jaccard" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = withNearDups(s, dir)
+          .select($"doc_id", $"source",
+            array_distinct(split($"text", " ")).as("ws"))
+        d.as("a").join(d.as("b"),
+          $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+          .withColumn("jaccard",
+            size(array_intersect($"a.ws", $"b.ws")).cast("double")
+              / size(array_distinct(concat($"a.ws", $"b.ws"))))
+          .filter($"jaccard" >= 0.7)
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"jaccard")
+      },
+      oracle = Some(s"""
+        WITH $nearDupSql,
+        d AS (SELECT doc_id, source,
+                list_distinct(string_split(text, ' ')) AS ws FROM base)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
+
+    // Language ID via stopword-set scoring with a fixed tie priority.
+    "q_llm_langid" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val stop = Map(
+          "en" -> Seq("the", "a", "of", "and", "to"),
+          "de" -> Seq("der", "die", "das", "und", "zu"),
+          "es" -> Seq("el", "la", "de", "y", "en"),
+          "fr" -> Seq("le", "la", "et", "les", "des"),
+          "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2"))
+        val words = split($"text", " ")
+        def score(l: String): Column =
+          size(filter(words, w => w.isin(stop(l).map(lit): _*)))
+        val d = Engine.table(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            score("en").as("s_en"), score("de").as("s_de"),
+            score("es").as("s_es"), score("fr").as("s_fr"),
+            score("zh").as("s_zh"))
+        d.withColumn("pred",
+          when($"s_en" >= $"s_de" && $"s_en" >= $"s_es"
+            && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
+            .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr"
+              && $"s_de" >= $"s_zh", "de")
+            .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
+            .when($"s_fr" >= $"s_zh", "fr")
+            .otherwise("zh"))
+          .withColumn("is_match", $"pred" === $"lang")
+      },
+      oracle = Some {
+        val sets = Seq(
+          "en" -> Seq("the", "a", "of", "and", "to"),
+          "de" -> Seq("der", "die", "das", "und", "zu"),
+          "es" -> Seq("el", "la", "de", "y", "en"),
+          "fr" -> Seq("le", "la", "et", "les", "des"),
+          "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2"))
+        val scores = sets.map { case (l, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS INT) AS s_$l"
+        }.mkString(",\n            ")
+        s"""
+        WITH d AS (
+          SELECT doc_id, lang,
+            $scores
+          FROM documents)
+        SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+          CASE
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS pred,
+          CASE
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END = lang AS is_match
+        FROM d"""
+      }),
+
+    // Quality scoring: length/word/type-token/stopword/punctuation stats
+    // + a weighted composite, all per-row double arithmetic.
+    "q_llm_quality" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val words = split($"text", " ")
+        val en = Seq("the", "a", "of", "and", "to")
+        Engine.table(s, dir, "documents")
+          .select($"doc_id",
+            length($"text").cast("long").as("n_chars"),
+            size(words).cast("long").as("n_words"),
+            size(array_distinct(words)).cast("long").as("n_distinct"),
+            size(filter(words, w => w.isin(en.map(lit): _*))).cast("long").as("n_stop"),
+            size(filter(words, w => length(w) >= 6)).cast("long").as("n_long"))
+          .withColumn("ttr", $"n_distinct".cast("double") / $"n_words")
+          .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_words")
+          .withColumn("avg_word_len",
+            ($"n_chars" - ($"n_words" - 1)).cast("double") / $"n_words")
+          .withColumn("score",
+            $"ttr" * 0.5 + $"stop_ratio" * 0.2
+              + ($"n_long".cast("double") / $"n_words") * 0.3)
+          .withColumn("band",
+            when($"score" >= 0.4, "HIGH")
+              .when($"score" >= 0.25, "MED").otherwise("LOW"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> length(w) >= 6)) AS BIGINT) AS n_long
+          FROM documents)
+        SELECT doc_id, n_chars, n_words, n_distinct, n_stop, n_long,
+          CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+          CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+          CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+          (CAST(n_distinct AS DOUBLE) / n_words) * 0.5
+            + (CAST(n_stop AS DOUBLE) / n_words) * 0.2
+            + (CAST(n_long AS DOUBLE) / n_words) * 0.3 AS score,
+          CASE WHEN (CAST(n_distinct AS DOUBLE) / n_words) * 0.5
+              + (CAST(n_stop AS DOUBLE) / n_words) * 0.2
+              + (CAST(n_long AS DOUBLE) / n_words) * 0.3 >= 0.4 THEN 'HIGH'
+            WHEN (CAST(n_distinct AS DOUBLE) / n_words) * 0.5
+              + (CAST(n_stop AS DOUBLE) / n_words) * 0.2
+              + (CAST(n_long AS DOUBLE) / n_words) * 0.3 >= 0.25 THEN 'MED'
+            ELSE 'LOW' END AS band
+        FROM d""")),
+
+    // Token counting: whitespace + BPE-ish regex tokenization.
+    "q_llm_tokens" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents").select(
+          $"doc_id",
+          size(split($"text", " ")).as("ws_tokens"),
+          size(regexp_extract_all($"text",
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+          (length($"text") / lit(4.0)).as("approx_bpe"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+            AS re_tokens,
+          length(text) / 4.0 AS approx_bpe
+        FROM documents""")),
+
+    // Document fingerprint: left-to-right polynomial rolling hash mod 2^57
+    // over word hashes (overflow-free in both engines) + md5 prefix.
+    "q_llm_fingerprint" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents").select(
+          $"doc_id",
+          aggregate(split($"text", " "), lit(7L),
+            (acc, w) => (acc * 31L + (Fns.h60(w) % P)) % P).as("poly_fp"),
+          substring(md5($"text".cast("binary")), 1, 8).as("md5_8"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(string_split(text, ' '),
+              w -> ${h60Sql("w")} % $P)),
+            (a, b) -> (a * 31 + b) % $P) AS poly_fp,
+          substr(md5(text), 1, 8) AS md5_8
+        FROM documents"""))
+  )
+}
