@@ -21,7 +21,8 @@ object SparkEntry {
     q.SubjectOps,
     q.LlmText,
     q.LlmSim,
-    q.Sources)
+    q.Sources,
+    q.Extras)
 
   /** All declared queries, in module order. Names must be unique. */
   lazy val all: Vector[(String, QueryDef)] = {

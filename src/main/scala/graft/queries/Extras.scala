@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{Engine, QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Coverage extras: pivot, min_by/max_by, the SQL entry path (scalar /
+  * IN / correlated-EXISTS subqueries through Catalyst decorrelation),
+  * explode_outer + inline generators, json_tuple, map entry functions,
+  * stratified sampling.
+  */
+object Extras extends QueryModule {
+
+  def defs: Vector[(String, QueryDef)] = Vector(
+
+    // Pivot (conditional aggregation under the hood; oracle spells it out).
+    "q_agg_pivot" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum($"l_quantity"))
+      },
+      oracle = Some("""
+        SELECT l_linestatus,
+          sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+          sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+          sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    // min_by / max_by with a unique ordering key (deterministic winners).
+    "q_agg_minby_maxby" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val key = $"l_orderkey" * 10 + $"l_linenumber"
+        Engine.table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            max_by($"l_extendedprice", key).as("price_of_last"),
+            min_by($"l_extendedprice", key).as("price_of_first"),
+            max(key).as("max_key"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+          arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS price_of_last,
+          arg_min(l_extendedprice, l_orderkey * 10 + l_linenumber) AS price_of_first,
+          max(l_orderkey * 10 + l_linenumber) AS max_key
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // The SQL entry path (E2' with spark.sql): scalar subquery, IN
+    // subquery, and correlated EXISTS — Catalyst decorrelates all three.
+    "q_sql_subqueries" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql("""
+          SELECT c_mktsegment, count(*) AS n
+          FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice > 400000.0)
+            AND EXISTS (SELECT 1 FROM nation
+                        WHERE n_nationkey = c_nationkey AND n_regionkey <= 2)
+            AND c_acctbal > (SELECT min(c_acctbal) FROM customer)
+          GROUP BY c_mktsegment""")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000.0)
+          AND EXISTS (SELECT 1 FROM nation
+                      WHERE n_nationkey = c_nationkey AND n_regionkey <= 2)
+          AND c_acctbal > (SELECT min(c_acctbal) FROM customer)
+        GROUP BY c_mktsegment""")),
+
+    // explode_outer keeps rows whose generator input is empty (NULL row).
+    "q_row_explode_outer" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .withColumn("long_words",
+            filter(split($"text", " "), w => length(w) >= 8))
+          .select($"doc_id", explode_outer($"long_words").as("w"))
+      },
+      oracle = Some("""
+        SELECT doc_id, unnest(lw2) AS w FROM (
+          SELECT doc_id,
+            CASE WHEN len(lw) = 0 THEN [NULL] ELSE lw END AS lw2
+          FROM (SELECT doc_id,
+                  list_filter(string_split(text, ' '),
+                    w -> length(w) >= 8) AS lw
+                FROM documents))""")),
+
+    // inline: expand an array of structs into columns + rows.
+    "q_row_inline" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select(inline(array(
+            struct($"doc_id".as("id"), lit("orig").as("tag")),
+            struct(($"doc_id" + 100000L).as("id"), lit("shadow").as("tag")))))
+      },
+      oracle = Some("""
+        SELECT doc_id AS id, 'orig' AS tag FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, 'shadow' FROM documents""")),
+
+    // json_tuple (multi-field JSON extraction generator).
+    "q_fn_json_tuple" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "events")
+          .select($"event_id", json_tuple($"props", "k").as("k_str"))
+      },
+      oracle = Some("""
+        SELECT event_id, json_extract_string(props, '$.k') AS k_str
+        FROM events""")),
+
+    // map_entries / map_from_entries / map_concat (entry-level roundtrip;
+    // outputs flattened to deterministic scalars/arrays).
+    "q_fn_map_entries" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "events")
+          .withColumn("m", map_concat(
+            map(lit("type"), $"event_type"),
+            map(lit("id"), $"user_id".cast("string"))))
+          .withColumn("ents", map_entries($"m"))
+          .withColumn("m2", map_from_entries($"ents"))
+          .select(
+            $"event_id",
+            $"ents",
+            array_sort(map_keys($"m2")).as("keys2"),
+            element_at($"m2", "type").as("type2"))
+      },
+      oracle = Some("""
+        SELECT event_id,
+          [{'key': 'type', 'value': event_type},
+           {'key': 'id', 'value': CAST(user_id AS VARCHAR)}] AS ents,
+          ['id', 'type'] AS keys2,
+          event_type AS type2
+        FROM events""")),
+
+    // Stratified sampling (seeded, engine-specific) — rows-only gate.
+    "q_row_sample_by" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .stat.sampleBy("l_returnflag",
+            Map("A" -> 0.05, "N" -> 0.1, "R" -> 0.05), 42L)
+          .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      },
+      oracle = None)
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.api.GraftJob
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics not expressible through the DuckDB gate:
+  * append-mode window closure by watermark, dedup-within-watermark,
+  * foreachBatch, and the A16 job lifecycle.
+  */
+class StreamingExtrasSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  case class Ev(ts: Timestamp, k: String, v: Double)
+
+  test("append mode emits only watermark-closed windows") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("append_wm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Ev(ts(1), "a", 1.0), Ev(ts(5), "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("append_wm").count() === 0) // window still open
+      mem.addData(Ev(ts(31), "a", 3.0)) // watermark -> 10:26, closes 10:00-10
+      q.processAllAvailable()
+      val closed = spark.table("append_wm").collect()
+      assert(closed.length === 1 && closed.head.getAs[Long]("n") === 2L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-window duplicates") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+      .writeStream.format("memory").queryName("ddww")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Ev(ts(1), "a", 1.0), Ev(ts(2), "a", 2.0), Ev(ts(3), "b", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("ddww").collect()
+      assert(rows.map(_.getAs[String]("k")).sorted.toSeq === Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink receives every micro-batch exactly once") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        seen.put(id, batch.count()); ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Ev(ts(1), "a", 1.0), Ev(ts(2), "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), "c", 3.0))
+      q.processAllAvailable()
+      val total = seen.values().stream().mapToLong(_.longValue()).sum()
+      assert(total === 3L)
+      assert(seen.size() >= 2)
+    } finally q.stop()
+  }
+
+  test("GraftJob lifecycle: setup, compose, batch and streaming runs") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_job").toFile.getAbsolutePath
+    var setupRan = false
+    val job = new GraftJob {
+      def name = "revenue_by_flag"
+      override def setup(s: SparkSession, d: String): Unit = { setupRan = true }
+      def compose(s: SparkSession, d: String): DataFrame =
+        Engine.table(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(sum($"l_quantity").as("q"))
+    }
+    GraftJob.runBatch(job, spark, sf, out)
+    assert(setupRan)
+    assert(spark.read.parquet(s"$out/revenue_by_flag").count() === 3)
+
+    val streamJob = new GraftJob {
+      def name = "events_passthrough"
+      def compose(s: SparkSession, d: String): DataFrame = {
+        val input = Engine.events(s, d)
+        val inDir = s"$out/in"
+        input.limit(100).write.mode("overwrite").parquet(inDir)
+        s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+          .select($"event_id", $"event_type")
+      }
+    }
+    val q = GraftJob.runStream(streamJob, spark, sf, out)
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$out/events_passthrough").count() === 100)
+  }
+}
