@@ -22,7 +22,8 @@ object SparkEntry {
     q.LlmText,
     q.LlmSim,
     q.Sources,
-    q.Extras)
+    q.Extras,
+    q.Tpch)
 
   /** All declared queries, in module order. Names must be unique. */
   lazy val all: Vector[(String, QueryDef)] = {

@@ -58,4 +58,11 @@ object DotProduct {
   def apply(a: Column, b: Column): Column =
     SqlBridge.column(
       DotProduct(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Expose as a SQL function (`dot_product(a, b)`) in the session's
+    * function registry.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
 }
