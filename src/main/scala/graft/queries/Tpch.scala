@@ -98,6 +98,21 @@ object Tpch extends QueryModule {
           list_reduce(list_prepend(0.0, list_transform(
             list_transform(embedding, x -> CAST(x AS DOUBLE)),
             x -> x * x)), (a, b) -> a + b) AS norm2
-        FROM embeddings"""))
+        FROM embeddings""")),
+
+    // Custom TypedImperativeAggregate: exact sorted distinct-set per
+    // group (the imperative-buffer extension point for sketches).
+    "q_agg_imperative_set" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(graft.plans.DistinctSetAgg($"l_suppkey").as("supp_set"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, list(DISTINCT l_suppkey ORDER BY l_suppkey)
+          AS supp_set, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag"""))
   )
 }
