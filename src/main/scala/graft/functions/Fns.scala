@@ -16,19 +16,26 @@ import org.apache.spark.sql.types._
 object Fns {
 
   /** Exact sum of a double column: cast each row to DECIMAL(28,10)
-    * (exact, order-insensitive), sum, cast back to double.
-    * DuckDB mirror: CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE).
+    * (exact, order-insensitive) and sum — the result STAYS decimal.
+    * DuckDB mirror: sum(CAST(x AS DECIMAL(28,10))).
+    *
+    * Why no cast back to double: for sums >= ~1e9, decimal->double
+    * conversion differs by 1 ulp between engines (Spark converts the
+    * exact decimal correctly-rounded; DuckDB divides an int128-derived
+    * double by 10^scale), and 1 ulp at 1e9 is ~1e-7 — right at the
+    * 6-dp hash-rounding boundary. Decimal-vs-decimal compares exactly.
     *
     * Scale note: decimal sum is marginally slower than double sum but
     * stays inside whole-stage codegen and partial aggregation; at 100 TB
     * the shuffle of partial aggregates dominates either way.
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 10))).cast(DoubleType)
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 10)))
 
-  /** Deterministic average: exact decimal sum / count.
+  /** Deterministic average: exact decimal sum (cast to double — averages
+    * have bounded magnitude, where the conversion is ulp-safe) / count.
     * DuckDB mirror: CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x).
     */
-  def davg(c: Column): Column = dsum(c) / count(c)
+  def davg(c: Column): Column = dsum(c).cast(DoubleType) / count(c)
 
   /** 60-bit cross-engine hash of a string: first 15 hex chars of md5,
     * parsed base-16. DuckDB mirror: ('0x' || substr(md5(x),1,15))::BIGINT.
@@ -42,7 +49,7 @@ object Fns {
   def h60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT)"
 
-  /** DuckDB-side mirror of [[dsum]]. */
+  /** DuckDB-side mirror of [[dsum]] (decimal result, no double cast). */
   def dsumSql(expr: String): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(28,10))) AS DOUBLE)"
+    s"sum(CAST(($expr) AS DECIMAL(28,10)))"
 }

@@ -29,16 +29,16 @@ object Aggregates extends QueryModule {
             dsum($"l_extendedprice").as("sum_base_price"),
             dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
             dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
-            (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
-            (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+            (dsum($"l_quantity").cast(DoubleType) / count(lit(1))).as("avg_qty"),
+            (dsum($"l_extendedprice").cast(DoubleType) / count(lit(1))).as("avg_price"),
             count(lit(1)).as("count_order"))
       },
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
           sum(l_quantity) AS sum_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
-          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
-          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+          sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
+          sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
           CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_qty,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_price,
           count(*) AS count_order
@@ -103,7 +103,7 @@ object Aggregates extends QueryModule {
       oracle = Some("""
         SELECT n_name, c_mktsegment,
           count(*) AS n,
-          CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS sum_bal,
+          sum(CAST(c_acctbal AS DECIMAL(28,10))) AS sum_bal,
           CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, c_mktsegment)""")),
@@ -129,12 +129,15 @@ object Aggregates extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         val li = Engine.table(s, dir, "lineitem")
+        // statistics algebra stays in doubles (outputs are normalized, so
+        // the decimal->double cast is ulp-safe here — see Fns.dsum note)
+        def d(c: org.apache.spark.sql.Column) = dsum(c).cast(DoubleType)
         val n = count(lit(1)).cast(DoubleType)
-        val sx = dsum($"l_quantity")
-        val sxx = dsum($"l_quantity" * $"l_quantity")
-        val sy = dsum($"l_extendedprice")
-        val syy = dsum($"l_extendedprice" * $"l_extendedprice")
-        val sxy = dsum($"l_quantity" * $"l_extendedprice")
+        val sx = d($"l_quantity")
+        val sxx = d($"l_quantity" * $"l_quantity")
+        val sy = d($"l_extendedprice")
+        val syy = d($"l_extendedprice" * $"l_extendedprice")
+        val sxy = d($"l_quantity" * $"l_extendedprice")
         li.groupBy($"l_returnflag")
           .agg(
             ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
