@@ -169,6 +169,22 @@ object Joins extends QueryModule {
           ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
         GROUP BY s_nationkey""")),
 
+    // Pure non-equi theta join (no equi backbone): plans as a broadcast
+    // nested-loop join — only acceptable when one side is tiny (here
+    // region x nation); large-scale theta joins must use the equi-residual
+    // form above.
+    "q_join_theta_pure" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val r = Engine.table(s, dir, "region")
+        val n = Engine.table(s, dir, "nation")
+        r.join(n, r("r_regionkey") < n("n_regionkey"))
+          .select($"r_name", $"n_name", $"r_regionkey", $"n_regionkey")
+      },
+      oracle = Some("""
+        SELECT r_name, n_name, r_regionkey, n_regionkey
+        FROM region JOIN nation ON r_regionkey < n_regionkey""")),
+
     // Range join: equi key + time-band residual.
     "q_join_range" -> QueryDef(
       fn = (s, dir) => {

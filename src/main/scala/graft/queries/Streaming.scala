@@ -141,6 +141,26 @@ object Streaming extends QueryModule {
           ON p.user_id = c.user_id
           AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR""")),
 
+    // Update output mode: with a single AvailableNow trigger the sink
+    // holds exactly one (final) update per key — batch-equivalent and
+    // t2-checkable. (Multi-trigger update streams are exercised by the
+    // retraction-join tests, where deltas are the point.)
+    "q_stream_update_mode" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Replay.run(s, Replay.events(s, dir), mode = "update",
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
+          st.withWatermark("ts", "1 hour")
+            .groupBy($"user_id", $"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+        }
+      },
+      oracle = Some("""
+        SELECT user_id, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events GROUP BY user_id, event_type""")),
+
     // Stream-static join: streaming events against the static customer
     // dim (broadcast at scale), then keyless windowless agg per segment.
     "q_stream_static_join" -> QueryDef(
