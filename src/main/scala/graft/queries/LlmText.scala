@@ -90,6 +90,8 @@ object LlmText extends QueryModule {
               concat_ws(" ", element_at(words, i + 1),
                 element_at(words, i + 2), element_at(words, i + 3))))
             .otherwise(array($"text")))
+          .select($"doc_id", $"shingles")
+          .cache() // consumed by both the signature and jaccard branches
         // ONE md5 per shingle, then K affine rehashes mod 2^31-1
         // (a*h+b stays under 2^62 -> overflow-free in both engines).
         val tok = shingled.select($"doc_id", explode($"shingles").as("sh1"))
@@ -98,7 +100,7 @@ object LlmText extends QueryModule {
           min((lit(affineA(j)) * $"hs" + lit(affineB(j))) % MinP).as(s"s$j"))
         val sig = tok.groupBy($"doc_id")
           .agg(sigAggs.head, sigAggs.tail: _*)
-          .join(shingled.select($"doc_id", $"shingles"), Seq("doc_id"))
+          .join(shingled, Seq("doc_id"))
           .cache()
         val bandStructs = (0 until Bands).map(b => struct(
           lit(b).as("band"),
