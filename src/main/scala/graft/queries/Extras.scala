@@ -28,11 +28,16 @@ object Extras extends QueryModule {
           sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         FROM lineitem GROUP BY l_linestatus""")),
 
-    // min_by / max_by with a unique ordering key (deterministic winners).
+    // min_by / max_by with a deterministic ordering key. The synthetic
+    // generator REUSES (l_orderkey, l_linenumber) pairs, so that pair is
+    // not unique — the key packs price-cents into the low 24 bits as a
+    // tiebreak; since the output IS the price, the winner is fully
+    // determined even for exact duplicate keys.
     "q_agg_minby_maxby" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        val key = $"l_orderkey" * 10 + $"l_linenumber"
+        val key = ($"l_orderkey" * 10 + $"l_linenumber") * 16777216L +
+          round($"l_extendedprice" * 100).cast("long")
         Engine.table(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
@@ -42,9 +47,12 @@ object Extras extends QueryModule {
       },
       oracle = Some("""
         SELECT l_returnflag,
-          arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS price_of_last,
-          arg_min(l_extendedprice, l_orderkey * 10 + l_linenumber) AS price_of_first,
-          max(l_orderkey * 10 + l_linenumber) AS max_key
+          arg_max(l_extendedprice, (l_orderkey * 10 + l_linenumber) * 16777216
+            + CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_of_last,
+          arg_min(l_extendedprice, (l_orderkey * 10 + l_linenumber) * 16777216
+            + CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_of_first,
+          max((l_orderkey * 10 + l_linenumber) * 16777216
+            + CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_key
         FROM lineitem GROUP BY l_returnflag""")),
 
     // The SQL entry path (E2' with spark.sql): scalar subquery, IN
