@@ -41,6 +41,40 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Decoded + geometry-normalized features (resize / frame-sample
+    * stages). Kernels are deterministic stubs; the pipeline shape
+    * (decode -> resize -> frame-sample, each a narrow batched stage) is
+    * the real contract.
+    */
+  final case class MediaProcessed(
+      media_id: Long, n_bytes: Long, head_sum: Long,
+      fake_width: Int, fake_height: Int,
+      resized_w: Int, resized_h: Int, n_frames: Int, format: String)
+
+  /** "Resize" to fit a 224x224 box preserving the fake aspect ratio, and
+    * "frame-sample" one frame per 4 KiB window — STUB geometry standing in
+    * for a codec; the per-partition batch processing is real.
+    */
+  def process(ds: Dataset[MediaRecord], box: Int = 224,
+      frameBytes: Int = 4096): Dataset[MediaProcessed] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    decode(ds).mapPartitions { it =>
+      it.map { f =>
+        val w = math.max(f.fake_width, 1)
+        val h = math.max(f.fake_height, 1)
+        // fit into box x box, preserving aspect (integer arithmetic only,
+        // so both engines' mirrors agree exactly)
+        val (rw, rh) =
+          if (w >= h) (box, math.max(1, (h * box) / w))
+          else (math.max(1, (w * box) / h), box)
+        MediaProcessed(f.media_id, f.n_bytes, f.head_sum,
+          f.fake_width, f.fake_height, rw, rh,
+          ((f.n_bytes + frameBytes - 1) / frameBytes).toInt, f.format)
+      }
+    }
+  }
+
   /** Batched per-partition "decode" (stub kernel, real batch shape). */
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession

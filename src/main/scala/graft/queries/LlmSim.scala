@@ -195,19 +195,29 @@ object LlmSim extends QueryModule {
     // the ascii source text).
     "q_llm_multimodal" -> QueryDef(
       fn = (s, dir) => {
-        Multimodal.decode(
+        Multimodal.process(
           Multimodal.asMedia(Engine.table(s, dir, "documents"))).toDF()
       },
       oracle = Some("""
-        SELECT doc_id AS media_id,
-          CAST(length(text) AS BIGINT) AS n_bytes,
-          CAST(list_reduce(list_prepend(0,
-            list_transform(string_split(text[1:16], ''), c -> ascii(c))),
-            (a, b) -> a + b) AS BIGINT) AS head_sum,
-          CAST(length(text) % 640 AS INT) AS fake_width,
-          CAST(length(text) // 640 + 1 AS INT) AS fake_height,
+        WITH f AS (
+          SELECT doc_id AS media_id,
+            CAST(length(text) AS BIGINT) AS n_bytes,
+            CAST(list_reduce(list_prepend(0,
+              list_transform(string_split(text[1:16], ''), c -> ascii(c))),
+              (a, b) -> a + b) AS BIGINT) AS head_sum,
+            CAST(greatest(length(text) % 640, 1) AS INT) AS w,
+            CAST(greatest(length(text) // 640 + 1, 1) AS INT) AS h
+          FROM documents)
+        SELECT media_id, n_bytes, head_sum,
+          CAST(n_bytes % 640 AS INT) AS fake_width,
+          CAST(n_bytes // 640 + 1 AS INT) AS fake_height,
+          CAST(CASE WHEN w >= h THEN 224 ELSE greatest(w * 224 // h, 1) END AS INT)
+            AS resized_w,
+          CAST(CASE WHEN w >= h THEN greatest(h * 224 // w, 1) ELSE 224 END AS INT)
+            AS resized_h,
+          CAST((n_bytes + 4095) // 4096 AS INT) AS n_frames,
           'text/plain' AS format
-        FROM documents""")),
+        FROM f""")),
 
     // Typed UDAF: exact per-label embedding mean (quantized-integer sums).
     "q_udaf_vec_mean" -> QueryDef(
