@@ -20,7 +20,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Remove any stale output from a previous run: a leftover parquet
+        // would let the driver's compare pass on old results.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
+      // Streaming replays and multi-consumer queries cache intermediate
+      // results; don't let 90+ queries accumulate cached blocks.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

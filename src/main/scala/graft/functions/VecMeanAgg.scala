@@ -18,19 +18,26 @@ object VecMeanAgg extends Aggregator[Seq[Float], (Array[Long], Long), Seq[Double
   def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
 
   def reduce(b: (Array[Long], Long), v: Seq[Float]): (Array[Long], Long) = {
-    val acc = if (b._1.isEmpty) new Array[Long](v.length) else b._1
-    var i = 0
-    while (i < v.length) {
-      acc(i) += math.floor(v(i).toDouble * Scale).toLong
-      i += 1
+    if (v == null) b // null vectors are skipped (and not counted)
+    else {
+      val acc = if (b._1.isEmpty) new Array[Long](v.length) else b._1
+      require(v.length == acc.length,
+        s"vec_mean: mixed vector lengths (${v.length} vs ${acc.length})")
+      var i = 0
+      while (i < v.length) {
+        acc(i) += math.floor(v(i).toDouble * Scale).toLong
+        i += 1
+      }
+      (acc, b._2 + 1)
     }
-    (acc, b._2 + 1)
   }
 
   def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
-    if (a._1.isEmpty) b
-    else if (b._1.isEmpty) a
+    if (a._1.isEmpty) (b._1, a._2 + b._2) // counts always accumulate,
+    else if (b._1.isEmpty) (a._1, a._2 + b._2) // even for empty sums
     else {
+      require(a._1.length == b._1.length,
+        s"vec_mean: mixed vector lengths (${a._1.length} vs ${b._1.length})")
       val out = new Array[Long](a._1.length)
       var i = 0
       while (i < out.length) { out(i) = a._1(i) + b._1(i); i += 1 }

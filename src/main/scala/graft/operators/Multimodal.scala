@@ -29,7 +29,12 @@ object Multimodal {
       media_id: Long, n_bytes: Long, head_sum: Long,
       fake_width: Int, fake_height: Int, format: String)
 
-  /** Wrap a text table as fake media (utf-8 bytes as payload). */
+  /** Wrap a text table as fake media (utf-8 bytes as payload).
+    * ORACLE CONTRACT: the q_llm_multimodal oracle recomputes the byte
+    * stats character-wise (length()/ascii()), which matches byte-wise
+    * decode only for ASCII text — true for the test corpus; a non-ASCII
+    * corpus would need a byte-based oracle (DuckDB strlen/blob ops).
+    */
   def asMedia(df: DataFrame): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -18,18 +18,28 @@ object Salt {
 
   /** Inner equi-join `big ⋈ small` on `keys`, with the big side salted
     * `factor` ways. Result equals the unsalted join (asserted in tests).
+    *
+    * The salt mixes a row-local id into the hash so even FULL-DUPLICATE
+    * rows of a hot key spread across buckets (a pure row-content hash
+    * would send every copy to one reducer — exactly the pathological
+    * case salting exists for). The salt value is not deterministic
+    * run-to-run, but the JOIN RESULT is: the small side is replicated
+    * across all salt values, so every row matches regardless of which
+    * bucket it landed in.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int): DataFrame = {
-    val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(factor)))
+    val saltCol = "_graft_salt"
+    val bigSalted = big.withColumn(saltCol,
+      pmod(xxhash64(monotonically_increasing_id()
+        +: big.columns.map(col): _*), lit(factor)))
     val salts = small.sparkSession.range(factor)
-      .select(col("id").cast("int").as("_salt"))
+      .select(col("id").cast("int").as(saltCol))
     val smallReplicated = small.crossJoin(broadcast(salts))
     bigSalted.join(smallReplicated,
         keys.map(k => bigSalted(k) === smallReplicated(k))
-          .reduce(_ && _) && bigSalted("_salt") === smallReplicated("_salt"))
-      .drop("_salt")
+          .reduce(_ && _) && bigSalted(saltCol) === smallReplicated(saltCol))
+      .drop(saltCol)
       .drop(keys.map(smallReplicated(_)).head,
         keys.map(smallReplicated(_)).tail: _*)
   }

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.SqlBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen dot product over two array<double> columns.
   *
@@ -23,14 +24,38 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even for non-null children: length mismatch produces NULL
+  // (otherwise codegen would constant-fold isNull and fail to compile).
+  override def nullable: Boolean = true
+
+  // Reject non-double arrays at analysis time: ArrayData.getDouble on a
+  // float-backed array would silently read garbage. (SQL registration
+  // inserts casts, so array<float> callers still work there.)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  // Length mismatch yields NULL — matching zip_with (NULL-padded pairs
+  // poison the fold) and the DuckDB list_zip mirror, so the documented
+  // bit-identity holds even for ragged inputs.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -39,12 +64,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 
@@ -64,5 +93,12 @@ object DotProduct {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => {
+        require(exprs.length == 2,
+          s"dot_product requires exactly 2 arguments, got ${exprs.length}")
+        // cast numeric arrays (e.g. array<float> embeddings) to doubles
+        DotProduct(
+          Cast(exprs(0), ArrayType(DoubleType)),
+          Cast(exprs(1), ArrayType(DoubleType)))
+      }, "built-in")
 }

@@ -148,7 +148,7 @@ object Scalars extends QueryModule {
           pow($"l_quantity", 2.0).as("q2"),
           sqrt($"l_extendedprice").as("sqrt_p"),
           signum($"l_discount" - 0.05).as("sgn"),
-          pmod($"l_orderkey".cast(IntegerType) - lit(10), lit(7)).as("pm"),
+          pmod($"l_orderkey" - lit(10L), lit(7L)).as("pm"),
           greatest($"l_quantity", $"l_discount" * 100).as("gr"),
           least($"l_quantity", $"l_discount" * 100).as("ls"))
       },
@@ -165,7 +165,7 @@ object Scalars extends QueryModule {
           pow(l_quantity, 2.0) AS q2,
           sqrt(l_extendedprice) AS sqrt_p,
           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
-          CAST(((CAST(l_orderkey AS INT) - 10) % 7 + 7) % 7 AS INT) AS pm,
+          ((l_orderkey - 10) % 7 + 7) % 7 AS pm,
           greatest(l_quantity, l_discount * 100) AS gr,
           least(l_quantity, l_discount * 100) AS ls
         FROM lineitem""")),
