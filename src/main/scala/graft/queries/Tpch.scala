@@ -100,6 +100,77 @@ object Tpch extends QueryModule {
             x -> x * x)), (a, b) -> a + b) AS norm2
         FROM embeddings""")),
 
+    // Q7 shape: volume between customer-nation pairs through the full
+    // order chain, yearly buckets.
+    "q7_nation_volume" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val n1 = Engine.table(s, dir, "nation")
+          .select($"n_nationkey".as("cust_nk"), $"n_name".as("cust_nation"))
+        val n2 = Engine.table(s, dir, "nation")
+          .select($"n_nationkey".as("supp_nk"), $"n_name".as("supp_nation"))
+        val c = Engine.table(s, dir, "customer")
+        val sup = Engine.table(s, dir, "supplier")
+        val o = Engine.table(s, dir, "orders")
+        val l = Engine.table(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), c("c_nationkey") === $"cust_nk")
+          .join(broadcast(n2), sup("s_nationkey") === $"supp_nk")
+          .filter($"cust_nation" < $"supp_nation")
+          .groupBy($"cust_nation", $"supp_nation",
+            year($"l_shipdate").as("ship_year"))
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"),
+            count(lit(1)).as("n_lines"))
+      },
+      oracle = Some(s"""
+        SELECT cust_nation, supp_nation, ship_year,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS volume,
+          count(*) AS n_lines
+        FROM (
+          SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+            CAST(year(l_shipdate) AS INT) AS ship_year,
+            l_extendedprice, l_discount
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND n1.n_name < n2.n_name)
+        GROUP BY cust_nation, supp_nation, ship_year""")),
+
+    // Q20 shape: nested correlated subqueries — suppliers whose stockable
+    // parts saw above-average shipped quantity (exercises two levels of
+    // decorrelation through the SQL entry path).
+    "q20_excess_suppliers" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql("""
+          SELECT s_suppkey, s_name
+          FROM supplier
+          WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > (
+              SELECT 4.0 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = lineitem.l_partkey))""")
+      },
+      oracle = Some("""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > (
+            SELECT 4.0 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey))""")),
+
     // Custom TypedImperativeAggregate: exact sorted distinct-set per
     // group (the imperative-buffer extension point for sketches).
     "q_agg_imperative_set" -> QueryDef(

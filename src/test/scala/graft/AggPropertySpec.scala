@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.VecMeanAgg
+import graft.operators.Salt
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style coverage for VecMeanAgg (cross-partition merge equals a
+  * naive single-pass computation) and Salt (result equals the unsalted
+  * join for random shapes and factors).
+  */
+class AggPropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("VecMeanAgg over many partitions equals naive quantized mean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 5
+    val rows = (1 to 500).map { i =>
+      (i % 4, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("g", "vec").repartition(13) // force merges
+    val vecMean = udaf(VecMeanAgg)
+    val got = df.groupBy($"g").agg(vecMean($"vec").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      val sums = new Array[Long](dim)
+      vs.foreach { case (_, v) =>
+        v.zipWithIndex.foreach { case (x, i) =>
+          sums(i) += math.floor(x.toDouble * VecMeanAgg.Scale).toLong
+        }
+      }
+      g -> sums.toSeq.map(s => s.toDouble / VecMeanAgg.Scale / vs.size)
+    }
+    got.foreach { case (g, m) =>
+      m.zip(expected(g)).foreach { case (a, b) => assert(a === b, s"group $g") }
+    }
+  }
+
+  test("VecMeanAgg rejects mixed vector lengths loudly") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(1.0f))).toDF("g", "vec")
+    val vecMean = udaf(VecMeanAgg)
+    val e = intercept[Exception] {
+      df.groupBy($"g").agg(vecMean($"vec")).collect()
+    }
+    assert(e.getMessage.contains("vec_mean") ||
+      e.getCause != null && e.getCause.getMessage.contains("vec_mean"))
+  }
+
+  test("salted join equals plain join across random factors and skews") {
+    import spark.implicits._
+    (1 to 3).foreach { trial =>
+      val factor = 2 + trial * 3
+      val big = spark.range(5000).select(
+        (when($"id" % (trial + 2) === 0, $"id" % 20)
+          .otherwise(lit(trial.toLong))).as("k"),
+        ($"id" + trial).as("v"))
+      val small = spark.range(20).select($"id".as("k"), ($"id" * 7).as("w"))
+      val expected = big.join(small, "k")
+        .agg(count(lit(1)), sum($"v" * $"w")).head
+      val got = Salt.saltedJoin(big, small, Seq("k"), factor)
+        .agg(count(lit(1)), sum($"v" * $"w")).head
+      assert(got === expected, s"trial=$trial factor=$factor")
+    }
+  }
+}
