@@ -51,8 +51,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // A query that threw is recorded as -1 in `queries`; surface it
+    // explicitly so a failure can't silently shrink the headline total.
+    val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.mkString("[", ",", "]")},""" +
+        s""""n_failed":${failed.size},"ok":${failed.isEmpty},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -31,6 +31,27 @@ object Fns {
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 10)))
 
+  /** Gate-safe final projection of a [[dsum]] result to DOUBLE.
+    *
+    * Raw DECIMAL output columns break the external comparator (Spark
+    * parquet decimals arrive as objects while DuckDB yields float64), and
+    * a direct decimal(38,10)→double cast is double-rounded in DuckDB
+    * (int128→double, then /1e10 — 1 ulp off at sums ≥ ~1e9). Narrowing
+    * the exact decimal to DECIMAL(18,6) first makes the conversion safe:
+    * both engines round the SAME exact decimal at 6 dp (half-away-from-
+    * zero in both), and the scale-6 scaled integer fits a 53-bit mantissa
+    * for |x| < ~9e9, so each engine's decimal→double step is a single
+    * correctly-rounded operation — bit-identical results.
+    *
+    * Bound note: |sum| must stay < ~9e9 for bit-exactness (holds through
+    * sf0.1 per-group sums); the gate never runs at larger SF. DuckDB
+    * mirror: [[dgateSql]].
+    */
+  def dgate(c: Column): Column = c.cast(DecimalType(18, 6)).cast(DoubleType)
+
+  /** [[dsum]] + [[dgate]]: exact decimal accumulation, double output. */
+  def dsumGate(c: Column): Column = dgate(dsum(c))
+
   /** Deterministic average: exact decimal sum (cast to double — averages
     * have bounded magnitude, where the conversion is ulp-safe) / count.
     * DuckDB mirror: CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x).
@@ -52,4 +73,11 @@ object Fns {
   /** DuckDB-side mirror of [[dsum]] (decimal result, no double cast). */
   def dsumSql(expr: String): String =
     s"sum(CAST(($expr) AS DECIMAL(28,10)))"
+
+  /** DuckDB-side mirror of [[dgate]]. */
+  def dgateSql(expr: String): String =
+    s"CAST(CAST(($expr) AS DECIMAL(18,6)) AS DOUBLE)"
+
+  /** DuckDB-side mirror of [[dsumGate]]. */
+  def dsumGateSql(expr: String): String = dgateSql(dsumSql(expr))
 }

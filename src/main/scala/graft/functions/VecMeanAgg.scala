@@ -18,7 +18,11 @@ object VecMeanAgg extends Aggregator[Seq[Float], (Array[Long], Long), Seq[Double
   def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
 
   def reduce(b: (Array[Long], Long), v: Seq[Float]): (Array[Long], Long) = {
-    if (v == null) b // null vectors are skipped (and not counted)
+    // null AND zero-length vectors are skipped and not counted: an empty
+    // vector carries no elements, and counting it would skew the mean
+    // denominator (an (empty, n>0) buffer is indistinguishable from zero
+    // in merge, silently bypassing the mixed-length check).
+    if (v == null || v.isEmpty) b
     else {
       val acc = if (b._1.isEmpty) new Array[Long](v.length) else b._1
       require(v.length == acc.length,

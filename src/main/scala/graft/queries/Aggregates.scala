@@ -26,9 +26,9 @@ object Aggregates extends QueryModule {
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             sum($"l_quantity").as("sum_qty"),
-            dsum($"l_extendedprice").as("sum_base_price"),
-            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+            dsumGate($"l_extendedprice").as("sum_base_price"),
+            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
             (dsum($"l_quantity").cast(DoubleType) / count(lit(1))).as("avg_qty"),
             (dsum($"l_extendedprice").cast(DoubleType) / count(lit(1))).as("avg_price"),
             count(lit(1)).as("count_order"))
@@ -36,9 +36,9 @@ object Aggregates extends QueryModule {
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
           sum(l_quantity) AS sum_qty,
-          sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
-          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
-          sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
           CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_qty,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_price,
           count(*) AS count_order
@@ -97,13 +97,13 @@ object Aggregates extends QueryModule {
           .rollup($"n_name", $"c_mktsegment")
           .agg(
             count(lit(1)).as("n"),
-            dsum($"c_acctbal").as("sum_bal"),
+            dsumGate($"c_acctbal").as("sum_bal"),
             grouping_id().as("gid"))
       },
       oracle = Some("""
         SELECT n_name, c_mktsegment,
           count(*) AS n,
-          sum(CAST(c_acctbal AS DECIMAL(28,10))) AS sum_bal,
+          CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_bal,
           CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, c_mktsegment)""")),
@@ -181,19 +181,21 @@ object Aggregates extends QueryModule {
         FROM lineitem GROUP BY l_returnflag""")),
 
     // collect_list sorted (order-insensitive via explicit array_sort).
+    // Gate output joins the sorted lists to strings (raw arrays crash the
+    // external comparator); raw-array behavior is unit-tested.
     "q_agg_collect" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
         Engine.table(s, dir, "nation")
           .groupBy($"n_regionkey")
           .agg(
-            array_sort(collect_list($"n_name")).as("nations"),
-            array_sort(collect_set($"n_name")).as("nation_set"))
+            concat_ws("|", array_sort(collect_list($"n_name"))).as("nations"),
+            concat_ws("|", array_sort(collect_set($"n_name"))).as("nation_set"))
       },
       oracle = Some("""
         SELECT n_regionkey,
-          list(n_name ORDER BY n_name) AS nations,
-          list(DISTINCT n_name ORDER BY n_name) AS nation_set
+          array_to_string(list(n_name ORDER BY n_name), '|') AS nations,
+          array_to_string(list(DISTINCT n_name ORDER BY n_name), '|') AS nation_set
         FROM nation GROUP BY n_regionkey""")),
 
     // approx_count_distinct (HLL): no cross-engine oracle — rows-only gate;

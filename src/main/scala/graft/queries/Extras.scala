@@ -136,15 +136,16 @@ object Extras extends QueryModule {
           .withColumn("m2", map_from_entries($"ents"))
           .select(
             $"event_id",
-            $"ents",
-            array_sort(map_keys($"m2")).as("keys2"),
+            array_join(transform($"ents",
+              e => concat(e.getField("key"), lit("="), e.getField("value"))),
+              "|").as("ents"),
+            concat_ws(",", array_sort(map_keys($"m2"))).as("keys2"),
             element_at($"m2", "type").as("type2"))
       },
       oracle = Some("""
         SELECT event_id,
-          [{'key': 'type', 'value': event_type},
-           {'key': 'id', 'value': CAST(user_id AS VARCHAR)}] AS ents,
-          ['id', 'type'] AS keys2,
+          'type=' || event_type || '|id=' || CAST(user_id AS VARCHAR) AS ents,
+          'id,type' AS keys2,
           event_type AS type2
         FROM events""")),
 

@@ -31,12 +31,12 @@ object Joins extends QueryModule {
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .groupBy($"o_orderpriority")
           .agg(
-            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
             count(lit(1)).as("n"))
       },
       oracle = Some(s"""
         SELECT o_orderpriority,
-          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
           count(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority"""),
@@ -160,11 +160,11 @@ object Joins extends QueryModule {
         sup.join(c, sup("s_nationkey") === c("c_nationkey")
             && sup("s_acctbal") > c("c_acctbal"))
           .groupBy($"s_nationkey")
-          .agg(count(lit(1)).as("n"), dsum($"s_acctbal" - $"c_acctbal").as("sum_gap"))
+          .agg(count(lit(1)).as("n"), dsumGate($"s_acctbal" - $"c_acctbal").as("sum_gap"))
       },
       oracle = Some(s"""
         SELECT s_nationkey, count(*) AS n,
-          ${dsumSql("s_acctbal - c_acctbal")} AS sum_gap
+          ${dsumGateSql("s_acctbal - c_acctbal")} AS sum_gap
         FROM supplier JOIN customer
           ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
         GROUP BY s_nationkey""")),

@@ -220,6 +220,9 @@ object LlmSim extends QueryModule {
         FROM f""")),
 
     // Typed UDAF: exact per-label embedding mean (quantized-integer sums).
+    // Gate output explodes the mean vector to (label, dim, m) rows —
+    // per-element doubles are bit-identical across engines, while a raw
+    // array column crashes the external comparator.
     "q_udaf_vec_mean" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -228,18 +231,17 @@ object LlmSim extends QueryModule {
           .groupBy($"label")
           .agg(vecMean($"embedding").as("mean_vec"),
             count(lit(1)).as("n"))
+          .select($"label", posexplode($"mean_vec").as(Seq("dim", "m")), $"n")
       },
       oracle = Some("""
-        SELECT label, list(m ORDER BY dim) AS mean_vec, min(cnt) AS n FROM (
-          SELECT label, dim,
-            CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
-              AS DOUBLE) / 10000000 / count(*) AS m,
-            count(*) AS cnt
-          FROM (SELECT label, unnest(embedding) AS x,
-                  generate_subscripts(embedding, 1) - 1 AS dim
-                FROM embeddings)
-          GROUP BY label, dim)
-        GROUP BY label""")),
+        SELECT label, dim,
+          CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+            AS DOUBLE) / 10000000 / count(*) AS m,
+          count(*) AS n
+        FROM (SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                unnest(embedding) AS x
+              FROM embeddings)
+        GROUP BY label, dim""")),
 
     // Registered scalar UDF (B-11 surface; codegen note: UDFs are opaque
     // to Catalyst — the built-in formulations elsewhere are preferred).

@@ -112,11 +112,11 @@ object RowOps extends QueryModule {
           .as[LineSlim]
           .map(r => LineRev(r.l_orderkey, r.l_extendedprice * (1.0 - r.l_discount)))
           .groupBy($"l_orderkey")
-          .agg(dsum($"revenue").as("order_revenue"), count(lit(1)).as("n_lines"))
+          .agg(dsumGate($"revenue").as("order_revenue"), count(lit(1)).as("n_lines"))
       },
       oracle = Some(s"""
         SELECT l_orderkey,
-          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS order_revenue,
+          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS order_revenue,
           count(*) AS n_lines
         FROM lineitem GROUP BY l_orderkey""")),
 

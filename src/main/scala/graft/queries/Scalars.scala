@@ -206,8 +206,8 @@ object Scalars extends QueryModule {
             size($"words").as("n_words"),
             array_contains($"words", "spark").as("has_spark"),
             size(array_distinct($"words")).as("n_distinct"),
-            slice(array_sort($"words"), 1, 5).as("first5_sorted"),
-            transform(slice($"words", 1, 3), w => upper(w)).as("up3"),
+            concat_ws("|", slice(array_sort($"words"), 1, 5)).as("first5_sorted"),
+            concat_ws("|", transform(slice($"words", 1, 3), w => upper(w))).as("up3"),
             size(filter($"words", w => length(w) > 4)).as("n_long"),
             exists($"words", w => w === "data").as("has_data"),
             forall($"words", w => length(w) > 0).as("all_nonempty"),
@@ -218,8 +218,8 @@ object Scalars extends QueryModule {
           CAST(len(words) AS INT) AS n_words,
           list_contains(words, 'spark') AS has_spark,
           CAST(len(list_distinct(words)) AS INT) AS n_distinct,
-          list_sort(words)[1:5] AS first5_sorted,
-          list_transform(words[1:3], w -> upper(w)) AS up3,
+          array_to_string(list_sort(words)[1:5], '|') AS first5_sorted,
+          array_to_string(list_transform(words[1:3], w -> upper(w)), '|') AS up3,
           CAST(len(list_filter(words, w -> length(w) > 4)) AS INT) AS n_long,
           len(list_filter(words, w -> w = 'data')) > 0 AS has_data,
           len(list_filter(words, w -> length(w) = 0)) = 0 AS all_nonempty,
@@ -311,14 +311,14 @@ object Scalars extends QueryModule {
             $"event_id",
             element_at($"m", "type").as("m_type"),
             element_at($"m", "id").as("m_id"),
-            array_sort(map_keys($"m")).as("keys_sorted"),
+            concat_ws(",", array_sort(map_keys($"m"))).as("keys_sorted"),
             size($"m").as("m_size"))
       },
       oracle = Some("""
         SELECT event_id,
           m['type'][1] AS m_type,
           m['id'][1] AS m_id,
-          list_sort(map_keys(m)) AS keys_sorted,
+          array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
           CAST(cardinality(m) AS INT) AS m_size
         FROM (SELECT event_id,
                 MAP{'type': event_type, 'id': CAST(user_id AS VARCHAR)} AS m

@@ -27,14 +27,14 @@ object Tpch extends QueryModule {
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
           .orderBy($"revenue".desc, $"l_orderkey")
           .limit(10)
       },
       oracle = Some(s"""
         SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
           o_orderpriority,
-          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -63,12 +63,12 @@ object Tpch extends QueryModule {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy($"r_name", $"n_name")
           .agg(
-            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       oracle = Some(s"""
         SELECT r_name, n_name,
-          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
           count(*) AS n_lines
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -123,12 +123,12 @@ object Tpch extends QueryModule {
           .filter($"cust_nation" < $"supp_nation")
           .groupBy($"cust_nation", $"supp_nation",
             year($"l_shipdate").as("ship_year"))
-          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"),
+          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"),
             count(lit(1)).as("n_lines"))
       },
       oracle = Some(s"""
         SELECT cust_nation, supp_nation, ship_year,
-          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS volume,
+          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS volume,
           count(*) AS n_lines
         FROM (
           SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
@@ -173,17 +173,25 @@ object Tpch extends QueryModule {
 
     // Custom TypedImperativeAggregate: exact sorted distinct-set per
     // group (the imperative-buffer extension point for sketches).
+    // Gate output is the ','-joined set (raw arrays crash the external
+    // comparator); the raw-array form is covered in OperatorSpec.
     "q_agg_imperative_set" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
         Engine.table(s, dir, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(graft.plans.DistinctSetAgg($"l_suppkey").as("supp_set"),
+          .agg(graft.plans.DistinctSetAgg($"l_suppkey").as("raw_set"),
             count(lit(1)).as("n"))
+          .select($"l_returnflag",
+            array_join(transform($"raw_set", _.cast("string")), ",").as("supp_set"),
+            $"n")
       },
       oracle = Some("""
-        SELECT l_returnflag, list(DISTINCT l_suppkey ORDER BY l_suppkey)
-          AS supp_set, count(*) AS n
+        SELECT l_returnflag,
+          array_to_string(list_transform(
+            list(DISTINCT l_suppkey ORDER BY l_suppkey),
+            x -> CAST(x AS VARCHAR)), ',') AS supp_set,
+          count(*) AS n
         FROM lineitem GROUP BY l_returnflag"""))
   )
 }

@@ -48,6 +48,20 @@ class AggPropertySpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("vec_mean"))
   }
 
+  test("VecMeanAgg skips zero-length vectors without counting them") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(2.0f, 4.0f)), (1, Seq.empty[Float]), (1, Seq(4.0f, 8.0f)),
+      (2, Seq.empty[Float])).toDF("g", "vec")
+    val vecMean = udaf(VecMeanAgg)
+    val got = df.groupBy($"g").agg(vecMean($"vec").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // group 1: empty vector neither contributes nor inflates the count
+    assert(got(1) === Seq(3.0, 6.0))
+    // group 2: only empty vectors -> empty mean
+    assert(got(2) === Seq.empty[Double])
+  }
+
   test("salted join equals plain join across random factors and skews") {
     import spark.implicits._
     (1 to 3).foreach { trial =>
@@ -59,7 +73,7 @@ class AggPropertySpec extends AnyFunSuite {
       val small = spark.range(20).select($"id".as("k"), ($"id" * 7).as("w"))
       val expected = big.join(small, "k")
         .agg(count(lit(1)), sum($"v" * $"w")).head
-      val got = Salt.saltedJoin(big, small, Seq("k"), factor)
+      val got = Salt.saltedJoin(big, small, Seq("k"), factor, saltCols = Seq("v"))
         .agg(count(lit(1)), sum($"v" * $"w")).head
       assert(got === expected, s"trial=$trial factor=$factor")
     }

@@ -20,7 +20,8 @@ class ScaleUtilSpec extends AnyFunSuite {
     val small = spark.range(50).select($"id".as("k"), ($"id" + 100).as("w"))
     val expected = big.join(small, "k")
       .agg(count(lit(1)), sum($"v" + $"w")).head
-    val salted = Salt.saltedJoin(big, small, Seq("k"), factor = 8)
+    val salted = Salt.saltedJoin(big, small, Seq("k"), factor = 8,
+        saltCols = Seq("v"))
       .agg(count(lit(1)), sum($"v" + $"w")).head
     assert(salted === expected)
   }

@@ -36,6 +36,23 @@ def canon(df):
     return df.loc[order].reset_index(drop=True)
 
 
+def driver_unsafe_cols(df):
+    """Columns the DRIVER's comparator cannot hash-compare, even when our
+    lenient canon() would: decimal.Decimal objects (Spark parquet decimals
+    vs DuckDB float64 -> categorical hash mismatch) and nested
+    ndarray/list/dict values (pandas lexsort crashes on them)."""
+    import decimal
+    import numpy as np
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c].dropna().head(20):
+                if isinstance(v, (decimal.Decimal, np.ndarray, list, tuple, dict)):
+                    bad.append(f"{c}:{type(v).__name__}")
+                    break
+    return bad
+
+
 def canon_val(v):
     import numpy as np
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -69,6 +86,12 @@ def main():
             duck_df = con.execute(sql).fetch_arrow_table().to_pandas()
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        unsafe = [f"spark[{x}]" for x in driver_unsafe_cols(spark_df)] + \
+                 [f"duck[{x}]" for x in driver_unsafe_cols(duck_df)]
+        if unsafe:
+            print(f"FAIL {name}: driver-unsafe output types {unsafe}")
             n_fail += 1
             continue
         a, b = canon(spark_df), canon(duck_df)
