@@ -35,8 +35,13 @@ object Bench {
     // JVM/codegen/file-listing warmup on the flagship.
     runOnce("q1_agg")
 
+    // optional args: bench only the named queries (local fast loop; the
+    // driver always runs with no args = full corpus)
+    val only = args.toSet
     val headlines = SparkEntry.headlines.toSet
-    val results = SparkEntry.all.map { case (name, _) =>
+    val results = SparkEntry.all
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, _) =>
       val t =
         try {
           if (headlines(name)) {

@@ -62,9 +62,12 @@ object Fns {
     * parsed base-16. DuckDB mirror: ('0x' || substr(md5(x),1,15))::BIGINT.
     * Used as the shared hash primitive for MinHash/SimHash/fingerprints
     * (xxhash64 is Spark-only; DuckDB hash() is DuckDB-only).
+    *
+    * Backed by the native [[graft.plans.H60]] codegen expression, which
+    * reads the 60 bits straight from the digest — bit-identical to (and
+    * hot-path-faster than) conv(substring(md5(x),1,15),16,10).
     */
-  def h60(c: Column): Column =
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+  def h60(c: Column): Column = graft.plans.H60(c.cast(StringType))
 
   /** DuckDB-side mirror of [[h60]] as a SQL fragment. */
   def h60Sql(expr: String): String =

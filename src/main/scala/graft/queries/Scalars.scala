@@ -226,6 +226,78 @@ object Scalars extends QueryModule {
           CAST(coalesce(list_position(words, 'table'), 0) AS BIGINT) AS pos_table
         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""")),
 
+    // Array set algebra + zip (B-8 rows not covered elsewhere):
+    // union/intersect/except/remove/sort/zip against a fixed stopword
+    // set. Set-op results are sorted then joined to strings (Spark and
+    // DuckDB produce different element orders; sorted-set equality is the
+    // defined semantics).
+    "q_fn_array_set" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+        Engine.table(s, dir, "documents")
+          .filter($"doc_id" < 100)
+          .withColumn("ws", split($"text", " "))
+          .select(
+            $"doc_id",
+            concat_ws("|", array_sort(array_union($"ws", stop))).as("au"),
+            concat_ws("|", array_sort(array_intersect($"ws", stop))).as("ai"),
+            concat_ws("|", array_sort(array_except($"ws", stop))).as("ax"),
+            concat_ws("|", slice(array_remove($"ws", "the"), 1, 8)).as("ar"),
+            concat_ws("|", transform(
+              arrays_zip(slice($"ws", 1, 3), slice(reverse($"ws"), 1, 3)),
+              p => concat(p.getField("0"), lit("~"), p.getField("1")))).as("az"),
+            concat_ws("|", slice(sort_array($"ws", asc = false), 1, 4)).as("sd"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          array_to_string(list_sort(list_distinct(
+            list_concat(ws, ['the','a','of','and','to']))), '|') AS au,
+          coalesce(array_to_string(list_sort(list_distinct(
+            list_filter(ws, w -> w IN ('the','a','of','and','to')))), '|'),
+            '') AS ai,
+          array_to_string(list_sort(list_distinct(
+            list_filter(ws, w -> w NOT IN ('the','a','of','and','to')))), '|') AS ax,
+          array_to_string(list_filter(ws, w -> w != 'the')[1:8], '|') AS ar,
+          array_to_string([ws[i] || '~' || list_reverse(ws)[i]
+            FOR i IN [1, 2, 3]], '|') AS az,
+          array_to_string(list_reverse(list_sort(ws))[1:4], '|') AS sd
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id < 100)""")),
+
+    // Date arithmetic + NaN handling + banker's rounding (B-8 rows not
+    // covered elsewhere): months_between on month-truncated dates (whole
+    // months — cross-engine exact), date_sub, bround on full-precision
+    // quotients (no representable ties at 2 dp), isnan/nanvl on an
+    // injected NaN (outputs themselves are NaN-free).
+    "q_fn_datetime2" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "orders")
+          .withColumn("v", when($"o_orderkey" % 7 === 0, lit(Double.NaN))
+            .otherwise($"o_totalprice"))
+          .select(
+            $"o_orderkey",
+            months_between(date_trunc("month", $"o_orderdate"),
+              lit("1995-01-01").cast("timestamp")).as("mb"),
+            date_sub($"o_orderdate".cast("date"), 30).cast("timestamp").as("ds"),
+            bround($"o_totalprice" / lit(7.0), 2).as("br"),
+            isnan($"v").as("is_nan"),
+            nanvl($"v", lit(-1.0)).as("nn"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+          CAST(date_diff('month', DATE '1995-01-01',
+            CAST(date_trunc('month', o_orderdate) AS DATE)) AS DOUBLE) AS mb,
+          CAST(CAST(o_orderdate AS DATE) - 30 AS TIMESTAMP) AS ds,
+          round(o_totalprice / 7.0, 2) AS br,
+          isnan(v) AS is_nan,
+          CASE WHEN isnan(v) THEN -1.0 ELSE v END AS nn
+        FROM (SELECT *,
+                CASE WHEN o_orderkey % 7 = 0 THEN 'NaN'::DOUBLE
+                     ELSE o_totalprice END AS v
+              FROM orders)""")),
+
     // Vector math via higher-order functions: dot/norm with left-to-right
     // folds (aggregate in Spark, list_reduce in DuckDB) — deterministic
     // without a custom Expression.

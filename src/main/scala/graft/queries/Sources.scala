@@ -75,6 +75,29 @@ object Sources extends QueryModule {
         SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""")),
 
+    // Parquet schema evolution: two generations of files with different
+    // column sets, read as one table with mergeSchema (missing columns
+    // null-filled per file) — the add-a-column migration path a long-lived
+    // 100 TB table needs.
+    "q_src_merge_schema" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("msq", dir)
+        val n = Engine.table(s, dir, "nation")
+        n.filter($"n_nationkey" < 13).select($"n_nationkey", $"n_name")
+          .write.mode("overwrite").parquet(s"$out/gen1")
+        n.filter($"n_nationkey" >= 13).select($"n_nationkey", $"n_regionkey")
+          .write.mode("overwrite").parquet(s"$out/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$out/gen1", s"$out/gen2")
+      },
+      oracle = Some("""
+        SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+        FROM nation WHERE n_nationkey < 13
+        UNION ALL
+        SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey
+        FROM nation WHERE n_nationkey >= 13""")),
+
     // Streaming parquet sink: stream events through a windowed projection
     // into a parquet directory (checkpointed), then batch-read the sink.
     "q_src_stream_parquet_sink" -> QueryDef(

@@ -171,6 +171,166 @@ object Tpch extends QueryModule {
             SELECT 4.0 * avg(l_quantity) FROM lineitem l2
             WHERE l2.l_partkey = lineitem.l_partkey))""")),
 
+    // Q10 shape: returned-item customers — revenue from 'R' lineitems per
+    // customer, top 20 (fact-fact shuffle join, dims broadcast, global
+    // top-k via TakeOrderedAndProject).
+    "q10_returned_items" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val l = Engine.table(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        val o = Engine.table(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+            && $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        val c = Engine.table(s, dir, "customer")
+        val n = Engine.table(s, dir, "nation")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy($"c_custkey", $"c_name", $"n_name")
+          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      oracle = Some(s"""
+        SELECT c_custkey, c_name, n_name,
+          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // Q12 shape: conditional aggregation — count urgent vs non-urgent
+    // order lines per return flag (sum-of-CASE, single shuffle).
+    "q12_priority_class" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val l = Engine.table(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        val o = Engine.table(s, dir, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy($"l_returnflag")
+          .agg(
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_line_count"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag""")),
+
+    // Q14 shape: promo revenue share — ratio of two conditional exact
+    // sums (both gated to double before the division, which is then
+    // plain bounded-magnitude IEEE arithmetic).
+    "q14_promo_share" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val l = Engine.table(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-09-01").cast("timestamp")
+            && $"l_shipdate" < lit("1996-10-01").cast("timestamp"))
+        val p = Engine.table(s, dir, "part")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .agg(
+            dsumGate(when($"p_type" === "PROMO",
+              $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .otherwise(lit(0.0))).as("promo_rev"),
+            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_rev"))
+          .select(
+            (lit(100.0) * $"promo_rev" / $"total_rev").as("promo_share"),
+            $"promo_rev", $"total_rev")
+      },
+      oracle = Some {
+        val promo = dsumGateSql(
+          "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")
+        val total = dsumGateSql("l_extendedprice * (1.0 - l_discount)")
+        s"""
+        WITH t AS (
+          SELECT $promo AS promo_rev, $total AS total_rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+        SELECT 100.0 * promo_rev / total_rev AS promo_share,
+          promo_rev, total_rev
+        FROM t"""
+      }),
+
+    // Q19 shape: disjunction of conjunctive bands as the join residual —
+    // Catalyst extracts the common equi key (l_partkey = p_partkey) so
+    // this stays a broadcast hash join with an OR-of-ANDs filter, not a
+    // nested-loop over the cross product.
+    "q19_disjunctive_pred" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val l = Engine.table(s, dir, "lineitem")
+        val p = Engine.table(s, dir, "part")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey")
+          && ((p("p_brand") === "Brand#12" && p("p_size").between(1, 15)
+                && l("l_quantity").between(1, 11))
+            || (p("p_brand") === "Brand#23" && p("p_size").between(1, 25)
+                && l("l_quantity").between(10, 20))
+            || (p("p_brand") === "Brand#34" && p("p_size").between(1, 35)
+                && l("l_quantity").between(20, 30))))
+          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      oracle = Some(s"""
+        SELECT ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // Q9 shape: profit by supplier nation and order year (no partsupp
+    // table in the test data, so unit cost is proxied by
+    // p_retailprice * 0.1 — same expression on both engines).
+    "q9_profit_nation" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val l = Engine.table(s, dir, "lineitem")
+        val o = Engine.table(s, dir, "orders")
+        val p = Engine.table(s, dir, "part").filter($"p_type".isin("PROMO", "ECONOMY"))
+        val sup = Engine.table(s, dir, "supplier")
+        val n = Engine.table(s, dir, "nation")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")
+            - $"p_retailprice" * $"l_quantity" * lit(0.1)).as("profit"))
+      },
+      oracle = Some(s"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+          ${dsumGateSql(
+            "l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.1")}
+            AS profit
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type IN ('PROMO', 'ECONOMY')
+        GROUP BY n_name, year(o_orderdate)""")),
+
     // Custom TypedImperativeAggregate: exact sorted distinct-set per
     // group (the imperative-buffer extension point for sketches).
     // Gate output is the ','-joined set (raw arrays crash the external

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: functions and the composed-h60 rewrite must be live
+  * in a session built with spark.sql.extensions=graft.GraftExtensions.
+  * (The extension session shares the JVM-wide SparkContext with the test
+  * session; it is not stopped, only de-activated, so other suites keep
+  * their context.)
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    // force the shared context to exist first, then build a sibling
+    // session carrying the extensions
+    SparkTestSession.spark.sparkContext
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // `spark.sql.extensions` is a static conf read at SparkContext
+      // creation; tests attach to the suite-wide existing context, so the
+      // class is installed via the public builder API instead (a cluster
+      // deployment sets the conf string at submit time).
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      f(s)
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("extension-injected h60 and dot_product are callable from SQL") {
+    withExtSession { s =>
+      val h = s.sql("SELECT h60('graft') AS h").head.getLong(0)
+      val expected = graft.plans.H60.first60Bits(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("graft".getBytes("UTF-8")))
+      assert(h === expected)
+      val d = s.sql(
+        "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head.getDouble(0)
+      assert(d === 11.0)
+    }
+  }
+
+  test("optimizer rewrites composed md5/conv hash to native h60") {
+    withExtSession { s =>
+      // non-foldable input (literals would be constant-folded away
+      // before the rewrite is observable)
+      val df = s.sql("""
+        SELECT CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10)
+          AS BIGINT) AS h
+        FROM range(3)""")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("h60"), optimized)
+      assert(!optimized.contains("conv"), optimized)
+      // and the rewritten plan computes the original values
+      val got = df.collect().map(_.getLong(0)).toSeq
+      val expected = Seq("0", "1", "2").map(v =>
+        graft.plans.H60.first60Bits(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(v.getBytes("UTF-8"))))
+      assert(got === expected)
+    }
+  }
+}

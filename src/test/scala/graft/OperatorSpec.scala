@@ -24,6 +24,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("native H60 equals the composed md5/conv form and stays in codegen") {
+    import spark.implicits._
+    val d = Engine.table(spark, sf, "documents")
+      .select(
+        graft.functions.Fns.h60($"text").as("native"),
+        conv(substring(md5($"text".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("composed"))
+    val rows = d.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // edge inputs: empty string and non-ascii
+    val edge = Seq("", "a", "√unicode ±", "x" * 10000).toDF("s")
+      .select(graft.functions.Fns.h60($"s").as("native"),
+        conv(substring(md5($"s".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("composed"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("h60") && l.trim.startsWith("*(")), plan.take(500))
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     import spark.implicits._
     val e = Engine.table(spark, sf, "embeddings")
