@@ -108,6 +108,24 @@ object Aggregates extends QueryModule {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, c_mktsegment)""")),
 
+    // explicit GROUPING SETS through the SQL surface (rollup/cube above
+    // cover the shorthand forms).
+    "q_agg_grouping_sets" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.table(s, dir, "customer").createOrReplaceTempView("customer_gs")
+        Engine.table(s, dir, "nation").createOrReplaceTempView("nation_gs")
+        s.sql("""
+          SELECT n_name, c_mktsegment, count(*) AS n,
+            CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
+          FROM customer_gs JOIN nation_gs ON c_nationkey = n_nationkey
+          GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())""")
+      },
+      oracle = Some("""
+        SELECT n_name, c_mktsegment, count(*) AS n,
+          CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())""")),
+
     // cube over two low-cardinality dims.
     "q_agg_cube" -> QueryDef(
       fn = (s, dir) => {

@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   */
 object Streaming extends QueryModule {
 
+  private val dirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def tempFor(tag: String, dir: String): String =
+    dirs.getOrElseUpdate(s"$tag:$dir",
+      java.nio.file.Files.createTempDirectory(s"graft_$tag")
+        .toFile.getAbsolutePath)
+
   def defs: Vector[(String, QueryDef)] = Vector(
 
     // Tumbling 1h event-time window (Complete mode: all windows emitted).
@@ -160,6 +167,101 @@ object Streaming extends QueryModule {
         SELECT user_id, event_type, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
         FROM events GROUP BY user_id, event_type""")),
+
+    // foreachBatch sink (the reference's programmable-sink analog): each
+    // micro-batch appended to a parquet directory by user code, then the
+    // accumulated sink is batch-read and aggregated. Batch boundaries
+    // don't affect the batch-insensitive aggregate.
+    "q_stream_foreach_batch" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val root = tempFor("feb", dir)
+        val inDir = s"$root/in"
+        if (!new java.io.File(inDir).exists()) {
+          Replay.events(s, dir).repartition(4).write.mode("overwrite").parquet(inDir)
+        }
+        // idempotent per call: the sink and checkpoint restart fresh
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        val sink = s"$root/sink"
+        rm(new java.io.File(sink))
+        rm(new java.io.File(s"$root/ckpt"))
+        val schema = s.read.parquet(inDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 2).parquet(inDir)
+          .select($"event_id", $"event_type", $"value")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events GROUP BY event_type""")),
+
+    // Stateful dedup bounded by watermark (state TTL variant of
+    // dropDuplicates): the input stream carries exact duplicates; a
+    // single AvailableNow batch keeps every duplicate inside the
+    // watermark so the result equals exact distinct.
+    "q_stream_dedup_watermark" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ev = Replay.events(s, dir).select($"event_id", $"event_type", $"ts")
+        Replay.run(s, ev.unionByName(ev), mode = "append",
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"evdup:$dir") { st =>
+          st.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(Seq("event_id"))
+            .select($"event_id", $"event_type")
+        }
+      },
+      oracle = Some("SELECT DISTINCT event_id, event_type FROM events")),
+
+    // Arbitrary keyed state via mapGroupsWithState (update mode, multiple
+    // triggers): running (count, min ts, max ts) per user. The sink holds
+    // one row per key per updating batch; count is monotone, so the final
+    // state is the max-count row — deterministic across replays.
+    "q_stream_mapgroups" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        Replay.run(s, Replay.events(s, dir).select($"user_id", $"ts"),
+          mode = "update", cacheKey = s"events_uid:$dir") { st =>
+          st.as[(Long, java.sql.Timestamp)]
+            .groupByKey(_._1)
+            .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+              GroupStateTimeout.NoTimeout) { (k, it, state) =>
+              var (n, mn, mx) = state.getOption
+                .getOrElse((0L, Long.MaxValue, Long.MinValue))
+              it.foreach { case (_, ts) =>
+                val t = ts.getTime
+                n += 1
+                mn = math.min(mn, t)
+                mx = math.max(mx, t)
+              }
+              state.update((n, mn, mx))
+              (k, n, mn, mx)
+            }
+            .toDF("user_id", "n", "min_ms", "max_ms")
+        }
+          .groupBy($"user_id")
+          .agg(max($"n").as("n"), min($"min_ms").as("min_ms"),
+            max($"max_ms").as("max_ms"))
+      },
+      oracle = Some("""
+        SELECT user_id, count(*) AS n,
+          epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
+        FROM events GROUP BY user_id""")),
 
     // Stream-static join: streaming events against the static customer
     // dim (broadcast at scale), then keyless windowless agg per segment.
