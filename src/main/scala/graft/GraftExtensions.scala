@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(exprs(1), ArrayType(DoubleType)))
       }))
     ext.injectOptimizerRule(_ => RewriteComposedH60)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
   }
 }
 

@@ -25,6 +25,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full cause chain: "Task not serializable"-class errors carry
+        // the useful detail two levels down
+        var c = e.getCause
+        while (c != null) {
+          System.err.println(s"[verify]   cause: $c")
+          c = c.getCause
+        }
         // Remove any stale output from a previous run: a leftover parquet
         // would let the driver's compare pass on old results.
         def rm(f: java.io.File): Unit = {

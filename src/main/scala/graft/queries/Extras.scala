@@ -149,6 +149,24 @@ object Extras extends QueryModule {
           event_type AS type2
         FROM events""")),
 
+    // Custom whole-operator path (logical node + strategy + physical
+    // exec): per-group top-k by bounded heaps instead of a full window
+    // sort. Total order (price desc, orderkey) keeps it deterministic.
+    "q_custom_group_topk" -> QueryDef(
+      fn = (s, dir) => {
+        val o = Engine.table(s, dir, "orders")
+        graft.plans.GroupTopK(o, Seq("o_orderpriority"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 3)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 3""")),
+
     // Stratified sampling (seeded, engine-specific) — rows-only gate.
     "q_row_sample_by" -> QueryDef(
       fn = (s, dir) => {

@@ -59,6 +59,40 @@ class OperatorSpec extends AnyFunSuite {
       l.contains("dotproduct") && l.trim.startsWith("*(")), plan.take(500))
   }
 
+  test("GroupTopK equals the window formulation and plans partial+final") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Engine.table(spark, sf, "orders")
+    val custom = graft.plans.GroupTopK(o, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 5)
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = o.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).drop("rn")
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val a = custom.collect().map(key).sorted.toSeq
+    val b = viaWindow.collect().map(key).sorted.toSeq
+    assert(a === b)
+    assert(a.size === 25) // 5 priorities x 5
+    // two-phase plan: partial before the exchange, final after, no sort
+    val plan = custom.queryExecution.executedPlan.toString
+    assert("GroupTopK".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning(o_orderpriority"), plan)
+    assert(!plan.toLowerCase.contains("sortexec"), plan)
+  }
+
+  test("GroupTopK handles ties, k larger than group, and duplicate rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 5L, 1L), ("g1", 5L, 2L), ("g1", 3L, 3L), ("g1", 9L, 4L),
+      ("g2", 1L, 5L)).toDF("g", "v", "id").repartition(7)
+    val top2 = graft.plans.GroupTopK(df, Seq("g"),
+      Seq("v" -> true, "id" -> false), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, -t._2, t._3)).toSeq
+    assert(top2 === Seq(("g1", 9L, 4L), ("g1", 5L, 1L), ("g2", 1L, 5L)))
+  }
+
   test("subject registry: publish, lookup, trail metadata, remove") {
     import spark.implicits._
     val reg = new SubjectRegistry(spark)
