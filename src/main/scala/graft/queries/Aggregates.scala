@@ -189,14 +189,30 @@ object Aggregates extends QueryModule {
           .agg(
             expr("percentile(l_quantity, 0.5)").as("p50"),
             expr("percentile(l_quantity, 0.25)").as("p25"),
-            expr("percentile(l_quantity, 0.95)").as("p95"))
+            expr("percentile(l_quantity, 0.95)").as("p95"),
+            median($"l_quantity").as("med"))
       },
       oracle = Some("""
         SELECT l_returnflag,
           quantile_cont(l_quantity, 0.5) AS p50,
           quantile_cont(l_quantity, 0.25) AS p25,
-          quantile_cont(l_quantity, 0.95) AS p95
+          quantile_cont(l_quantity, 0.95) AS p95,
+          quantile_cont(l_quantity, 0.5) AS med
         FROM lineitem GROUP BY l_returnflag""")),
+
+    // approx sketches beyond HLL: percentile_approx (KLL-style quantile
+    // sketch) and count_min_sketch (binary CMS) — engine-specific layouts,
+    // so rows-only gate; accuracy asserted in unit tests.
+    "q_agg_sketches" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
+            expr("hex(count_min_sketch(l_suppkey, 0.01d, 0.99d, 42))").as("cms_hex"))
+      },
+      oracle = None),
 
     // collect_list sorted (order-insensitive via explicit array_sort).
     // Gate output joins the sorted lists to strings (raw arrays crash the

@@ -248,6 +248,32 @@ object LlmText extends QueryModule {
         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
 
+    // Deterministic distributed sampling as a bottom-k sketch: rank every
+    // doc by a stable content-independent hash and keep the k smallest
+    // per stratum (source). Same sample on any cluster / any partitioning
+    // / any day — unlike rand()-based sampling — and it composes the
+    // GroupTopK operator, so the per-stratum pass is heap-bounded, not a
+    // sort. This is the "give me a reproducible 0.01% of the corpus"
+    // primitive a 100 TB training pipeline needs.
+    "q_llm_sample_bottomk" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source", $"lang",
+            Fns.h60($"doc_id").as("rank_hash"))
+        graft.plans.GroupTopK(d, Seq("source"),
+          Seq("rank_hash" -> false, "doc_id" -> false), k = 5)
+      },
+      oracle = Some(s"""
+        SELECT doc_id, source, lang, rank_hash FROM (
+          SELECT doc_id, source, lang, rank_hash,
+            row_number() OVER (PARTITION BY source
+              ORDER BY rank_hash, doc_id) AS rn
+          FROM (SELECT doc_id, source, lang,
+                  ${h60Sql("CAST(doc_id AS VARCHAR)")} AS rank_hash
+                FROM documents))
+        WHERE rn <= 5""")),
+
     // Language ID via stopword-set scoring with a fixed tie priority.
     "q_llm_langid" -> QueryDef(
       fn = (s, dir) => {

@@ -336,14 +336,18 @@ object Scalars extends QueryModule {
           get_json_object($"props", "$.k").as("k_str"),
           from_json($"props", StructType(Seq(StructField("k", IntegerType))))
             .getField("k").as("k_int"),
-          to_json(struct($"user_id", $"event_type")).as("as_json"))
+          to_json(struct($"user_id", $"event_type")).as("as_json"),
+          // schema inference on a representative literal (foldable arg
+          // required); constant output, mirrored as a literal
+          schema_of_json(lit("""{"k": 87}""")).as("props_schema"))
       },
       oracle = Some("""
         SELECT event_id,
           json_extract_string(props, '$.k') AS k_str,
           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
           CAST(to_json(struct_pack(user_id := user_id,
-            event_type := event_type)) AS VARCHAR) AS as_json
+            event_type := event_type)) AS VARCHAR) AS as_json,
+          'STRUCT<k: BIGINT>' AS props_schema
         FROM events""")),
 
     // Cross-engine digests.

@@ -89,7 +89,12 @@ object Windows extends QueryModule {
             .cast(DoubleType).as("running_total"),
           count(lit(1)).over(running).as("running_n"),
           min($"o_totalprice").over(moving).as("moving_min"),
-          max($"o_totalprice").over(moving).as("moving_max"))
+          max($"o_totalprice").over(moving).as("moving_max"),
+          // value-RANGE frame (vs the row-count frames above): peers are
+          // rows within 1000 price units, independent of row position
+          count(lit(1)).over(Window.partitionBy($"o_custkey")
+            .orderBy($"o_totalprice").rangeBetween(-1000L, 0L))
+            .as("n_within_1000"))
       },
       oracle = Some("""
         SELECT o_custkey, o_orderkey,
@@ -101,7 +106,9 @@ object Windows extends QueryModule {
           min(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS moving_min,
           max(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-            AS moving_max
+            AS moving_max,
+          count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
 

@@ -62,6 +62,25 @@ class AggPropertySpec extends AnyFunSuite {
     assert(got(2) === Seq.empty[Double])
   }
 
+  test("count_min_sketch estimates bounded by CMS guarantees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = Engine.table(spark, sf, "lineitem")
+    val total = li.count()
+    val bytes = li
+      .agg(expr("count_min_sketch(l_suppkey, 0.01d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+    val exact = li.groupBy($"l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    exact.take(50).foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      // CMS never underestimates; overshoot bounded by eps * N
+      assert(est >= c, s"key $k: est $est < exact $c")
+      assert(est <= c + (0.01 * total).toLong + 1, s"key $k: est $est way over $c")
+    }
+  }
+
   test("salted join equals plain join across random factors and skews") {
     import spark.implicits._
     (1 to 3).foreach { trial =>
