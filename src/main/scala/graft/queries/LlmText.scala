@@ -28,8 +28,9 @@ object LlmText extends QueryModule {
   private val SimBits = 24
   private val P = 144115188075855872L // 2^57, fingerprint modulus
   private val MinP = 2147483647L // 2^31-1, minhash rehash modulus
-  private def affineA(j: Int): Long = 1103515245L + 2L * j // odd
-  private def affineB(j: Int): Long = 12345L + 7919L * j
+  // affine rehash constants live with the native expression
+  private def affineA(j: Int): Long = graft.plans.MinHashSigs.affineA(j)
+  private def affineB(j: Int): Long = graft.plans.MinHashSigs.affineB(j)
 
   /** documents + near-dup copies (one appended word). */
   private def withNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -84,24 +85,24 @@ object LlmText extends QueryModule {
         // (The earlier transform/array_min lambda formulation was 10x
         // slower: higher-order lambdas are interpreted, and projection
         // collapse re-inlined the shingling into all K signature columns.)
-        val shingled = withNearDups(s, dir).withColumn("shingles",
+        // All K signatures per doc in ONE narrow pass (native
+        // MinHashSigs: one md5 per shingle + K affine rehashes mod
+        // 2^31-1, overflow-free in both engines) — no explode, no
+        // groupBy-min shuffle, no join-back. An earlier explode/groupBy
+        // formulation paid two extra shuffles; an even earlier
+        // transform/array_min lambda form was 10x slower (interpreted
+        // lambdas, re-inlined by projection collapse).
+        val sig = withNearDups(s, dir).withColumn("shingles",
           when(size(words) >= 3,
             transform(sequence(lit(0), size(words) - 3), i =>
               concat_ws(" ", element_at(words, i + 1),
                 element_at(words, i + 2), element_at(words, i + 3))))
             .otherwise(array($"text")))
-          .select($"doc_id", $"shingles")
-          .cache() // consumed by both the signature and jaccard branches
-        // ONE md5 per shingle, then K affine rehashes mod 2^31-1
-        // (a*h+b stays under 2^62 -> overflow-free in both engines).
-        val tok = shingled.select($"doc_id", explode($"shingles").as("sh1"))
-          .select($"doc_id", (Fns.h60($"sh1") % MinP).as("hs"))
-        val sigAggs = (0 until K).map(j =>
-          min((lit(affineA(j)) * $"hs" + lit(affineB(j))) % MinP).as(s"s$j"))
-        val sig = tok.groupBy($"doc_id")
-          .agg(sigAggs.head, sigAggs.tail: _*)
-          .join(shingled, Seq("doc_id"))
-          .cache()
+          .withColumn("sigs",
+            graft.plans.MinHashSigs($"shingles", K, MinP))
+          .select(Seq($"doc_id", $"shingles") ++
+            (0 until K).map(j => $"sigs".getItem(j).as(s"s$j")): _*)
+          .cache() // consumed by banding and both sides of the pair join
         val bandStructs = (0 until Bands).map(b => struct(
           lit(b).as("band"),
           Fns.h60(concat_ws(",", col(s"s${2 * b}").cast("string"),

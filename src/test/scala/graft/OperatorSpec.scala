@@ -59,6 +59,32 @@ class OperatorSpec extends AnyFunSuite {
       l.contains("dotproduct") && l.trim.startsWith("*(")), plan.take(500))
   }
 
+  test("MinHashSigs equals the explode/groupBy-min formulation") {
+    import spark.implicits._
+    val MinP = 2147483647L
+    val K = 4
+    val d = Engine.table(spark, sf, "documents")
+      .filter($"doc_id" < 50)
+      .select($"doc_id", split($"text", " ").as("sh"))
+    val native = graft.plans.MinHashSigs($"sh", K, MinP)
+    val viaNative = d.select($"doc_id", native.as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hs = graft.functions.Fns.h60($"tok") % MinP
+    val viaAgg = d.select($"doc_id", explode($"sh").as("tok"))
+      .groupBy($"doc_id")
+      .agg((0 until K).map(j =>
+          min((lit(graft.plans.MinHashSigs.affineA(j)) * hs +
+            lit(graft.plans.MinHashSigs.affineB(j))) % MinP).as(s"s$j")).head,
+        (1 until K).map(j =>
+          min((lit(graft.plans.MinHashSigs.affineA(j)) * hs +
+            lit(graft.plans.MinHashSigs.affineB(j))) % MinP).as(s"s$j")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to K).map(r.getLong(_))).toMap
+    assert(viaNative.keySet === viaAgg.keySet)
+    viaNative.foreach { case (id, sigs) =>
+      assert(sigs === viaAgg(id), s"doc $id")
+    }
+  }
+
   test("GroupTopK equals the window formulation and plans partial+final") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
