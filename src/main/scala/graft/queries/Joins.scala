@@ -169,6 +169,28 @@ object Joins extends QueryModule {
           ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
         GROUP BY s_nationkey""")),
 
+    // Skew-salted join through the gate: the big side's hot keys are
+    // spread over 8 salt buckets (deterministic salt from the row's
+    // stable id columns), the small side replicated per salt — result
+    // identical to the plain join, shuffle balanced under key skew.
+    "q_join_salted" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = Engine.table(s, dir, "lineitem")
+        val sup = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+        graft.operators.Salt.saltedJoin(li, sup, Seq("l_suppkey"),
+          factor = 8, saltCols = Seq("l_orderkey", "l_linenumber"))
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      },
+      oracle = Some(s"""
+        SELECT s_nationkey, count(*) AS n,
+          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey""")),
+
     // Pure non-equi theta join (no equi backbone): plans as a broadcast
     // nested-loop join — only acceptable when one side is tiny (here
     // region x nation); large-scale theta joins must use the equi-residual

@@ -120,6 +120,37 @@ object RowOps extends QueryModule {
           count(*) AS n_lines
         FROM lineitem GROUP BY l_orderkey""")),
 
+    // Typed Dataset flatMap (A7 analog, 1->N): each order line expands to
+    // one record per whole quantity unit... bounded to 3 to keep the
+    // expansion small; then a relational agg over the typed output.
+    "q_row_typed_flatmap" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+          .as[LineSlim]
+          .flatMap { r =>
+            // each unit carries the full line revenue (no pre-sum
+            // division: a full-precision quotient's double→decimal cast
+            // is 1-ulp engine-dependent; 4-dp products are exact)
+            val n = math.min(3, r.l_linenumber)
+            (1 to n).map(_ =>
+              LineRev(r.l_orderkey, r.l_extendedprice * (1.0 - r.l_discount)))
+          }
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("n_units"),
+            dsumGate($"revenue").as("replicated_revenue"))
+      },
+      oracle = Some(s"""
+        WITH expanded AS (
+          SELECT l_orderkey,
+            l_extendedprice * (1.0 - l_discount) AS revenue
+          FROM lineitem, LATERAL (
+            SELECT unnest(generate_series(1, least(3, l_linenumber))) AS u))
+        SELECT l_orderkey, count(*) AS n_units,
+          ${dsumGateSql("revenue")} AS replicated_revenue
+        FROM expanded GROUP BY l_orderkey""")),
+
     // Seeded sampling: not cross-engine reproducible — rows-only gate.
     "q_row_sample" -> QueryDef(
       fn = (s, dir) => {
