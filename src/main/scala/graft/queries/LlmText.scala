@@ -85,19 +85,15 @@ object LlmText extends QueryModule {
         // (The earlier transform/array_min lambda formulation was 10x
         // slower: higher-order lambdas are interpreted, and projection
         // collapse re-inlined the shingling into all K signature columns.)
-        // All K signatures per doc in ONE narrow pass (native
-        // MinHashSigs: one md5 per shingle + K affine rehashes mod
-        // 2^31-1, overflow-free in both engines) — no explode, no
-        // groupBy-min shuffle, no join-back. An earlier explode/groupBy
-        // formulation paid two extra shuffles; an even earlier
-        // transform/array_min lambda form was 10x slower (interpreted
-        // lambdas, re-inlined by projection collapse).
-        val sig = withNearDups(s, dir).withColumn("shingles",
-          when(size(words) >= 3,
-            transform(sequence(lit(0), size(words) - 3), i =>
-              concat_ws(" ", element_at(words, i + 1),
-                element_at(words, i + 2), element_at(words, i + 3))))
-            .otherwise(array($"text")))
+        // All signatures per doc in ONE narrow pass: native Shingles
+        // (fused split + sliding 3-gram join) into native MinHashSigs
+        // (one md5 per shingle + K affine rehashes mod 2^31-1,
+        // overflow-free in both engines) — no explode, no groupBy-min
+        // shuffle, no join-back. Earlier formulations: explode/groupBy
+        // paid two extra shuffles; interpreted transform/array_min
+        // lambdas were 10x slower (re-inlined by projection collapse).
+        val sig = withNearDups(s, dir)
+          .withColumn("shingles", graft.plans.Shingles($"text", 3))
           .withColumn("sigs",
             graft.plans.MinHashSigs($"shingles", K, MinP))
           .select(Seq($"doc_id", $"shingles") ++

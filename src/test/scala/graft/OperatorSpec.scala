@@ -59,6 +59,29 @@ class OperatorSpec extends AnyFunSuite {
       l.contains("dotproduct") && l.trim.startsWith("*(")), plan.take(500))
   }
 
+  test("Shingles equals the transform/sequence formulation") {
+    import spark.implicits._
+    val d = Engine.table(spark, sf, "documents")
+      .withColumn("words", split($"text", " "))
+      .select(
+        graft.plans.Shingles($"text", 3).as("native"),
+        when(size($"words") >= 3,
+          transform(sequence(lit(0), size($"words") - 3), i =>
+            concat_ws(" ", element_at($"words", i + 1),
+              element_at($"words", i + 2), element_at($"words", i + 3))))
+          .otherwise(array($"text")).as("composed"))
+    val rows = d.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // edge cases: empty text, fewer than n words, repeated spaces
+    val edge = Seq("", "one", "a b", "a b c d", "x  y z").toDF("t")
+      .select(graft.plans.Shingles($"t", 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(edge === List(
+      List(""), List("one"), List("a b"),
+      List("a b c", "b c d"), List("x  y", " y z")))
+  }
+
   test("MinHashSigs equals the explode/groupBy-min formulation") {
     import spark.implicits._
     val MinP = 2147483647L
