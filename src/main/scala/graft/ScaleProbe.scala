@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling-behavior probe: times the core query shapes at 1x and Nx the
+  * sf0.1 lineitem volume (replicated with perturbed keys, so group/join
+  * cardinalities scale too) and reports the time ratio. A shape whose
+  * time grows ~linearly (ratio ≈ N after fixed overhead) scales; one
+  * that grows superlinearly (a sort, a cross product) does not.
+  *
+  * Usage: tools/run.sh graft.ScaleProbe [sfDir] [N]
+  * (Evidence tooling for BASELINE.md — not part of the driver contract.)
+  */
+object ScaleProbe {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = Engine.session("graft-scaleprobe")
+    import spark.implicits._
+
+    val li1 = Engine.table(spark, sfDir, "lineitem")
+    // n copies with shifted orderkeys: join/group key count scales with
+    // volume (pure duplication would only deepen per-key chains)
+    val liN = (0 until n).map(i => li1
+        .withColumn("l_orderkey", $"l_orderkey" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    val orders1 = Engine.table(spark, sfDir, "orders")
+    val ordersN = (0 until n).map(i => orders1
+        .withColumn("o_orderkey", $"o_orderkey" + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+
+    def q1(li: DataFrame): Unit = li
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity"), graft.functions.Fns.dsumGate($"l_extendedprice"),
+        count(lit(1)))
+      .write.format("noop").mode("overwrite").save()
+
+    def join(li: DataFrame, o: DataFrame): Unit = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)), graft.functions.Fns.dsumGate($"l_extendedprice"))
+      .write.format("noop").mode("overwrite").save()
+
+    def topk(li: DataFrame): Unit = graft.plans.GroupTopK(
+        li.select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber"),
+        Seq("l_returnflag"),
+        Seq("l_extendedprice" -> true, "l_orderkey" -> false, "l_linenumber" -> false),
+        k = 10)
+      .write.format("noop").mode("overwrite").save()
+
+    q1(li1); join(li1, orders1); topk(li1) // warmup (codegen, file listing)
+    val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
+      "q1_agg_shape" -> ((l, _) => q1(l)),
+      "join_agg_shape" -> ((l, o) => join(l, o)),
+      "group_topk_shape" -> ((l, _) => topk(l)))
+    val rows1 = li1.count()
+    val report = shapes.map { case (name, f) =>
+      val t1 = Seq.fill(3)(time(f(li1, orders1))).sorted.apply(1)
+      val tN = Seq.fill(3)(time(f(liN, ordersN))).sorted.apply(1)
+      f"""\"$name\":{\"t1\":$t1%.3f,\"tN\":$tN%.3f,\"ratio\":${tN / t1}%.2f}"""
+    }
+    println(s"""{"rows_1x":$rows1,"scale":$n,${report.mkString(",")}}""")
+    spark.stop()
+  }
+}
