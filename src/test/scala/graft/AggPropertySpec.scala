@@ -62,6 +62,29 @@ class AggPropertySpec extends AnyFunSuite {
     assert(got(2) === Seq.empty[Double])
   }
 
+  test("GroupTopK equals window top-k across random shapes, k, partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val k = 1 + trial * 2
+      val rows = (1 to 2000).map { i =>
+        (s"g${rnd.nextInt(3 + trial * 5)}", rnd.nextInt(40).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id").repartition(1 + trial * 4)
+      val got = graft.plans.GroupTopK(df, Seq("g"),
+        Seq("v" -> true, "id" -> false), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).drop("rn")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+      assert(got === expected, s"trial=$trial k=$k")
+    }
+  }
+
   test("count_min_sketch estimates bounded by CMS guarantees") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
