@@ -120,6 +120,25 @@ object RowOps extends QueryModule {
           count(*) AS n_lines
         FROM lineitem GROUP BY l_orderkey""")),
 
+    // Custom Catalyst Generator (UDTF extension point): one row per word
+    // 3-gram, fused split+shingle+explode with no intermediate array.
+    "q_row_shingle_gen" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .filter($"doc_id" < 20)
+          .select($"doc_id",
+            graft.plans.ShingleRows($"text", 3).as("shingle"))
+      },
+      oracle = Some("""
+        SELECT doc_id, unnest(
+          CASE WHEN len(words) >= 3
+            THEN [concat_ws(' ', words[i+1], words[i+2], words[i+3])
+                  FOR i IN generate_series(0, len(words)-3)]
+            ELSE [text] END) AS shingle
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 20)""")),
+
     // Typed Dataset flatMap (A7 analog, 1->N): each order line expands to
     // one record per whole quantity unit... bounded to 3 to keep the
     // expansion small; then a relational agg over the typed output.

@@ -82,6 +82,19 @@ class OperatorSpec extends AnyFunSuite {
       List("a b c", "b c d"), List("x  y", " y z")))
   }
 
+  test("ShingleRows generator equals Shingles + explode") {
+    import spark.implicits._
+    val d = Engine.table(spark, sf, "documents").filter($"doc_id" < 30)
+    val viaGen = d.select($"doc_id",
+        graft.plans.ShingleRows($"text", 3).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaExplode = d.select($"doc_id",
+        explode(graft.plans.Shingles($"text", 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaGen.nonEmpty)
+    assert(viaGen === viaExplode)
+  }
+
   test("MinHashSigs equals the explode/groupBy-min formulation") {
     import spark.implicits._
     val MinP = 2147483647L
