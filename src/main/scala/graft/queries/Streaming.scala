@@ -263,6 +263,29 @@ object Streaming extends QueryModule {
           epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
         FROM events GROUP BY user_id""")),
 
+    // Update mode across MULTIPLE triggers: the sink accumulates one row
+    // per key per updating micro-batch (running prefix aggregates); the
+    // final state is recovered deterministically because both running
+    // aggregates are monotone (count always grows; event values are
+    // positive, so the running sum grows too).
+    "q_stream_update_multi" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Replay.run(s, Replay.events(s, dir), mode = "update",
+          cacheKey = s"events:$dir") { st =>
+          st.withWatermark("ts", "1 hour")
+            .groupBy($"user_id", $"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+        }
+          .groupBy($"user_id", $"event_type")
+          .agg(max($"n").as("n"), max($"sum_v").as("sum_v"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events GROUP BY user_id, event_type""")),
+
     // Stream-static join: streaming events against the static customer
     // dim (broadcast at scale), then keyless windowless agg per segment.
     "q_stream_static_join" -> QueryDef(
