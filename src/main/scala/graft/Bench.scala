@@ -5,11 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every declared query at
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line.
   *
-  * Methodology (BASELINE.md protocol): headline queries get one warmup
-  * run (discarded) + 3 timed runs -> median; the long tail gets a single
-  * timed run. Results are materialized through the noop sink so the full
-  * projection executes (a count() would let Catalyst prune the columns
-  * being benchmarked).
+  * Methodology (BASELINE.md protocol): EVERY query gets 3 timed runs ->
+  * median (headlines get one extra discarded warmup first). Single runs
+  * proved too noisy to compare across machines (round-2 driver runs
+  * contradicted local runs by 3-8x on a contiguous cluster); the median
+  * absorbs one bad run per query. Results are materialized through the
+  * noop sink so the full projection executes (a count() would let
+  * Catalyst prune the columns being benchmarked).
   */
 object Bench {
 
@@ -44,11 +46,9 @@ object Bench {
       .map { case (name, _) =>
       val t =
         try {
-          if (headlines(name)) {
-            runOnce(name)
-            val ts = Seq.fill(3)(runOnce(name)).sorted
-            ts(1)
-          } else runOnce(name)
+          if (headlines(name)) runOnce(name) // extra warmup
+          val ts = Seq.fill(3)(runOnce(name)).sorted
+          ts(1)
         } catch { case _: Throwable => -1.0 }
       name -> t
     }

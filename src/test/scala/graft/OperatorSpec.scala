@@ -212,4 +212,30 @@ class OperatorSpec extends AnyFunSuite {
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") || q.count() > 0)
   }
+
+  test("simhash near-dup pairs via band equi-join, no nested-loop join") {
+    val q = SparkEntry.queries("q_llm_dedup_simhash")(spark, sf)
+    q.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("cosine top-k broadcasts the query side, not the corpus") {
+    val q = SparkEntry.queries("q_llm_cosine_topk")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    // The only broadcast exchange must sit under the vec_id < 5 query-side
+    // filter; the corpus side of the join must arrive un-broadcast.
+    val plan = q.queryExecution.executedPlan.toString
+    val broadcastIdx = plan.indexOf("BroadcastExchange")
+    assert(broadcastIdx >= 0, plan.take(800))
+    assert(plan.indexOf("BroadcastExchange", broadcastIdx + 1) < 0,
+      "corpus side must not be broadcast: " + plan.take(800))
+    // the broadcast subtree is the query side: its immediate child is the
+    // vec_id < 5 filter
+    val lines = plan.linesIterator.toVector
+    val bLine = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(lines.slice(bLine + 1, bLine + 4).exists(_.contains("< 5")),
+      lines.slice(bLine, bLine + 4).mkString("\n"))
+  }
 }
