@@ -23,6 +23,11 @@ object Streaming extends QueryModule {
       java.nio.file.Files.createTempDirectory(s"graft_$tag")
         .toFile.getAbsolutePath)
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
   def defs: Vector[(String, QueryDef)] = Vector(
 
     // Tumbling 1h event-time window (Complete mode: all windows emitted).
@@ -148,6 +153,57 @@ object Streaming extends QueryModule {
           ON p.user_id = c.user_id
           AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR""")),
 
+    // Stream-stream LEFT OUTER join: every purchase with its matching
+    // click within 1 hour, or a null-side row once the watermark PROVES
+    // no click can still arrive. Outer rows are emitted on state
+    // eviction, so the unmatched set is exactly the purchases whose join
+    // window closed below the final watermark
+    // (min(max click ts, max purchase ts) - 2h); purchases above it are
+    // still live state at drain time and are NOT emitted — the oracle
+    // mirrors that watermark-truth set. The evicted null c_id is rendered
+    // as -1 (gate outputs stay non-null longs for the comparator).
+    "q_stream_join_outer" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Replay.run(s, Replay.events(s, dir), mode = "append",
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
+          val clicks = st.filter($"event_type" === "click")
+            .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+              $"event_id".as("c_id"))
+            .withWatermark("c_ts", "2 hours")
+          val purchases = st.filter($"event_type" === "purchase")
+            .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+              $"event_id".as("p_id"), $"value".as("p_value"))
+            .withWatermark("p_ts", "2 hours")
+          purchases.join(clicks,
+            expr("""p_user = c_user AND
+                    c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 1 HOUR"""),
+            "leftOuter")
+            .select($"p_id", coalesce($"c_id", lit(-1L)).as("c_id"),
+              $"p_user", $"p_value")
+        }
+      },
+      oracle = Some("""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                 - INTERVAL 2 HOUR AS w),
+        matched AS (
+          SELECT p.event_id AS p_id, c.event_id AS c_id,
+            p.user_id AS p_user, p.value AS p_value
+          FROM p JOIN c ON p.user_id = c.user_id
+            AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR),
+        unmatched AS (
+          SELECT p.event_id AS p_id, CAST(-1 AS BIGINT) AS c_id,
+            p.user_id AS p_user, p.value AS p_value
+          FROM p, wm
+          WHERE p.ts + INTERVAL 1 HOUR < wm.w
+            AND NOT EXISTS (SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR))
+        SELECT p_id, c_id, p_user, p_value FROM matched
+        UNION ALL SELECT p_id, c_id, p_user, p_value FROM unmatched""")),
+
     // Update output mode: with a single AvailableNow trigger the sink
     // holds exactly one (final) update per key — batch-equivalent and
     // t2-checkable. (Multi-trigger update streams are exercised by the
@@ -181,13 +237,9 @@ object Streaming extends QueryModule {
           Replay.events(s, dir).repartition(4).write.mode("overwrite").parquet(inDir)
         }
         // idempotent per call: the sink and checkpoint restart fresh
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
         val sink = s"$root/sink"
-        rm(new java.io.File(sink))
-        rm(new java.io.File(s"$root/ckpt"))
+        rmTree(new java.io.File(sink))
+        rmTree(new java.io.File(s"$root/ckpt"))
         val schema = s.read.parquet(inDir).schema
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 2).parquet(inDir)
@@ -278,6 +330,59 @@ object Streaming extends QueryModule {
             .agg(count(lit(1)).as("n"),
               sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
         }
+          .groupBy($"user_id", $"event_type")
+          .agg(max($"n").as("n"), max($"sum_v").as("sum_v"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events GROUP BY user_id, event_type""")),
+
+    // Checkpoint recovery (exactly-once resumption): run a stateful
+    // streaming aggregation over wave 1 of the input, let it terminate,
+    // drop wave 2's files into the source directory, then START A NEW
+    // QUERY from the SAME checkpoint. The restarted query must resume
+    // from the recovered offsets + state store: if state were lost the
+    // final counts would be too low, if wave-1 files were re-read they
+    // would be too high — either way the batch oracle catches it. The
+    // update-mode sink accumulates running per-key rows across both runs;
+    // both aggregates are monotone (count grows; event values are
+    // positive), so max-per-key recovers the final state.
+    "q_stream_restart" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val root = tempFor("restart", dir)
+        val inDir = s"$root/in"
+        val sink = s"$root/sink"
+        val ckpt = s"$root/ckpt"
+        Seq(inDir, sink, ckpt).foreach(p => rmTree(new java.io.File(p)))
+        val ev = Engine.events(s, dir)
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        // wave 1 now; wave 2 arrives only after the first run terminates
+        ev.filter($"event_id" % 2 === 0)
+          .repartition(4).write.mode("overwrite").parquet(inDir)
+        val schema = s.read.parquet(inDir).schema
+        def runWave(): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2).parquet(inDir)
+            .groupBy($"user_id", $"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+            .writeStream
+            .outputMode("update")
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(sink)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runWave()
+        ev.filter($"event_id" % 2 === 1)
+          .repartition(4).write.mode("append").parquet(inDir)
+        runWave() // same checkpoint: only the new files are processed
+        s.read.parquet(sink)
           .groupBy($"user_id", $"event_type")
           .agg(max($"n").as("n"), max($"sum_v").as("sum_v"))
       },
