@@ -18,4 +18,11 @@ object SqlBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Memory-manager page size for custom spillable operators (what
+    * SortExec passes to UnsafeExternalRowSorter); SparkEnv.memoryManager
+    * is private[spark].
+    */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 }

@@ -85,6 +85,45 @@ class AggPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GroupTopK overflow paths (partial flush + final external sort) stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // near-unique grouping key (4000 groups) with the per-partition map
+    // capped at 7 groups: every partition overflows many times in the
+    // partial phase, and every final partition takes the external-sort
+    // fallback. Output must still equal the window formulation exactly.
+    spark.conf.set(graft.plans.GroupTopK.MaxGroupsKey, "7")
+    try {
+      val rnd = new scala.util.Random(23)
+      val rows = (1 to 12000).map { i =>
+        (rnd.nextInt(4000).toLong, rnd.nextInt(100).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id").repartition(8)
+      val got = graft.plans.GroupTopK(df, Seq("g"),
+        Seq("v" -> true, "id" -> false), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+      assert(got.size === expected.size)
+      assert(got === expected)
+    } finally spark.conf.unset(graft.plans.GroupTopK.MaxGroupsKey)
+  }
+
+  test("GroupTopK rejects ambiguous column names") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("g", "v")
+    val b = Seq((1L, 3L)).toDF("h", "v")
+    val dup = a.crossJoin(b) // output columns: g, v, h, v
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GroupTopK(dup, Seq("g"), Seq("v" -> true), 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("count_min_sketch estimates bounded by CMS guarantees") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
