@@ -44,10 +44,16 @@ object Fns {
     * correctly-rounded operation — bit-identical results.
     *
     * Bound note: |sum| must stay < ~9e9 for bit-exactness (holds through
-    * sf0.1 per-group sums); the gate never runs at larger SF. DuckDB
-    * mirror: [[dgateSql]].
+    * sf0.1 per-group sums). Out-of-contract magnitudes FAIL LOUDLY via
+    * raise_error instead of silently double-rounding (and, past ~1e12,
+    * returning non-ANSI NULL where DuckDB errors). DuckDB mirror:
+    * [[dgateSql]].
     */
-  def dgate(c: Column): Column = c.cast(DecimalType(18, 6)).cast(DoubleType)
+  def dgate(c: Column): Column =
+    when(abs(c) <= lit(9e9), c.cast(DecimalType(18, 6)).cast(DoubleType))
+      .otherwise(raise_error(concat(
+        lit("dgate: |value| exceeds the 9e9 cross-engine bit-exact bound: "),
+        c.cast(StringType))))
 
   /** [[dsum]] + [[dgate]]: exact decimal accumulation, double output. */
   def dsumGate(c: Column): Column = dgate(dsum(c))

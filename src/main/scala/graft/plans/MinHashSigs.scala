@@ -55,6 +55,11 @@ object MinHashSigs {
     val md = H60.localMd5.get()
     val acc = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
+    // Invariant: callers (Shingles) always emit >= 1 shingle. An empty
+    // array would yield Long.MaxValue sentinels here but NULL from the
+    // DuckDB oracle mirror (list_min of []) — fail loudly rather than
+    // silently diverge cross-engine.
+    require(n > 0, "minhash_sigs: empty shingle array (oracle mirror yields NULL)")
     var i = 0
     while (i < n) {
       val h = H60.first60Bits(md.digest(arr.getUTF8String(i).getBytes)) % modP

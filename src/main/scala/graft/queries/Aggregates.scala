@@ -258,6 +258,40 @@ object Aggregates extends QueryModule {
           .groupBy($"l_returnflag")
           .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
       },
-      oracle = None)
+      oracle = None),
+
+    // Custom HLL sketch (TypedImperativeAggregate over the shared h60
+    // hash): unlike approx_count_distinct, the register STATE is
+    // deterministic given the hash, so the sketch itself gets an exact
+    // cross-engine oracle — DuckDB recomputes every register (bucket =
+    // top 8 hash bits, rho = leading-zero rank of the low 52 via
+    // length(bin(x)), max per bucket). Estimate accuracy is asserted in
+    // unit tests (AggPropertySpec).
+    "q_agg_hll_registers" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(graft.plans.HllRegistersAgg(h60($"o_custkey"), 8).as("regs"))
+          .select($"o_orderpriority", posexplode($"regs").as(Seq("bucket", "rho")))
+      },
+      oracle = Some(s"""
+        WITH h AS (
+          SELECT o_orderpriority, ${h60Sql("o_custkey")} AS h FROM orders
+        ), rho AS (
+          SELECT o_orderpriority,
+                 CAST(h // 4503599627370496 AS INT) AS bucket,
+                 CASE WHEN h % 4503599627370496 = 0 THEN 53
+                      ELSE 52 - length(bin(h % 4503599627370496)) + 1 END AS rho
+          FROM h
+        ), maxr AS (
+          SELECT o_orderpriority, bucket, max(rho) AS rho
+          FROM rho GROUP BY o_orderpriority, bucket
+        )
+        SELECT p.o_orderpriority, b.bucket, CAST(coalesce(m.rho, 0) AS INT) AS rho
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        CROSS JOIN (SELECT CAST(range AS INT) AS bucket FROM range(0, 256)) b
+        LEFT JOIN maxr m
+          ON m.o_orderpriority = p.o_orderpriority AND m.bucket = b.bucket"""))
   )
 }

@@ -124,6 +124,33 @@ class AggPropertySpec extends AnyFunSuite {
     assert(e.getMessage.contains("ambiguous"))
   }
 
+  test("HllRegistersAgg: partition-invariant registers, estimate within HLL bounds") {
+    import spark.implicits._
+    val n = 20000
+    val distinct = 3000
+    val df = spark.range(n).select(($"id" % distinct).as("v"))
+    def regsOf(parts: Int): Seq[Int] = {
+      val d = df.repartition(parts)
+      d.agg(graft.plans.HllRegistersAgg(
+          graft.functions.Fns.h60($"v"), 10).as("regs"))
+        .head.getSeq[Int](0)
+    }
+    val r1 = regsOf(1)
+    val r13 = regsOf(13)
+    // merge is elementwise max -> register state independent of partitioning
+    assert(r1 === r13)
+    assert(r1.size === 1024)
+    val est = graft.plans.HllRegistersAgg.estimate(r1)
+    // sigma = 1.04/sqrt(1024) ~ 3.25%; allow 4 sigma
+    assert(math.abs(est - distinct) / distinct < 0.13, s"est=$est exact=$distinct")
+    // small-cardinality path: linear counting must be near-exact
+    val small = spark.range(40).select($"id".as("v"))
+      .agg(graft.plans.HllRegistersAgg(graft.functions.Fns.h60($"v"), 10).as("regs"))
+      .head.getSeq[Int](0)
+    val estSmall = graft.plans.HllRegistersAgg.estimate(small)
+    assert(math.abs(estSmall - 40) <= 2, s"estSmall=$estSmall")
+  }
+
   test("count_min_sketch estimates bounded by CMS guarantees") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -44,12 +44,15 @@ def driver_unsafe_cols(df):
     import decimal
     import numpy as np
     bad = []
+    unsafe = (decimal.Decimal, np.ndarray, list, tuple, dict)
     for c in df.columns:
         if df[c].dtype == object:
-            for v in df[c].dropna().head(20):
-                if isinstance(v, (decimal.Decimal, np.ndarray, list, tuple, dict)):
-                    bad.append(f"{c}:{type(v).__name__}")
-                    break
+            # scan EVERY value: a Decimal/array first appearing past the
+            # head would slip a sampled check and still crash the driver
+            hit = next(
+                (v for v in df[c].dropna() if isinstance(v, unsafe)), None)
+            if hit is not None:
+                bad.append(f"{c}:{type(hit).__name__}")
     return bad
 
 
