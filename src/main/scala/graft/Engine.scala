@@ -32,6 +32,11 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep managed-table state (bucketed writes) out of the caller's
+      // cwd — Verify/Bench may run with cwd anywhere
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft-warehouse").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

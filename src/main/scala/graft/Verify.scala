@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed-table (bucketed) writes must not land in the caller's cwd
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft-warehouse").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -269,6 +269,61 @@ object LlmText extends QueryModule {
         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
 
+    // Prefix-filtered set-similarity join (PPJoin-style): same output as
+    // q_llm_dedup_jaccard, but the pair join runs only over each doc's
+    // PREFIX — its (nw - ceil(0.7*nw) + 1) rarest tokens in a global
+    // (df, token) order. Pigeonhole: two docs with Jaccard >= t share
+    // >= ceil(t*max(na,nb)) tokens, so their smallest shared token falls
+    // in BOTH prefixes — candidate generation is lossless. Candidates are
+    // then verified on full token sets (native array_intersect).
+    // This is the shape that survives real vocabularies: hot (high-df)
+    // tokens land in nobody's prefix, so the quadratic posting-list
+    // blowup on frequent tokens never happens. (On this 31-word synthetic
+    // vocab the df-skew is mild — the operator, not the demo, is the
+    // deliverable.)
+    "q_llm_dedup_jaccard_pf" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = withNearDups(s, dir)
+          .select($"doc_id", $"source",
+            array_distinct(split($"text", " ")).as("ws"))
+          .withColumn("nw", size($"ws"))
+        val tok = d.select($"doc_id", $"source", $"nw", explode($"ws").as("w"))
+        // global document frequency per (source, token) — the prefix order
+        val dfreq = tok.groupBy($"source", $"w").agg(count(lit(1)).as("df"))
+        // rank each doc's tokens rarest-first; integer-exact ceil(0.7*nw)
+        val ranked = tok.join(dfreq, Seq("source", "w"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"source", $"doc_id").orderBy($"df", $"w")))
+        val prefix = ranked.filter(
+          $"rnk" <= $"nw" - expr("(nw * 7 + 9) div 10") + 1)
+        val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.w" === $"b.w" && $"a.source" === $"b.source"
+            && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        val sets = d.select($"doc_id", $"ws", $"nw")
+        cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
+          .join(sets.as("db"), $"doc_b" === $"db.doc_id")
+          .withColumn("inter", size(array_intersect($"da.ws", $"db.ws")))
+          .withColumn("jaccard", $"inter".cast("double")
+            / ($"da.nw" + $"db.nw" - $"inter"))
+          .filter($"jaccard" >= 0.7)
+          .select($"doc_a", $"doc_b", $"jaccard")
+      },
+      // lossless optimization -> the oracle IS the plain jaccard join
+      oracle = Some(s"""
+        WITH $nearDupSql,
+        d AS (SELECT doc_id, source,
+                list_distinct(string_split(text, ' ')) AS ws FROM base)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
+
     // Deterministic distributed sampling as a bottom-k sketch: rank every
     // doc by a stable content-independent hash and keep the k smallest
     // per stratum (source). Same sample on any cluster / any partitioning

@@ -75,6 +75,41 @@ object Sources extends QueryModule {
         SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""")),
 
+    // Bucketed tables: write lineitem and orders bucketed (+sorted) on
+    // the join key, then join the two bucketed tables. With
+    // bucket-join enabled both sides read pre-clustered — no exchange on
+    // either side (plan-asserted in ScaleUtilSpec/OperatorSpec). This is
+    // THE co-located-join primitive at 100 TB: pay the shuffle once at
+    // write time, amortize across every subsequent join/agg on the key.
+    // Managed-table data lands under spark.sql.warehouse.dir, which the
+    // session pins to the system temp dir (not the caller's cwd).
+    "q_src_bucketed" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val suffix = math.abs(dir.hashCode).toString
+        Engine.table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"graft_li_bkt_$suffix")
+        Engine.table(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"graft_ord_bkt_$suffix")
+        s.table(s"graft_li_bkt_$suffix")
+          .join(s.table(s"graft_ord_bkt_$suffix"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Fns.dsumGate($"l_extendedprice").as("rev"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+          ${graft.functions.Fns.dsumGateSql("l_extendedprice")} AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")),
+
     // Parquet schema evolution: two generations of files with different
     // column sets, read as one table with mergeSchema (missing columns
     // null-filled per file) — the add-a-column migration path a long-lived

@@ -238,4 +238,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(lines.slice(bLine + 1, bLine + 4).exists(_.contains("< 5")),
       lines.slice(bLine, bLine + 4).mkString("\n"))
   }
+
+  test("q_src_bucketed reads bucketed scans (no shuffle of the bucketed sides)") {
+    val q = SparkEntry.queries("q_src_bucketed")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    // exactly one shuffle is legitimate: the final groupBy(o_orderpriority).
+    // The join itself must consume the bucketed clustering.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"$shuffles shuffles:\n" + plan.take(1500))
+  }
+
+  test("prefix-filtered jaccard: same pairs as plain, pruned posting list") {
+    import spark.implicits._
+    val plain = SparkEntry.queries("q_llm_dedup_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    val pf = SparkEntry.queries("q_llm_dedup_jaccard_pf")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    assert(pf === plain) // prefix filtering is lossless at t=0.7
+    // and the filter genuinely prunes: the pair join's input (prefix
+    // posting list) must be well under the full posting list
+    val docs = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"source", array_distinct(split($"text", " ")).as("ws"))
+      .withColumn("nw", size($"ws"))
+    val tok = docs.select($"doc_id", $"source", $"nw", explode($"ws").as("w"))
+    val full = tok.count()
+    import org.apache.spark.sql.expressions.Window
+    val ranked = tok
+      .join(tok.groupBy($"source", $"w").agg(count(lit(1)).as("df")),
+        Seq("source", "w"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"source", $"doc_id").orderBy($"df", $"w")))
+    val prefixRows = ranked
+      .filter($"rnk" <= $"nw" - expr("(nw * 7 + 9) div 10") + 1).count()
+    // per-doc prefix keeps (nw - ceil(0.7 nw) + 1) of nw tokens ~ 37%
+    assert(prefixRows.toDouble / full < 0.5, s"prefix frac ${prefixRows.toDouble / full}")
+  }
 }
