@@ -22,6 +22,32 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scratch root for engine-internal ephemera (shuffle files, replay
+    * inputs, streaming checkpoints, managed tables): prefer tmpfs
+    * (/dev/shm) when present — on a container /tmp is ordinary disk and
+    * the many small fsync-ed files a streaming checkpoint writes are
+    * latency-bound there. A cluster deployment would instead point
+    * spark.local.dir at the executors' local SSDs; checkpoints for
+    * RESTARTABLE jobs belong on durable storage (q_stream_restart keeps
+    * its explicit checkpointLocation), but drain-and-discard replay
+    * checkpoints are ephemeral by construction.
+    */
+  lazy val scratchRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    val root =
+      if (shm.isDirectory && shm.canWrite) new java.io.File(shm, "graft-scratch")
+      else new java.io.File(System.getProperty("java.io.tmpdir"), "graft-scratch")
+    root.mkdirs()
+    root.getAbsolutePath
+  }
+
+  /** A per-tag scratch subdirectory under [[scratchRoot]]. */
+  def scratchDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratchRoot), tag)
+    d.toFile.getAbsolutePath
+  }
+
   def session(
       appName: String = "graft",
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
@@ -35,8 +61,14 @@ object Engine {
       // keep managed-table state (bucketed writes) out of the caller's
       // cwd — Verify/Bench may run with cwd anywhere
       .config("spark.sql.warehouse.dir",
-        new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft-warehouse").getAbsolutePath)
+        new java.io.File(scratchRoot, "warehouse").getAbsolutePath)
+      // shuffle/spill files on the scratch root (tmpfs when available —
+      // a cluster would use executor-local SSDs). NO default streaming
+      // checkpointLocation: {default}/{queryName} collides across JVM
+      // runs (tmpfs outlives the process) and resurrects stale offsets —
+      // streaming sites pass explicit per-run locations instead.
+      .config("spark.local.dir",
+        new java.io.File(scratchRoot, "local").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

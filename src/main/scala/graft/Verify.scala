@@ -15,10 +15,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // managed-table (bucketed) writes must not land in the caller's cwd
+      // managed-table (bucketed) writes must not land in the caller's cwd;
+      // shuffle files on the scratch root (tmpfs when available) — see
+      // Engine.scratchRoot. No default streaming checkpointLocation (it
+      // would collide across JVM runs on the persistent tmpfs).
       .config("spark.sql.warehouse.dir",
-        new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft-warehouse").getAbsolutePath)
+        new java.io.File(Engine.scratchRoot, "warehouse").getAbsolutePath)
+      .config("spark.local.dir",
+        new java.io.File(Engine.scratchRoot, "local").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

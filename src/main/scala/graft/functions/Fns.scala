@@ -64,6 +64,34 @@ object Fns {
     */
   def davg(c: Column): Column = dsum(c).cast(DoubleType) / count(c)
 
+  /** Per-row exact revenue units: cents(price) x (100 - pct(discount)) as
+    * an int64 at fixed scale 1e4. The money columns ARE exact 2-dp
+    * decimals stored as doubles, so `floor(x*100+0.5)` recovers the exact
+    * integer and every product/sum below is exact integer arithmetic that
+    * stays in whole-stage codegen — ~4x faster than DECIMAL(28,10) sums
+    * with the same exactness (the q_agg_stats quantization pattern).
+    * Overflow bound: |units| <= ~1e9/row, so int64 sums hold past 1e9
+    * rows per group (sf1000). DuckDB mirror: [[revUnitsSql]].
+    */
+  def revUnits(price: Column, discount: Column): Column =
+    floor(price * 100.0 + 0.5).cast(LongType) *
+      (lit(100L) - floor(discount * 100.0 + 0.5).cast(LongType))
+
+  /** Exact `sum(price * (1 - discount))` on quantized longs (scale 1e4
+    * reconstituted once per group). DuckDB mirror: [[qrevSql]].
+    */
+  def qrev(price: Column, discount: Column): Column =
+    sum(revUnits(price, discount)).cast(DoubleType) / 10000.0
+
+  /** DuckDB-side mirror of [[revUnits]]. */
+  def revUnitsSql(price: String, discount: String): String =
+    s"(CAST(floor(($price) * 100.0 + 0.5) AS BIGINT)" +
+      s" * (100 - CAST(floor(($discount) * 100.0 + 0.5) AS BIGINT)))"
+
+  /** DuckDB-side mirror of [[qrev]]. */
+  def qrevSql(price: String, discount: String): String =
+    s"CAST(CAST(sum(${revUnitsSql(price, discount)}) AS BIGINT) AS DOUBLE) / 10000.0"
+
   /** 60-bit cross-engine hash of a string: first 15 hex chars of md5,
     * parsed base-16. DuckDB mirror: ('0x' || substr(md5(x),1,15))::BIGINT.
     * Used as the shared hash primitive for MinHash/SimHash/fingerprints

@@ -4,6 +4,7 @@ import graft.{Engine, QueryDef, QueryModule}
 import graft.functions.Fns._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Join surface (SURVEY.md §2B-3): every join type, plus range and as-of
   * joins composed from built-ins (reference centerpiece A9's batch analog).
@@ -28,15 +29,21 @@ object Joins extends QueryModule {
         import s.implicits._
         val li = Engine.table(s, dir, "lineitem")
         val o = Engine.table(s, dir, "orders")
+        // revenue on quantized longs (see q1_agg): exact integer units
+        // cents x (100-d) summed in int64, reconstituted once per group
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .groupBy($"o_orderpriority")
           .agg(
-            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            (sum(floor($"l_extendedprice" * 100.0 + 0.5).cast(LongType)
+              * (lit(100L) - floor($"l_discount" * 100.0 + 0.5).cast(LongType)))
+              .cast(DoubleType) / 10000.0).as("revenue"),
             count(lit(1)).as("n"))
       },
       oracle = Some(s"""
         SELECT o_orderpriority,
-          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          CAST(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+            * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)
+            / 10000.0 AS revenue,
           count(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority"""),

@@ -19,9 +19,7 @@ object Streaming extends QueryModule {
   private val dirs = scala.collection.concurrent.TrieMap[String, String]()
 
   private def tempFor(tag: String, dir: String): String =
-    dirs.getOrElseUpdate(s"$tag:$dir",
-      java.nio.file.Files.createTempDirectory(s"graft_$tag")
-        .toFile.getAbsolutePath)
+    dirs.getOrElseUpdate(s"$tag:$dir", Engine.scratchDir(s"graft_$tag"))
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
@@ -358,9 +356,11 @@ object Streaming extends QueryModule {
         Seq(inDir, sink, ckpt).foreach(p => rmTree(new java.io.File(p)))
         val ev = Engine.events(s, dir)
           .select($"event_id", $"user_id", $"event_type", $"value")
-        // wave 1 now; wave 2 arrives only after the first run terminates
+        // wave 1 now; wave 2 arrives only after the first run terminates.
+        // 2 files per wave: the proof is recovery across RESTARTS, not
+        // batches-per-wave (q_stream_update_multi covers multi-trigger).
         ev.filter($"event_id" % 2 === 0)
-          .repartition(4).write.mode("overwrite").parquet(inDir)
+          .repartition(2).write.mode("overwrite").parquet(inDir)
         val schema = s.read.parquet(inDir).schema
         def runWave(): Unit = {
           val q = s.readStream.schema(schema)
@@ -380,7 +380,7 @@ object Streaming extends QueryModule {
         }
         runWave()
         ev.filter($"event_id" % 2 === 1)
-          .repartition(4).write.mode("append").parquet(inDir)
+          .repartition(2).write.mode("append").parquet(inDir)
         runWave() // same checkpoint: only the new files are processed
         s.read.parquet(sink)
           .groupBy($"user_id", $"event_type")

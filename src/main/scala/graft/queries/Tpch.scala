@@ -27,14 +27,14 @@ object Tpch extends QueryModule {
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .agg(qrev($"l_extendedprice", $"l_discount").as("revenue"))
           .orderBy($"revenue".desc, $"l_orderkey")
           .limit(10)
       },
       oracle = Some(s"""
         SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
           o_orderpriority,
-          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          ${qrevSql("l_extendedprice", "l_discount")} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -63,12 +63,12 @@ object Tpch extends QueryModule {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy($"r_name", $"n_name")
           .agg(
-            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            qrev($"l_extendedprice", $"l_discount").as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       oracle = Some(s"""
         SELECT r_name, n_name,
-          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          ${qrevSql("l_extendedprice", "l_discount")} AS revenue,
           count(*) AS n_lines
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -123,12 +123,12 @@ object Tpch extends QueryModule {
           .filter($"cust_nation" < $"supp_nation")
           .groupBy($"cust_nation", $"supp_nation",
             year($"l_shipdate").as("ship_year"))
-          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"),
+          .agg(qrev($"l_extendedprice", $"l_discount").as("volume"),
             count(lit(1)).as("n_lines"))
       },
       oracle = Some(s"""
         SELECT cust_nation, supp_nation, ship_year,
-          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS volume,
+          ${qrevSql("l_extendedprice", "l_discount")} AS volume,
           count(*) AS n_lines
         FROM (
           SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
@@ -187,14 +187,14 @@ object Tpch extends QueryModule {
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy($"c_custkey", $"c_name", $"n_name")
-          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          .agg(qrev($"l_extendedprice", $"l_discount").as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy($"revenue".desc, $"c_custkey")
           .limit(20)
       },
       oracle = Some(s"""
         SELECT c_custkey, c_name, n_name,
-          ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          ${qrevSql("l_extendedprice", "l_discount")} AS revenue,
           count(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -246,18 +246,19 @@ object Tpch extends QueryModule {
         val p = Engine.table(s, dir, "part")
         l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
           .agg(
-            dsumGate(when($"p_type" === "PROMO",
-              $"l_extendedprice" * (lit(1.0) - $"l_discount"))
-              .otherwise(lit(0.0))).as("promo_rev"),
-            dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_rev"))
+            (sum(when($"p_type" === "PROMO",
+              revUnits($"l_extendedprice", $"l_discount")).otherwise(lit(0L)))
+              .cast(org.apache.spark.sql.types.DoubleType) / 10000.0).as("promo_rev"),
+            qrev($"l_extendedprice", $"l_discount").as("total_rev"))
           .select(
             (lit(100.0) * $"promo_rev" / $"total_rev").as("promo_share"),
             $"promo_rev", $"total_rev")
       },
       oracle = Some {
-        val promo = dsumGateSql(
-          "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")
-        val total = dsumGateSql("l_extendedprice * (1.0 - l_discount)")
+        val promo = "CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+          revUnitsSql("l_extendedprice", "l_discount") +
+          " ELSE 0 END) AS BIGINT) AS DOUBLE) / 10000.0"
+        val total = qrevSql("l_extendedprice", "l_discount")
         s"""
         WITH t AS (
           SELECT $promo AS promo_rev, $total AS total_rev
@@ -285,11 +286,11 @@ object Tpch extends QueryModule {
                 && l("l_quantity").between(10, 20))
             || (p("p_brand") === "Brand#34" && p("p_size").between(1, 35)
                 && l("l_quantity").between(20, 30))))
-          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          .agg(qrev($"l_extendedprice", $"l_discount").as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       oracle = Some(s"""
-        SELECT ${dsumGateSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        SELECT ${qrevSql("l_extendedprice", "l_discount")} AS revenue,
           count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -315,13 +316,19 @@ object Tpch extends QueryModule {
           .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
-          .agg(dsumGate($"l_extendedprice" * (lit(1.0) - $"l_discount")
-            - $"p_retailprice" * $"l_quantity" * lit(0.1)).as("profit"))
+          // profit units at scale 1e4: revUnits - retail_cents x qty x 10
+          // (retailprice x qty x 0.1 = retail_cents x qty x 10 / 1e4, exact)
+          .agg((sum(revUnits($"l_extendedprice", $"l_discount")
+            - floor($"p_retailprice" * 100.0 + 0.5)
+              .cast(org.apache.spark.sql.types.LongType)
+              * $"l_quantity".cast(org.apache.spark.sql.types.LongType) * lit(10L))
+            .cast(org.apache.spark.sql.types.DoubleType) / 10000.0).as("profit"))
       },
       oracle = Some(s"""
         SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-          ${dsumGateSql(
-            "l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.1")}
+          CAST(CAST(sum(${revUnitsSql("l_extendedprice", "l_discount")}
+            - CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+              * CAST(l_quantity AS BIGINT) * 10) AS BIGINT) AS DOUBLE) / 10000.0
             AS profit
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey

@@ -38,7 +38,7 @@ object Replay {
     val key = if (cacheKey.isEmpty) s"anon_${counter.incrementAndGet()}"
       else s"$cacheKey/$nFiles"
     val dir = inputCache.getOrElseUpdate(key, {
-      val d = Files.createTempDirectory("graft_replay").toFile.getAbsolutePath
+      val d = graft.Engine.scratchDir("graft_replay")
       input.repartition(nFiles).write.mode("overwrite").parquet(s"$d/in")
       d
     })
@@ -58,6 +58,10 @@ object Replay {
         .format("memory")
         .queryName(qname)
         .outputMode(mode)
+        // fresh per-run scratch checkpoint (tmpfs when available): this
+        // replay drains once and discards; restart-durable checkpoints
+        // are exercised by q_stream_restart with an explicit location
+        .option("checkpointLocation", graft.Engine.scratchDir("ckpt"))
         .trigger(Trigger.AvailableNow())
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
