@@ -90,6 +90,17 @@ object Sources extends QueryModule {
         // amortizes it over every later join — re-bucketing per run would
         // measure the setup, not the co-located join under test
         if (!s.catalog.tableExists(s"graft_li_bkt_$suffix")) {
+          // the scratch warehouse outlives the JVM while the in-memory
+          // catalog does not: drop stale table locations from a previous
+          // run or CTAS refuses the non-empty directory
+          val wh = new java.io.File(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          Seq(s"graft_li_bkt_$suffix", s"graft_ord_bkt_$suffix")
+            .foreach(t => rm(new java.io.File(wh, t)))
           Engine.table(s, dir, "lineitem")
             .select($"l_orderkey", $"l_extendedprice")
             .write.mode("overwrite")
