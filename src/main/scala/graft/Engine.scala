@@ -74,10 +74,23 @@ object Engine {
     spark
   }
 
+  // Schema cache: the test tables are immutable per scale-factor dir, so
+  // pay the parquet footer read once per (dir, table) per JVM instead of
+  // on every query's analysis pass. With an explicit .schema() Spark
+  // skips schema inference entirely; a long benchmark run over 100+
+  // queries otherwise re-reads the same footers hundreds of times.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Load one table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else {
+      val path = s"$sfDir/$name.parquet"
+      val schema = schemaCache.getOrElseUpdate(path,
+        spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
 
   /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark 4
     * rejects by default. Read it as long (legacy conf) and convert ns->us
@@ -86,7 +99,10 @@ object Engine {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val schema = schemaCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }

@@ -338,6 +338,129 @@ object Tpch extends QueryModule {
         WHERE p_type IN ('PROMO', 'ECONOMY')
         GROUP BY n_name, year(o_orderdate)""")),
 
+    // Q6 shape: forecast revenue — pure scan-aggregate, no join. The
+    // plan that proves pushdown: both date bounds, the discount band,
+    // and the quantity cap all reach the parquet scan as PushedFilters,
+    // and the whole query is one WholeStageCodegen over a 2-column read.
+    "q6_forecast_revenue" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        Engine.table(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1997-01-01").cast("timestamp")
+            && $"l_discount".between(0.05, 0.07)
+            && $"l_quantity" < 24.0)
+          // revenue = price * discount, exact: cents x pct at scale 1e4
+          .agg((sum(floor($"l_extendedprice" * 100.0 + 0.5).cast(LongType)
+              * floor($"l_discount" * 100.0 + 0.5).cast(LongType))
+            .cast(DoubleType) / 10000.0).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      oracle = Some("""
+        SELECT CAST(CAST(sum(
+            CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+            * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+          count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+          AND l_quantity < 24.0""")),
+
+    // Q4 shape: order-priority checking — correlated EXISTS over the
+    // fact table (no l_commitdate/l_receiptdate in the test schema, so
+    // the late-delivery predicate is proxied by l_shipdate > o_orderdate;
+    // same shape: EXISTS decorrelates to a left-semi hash join on
+    // l_orderkey with the correlated comparison as the join residual).
+    "q4_order_priority" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS order_count
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          GROUP BY o_orderpriority""")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority""")),
+
+    // Q13 shape: customer order-count distribution — LEFT OUTER join
+    // (filter on the preserved-null side pre-applied to orders), then
+    // two aggregations: per-customer count (co-partitioned with the join
+    // shuffle, so no extra exchange), then the tiny distribution agg.
+    "q13_order_distribution" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = Engine.table(s, dir, "customer").select($"c_custkey")
+        val o = Engine.table(s, dir, "orders")
+          .filter($"o_orderpriority" =!= "1-URGENT")
+          .select($"o_custkey", $"o_orderkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      oracle = Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count""")),
+
+    // Q22 shape: high-balance customers with no large orders — scalar subquery
+    // threshold (exact decimal average, so both engines compute the
+    // identical double before the comparison) + NOT EXISTS anti join,
+    // grouped by a nationkey-derived country-code proxy (no c_phone in
+    // the test schema).
+    "q22_global_sales_opportunity" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql("""
+          SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+            count(*) AS numcust,
+            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10)))
+              AS DECIMAL(18,6)) AS DOUBLE) AS totacctbal
+          FROM customer
+          WHERE c_acctbal > (
+              SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10)))
+                  AS DECIMAL(18,6)) AS DOUBLE) / count(c_acctbal)
+              FROM customer WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+          GROUP BY c_nationkey % 5""")
+      },
+      oracle = Some("""
+        SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+          count(*) AS numcust,
+          CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10)))
+            AS DECIMAL(18,6)) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10)))
+                AS DECIMAL(18,6)) AS DOUBLE) / count(c_acctbal)
+            FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        GROUP BY c_nationkey % 5""")),
+
     // Custom TypedImperativeAggregate: exact sorted distinct-set per
     // group (the imperative-buffer extension point for sketches).
     // Gate output is the ','-joined set (raw arrays crash the external
