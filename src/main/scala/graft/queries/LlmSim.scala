@@ -287,6 +287,39 @@ object LlmSim extends QueryModule {
             WHEN CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) > 6.0
               THEN 'LONGWORDS'
             ELSE 'NORMAL' END AS band
-        FROM documents"""))
+        FROM documents""")),
+
+    // Symmetric int8 quantization of the embedding column — the storage
+    // op a 100 TB embedding corpus runs before ANN indexing (4x smaller,
+    // SIMD-friendly). Per-row only: scale = max|v|/127, q_i = round(v_i
+    // / scale) — no aggregation, so plain IEEE doubles are deterministic
+    // cross-engine; round() is half-away-from-zero in both engines. The
+    // quantized vector is emitted flattened (comparator contract bans
+    // nested outputs); the max reconstruction error bound scale/2 rides
+    // along per row.
+    "q_llm_quantize_int8" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "embeddings")
+          .select($"vec_id", $"label", V.toDouble($"embedding").as("v"))
+          .withColumn("scale",
+            array_max(transform($"v", x => abs(x))) / 127.0)
+          .select($"vec_id", $"label", $"scale",
+            ($"scale" / 2.0).as("max_err"),
+            array_join(transform($"v",
+              x => round(x / $"scale").cast("long").cast("string")), ",")
+              .as("qvec"))
+      },
+      oracle = Some("""
+        SELECT vec_id, label, scale, scale / 2.0 AS max_err,
+          array_to_string(list_transform(v,
+            x -> CAST(CAST(round(x / scale) AS BIGINT) AS VARCHAR)), ',')
+            AS qvec
+        FROM (
+          SELECT vec_id, label, v,
+            list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings))"""))
   )
 }

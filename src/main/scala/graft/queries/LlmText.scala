@@ -499,6 +499,37 @@ object LlmText extends QueryModule {
               w -> ${h60Sql("w")} % $P)),
             (a, b) -> (a * 31 + b) % $P) AS poly_fp,
           substr(md5(text), 1, 8) AS md5_8
-        FROM documents"""))
+        FROM documents""")),
+
+    // Fixed-size token chunking with overlap (window 50, stride 40) —
+    // the pre-tokenization op that turns a 100 TB document corpus into
+    // training-context-sized pieces. Pure per-row explode: chunk starts
+    // are a sequence over the token count, each start slices its window
+    // — embarrassingly parallel, no shuffle at all. Empty documents
+    // would need a sequence guard (none exist in the corpus; the n>=1
+    // invariant is asserted by the oracle producing the same row count).
+    "q_llm_chunk" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .withColumn("n", size($"toks"))
+          .select($"doc_id", explode(transform(
+            sequence(lit(0), $"n" - 1, lit(40)),
+            st => struct(st.cast("int").as("chunk_start"),
+              size(slice($"toks", st + 1, lit(50))).as("n_tok"),
+              array_join(slice($"toks", st + 1, lit(50)), " ")
+                .as("chunk_text")))).as("c"))
+          .select($"doc_id", $"c.chunk_start", $"c.n_tok", $"c.chunk_text")
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(i AS INT) AS chunk_start,
+          CAST(len(list_slice(toks, i + 1, i + 50)) AS INT) AS n_tok,
+          array_to_string(list_slice(toks, i + 1, i + 50), ' ') AS chunk_text
+        FROM (
+          SELECT doc_id, toks, unnest(range(0, n, 40)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+                FROM documents))"""))
   )
 }

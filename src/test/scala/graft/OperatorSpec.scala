@@ -277,4 +277,31 @@ class OperatorSpec extends AnyFunSuite {
     // per-doc prefix keeps (nw - ceil(0.7 nw) + 1) of nw tokens ~ 37%
     assert(prefixRows.toDouble / full < 0.5, s"prefix frac ${prefixRows.toDouble / full}")
   }
+
+  test("q6 scan-agg: every predicate pushed to the scan, columns pruned") {
+    val q = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(fail("no PushedFilters line:\n" + plan.take(1200)))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+    // projection needs 4 of lineitem's 11 columns; the scan must not
+    // read the rest
+    val read = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema line"))
+    Seq("l_orderkey", "l_returnflag", "l_tax").foreach(c =>
+      assert(!read.contains(c), s"$c read but unused: $read"))
+  }
+
+  test("q13 outer-join distribution: agg reuses the join's partitioning") {
+    val q = SparkEntry.queries("q13_order_distribution")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    // 3 legitimate exchanges: customer side, orders side, final c_count
+    // distribution agg. A 4th would mean the per-customer aggregation
+    // re-shuffled data already clustered by c_custkey from the join.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"$shuffles shuffles:\n" + plan.take(1500))
+  }
 }
