@@ -269,6 +269,88 @@ object LlmText extends QueryModule {
         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
 
+    // Connected-component dedup clusters over the near-dup pair graph:
+    // cluster id = min doc_id reachable through jaccard>=0.7 edges. Pair
+    // generation alone isn't dedup — a training pipeline keeps ONE doc
+    // per transitive cluster, so the component labeling is the operator
+    // that actually drops rows. Distributed shape: iterative min-label
+    // propagation to fixpoint (each round = one join + one min-agg
+    // shuffle, lineage cut per round); near-dup graphs have tiny
+    // diameter, so rounds ~ O(log n) worst case and 2-3 in practice. At
+    // 100 TB the same loop runs with large-star/small-star edge rewrites
+    // to bound per-round skew; the fixpoint + convergence check are
+    // identical. Oracle: DuckDB recursive-CTE transitive closure.
+    "q_llm_dedup_clusters" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = withNearDups(s, dir)
+          .select($"doc_id", $"source",
+            array_distinct(split($"text", " ")).as("ws"))
+          .withColumn("nw", size($"ws"))
+        val tok = d.select($"doc_id", $"source", $"nw",
+          explode($"ws").as("w"))
+        val pairs = tok.as("a").join(tok.as("b"),
+          $"a.w" === $"b.w" && $"a.source" === $"b.source"
+            && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.nw".as("na"), $"b.nw".as("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .filter($"inter".cast("double")
+            / ($"na" + $"nb" - $"inter") >= 0.7)
+          .select($"doc_a", $"doc_b")
+          .localCheckpoint() // edges are reused every round: cut the
+                             // pair-join lineage once, O(pairs) memory
+        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        var labels = pairs.select($"doc_a".as("id"))
+          .unionByName(pairs.select($"doc_b".as("id")))
+          .distinct().withColumn("lab", $"id").localCheckpoint()
+        var iter = 0
+        var converged = false
+        while (!converged && iter < 25) {
+          val nbr = edges.join(labels, edges("dst") === labels("id"))
+            .groupBy($"src").agg(min($"lab").as("nlab"))
+          val next = labels.join(nbr, labels("id") === nbr("src"), "left")
+            .select(labels("id"),
+              least(labels("lab"), coalesce($"nlab", labels("lab")))
+                .as("lab"),
+              labels("lab").as("prev"))
+            .localCheckpoint()
+          converged = next.filter($"lab" < $"prev").isEmpty
+          labels = next.select($"id", $"lab")
+          iter += 1
+        }
+        require(converged, s"label propagation did not converge in $iter rounds")
+        val sizes = labels.groupBy($"lab").agg(count(lit(1)).as("csize"))
+        labels.join(sizes, "lab")
+          .select($"id".as("doc_id"), $"lab".as("cluster_id"), $"csize")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $nearDupSql,
+        d AS (SELECT doc_id, source,
+                list_distinct(string_split(text, ' ')) AS ws FROM base),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION SELECT doc_b, doc_a FROM p
+          UNION SELECT doc_a, doc_a FROM p
+          UNION SELECT doc_b, doc_b FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        lab AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src)
+        SELECT l.doc_id, l.cluster_id, c.csize
+        FROM lab l JOIN (
+          SELECT cluster_id, count(*) AS csize FROM lab GROUP BY cluster_id
+        ) c USING (cluster_id)""")),
+
     // Prefix-filtered set-similarity join (PPJoin-style): same output as
     // q_llm_dedup_jaccard, but the pair join runs only over each doc's
     // PREFIX — its (nw - ceil(0.7*nw) + 1) rarest tokens in a global

@@ -278,6 +278,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(prefixRows.toDouble / full < 0.5, s"prefix frac ${prefixRows.toDouble / full}")
   }
 
+  test("dedup clusters: pair endpoints co-clustered, id is the member min") {
+    val labels = SparkEntry.queries("q_llm_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(labels.nonEmpty)
+    // every jaccard edge's endpoints must land in the same cluster
+    val pairs = SparkEntry.queries("q_llm_dedup_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._1 === labels(b)._1, s"split edge ($a,$b)")
+    }
+    // cluster id must be the minimum member, size the member count
+    labels.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+      members.values.foreach { case (_, csize) =>
+        assert(csize === members.size, s"size mismatch in cluster $cid")
+      }
+    }
+  }
+
   test("q6 scan-agg: every predicate pushed to the scan, columns pruned") {
     val q = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
