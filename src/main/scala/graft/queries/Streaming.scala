@@ -313,6 +313,45 @@ object Streaming extends QueryModule {
           epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
         FROM events GROUP BY user_id""")),
 
+    // The SAME running aggregate through Spark 4's NEW arbitrary-state
+    // API: transformWithState with a typed ValueState handle on the
+    // RocksDB state store (transformWithState requires the RocksDB
+    // provider; the conf is restored after the drained replay so the
+    // rest of the corpus keeps the default HDFS-backed store). Covers
+    // the modern stateful API next to the classic mapGroupsWithState
+    // row with the identical monotone-recovery oracle.
+    "q_stream_transform_state" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        val drained =
+          try Replay.run(s,
+            Replay.events(s, dir)
+              .select($"user_id", unix_millis($"ts").as("ms")),
+            mode = "update", cacheKey = s"events_ms:$dir") { st =>
+            st.as[(Long, Long)]
+              .groupByKey(_._1)
+              .transformWithState(new graft.streaming.RunningStatsProcessor,
+                TimeMode.None(), OutputMode.Update())
+              .toDF("user_id", "n", "min_ms", "max_ms")
+          }
+          finally prev match {
+            case Some(p) => s.conf.set(key, p)
+            case None    => s.conf.unset(key)
+          }
+        drained.groupBy($"user_id")
+          .agg(max($"n").as("n"), min($"min_ms").as("min_ms"),
+            max($"max_ms").as("max_ms"))
+      },
+      oracle = Some("""
+        SELECT user_id, count(*) AS n,
+          epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
+        FROM events GROUP BY user_id""")),
+
     // Update mode across MULTIPLE triggers: the sink accumulates one row
     // per key per updating micro-batch (running prefix aggregates); the
     // final state is recovered deterministically because both running
