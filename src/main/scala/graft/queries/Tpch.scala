@@ -9,6 +9,55 @@ import org.apache.spark.sql.functions._
   * aggregation across 3- and 5-way joins — the backbone shapes of a
   * 100 TB warehouse workload.
   */
+/** SQL texts that run IDENTICALLY on Spark and DuckDB (shared ANSI
+  * subset, exact quantized/decimal arithmetic) — the engine side submits
+  * the same string through spark.sql, so the oracle is the text itself.
+  */
+private[queries] object TpchSql {
+
+  /** Q17 shape: note DuckDB rounds double→bigint casts while Spark
+    * truncates — quantities are integral-valued doubles (dataset
+    * invariant), so the comparison threshold is the only float path and
+    * it routes through the exact decimal average. */
+  val q17: String = """
+    SELECT CAST(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+          AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+      count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
+      AND lineitem.l_quantity < (
+        SELECT 0.2 * (CAST(CAST(sum(CAST(l2.l_quantity AS DECIMAL(28,10)))
+            AS DECIMAL(18,6)) AS DOUBLE) / count(l2.l_quantity))
+        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
+
+  val q18: String = """
+    SELECT c_custkey, c_name, o.o_orderkey,
+      CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+      o.o_totalprice, t.sum_qty
+    FROM (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 250) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer ON c_custkey = o.o_custkey"""
+
+  val q15: String = """
+    WITH rev AS (
+      SELECT l_suppkey,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+          * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+          AS BIGINT) AS rev_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+      CAST(rev_units AS DOUBLE) / 10000.0 AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_units = (SELECT max(rev_units) FROM rev)"""
+}
+
 object Tpch extends QueryModule {
 
   def defs: Vector[(String, QueryDef)] = Vector(
@@ -460,6 +509,39 @@ object Tpch extends QueryModule {
             SELECT 1 FROM orders
             WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         GROUP BY c_nationkey % 5""")),
+
+    // Q17 shape: small-quantity-order revenue — correlated scalar AVG
+    // subquery per part, decorrelated by Catalyst into an aggregate +
+    // join (no per-row probe). Threshold arithmetic routes through the
+    // exact decimal average so both engines compare against the
+    // identical double.
+    "q17_small_qty_revenue" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql(TpchSql.q17)
+      },
+      oracle = Some(TpchSql.q17)),
+
+    // Q18 shape: large-volume orders — groupBy-HAVING on the fact table,
+    // then join the qualifying keys back to orders + customer (the
+    // having-set is tiny relative to the fact table, so the join back is
+    // broadcast-able at scale).
+    "q18_large_orders" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql(TpchSql.q18)
+      },
+      oracle = Some(TpchSql.q18)),
+
+    // Q15 shape: top supplier by windowed revenue — aggregated CTE used
+    // twice (join + scalar MAX subquery); revenue is exact quantized
+    // units so the equality against the max is bit-safe cross-engine.
+    "q15_top_supplier" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql(TpchSql.q15)
+      },
+      oracle = Some(TpchSql.q15)),
 
     // Custom TypedImperativeAggregate: exact sorted distinct-set per
     // group (the imperative-buffer extension point for sketches).
