@@ -37,14 +37,14 @@ object ScaleProbe {
 
     def q1(li: DataFrame): Unit = li
       .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(sum($"l_quantity"), graft.functions.Fns.dsumGate($"l_extendedprice"),
+      .agg(sum($"l_quantity"), graft.functions.Fns.dsum($"l_extendedprice"),
         count(lit(1)))
       .write.format("noop").mode("overwrite").save()
 
     def join(li: DataFrame, o: DataFrame): Unit = li
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)), graft.functions.Fns.dsumGate($"l_extendedprice"))
+      .agg(count(lit(1)), graft.functions.Fns.dsum($"l_extendedprice"))
       .write.format("noop").mode("overwrite").save()
 
     def topk(li: DataFrame): Unit = graft.plans.GroupTopK(
@@ -54,11 +54,31 @@ object ScaleProbe {
         k = 10)
       .write.format("noop").mode("overwrite").save()
 
-    q1(li1); join(li1, orders1); topk(li1) // warmup (codegen, file listing)
+    // Connected-components shape: bipartite order→customer star graph
+    // (components = customer stars, diameter 2 at every scale, so the
+    // probe isolates per-round cost growth, not round count).
+    def cc(o: DataFrame): Unit = graft.operators.ConnectedComponents
+      .label(o.select($"o_orderkey".as("x"),
+        ($"o_custkey" + lit(1000000000000L)).as("y")), "x", "y")
+      .write.format("noop").mode("overwrite").save()
+
+    // Chunking shape: pure per-row explode (q_llm_chunk's plan) over the
+    // order-priority text proxy — linear rows in, ~rows/stride out.
+    def chunk(o: DataFrame): Unit = o
+      .select($"o_orderkey", split($"o_orderpriority", "-").as("toks"))
+      .withColumn("n", size($"toks"))
+      .select($"o_orderkey", explode(transform(
+        sequence(lit(0), $"n" - 1, lit(1)),
+        st => concat_ws(" ", slice($"toks", st + 1, lit(2))))).as("c"))
+      .write.format("noop").mode("overwrite").save()
+
+    q1(li1); join(li1, orders1); topk(li1); cc(orders1); chunk(orders1) // warmup
     val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
       "q1_agg_shape" -> ((l, _) => q1(l)),
       "join_agg_shape" -> ((l, o) => join(l, o)),
-      "group_topk_shape" -> ((l, _) => topk(l)))
+      "group_topk_shape" -> ((l, _) => topk(l)),
+      "conn_components_shape" -> ((_, o) => cc(o)),
+      "chunk_explode_shape" -> ((_, o) => chunk(o)))
     val rows1 = li1.count()
     val report = shapes.map { case (name, f) =>
       val t1 = Seq.fill(3)(time(f(li1, orders1))).sorted.apply(1)

@@ -298,29 +298,8 @@ object LlmText extends QueryModule {
           .filter($"inter".cast("double")
             / ($"na" + $"nb" - $"inter") >= 0.7)
           .select($"doc_a", $"doc_b")
-          .localCheckpoint() // edges are reused every round: cut the
-                             // pair-join lineage once, O(pairs) memory
-        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-          .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-        var labels = pairs.select($"doc_a".as("id"))
-          .unionByName(pairs.select($"doc_b".as("id")))
-          .distinct().withColumn("lab", $"id").localCheckpoint()
-        var iter = 0
-        var converged = false
-        while (!converged && iter < 25) {
-          val nbr = edges.join(labels, edges("dst") === labels("id"))
-            .groupBy($"src").agg(min($"lab").as("nlab"))
-          val next = labels.join(nbr, labels("id") === nbr("src"), "left")
-            .select(labels("id"),
-              least(labels("lab"), coalesce($"nlab", labels("lab")))
-                .as("lab"),
-              labels("lab").as("prev"))
-            .localCheckpoint()
-          converged = next.filter($"lab" < $"prev").isEmpty
-          labels = next.select($"id", $"lab")
-          iter += 1
-        }
-        require(converged, s"label propagation did not converge in $iter rounds")
+        val labels = graft.operators.ConnectedComponents
+          .label(pairs, "doc_a", "doc_b")
         val sizes = labels.groupBy($"lab").agg(count(lit(1)).as("csize"))
         labels.join(sizes, "lab")
           .select($"id".as("doc_id"), $"lab".as("cluster_id"), $"csize")
