@@ -49,4 +49,74 @@ object ConnectedComponents {
       s"label propagation did not converge in $round rounds")
     labels
   }
+
+  /** Alternating large-star / small-star components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round
+    * rewrites the edge set so every node points closer to its
+    * component's minimum — O(log^2 n) rounds on ANY graph, including
+    * the long chains where plain propagation needs O(diameter), and
+    * per-round work stays proportional to the edge count (no hot-node
+    * neighbor blowup: every emitted edge targets the local minimum).
+    * This is the formulation to run at 100 TB; [[label]] is the simpler
+    * loop for small-diameter graphs. Both return identical labelings
+    * (property-tested on random graphs).
+    */
+  def labelStar(
+      pairs: DataFrame,
+      a: String,
+      b: String,
+      maxRounds: Int = 50): DataFrame = {
+    // canonical undirected edge set, u < v, no self-loops
+    var e = pairs
+      .select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id")))
+      .distinct().localCheckpoint()
+
+    // adjacency (both directions) and per-node minimum of N(u) ∪ {u}
+    def adj(edges: DataFrame): DataFrame =
+      edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    def mins(edges: DataFrame): DataFrame =
+      adj(edges).groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val j = adj(edges).join(mins(edges), "u")
+      val emitted =
+        if (large) j.filter(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+        else j.filter(col("v") < col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+          .unionByName(j.select(col("u").as("x"), col("m").as("y")))
+      emitted.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .distinct()
+    }
+
+    var lab = mins(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      e = star(star(e, large = true), large = false).localCheckpoint()
+      val next = mins(e)
+      converged = lab.as("p")
+        .join(next.as("n"), col("p.u") === col("n.u"))
+        .filter(col("p.m") =!= col("n.m")).isEmpty
+      lab = next
+      round += 1
+    }
+    require(converged,
+      s"star contraction did not converge in $round rounds")
+    // isolated-by-contraction roots keep their own label; nodes absent
+    // from the final edge set (their component fully contracted) are
+    // their component root or singletons of the original pair set
+    nodes.join(lab, nodes("id") === lab("u"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("lab"))
+  }
 }

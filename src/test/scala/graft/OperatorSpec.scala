@@ -299,6 +299,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("labelStar equals simple label propagation on random graphs") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 120
+      // broken chains (long diameters, several components) + random
+      // chords (dense blobs) — the two regimes the two algorithms favor
+      val edges = (1 until n).filter(_ % 3 != 0)
+        .map(i => (i.toLong, (i + 1).toLong)) ++
+        Seq.fill(60)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+          .filter(p => p._1 != p._2)
+      val df = edges.toDF("a", "b")
+      val simple = ConnectedComponents.label(df, "a", "b", maxRounds = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = ConnectedComponents.labelStar(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === simple)
+    }
+  }
+
   test("q6 scan-agg: every predicate pushed to the scan, columns pruned") {
     val q = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
