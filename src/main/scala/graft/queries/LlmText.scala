@@ -477,6 +477,67 @@ object LlmText extends QueryModule {
 
     // Quality scoring: length/word/type-token/stopword/punctuation stats
     // + a weighted composite, all per-row double arithmetic.
+    // Repetition scoring (the Gopher-rule family): duplicate 2-/3-gram
+    // fractions from the native Shingles expression, plus the most-
+    // frequent-word share (one explode + two aggregations, both keyed by
+    // doc — partition-local after the first shuffle). High-repetition
+    // docs are the #1 junk class a crawl-scale corpus filters out.
+    "q_llm_repetition" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+          .select($"doc_id", $"text",
+            graft.plans.Shingles($"text", 2).as("g2"),
+            graft.plans.Shingles($"text", 3).as("g3"))
+          .select($"doc_id", $"text",
+            (lit(1.0) - size(array_distinct($"g2")).cast("double")
+              / size($"g2")).as("dup2_frac"),
+            (lit(1.0) - size(array_distinct($"g3")).cast("double")
+              / size($"g3")).as("dup3_frac"))
+        val top = d.select($"doc_id", explode(split($"text", " ")).as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
+          .groupBy($"doc_id")
+          .agg(max($"n").as("top_n"), sum($"n").as("n_words"))
+          .select($"doc_id",
+            ($"top_n".cast("double") / $"n_words").as("top_word_frac"))
+        d.join(top, "doc_id")
+          .select($"doc_id", $"dup2_frac", $"dup3_frac", $"top_word_frac",
+            when($"dup3_frac" > 0.5 || $"top_word_frac" > 0.3, 1)
+              .otherwise(0).as("flagged"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT doc_id,
+            CASE WHEN len(words) >= 2
+              THEN [concat_ws(' ', words[i+1], words[i+2])
+                    FOR i IN generate_series(0, len(words)-2)]
+              ELSE [text] END AS g2,
+            CASE WHEN len(words) >= 3
+              THEN [concat_ws(' ', words[i+1], words[i+2], words[i+3])
+                    FOR i IN generate_series(0, len(words)-3)]
+              ELSE [text] END AS g3
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+                FROM documents)),
+        fr AS (
+          SELECT doc_id,
+            1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+              AS dup2_frac,
+            1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+              AS dup3_frac
+          FROM g),
+        top AS (
+          SELECT doc_id,
+            CAST(max(n) AS DOUBLE) / sum(n) AS top_word_frac
+          FROM (SELECT doc_id, w, count(*) AS n
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w)
+          GROUP BY doc_id)
+        SELECT fr.doc_id, dup2_frac, dup3_frac, top_word_frac,
+          CASE WHEN dup3_frac > 0.5 OR top_word_frac > 0.3
+            THEN 1 ELSE 0 END AS flagged
+        FROM fr JOIN top ON fr.doc_id = top.doc_id""")),
+
     "q_llm_quality" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
