@@ -145,4 +145,74 @@ class StreamingExtrasSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fin === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("transformWithState restarts from checkpointed RocksDB state") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft_tws").toFile.getAbsolutePath
+      val inDir = s"$root/in"
+      val sink = s"$root/sink"
+      val ckpt = s"$root/ckpt"
+      Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+        .repartition(2).write.mode("overwrite").parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .as[(String, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new TwsCountProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("k", "n")
+          .writeStream.outputMode("update")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q
+      }
+      run()
+      Seq(("a", 4.0), ("c", 5.0)).toDF("k", "v")
+        .repartition(1).write.mode("append").parquet(inDir)
+      val q2 = run()
+      // exactly-once resumption through the NEW stateful API: run 2
+      // reads only the appended file, and key "a" continues from the
+      // RocksDB-recovered ValueState count.
+      val run2Rows = q2.recentProgress.map(_.numInputRows).sum
+      assert(run2Rows === 2L, s"wave-1 files were reprocessed: $run2Rows rows")
+      val fin = spark.read.parquet(sink).groupBy($"k").agg(max($"n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fin === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    } finally prev match {
+      case Some(p) => spark.conf.set(confKey, p)
+      case None    => spark.conf.unset(confKey)
+    }
+  }
+}
+
+/** Per-key running count through the Spark-4 arbitrary-state API (test
+  * companion to graft.streaming.RunningStatsProcessor).
+  */
+class TwsCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, (String, Double), (String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var st: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, Double)],
+      timers: TimerValues): Iterator[(String, Long)] = {
+    val n = (if (st.exists()) st.get() else 0L) + rows.size
+    st.update(n)
+    Iterator.single((key, n))
+  }
 }
