@@ -76,6 +76,94 @@ object SubjectOps extends QueryModule {
         SELECT o_orderkey AS left_id, c_custkey AS right_id,
           o_totalprice + c_acctbal AS combined, CAST(1 AS BIGINT) AS net
         FROM orders JOIN customer ON o_custkey = c_custkey
-        WHERE o_orderstatus <> 'F'"""))
+        WHERE o_orderstatus <> 'F'""")),
+
+    // Ordered-funnel analysis over the event trail: per user, the first
+    // view, the first click within the HOUR after that view, the first
+    // purchase within the hour after that click — stage reached = steps
+    // completed in order within the step windows.
+    // Shape: three user-keyed min-aggregations chained by co-partitioned
+    // joins (one shuffle lineage on user_id, reused throughout), then a
+    // 4-row distribution — the standard product-analytics funnel at any
+    // corpus size.
+    "q_evt_funnel" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ev = Engine.events(s, dir)
+          .select($"user_id", $"event_type", $"ts")
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+        val c = ev.filter($"event_type" === "click")
+          .join(v, "user_id")
+          .filter($"ts" >= $"v_ts" && $"ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"))
+          .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+        val p = ev.filter($"event_type" === "purchase")
+          .join(c, "user_id")
+          .filter($"ts" >= $"c_ts" && $"ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+          .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+        ev.select($"user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(when($"p_ts".isNotNull, 3)
+            .when($"c_ts".isNotNull, 2)
+            .when($"v_ts".isNotNull, 1)
+            .otherwise(0).as("stage"))
+          .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT user_id, min(ts) AS v_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+            AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+            AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+          GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT stage, count(*) AS n_users FROM (
+          SELECT CASE WHEN p_ts IS NOT NULL THEN 3
+            WHEN c_ts IS NOT NULL THEN 2
+            WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS stage
+          FROM u LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        GROUP BY stage""")),
+
+    // Most common 3-step event-type paths per user trail: lag windows
+    // over (ts, event_id) total order, then a count-ranked top 10 via
+    // TakeOrderedAndProject (seq tiebreak keeps the cut deterministic).
+    "q_evt_paths" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Engine.events(s, dir)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("e2", lag($"event_type", 2).over(w))
+          .withColumn("e1", lag($"event_type", 1).over(w))
+          .filter($"e2".isNotNull)
+          .select(concat_ws(">", $"e2", $"e1", $"event_type").as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"path")
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT path, count(*) AS n FROM (
+          SELECT concat_ws('>',
+            lag(event_type, 2) OVER w, lag(event_type, 1) OVER w,
+            event_type) AS path,
+            lag(event_type, 2) OVER w AS e2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE e2 IS NOT NULL
+        GROUP BY path
+        ORDER BY n DESC, path LIMIT 10"""))
   )
 }
