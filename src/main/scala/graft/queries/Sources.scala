@@ -63,8 +63,13 @@ object Sources extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         val out = tempFor("ppq", dir)
-        Engine.table(s, dir, "lineitem")
-          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        // write-once per JVM (the q_src_bucketed pattern): the operator
+        // under test is the partition-PRUNED scan; re-writing the
+        // partitioned layout every run would measure the setup instead
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          Engine.table(s, dir, "lineitem")
+            .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        }
         s.read.parquet(out)
           .filter($"l_returnflag" === "R") // partition pruning
           .groupBy($"l_linestatus")
