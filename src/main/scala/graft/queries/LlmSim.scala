@@ -214,6 +214,73 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // IVF with nprobe=2: probe the TWO nearest coarse centroids instead
+    // of one — the standard recall/cost knob (cells are disjoint, so the
+    // candidate union needs no dedup; ~2x candidates scanned for
+    // recall on queries near a cell boundary). Same centroid build and
+    // scoring as q_llm_ann_ivf.
+    "q_llm_ann_ivf2" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", $"label", V.toDouble($"embedding").as("v"))
+        val cent = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
+          .groupBy($"label", $"dim")
+          .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
+            / 1e7 / count(lit(1))).as("m"))
+          .groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+            s0 => s0.getField("m")).as("c"))
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val wBest = Window.partitionBy($"q_id").orderBy($"dist2", $"label")
+        val probes = q.join(broadcast(cent), lit(true))
+          .withColumn("dist2", aggregate(
+            zip_with($"qv", $"c", (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, el) => acc + el))
+          .withColumn("rn", row_number().over(wBest))
+          .filter($"rn" <= 2)
+          .select($"q_id", $"qv", $"label".as("probe_label"))
+        val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+        probes.join(e, $"probe_label" === $"label" && $"q_id" =!= $"vec_id")
+          .withColumn("cos", V.cosine($"qv", $"v"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"rank", $"vec_id", $"cos")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT label, list(m ORDER BY dim) AS c FROM (
+            SELECT label, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS m
+            FROM (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) - 1 AS dim FROM e)
+            GROUP BY label, dim)
+          GROUP BY label),
+        probes AS (
+          SELECT q_id, qv, label AS probe_label FROM (
+            SELECT q.vec_id AS q_id, q.v AS qv, c.label,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_reduce(list_prepend(0.0,
+                  list_transform(list_zip(q.v, c.c),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y),
+                c.label) AS rn
+            FROM e q, cent c WHERE q.vec_id < 5)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT b.q_id, e.vec_id, ${V.cosineSql("b.qv", "e.v")} AS cos
+          FROM probes b JOIN e ON b.probe_label = e.label
+            AND b.q_id <> e.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
     // Multimodal decode plumbing: binary payload -> batched per-partition
     // feature extraction (stub kernel, oracle mirrors the byte math on
     // the ascii source text).
