@@ -28,7 +28,7 @@ object LlmSim extends QueryModule {
     * [[bucketSql]]. */
   private def planeW(p: Int): Column =
     transform(sequence(lit(0), lit(63)), d =>
-      when(Fns.h60(concat(lit(p + "_"), d.cast("string")))
+      when(Fns.h60(concat(lit(s"${p}_"), d.cast("string")))
         .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)))
 
   private def bucketCol(v: Column): Column = (0 until Planes).map(p =>
