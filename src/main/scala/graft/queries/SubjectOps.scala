@@ -136,6 +136,35 @@ object SubjectOps extends QueryModule {
             LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
         GROUP BY stage""")),
 
+    // Weekly retention cohorts: users grouped by first-activity week,
+    // counted in each later week they return. Two user-keyed
+    // aggregations and one co-partitioned join — the canonical cohort
+    // triangle at any corpus size.
+    "q_evt_retention" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ev = Engine.events(s, dir)
+          .select($"user_id", date_trunc("week", $"ts").as("wk"))
+          .distinct()
+        val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+        ev.join(first, "user_id")
+          .groupBy($"cohort",
+            (datediff($"wk", $"cohort") / 7).cast("int").as("week_no"))
+          .agg(count(lit(1)).as("n_active"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT DISTINCT user_id,
+            CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+          FROM events),
+        first AS (
+          SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+        SELECT cohort,
+          CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_no,
+          count(*) AS n_active
+        FROM ev JOIN first USING (user_id)
+        GROUP BY cohort, week_no""")),
+
     // Most common 3-step event-type paths per user trail: lag windows
     // over (ts, event_id) total order, then a count-ranked top 10 via
     // TakeOrderedAndProject (seq tiebreak keeps the cut deterministic).
