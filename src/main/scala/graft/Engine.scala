@@ -41,6 +41,31 @@ object Engine {
     root.getAbsolutePath
   }
 
+  /** Root for shuffle/spill files (spark.local.dir). Spill exists to
+    * RELIEVE memory pressure, so tmpfs is only used when it demonstrably
+    * has headroom: explicitly via SPARK_GRAFT_SHM_SPILL=1/0, or by
+    * default only when /dev/shm has >= 32 GiB free (the sf0.1 bench
+    * shuffles are a few hundred MB — far under that bound). Any other
+    * box falls back to real disk, where a large shuffle degrades instead
+    * of OOM-killing the host. Streaming-checkpoint ephemera stay on
+    * [[scratchRoot]] (tmpfs-preferring): they are small, fsync-latency
+    * bound, and drained within the run.
+    */
+  lazy val spillRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    val shmOk = shm.isDirectory && shm.canWrite
+    val useShm = sys.env.get("SPARK_GRAFT_SHM_SPILL") match {
+      case Some("1") => shmOk
+      case Some(_)   => false
+      case None      => shmOk && shm.getUsableSpace >= (32L << 30)
+    }
+    val root =
+      if (useShm) new java.io.File(shm, "graft-spill")
+      else new java.io.File(System.getProperty("java.io.tmpdir"), "graft-spill")
+    root.mkdirs()
+    root.getAbsolutePath
+  }
+
   /** A per-tag scratch subdirectory under [[scratchRoot]]. */
   def scratchDir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(
@@ -62,13 +87,14 @@ object Engine {
       // cwd — Verify/Bench may run with cwd anywhere
       .config("spark.sql.warehouse.dir",
         new java.io.File(scratchRoot, "warehouse").getAbsolutePath)
-      // shuffle/spill files on the scratch root (tmpfs when available —
-      // a cluster would use executor-local SSDs). NO default streaming
-      // checkpointLocation: {default}/{queryName} collides across JVM
-      // runs (tmpfs outlives the process) and resurrects stale offsets —
-      // streaming sites pass explicit per-run locations instead.
+      // shuffle/spill files on [[spillRoot]] (real disk unless tmpfs has
+      // verified headroom — a cluster would use executor-local SSDs). NO
+      // default streaming checkpointLocation: {default}/{queryName}
+      // collides across JVM runs (tmpfs outlives the process) and
+      // resurrects stale offsets — streaming sites pass explicit per-run
+      // locations instead.
       .config("spark.local.dir",
-        new java.io.File(scratchRoot, "local").getAbsolutePath)
+        new java.io.File(spillRoot, "local").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

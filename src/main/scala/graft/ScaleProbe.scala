@@ -72,13 +72,54 @@ object ScaleProbe {
         st => concat_ws(" ", slice($"toks", st + 1, lit(2))))).as("c"))
       .write.format("noop").mode("overwrite").save()
 
-    q1(li1); join(li1, orders1); topk(li1); cc(orders1); chunk(orders1) // warmup
+    // Skewed-join shapes: HALF the big side's rows land on ONE hot key
+    // (the pathological distribution a crawl corpus's null-ish keys
+    // produce). Broadcast is disabled for these shapes — at 100 TB the
+    // dim side exceeds any broadcast threshold, and a broadcast join
+    // would sidestep the skew being probed. Two mitigations, both of
+    // which must hold a ~linear 1x->Nx curve where a naive shuffle join
+    // serializes the hot key on one reducer:
+    //   - AQE skew-join split (sort-merge path, runtime partition split)
+    //   - explicit deterministic salting (Salt.saltedJoin, 32 buckets)
+    def mkHot(li: DataFrame): DataFrame = li
+      .withColumn("orig_key", $"l_orderkey")
+      .withColumn("l_orderkey",
+        when(pmod($"orig_key" + $"l_linenumber", lit(2L)) === 0, lit(42L))
+          .otherwise($"l_orderkey"))
+    def noBroadcast(f: => Unit): Unit = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try f finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    def skewAqe(li: DataFrame, o: DataFrame): Unit = noBroadcast {
+      val hot = mkHot(li)
+      hot.join(o, hot("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)), graft.functions.Fns.dsum($"l_extendedprice"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def skewSalted(li: DataFrame, o: DataFrame): Unit = noBroadcast {
+      graft.operators.Salt.saltedJoin(
+          mkHot(li),
+          o.select($"o_orderkey".as("l_orderkey"), $"o_orderpriority"),
+          keys = Seq("l_orderkey"), factor = 32,
+          saltCols = Seq("orig_key", "l_linenumber"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)), graft.functions.Fns.dsum($"l_extendedprice"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    q1(li1); join(li1, orders1); topk(li1); cc(orders1); chunk(orders1)
+    skewAqe(li1, orders1); skewSalted(li1, orders1) // warmup
     val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
       "q1_agg_shape" -> ((l, _) => q1(l)),
       "join_agg_shape" -> ((l, o) => join(l, o)),
       "group_topk_shape" -> ((l, _) => topk(l)),
       "conn_components_shape" -> ((_, o) => cc(o)),
-      "chunk_explode_shape" -> ((_, o) => chunk(o)))
+      "chunk_explode_shape" -> ((_, o) => chunk(o)),
+      "skew_join_aqe_shape" -> ((l, o) => skewAqe(l, o)),
+      "skew_join_salted_shape" -> ((l, o) => skewSalted(l, o)))
     val rows1 = li1.count()
     val report = shapes.map { case (name, f) =>
       val t1 = Seq.fill(3)(time(f(li1, orders1))).sorted.apply(1)

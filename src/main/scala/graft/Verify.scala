@@ -22,7 +22,7 @@ object Verify {
       .config("spark.sql.warehouse.dir",
         new java.io.File(Engine.scratchRoot, "warehouse").getAbsolutePath)
       .config("spark.local.dir",
-        new java.io.File(Engine.scratchRoot, "local").getAbsolutePath)
+        new java.io.File(Engine.spillRoot, "local").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -50,7 +50,13 @@ object Fns {
     * [[dgateSql]].
     */
   def dgate(c: Column): Column =
-    when(abs(c) <= lit(9e9), c.cast(DecimalType(18, 6)).cast(DoubleType))
+    // NULL passes through per SQL semantics (sum over an empty/all-NULL
+    // group is NULL in both engines); only genuine out-of-bound magnitudes
+    // raise. Without the leading isNull branch a NULL input falls to
+    // `otherwise` (the <= comparison is NULL, not true) and raises with a
+    // NULL-concat message.
+    when(c.isNull, lit(null).cast(DoubleType))
+      .when(abs(c) <= lit(9e9), c.cast(DecimalType(18, 6)).cast(DoubleType))
       .otherwise(raise_error(concat(
         lit("dgate: |value| exceeds the 9e9 cross-engine bit-exact bound: "),
         c.cast(StringType))))

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Release a superseded localCheckpoint()'d frame's cached blocks.
+    * Dataset.unpersist is a no-op for checkpoint persistence (it only
+    * clears cacheManager entries), so reach the backing RDD directly.
+    */
+  private def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.SqlBridge.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false))
+
   /** Label the undirected graph given as one-directional `(a, b)` pairs.
     * Returns `(id, lab)` for every node incident to at least one pair.
     */
@@ -27,9 +35,14 @@ object ConnectedComponents {
     val p = pairs.select(col(a).as("pa"), col(b).as("pb")).localCheckpoint()
     val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(p.select(col("pb").as("src"), col("pa").as("dst")))
-    var labels = p.select(col("pa").as("id"))
+    // `cur` tracks the round's checkpointed frame so the superseded
+    // round's cached blocks can be released (unpersist) once the next
+    // round is materialized — without it storage grows by one labels
+    // frame per round, a slow leak on high-diameter graphs.
+    var cur = p.select(col("pa").as("id"))
       .unionByName(p.select(col("pb").as("id")))
       .distinct().withColumn("lab", col("id")).localCheckpoint()
+    var labels = cur
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -42,6 +55,8 @@ object ConnectedComponents {
           labels("lab").as("prev"))
         .localCheckpoint()
       converged = next.filter(col("lab") < col("prev")).isEmpty
+      release(cur)
+      cur = next
       labels = next.select(col("id"), col("lab"))
       round += 1
     }
@@ -66,15 +81,20 @@ object ConnectedComponents {
       a: String,
       b: String,
       maxRounds: Int = 50): DataFrame = {
+    // Node set FIRST, from the raw pairs: a node appearing only in a
+    // (x, x) self-loop pair must still be labeled (with itself), exactly
+    // as [[label]] does. Ids keep their input type — least/greatest/min
+    // order any orderable type, matching label()'s semantics (a long
+    // cast here would silently null non-numeric ids).
+    val raw = pairs.select(col(a).as("x"), col(b).as("y"))
+    val nodes = raw.select(col("x").as("id"))
+      .unionByName(raw.select(col("y").as("id")))
+      .distinct().localCheckpoint()
     // canonical undirected edge set, u < v, no self-loops
-    var e = pairs
-      .select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
+    var e = raw
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id")))
       .distinct().localCheckpoint()
 
     // adjacency (both directions) and per-node minimum of N(u) ∪ {u}
@@ -103,11 +123,15 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      e = star(star(e, large = true), large = false).localCheckpoint()
-      val next = mins(e)
+      val e2 = star(star(e, large = true), large = false).localCheckpoint()
+      val next = mins(e2)
+      // `lab` is lazy over the OLD e, so run the convergence join before
+      // releasing the old round's checkpoint blocks.
       converged = lab.as("p")
         .join(next.as("n"), col("p.u") === col("n.u"))
         .filter(col("p.m") =!= col("n.m")).isEmpty
+      release(e)
+      e = e2
       lab = next
       round += 1
     }

@@ -25,4 +25,15 @@ object SqlBridge {
     */
   def pageSizeBytes: Long =
     org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
+  /** The RDD backing a localCheckpoint()'d frame. Needed for explicit
+    * release in iterative fixpoints: Dataset.unpersist only clears
+    * cacheManager entries (.cache/.persist) and does NOT touch the
+    * RDD-level persistence a checkpoint pins — without this, superseded
+    * per-round frames leak storage for the session lifetime.
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }

@@ -75,7 +75,17 @@ object Aggregates extends QueryModule {
         FROM q GROUP BY l_returnflag, l_linestatus"""),
       headline = true),
 
-    // count(distinct): Catalyst expands to a two-phase distinct aggregate.
+    // count(distinct): Catalyst expands to a two-phase distinct aggregate
+    // (Expand multiplies each row per distinct column, then two hash-agg
+    // phases with map-side partial dedup). That Expand costs ~Nx the scan
+    // locally — the worst compute-bound vs-DuckDB ratio in this corpus —
+    // but it is the RIGHT trade at cluster scale: partial dedup runs
+    // before the shuffle, so network volume is the distinct value count,
+    // not the row count, and the two distinct columns process in one pass.
+    // The alternatives are worse where it matters: one
+    // dropDuplicates+count per column shuffles FULL rows once per column;
+    // approx_count_distinct (q_agg_approx_distinct) is the knob when
+    // exactness is negotiable.
     "q_agg_countd" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._

@@ -150,6 +150,55 @@ object LlmSim extends QueryModule {
         WHERE rank <= 3"""
       }),
 
+    // Multi-probe LSH ANN: the recall/cost knob q_llm_ann_lsh lacks.
+    // Each query probes its own bucket PLUS the 4 hamming-1 neighbor
+    // buckets (one sign bit flipped) — candidates now tolerate one
+    // hyperplane disagreement, so recall vs the brute-force baseline
+    // rises (asserted >= single-probe recall in AnnRecallSpec) for ~5/16
+    // of the corpus scanned instead of ~1/16. Probe buckets are distinct
+    // values, so the candidate union needs no dedup; the probe explode
+    // keeps the corpus side partitioned exactly as single-probe does.
+    "q_llm_ann_lsh2" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", V.toDouble($"embedding").as("v"))
+          .withColumn("bucket", bucketCol($"v"))
+        val q = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket".as("qb"))
+        val probes = q.select($"q_id", $"qv", explode(array(
+          $"qb" +: (0 until Planes).map(p =>
+            $"qb".bitwiseXOR(lit(1L << p))): _*)).as("pb"))
+        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+        probes.join(e, $"pb" === $"bucket" && $"q_id" =!= $"vec_id")
+          .withColumn("cos", V.cosine($"qv", $"v"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"rank", $"vec_id", $"cos", $"bucket")
+      },
+      oracle = Some {
+        val probeList = ("bucket" +: (0 until Planes).map(p =>
+          s"xor(bucket, CAST(${1L << p} AS BIGINT))")).mkString(", ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings)),
+        probes AS (
+          SELECT vec_id AS q_id, v AS qv,
+            unnest([$probeList]) AS pb
+          FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT p.q_id, e.vec_id,
+            ${V.cosineSql("p.qv", "e.v")} AS cos, e.bucket AS bucket
+          FROM probes p JOIN e ON p.pb = e.bucket AND p.q_id <> e.vec_id)
+        SELECT q_id, rank, vec_id, cos, bucket FROM (
+          SELECT q_id, vec_id, cos, bucket, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3"""
+      }),
+
     // IVF-style ANN: coarse centroids = exact per-label means (integer-
     // quantized sums), probe the nearest centroid's partition only.
     "q_llm_ann_ivf" -> QueryDef(
@@ -363,7 +412,10 @@ object LlmSim extends QueryModule {
     // cross-engine; round() is half-away-from-zero in both engines. The
     // quantized vector is emitted flattened (comparator contract bans
     // nested outputs); the max reconstruction error bound scale/2 rides
-    // along per row.
+    // along per row. Degenerate all-zero embeddings (scale = 0) quantize
+    // to zeros explicitly in BOTH engines — without the guard Spark's
+    // NaN→long cast silently yields 0 while DuckDB's CAST(NaN AS BIGINT)
+    // errors, an asymmetric behavior on a legal input.
     "q_llm_quantize_int8" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -374,14 +426,16 @@ object LlmSim extends QueryModule {
           .select($"vec_id", $"label", $"scale",
             ($"scale" / 2.0).as("max_err"),
             array_join(transform($"v",
-              x => round(x / $"scale").cast("long").cast("string")), ",")
-              .as("qvec"))
+              x => when($"scale" === 0.0, lit(0L))
+                .otherwise(round(x / $"scale").cast("long")).cast("string")),
+              ",").as("qvec"))
       },
       oracle = Some("""
         SELECT vec_id, label, scale, scale / 2.0 AS max_err,
           array_to_string(list_transform(v,
-            x -> CAST(CAST(round(x / scale) AS BIGINT) AS VARCHAR)), ',')
-            AS qvec
+            x -> CAST(CASE WHEN scale = 0 THEN 0
+                       ELSE CAST(round(x / scale) AS BIGINT) END AS VARCHAR)),
+            ',') AS qvec
         FROM (
           SELECT vec_id, label, v,
             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale

@@ -104,6 +104,13 @@ object RowOps extends QueryModule {
 
     // Typed Dataset map (A7 analog): case-class in, case-class out, then
     // relational agg on the typed result.
+    // Perf note: the typed API IS the operator under test here — each row
+    // round-trips Tungsten->JVM object->Tungsten through the encoder,
+    // which costs ~5x the equivalent columnar expression and breaks
+    // whole-stage codegen across the map. The DataFrame formulation
+    // (select($"l_extendedprice" * (1 - $"l_discount"))) is the perf path
+    // for anything expressible as Columns; reach for typed map/flatMap
+    // only when the per-row logic genuinely needs arbitrary JVM code.
     "q_row_typed_map" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -142,6 +149,9 @@ object RowOps extends QueryModule {
     // Typed Dataset flatMap (A7 analog, 1->N): each order line expands to
     // one record per whole quantity unit... bounded to 3 to keep the
     // expansion small; then a relational agg over the typed output.
+    // Same encoder-cost note as q_row_typed_map: explode(sequence(...))
+    // is the codegen'd perf path for 1->N expansion; typed flatMap is the
+    // escape hatch for arbitrary JVM expansion logic.
     "q_row_typed_flatmap" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._

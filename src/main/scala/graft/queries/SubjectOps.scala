@@ -82,29 +82,32 @@ object SubjectOps extends QueryModule {
     // view, the first click within the HOUR after that view, the first
     // purchase within the hour after that click — stage reached = steps
     // completed in order within the step windows.
-    // Shape: three user-keyed min-aggregations chained by co-partitioned
-    // joins (one shuffle lineage on user_id, reused throughout), then a
-    // 4-row distribution — the standard product-analytics funnel at any
-    // corpus size.
+    // Shape: ONE groupBy(user_id) pass over a single events scan — the
+    // per-user step resolution runs on collected click/purchase
+    // timestamp arrays (bounded by per-user event count), then a 4-row
+    // distribution. The earlier three-chained-groupBy+join formulation
+    // was correct but paid ~6 shuffles of fixed cost on the same scan
+    // (31x DuckDB at sf0.1); this is the single-shuffle plan that holds
+    // at 100x user cardinality.
     "q_evt_funnel" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        val ev = Engine.events(s, dir)
+        val hour = expr("INTERVAL 1 HOUR")
+        val byUser = Engine.events(s, dir)
           .select($"user_id", $"event_type", $"ts")
-        val v = ev.filter($"event_type" === "view")
-          .groupBy($"user_id").agg(min($"ts").as("v_ts"))
-        val c = ev.filter($"event_type" === "click")
-          .join(v, "user_id")
-          .filter($"ts" >= $"v_ts" && $"ts" <= $"v_ts" + expr("INTERVAL 1 HOUR"))
-          .groupBy($"user_id").agg(min($"ts").as("c_ts"))
-        val p = ev.filter($"event_type" === "purchase")
-          .join(c, "user_id")
-          .filter($"ts" >= $"c_ts" && $"ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
-          .groupBy($"user_id").agg(min($"ts").as("p_ts"))
-        ev.select($"user_id").distinct()
-          .join(v, Seq("user_id"), "left")
-          .join(c, Seq("user_id"), "left")
-          .join(p, Seq("user_id"), "left")
+          .groupBy($"user_id")
+          .agg(
+            min(when($"event_type" === "view", $"ts")).as("v_ts"),
+            collect_list(when($"event_type" === "click", $"ts")).as("clicks"),
+            collect_list(when($"event_type" === "purchase", $"ts")).as("purch"))
+        byUser
+          // first qualifying click: earliest click in [v_ts, v_ts + 1h];
+          // a NULL v_ts nulls the predicate, so filter keeps nothing —
+          // exactly the no-view => no-qualifying-click semantics
+          .withColumn("c_ts", array_min(filter($"clicks",
+            t => t >= $"v_ts" && t <= $"v_ts" + hour)))
+          .withColumn("p_ts", array_min(filter($"purch",
+            t => t >= $"c_ts" && t <= $"c_ts" + hour)))
           .select(when($"p_ts".isNotNull, 3)
             .when($"c_ts".isNotNull, 2)
             .when($"v_ts".isNotNull, 1)

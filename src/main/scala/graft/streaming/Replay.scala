@@ -67,11 +67,16 @@ object Replay {
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
-    // The memory sink's rows live on the driver for the life of the
-    // session; keep the sink's temp view registered (names are unique
-    // per run) so the returned frame reads them directly — caching a
-    // copy here would double the memory and cost ~0.4 s per replay.
-    spark.table(qname)
+    // spark.table analyzes eagerly, so the returned frame's plan holds a
+    // direct reference to the memory sink's rows; dropping the temp view
+    // immediately after removes the session-lifetime catalog pin without
+    // copying the data. The sink stays readable for as long as the caller
+    // references the frame and becomes GC-able afterwards — bench runs
+    // every streaming query 3x, so without this each run leaked one
+    // driver-resident sink for the life of the session.
+    val out = spark.table(qname)
+    spark.catalog.dropTempView(qname)
+    out
   }
 
   /** Time-ordered replay of the events table. */
