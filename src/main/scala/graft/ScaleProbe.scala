@@ -92,12 +92,25 @@ object ScaleProbe {
       try f finally
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+    // AQE's skew split triggers at partition > skewedPartitionThreshold
+    // (256 MB default) — sized for cluster-scale partitions. The probe's
+    // hot partition is tens of MB, so scale the thresholds down with the
+    // data (what a 100 TB run gets from the defaults); without this the
+    // probe measures the unsplit single-reducer pathology instead of the
+    // mitigation (measured: ratio 4.3 unsplit vs ~2 split at 8x).
     def skewAqe(li: DataFrame, o: DataFrame): Unit = noBroadcast {
-      val hot = mkHot(li)
-      hot.join(o, hot("l_orderkey") === o("o_orderkey"))
-        .groupBy($"o_orderpriority")
-        .agg(count(lit(1)), graft.functions.Fns.dsum($"l_extendedprice"))
-        .write.format("noop").mode("overwrite").save()
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+      val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val hot = mkHot(li)
+        hot.join(o, hot("l_orderkey") === o("o_orderkey"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)), graft.functions.Fns.dsum($"l_extendedprice"))
+          .write.format("noop").mode("overwrite").save()
+      } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
     }
     def skewSalted(li: DataFrame, o: DataFrame): Unit = noBroadcast {
       graft.operators.Salt.saltedJoin(
