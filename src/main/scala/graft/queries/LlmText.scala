@@ -801,6 +801,182 @@ object LlmText extends QueryModule {
           substr(md5(text), 1, 8) AS md5_8
         FROM documents""")),
 
+    // Test-set DECONTAMINATION: flag training docs sharing any 8-gram
+    // with the eval set (doc_id % 50 == 0 plays the held-out benchmark).
+    // The standard n-gram-overlap decontamination a pretraining corpus
+    // runs before training. Shape: shingle both sides with the native
+    // Shingles expression, broadcast the eval shingle set (benchmarks
+    // are MBs even when the corpus is 100 TB), equi-join + per-doc
+    // distinct count. If the eval side ever outgrew broadcast, the same
+    // plan runs as a shuffle equi-join on the shingle hash.
+    // (On this 31-word synthetic vocab 8-gram collisions are common —
+    // the operator, not the hit rate, is the deliverable.)
+    "q_llm_decontaminate" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+          .select($"doc_id", explode(graft.plans.Shingles($"text", 8)).as("sh"))
+        val eval = d.filter($"doc_id" % 50 === 0).select($"sh").distinct()
+        d.filter($"doc_id" % 50 =!= 0)
+          .join(broadcast(eval), "sh")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"sh").as("n_hit_shingles"))
+      },
+      oracle = Some(s"""
+        WITH sh8 AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(words) >= 8
+              THEN [concat_ws(' ', words[i+1], words[i+2], words[i+3],
+                      words[i+4], words[i+5], words[i+6], words[i+7],
+                      words[i+8])
+                    FOR i IN generate_series(0, len(words)-8)]
+              ELSE [text] END) AS sh
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+                FROM documents)),
+        ev AS (SELECT DISTINCT sh FROM sh8 WHERE doc_id % 50 = 0)
+        SELECT t.doc_id, count(DISTINCT t.sh) AS n_hit_shingles
+        FROM sh8 t JOIN ev ON t.sh = ev.sh
+        WHERE t.doc_id % 50 <> 0
+        GROUP BY t.doc_id""")),
+
+    // Greedy sequence PACKING: concatenate each source's docs in stable
+    // doc_id order and cut at a 2048-token budget — the
+    // concat-then-chunk packing a pretraining pipeline runs to fill
+    // context windows. bin = exclusive-running-token-count div budget;
+    // the per-source prefix sum is one window pass (partitioned by
+    // source, so parallelism = source count; at 100 TB the pack runs
+    // per shard/file within a source, same plan one level down).
+    "q_llm_pack" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source",
+            size(split($"text", " ")).cast("long").as("n_tok"))
+          .withColumn("start_tok",
+            coalesce(sum($"n_tok").over(w), lit(0L)))
+          .withColumn("bin", expr("start_tok div 2048"))
+          .groupBy($"source", $"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"),
+            min($"doc_id").as("first_doc"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tok,
+            coalesce(CAST(sum(n_tok) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+          FROM d)
+        SELECT source, start_tok // 2048 AS bin, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+          min(doc_id) AS first_doc
+        FROM c GROUP BY source, start_tok // 2048""")),
+
+    // Corpus VOCABULARY build: per-source top-20 tokens by document
+    // frequency, heap-bounded via the custom GroupTopK operator (no
+    // per-source sort at any scale). The df table is the same posting
+    // aggregation the prefix-filter join uses.
+    "q_llm_vocab" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val dfreq = Engine.table(s, dir, "documents")
+          .select($"source",
+            explode(array_distinct(split($"text", " "))).as("w"))
+          .groupBy($"source", $"w").agg(count(lit(1)).as("df"))
+        graft.plans.GroupTopK(dfreq, Seq("source"),
+          Seq("df" -> true, "w" -> false), k = 20)
+      },
+      oracle = Some("""
+        SELECT source, w, df FROM (
+          SELECT source, w, df, row_number() OVER (
+            PARTITION BY source ORDER BY df DESC, w) AS rn
+          FROM (
+            SELECT source, w, count(*) AS df
+            FROM (SELECT source,
+                    unnest(list_distinct(string_split(text, ' '))) AS w
+                  FROM documents)
+            GROUP BY source, w))
+        WHERE rn <= 20""")),
+
+    // PII REDACTION: scrub email/phone patterns and count the hits —
+    // the compliance pass a crawl corpus runs before training. The
+    // corpus is synthetic, so PII is INJECTED deterministically
+    // (doc_id % 7) and mirrored in the oracle CTE; the scrub itself is
+    // per-row regexp codegen, embarrassingly parallel at any scale.
+    "q_llm_redact" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val emailRe = "[a-z]+@[a-z]+\\.[a-z]+"
+        val phoneRe = "[0-9]{3}-[0-9]{4}"
+        Engine.table(s, dir, "documents")
+          .select($"doc_id", when($"doc_id" % 7 === 0,
+            concat($"text", lit(" contact bob@example.com or 555-1234 now")))
+            .otherwise($"text").as("text"))
+          .select($"doc_id",
+            size(regexp_extract_all($"text", lit(emailRe), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all($"text", lit(phoneRe), lit(0)))
+              .as("n_phones"),
+            substring(md5(regexp_replace(
+              regexp_replace($"text", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").cast("binary")), 1, 8)
+              .as("redacted_sig"))
+      },
+      oracle = Some("""
+        WITH seeded AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+              THEN concat(text, ' contact bob@example.com or 555-1234 now')
+              ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-z]+@[a-z]+\.[a-z]+'))
+            AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}'))
+            AS INT) AS n_phones,
+          substr(md5(regexp_replace(regexp_replace(text,
+            '[a-z]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')), 1, 8) AS redacted_sig
+        FROM seeded""")),
+
+    // TF-IDF-style salient terms: top-3 terms per doc by tf/df (the
+    // N-free monotone variant of tf-idf — ln(N/df) needs a libm log
+    // whose last bit differs across engines; tf/df is ONE IEEE division,
+    // bit-identical). Two aggregations on the token explode + a
+    // broadcast-able df join + heap-bounded GroupTopK per doc.
+    "q_llm_tfidf" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val tok = Engine.table(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+        val tf = tok.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, "w")
+          .select($"doc_id", $"w", $"tf", $"df",
+            ($"tf".cast("double") / $"df").as("score"))
+        graft.plans.GroupTopK(scored, Seq("doc_id"),
+          Seq("score" -> true, "w" -> false), k = 3)
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+        SELECT doc_id, w, tf, df, score FROM (
+          SELECT tf.doc_id, tf.w, tf.tf, dfr.df,
+            CAST(tf.tf AS DOUBLE) / dfr.df AS score,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY CAST(tf.tf AS DOUBLE) / dfr.df DESC, tf.w) AS rn
+          FROM tf JOIN dfr ON tf.w = dfr.w)
+        WHERE rn <= 3""")),
+
     // Fixed-size token chunking with overlap (window 50, stride 40) —
     // the pre-tokenization op that turns a 100 TB document corpus into
     // training-context-sized pieces. Pure per-row explode: chunk starts
