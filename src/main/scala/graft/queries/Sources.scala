@@ -39,6 +39,23 @@ object Sources extends QueryModule {
         SELECT n_regionkey, count(*) AS n, min(n_name) AS first_nation
         FROM nation GROUP BY n_regionkey""")),
 
+    // ORC sink + scan round trip (the other columnar format Spark ships
+    // natively; same vectorized-reader + pushdown path as parquet).
+    "q_src_orc_roundtrip" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("orc", dir)
+        val src = Engine.table(s, dir, "part")
+        src.write.mode("overwrite").orc(out)
+        s.read.schema(src.schema).orc(out)
+          .filter($"p_size" <= 10) // pushed to the ORC scan
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"), min($"p_retailprice").as("min_price"))
+      },
+      oracle = Some("""
+        SELECT p_brand, count(*) AS n, min(p_retailprice) AS min_price
+        FROM part WHERE p_size <= 10 GROUP BY p_brand""")),
+
     // JSON sink + scan round trip.
     "q_src_json_roundtrip" -> QueryDef(
       fn = (s, dir) => {
