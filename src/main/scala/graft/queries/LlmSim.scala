@@ -330,6 +330,34 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // L2 NORMALIZATION of the embedding column — the prep step before
+    // cosine ANN (normalized vectors turn cosine into dot product).
+    // Pure per-row math: norm = sqrt(native dot) (sqrt and divide are
+    // single correctly-rounded IEEE ops, bit-identical cross-engine);
+    // all-zero vectors normalize to zeros explicitly in both engines.
+    // Output exploded to (vec_id, dim, xn) rows — per-element doubles
+    // hash-compare exactly; the norm rides along per row.
+    "q_llm_normalize" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "embeddings")
+          .select($"vec_id", V.toDouble($"embedding").as("v"))
+          .withColumn("norm", sqrt(V.dot($"v", $"v")))
+          .select($"vec_id", $"norm", posexplode($"v").as(Seq("dim", "x")))
+          .select($"vec_id", $"dim", $"norm",
+            when($"norm" === 0.0, lit(0.0)).otherwise($"x" / $"norm")
+              .as("xn"))
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${V.dotSql("v", "v")}) AS norm FROM e)
+        SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+          norm,
+          CASE WHEN norm = 0 THEN 0.0 ELSE unnest(v) / norm END AS xn
+        FROM n""")),
+
     // Multimodal decode plumbing: binary payload -> batched per-partition
     // feature extraction (stub kernel, oracle mirrors the byte math on
     // the ascii source text).

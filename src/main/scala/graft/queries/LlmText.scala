@@ -977,6 +977,33 @@ object LlmText extends QueryModule {
           FROM tf JOIN dfr ON tf.w = dfr.w)
         WHERE rn <= 3""")),
 
+    // Corpus-level OUTLIER FILTER: drop documents above their source's
+    // p95 character length — the "remove pathologically long docs"
+    // quality rule crawl pipelines apply before training. The per-source
+    // p95 is a tiny aggregate broadcast back onto the corpus scan, so
+    // the filter is one scan + one broadcast join at any scale.
+    // (percentile's linear interpolation over integer n_chars is the
+    // same IEEE arithmetic as DuckDB's quantile_cont — the
+    // q_agg_percentile determinism argument.)
+    "q_llm_length_filter" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars")
+        val thr = d.groupBy($"source")
+          .agg(expr("percentile(n_chars, 0.95)").as("p95"))
+        d.join(broadcast(thr), "source")
+          .filter($"n_chars" <= $"p95")
+          .select($"doc_id", $"source", $"n_chars", $"p95")
+      },
+      oracle = Some("""
+        WITH thr AS (
+          SELECT source, quantile_cont(n_chars, 0.95) AS p95
+          FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars, thr.p95
+        FROM documents d JOIN thr USING (source)
+        WHERE d.n_chars <= thr.p95""")),
+
     // Fixed-size token chunking with overlap (window 50, stride 40) —
     // the pre-tokenization op that turns a 100 TB document corpus into
     // training-context-sized pieces. Pure per-row explode: chunk starts
