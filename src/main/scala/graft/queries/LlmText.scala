@@ -32,6 +32,18 @@ object LlmText extends QueryModule {
   private def affineA(j: Int): Long = graft.plans.MinHashSigs.affineA(j)
   private def affineB(j: Int): Long = graft.plans.MinHashSigs.affineB(j)
 
+  /** Per-source sampling rates (permille) for the training-mixture
+    * query — a deterministic stand-in for a configured mixing recipe,
+    * mirrored verbatim into the oracle's VALUES list.
+    */
+  private val mixtureRates: Seq[(String, Long)] =
+    Seq.tabulate(20)(i => (s"src$i", (i % 4) match {
+      case 0 => 900L
+      case 1 => 500L
+      case 2 => 250L
+      case _ => 100L
+    }))
+
   /** documents + near-dup copies (one appended word). */
   private def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Engine.table(s, dir, "documents")
@@ -52,53 +64,65 @@ object LlmText extends QueryModule {
   private def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
-  /** Oracle CTE chain `base, sh, sig, bands` producing the (doc_id, band,
-    * bh) banding rows — shared by q_llm_dedup_minhash and the persisted-
-    * index probe (identical signature math on both engines).
+  /** Oracle CTE chain `sh$sfx, sig$sfx, bands$sfx` producing the (doc_id,
+    * band, bh) banding rows from a base CTE named `base$sfx` — the
+    * DuckDB mirror of [[bandFrameOf]] (identical signature math on both
+    * engines). Parameterized by suffix so one oracle can band two
+    * corpora (the incremental-dedup old/new split).
     */
-  private def bandCtesSql: String = {
+  private def bandChainSql(sfx: String): String = {
     val sigExprs = (0 until K).map(j =>
       s"list_min(list_transform(shingles, x -> (${affineA(j)} * (${h60Sql("x")} % $MinP) + ${affineB(j)}) % $MinP)) AS s$j")
       .mkString(",\n            ")
     val bandSelects = (0 until Bands).map(b =>
       s"""SELECT doc_id, $b AS band, ${h60Sql(
-        s"concat(CAST(s${2 * b} AS VARCHAR), ',', CAST(s${2 * b + 1} AS VARCHAR))")} AS bh FROM sig""")
+        s"concat(CAST(s${2 * b} AS VARCHAR), ',', CAST(s${2 * b + 1} AS VARCHAR))")} AS bh FROM sig$sfx""")
       .mkString("\n          UNION ALL ")
-    s"""$nearDupSql,
-        sh AS (
+    s"""sh$sfx AS (
           SELECT doc_id,
             CASE WHEN len(words) >= 3
               THEN [concat_ws(' ', words[i+1], words[i+2], words[i+3])
                     FOR i IN generate_series(0, len(words)-3)]
               ELSE [text] END AS shingles
-          FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM base)),
-        sig AS (
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM base$sfx)),
+        sig$sfx AS (
           SELECT doc_id, shingles,
             $sigExprs
-          FROM sh),
-        bands AS (
+          FROM sh$sfx),
+        bands$sfx AS (
           $bandSelects)"""
   }
 
-  /** The (doc_id, band, bh) minhash banding rows: native Shingles →
-    * MinHashSigs → per-band hash, one narrow codegen pass over the
-    * corpus. This IS the index payload [[persistedBands]] materializes.
+  /** `base, sh, sig, bands` over the near-dup corpus — shared by
+    * q_llm_dedup_minhash and the persisted-index probe.
     */
-  private[graft] def bandFrame(
-      s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sig = withNearDups(s, dir)
-      .withColumn("shingles", graft.plans.Shingles($"text", 3))
-      .withColumn("sigs", graft.plans.MinHashSigs($"shingles", K, MinP))
-      .select(Seq($"doc_id") ++
-        (0 until K).map(j => $"sigs".getItem(j).as(s"s$j")): _*)
+  private def bandCtesSql: String = s"""$nearDupSql,
+        ${bandChainSql("")}"""
+
+  /** The (doc_id, band, bh) minhash banding rows of any (doc_id, text)
+    * frame: native Shingles → MinHashSigs → per-band hash, one narrow
+    * codegen pass over the corpus. This IS the index payload
+    * [[persistedBands]] materializes. DuckDB mirror: [[bandChainSql]].
+    */
+  private[graft] def bandFrameOf(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .withColumn("shingles", graft.plans.Shingles(col("text"), 3))
+      .withColumn("sigs", graft.plans.MinHashSigs(col("shingles"), K, MinP))
+      .select(Seq(col("doc_id")) ++
+        (0 until K).map(j => col("sigs").getItem(j).as(s"s$j")): _*)
     val bandStructs = (0 until Bands).map(b => struct(
       lit(b).as("band"),
       Fns.h60(concat_ws(",", col(s"s${2 * b}").cast("string"),
         col(s"s${2 * b + 1}").cast("string"))).as("bh")))
-    sig.select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
-      .select($"doc_id", $"bs.band".as("band"), $"bs.bh".as("bh"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bh").as("bh"))
   }
+
+  /** [[bandFrameOf]] over the near-dup corpus. */
+  private[graft] def bandFrame(
+      s: SparkSession, dir: String): DataFrame =
+    bandFrameOf(withNearDups(s, dir))
 
   /** The minhash signature index as a PERSISTED artifact: the banding
     * table written once as a managed table bucketed + sorted on the probe
@@ -110,11 +134,19 @@ object LlmText extends QueryModule {
     * pattern.
     */
   private[graft] def persistedBands(
-      s: SparkSession, dir: String): DataFrame = {
-    val tbl = s"graft_mh_idx_${math.abs(dir.hashCode)}"
+      s: SparkSession, dir: String): DataFrame =
+    bucketedBandTable(s, s"graft_mh_idx_${math.abs(dir.hashCode)}",
+      bandFrame(s, dir))
+
+  /** Write `bands` once per (JVM, table name) as a managed table
+    * bucketed + sorted on the probe key (band, bh); return it from the
+    * catalog. The scratch warehouse outlives the JVM while the in-memory
+    * catalog does not, so a stale location from a previous run is dropped
+    * before the write.
+    */
+  private def bucketedBandTable(
+      s: SparkSession, tbl: String, bands: => DataFrame): DataFrame = {
     if (!s.catalog.tableExists(tbl)) {
-      // the scratch warehouse outlives the JVM while the in-memory
-      // catalog does not: drop a stale table location from a previous run
       val wh = new java.io.File(
         new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
       def rm(f: java.io.File): Unit = {
@@ -122,12 +154,49 @@ object LlmText extends QueryModule {
         f.delete(): Unit
       }
       rm(new java.io.File(wh, tbl))
-      bandFrame(s, dir).write.mode("overwrite")
+      bands.write.mode("overwrite")
         .bucketBy(8, "band", "bh").sortBy("band", "bh")
         .saveAsTable(tbl)
     }
     s.table(tbl)
   }
+
+  /** The signature index of the ORIGINAL corpus only — the artifact an
+    * incremental (new-batch-vs-corpus) dedup probes. Bucketed on the
+    * probe key so the batch join shuffles ONLY the new side.
+    */
+  private[graft] def persistedOldIndex(
+      s: SparkSession, dir: String): DataFrame =
+    bucketedBandTable(s, s"graft_mh_old_${math.abs(dir.hashCode)}",
+      bandFrameOf(Engine.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))))
+
+  /** The "new batch" an incremental dedup screens against the corpus:
+    * near-dup copies of every 10th doc (true duplicates the probe must
+    * catch) plus genuinely-new short docs (doc_id + 200000, unique
+    * synthetic text the probe must pass through). Deterministic, so the
+    * oracle mirrors it exactly ([[newBatchSql]]).
+    */
+  private[queries] def newBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = Engine.table(s, dir, "documents")
+    d.filter(d("doc_id") % 10 === 0).select(
+        (d("doc_id") + 100000L).as("doc_id"),
+        concat(d("text"), lit(" graftdup")).as("text"))
+      .unionByName(d.filter(d("doc_id") % 17 === 3).select(
+        (d("doc_id") + 200000L).as("doc_id"),
+        concat_ws(" ", lit("zqx"), d("doc_id").cast("string"),
+          lit("fresh"), d("doc_id").cast("string")).as("text")))
+  }
+
+  private val newBatchSql =
+    """base_n AS (
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' graftdup') AS text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000,
+        concat_ws(' ', 'zqx', CAST(doc_id AS VARCHAR),
+                  'fresh', CAST(doc_id AS VARCHAR))
+      FROM documents WHERE doc_id % 17 = 3)"""
 
   /** Candidate self-join against the persisted index — both sides read
     * the bucketed artifact, so the equi-join on (band, bh) consumes the
@@ -499,6 +568,122 @@ object LlmText extends QueryModule {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id""")),
+
+    // INCREMENTAL dedup: screen a new ingest batch against the PERSISTED
+    // corpus signature index — the steady-state operation of a 100 TB
+    // pipeline (the corpus is deduped once; every later crawl delta only
+    // probes). The index side is the bucketed artifact on (band, bh), so
+    // the left join shuffles ONLY the small new-batch side into the
+    // bucket layout; the corpus-sized side moves nothing. Output: one
+    // verdict row per new doc — dup (matched an indexed doc) or fresh.
+    "q_llm_dedup_incremental" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val idx = persistedOldIndex(s, dir)
+          .select($"doc_id".as("old_id"), $"band", $"bh")
+        val nb = bandFrameOf(newBatch(s, dir))
+          .select($"doc_id".as("new_id"), $"band", $"bh")
+        nb.join(idx, Seq("band", "bh"), "left")
+          .groupBy($"new_id")
+          .agg(min($"old_id").as("match_id"),
+            count($"old_id").as("n_hits"))
+          .withColumn("is_dup", $"n_hits" > 0)
+      },
+      oracle = Some(s"""
+        WITH base_o AS (SELECT doc_id, text FROM documents),
+        $newBatchSql,
+        ${bandChainSql("_o")},
+        ${bandChainSql("_n")}
+        SELECT n.doc_id AS new_id, min(o.doc_id) AS match_id,
+          count(o.doc_id) AS n_hits, count(o.doc_id) > 0 AS is_dup
+        FROM bands_n n LEFT JOIN bands_o o
+          ON n.band = o.band AND n.bh = o.bh
+        GROUP BY n.doc_id""")),
+
+    // STREAMING incremental dedup — the online form of
+    // q_llm_dedup_incremental: the new batch arrives as a STREAM, is
+    // banded by the same native Shingles/MinHashSigs codegen expressions
+    // (stateless, so they run unchanged inside MicroBatchExecution), and
+    // probes the persisted corpus index via a stream-static left join;
+    // the per-doc verdict aggregate runs in complete mode. This is the
+    // ingest-time dedup gate a crawl pipeline runs: index once, screen
+    // every arriving shard. Same oracle as the batch query — the stream
+    // must converge to the identical verdict table.
+    "q_stream_dedup_incremental" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val idx = persistedOldIndex(s, dir)
+          .select($"doc_id".as("old_id"), $"band", $"bh")
+        graft.streaming.Replay.run(s, newBatch(s, dir), mode = "complete",
+          cacheKey = s"newbatch:$dir") { st =>
+          bandFrameOf(st)
+            .select($"doc_id".as("new_id"), $"band", $"bh")
+            .join(idx, Seq("band", "bh"), "left")
+            .groupBy($"new_id")
+            .agg(min($"old_id").as("match_id"),
+              count($"old_id").as("n_hits"))
+            .withColumn("is_dup", $"n_hits" > 0)
+        }
+      },
+      oracle = Some(s"""
+        WITH base_o AS (SELECT doc_id, text FROM documents),
+        $newBatchSql,
+        ${bandChainSql("_o")},
+        ${bandChainSql("_n")}
+        SELECT n.doc_id AS new_id, min(o.doc_id) AS match_id,
+          count(o.doc_id) AS n_hits, count(o.doc_id) > 0 AS is_dup
+        FROM bands_n n LEFT JOIN bands_o o
+          ON n.band = o.band AND n.bh = o.bh
+        GROUP BY n.doc_id""")),
+
+    // Cross-source CONTAMINATION MATRIX: how many near-dup pairs link
+    // each (source_a, source_b) — the overlap audit run before mixing
+    // crawls into a training set. The duplicate copies are injected
+    // under a mirror_ source, so the matrix exposes genuine cross-source
+    // contamination, not self-overlap. Candidate pairs come from the
+    // same bucketed minhash banding as the dedup path (no cartesian);
+    // the doc -> source attachment is two joins against the narrow
+    // (doc_id, source) projection.
+    "q_llm_dedup_matrix" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+        val base = d.select($"doc_id", $"text", $"source")
+          .unionByName(d.filter($"doc_id" % 10 === 0).select(
+            ($"doc_id" + 100000L).as("doc_id"),
+            concat($"text", lit(" graftdup")).as("text"),
+            concat(lit("mirror_"), $"source").as("source")))
+        val bands = bandFrameOf(base)
+        val pairs = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.bh" === $"b.bh"
+              && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        val src = base.select($"doc_id", $"source")
+        pairs.join(src.as("sa"), $"doc_a" === $"sa.doc_id")
+          .join(src.as("sb"), $"doc_b" === $"sb.doc_id")
+          .select($"sa.source".as("source_a"), $"sb.source".as("source_b"))
+          .groupBy($"source_a", $"source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      oracle = Some(s"""
+        WITH base_m AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, concat(text, ' graftdup'),
+            concat('mirror_', source)
+          FROM documents WHERE doc_id % 10 = 0),
+        ${bandChainSql("_m")},
+        p AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands_m a JOIN bands_m b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        SELECT sa.source AS source_a, sb.source AS source_b,
+          count(*) AS n_pairs
+        FROM p
+        JOIN base_m sa ON p.doc_a = sa.doc_id
+        JOIN base_m sb ON p.doc_b = sb.doc_id
+        GROUP BY sa.source, sb.source""")),
 
     // Prefix-filtered set-similarity join (PPJoin-style): same output as
     // q_llm_dedup_jaccard, but the pair join runs only over each doc's
@@ -1003,6 +1188,59 @@ object LlmText extends QueryModule {
         SELECT d.doc_id, d.source, d.n_chars, thr.p95
         FROM documents d JOIN thr USING (source)
         WHERE d.n_chars <= thr.p95""")),
+
+    // Deterministic STRATIFIED train/validation/test split: bucket =
+    // h60(source:doc_id) % 100, 80/10/10. Hashing the (source, id) pair
+    // stratifies within each source and keeps the assignment stable
+    // under corpus growth — re-running after ingesting more data never
+    // reshuffles an existing doc across splits (the property that makes
+    // eval sets trustworthy). Pure per-row codegen math: no shuffle at
+    // any scale.
+    "q_llm_split" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source")
+          .withColumn("bucket",
+            Fns.h60(concat($"source", lit(":"), $"doc_id".cast("string")))
+              % 100)
+          .withColumn("split",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation")
+              .otherwise("test"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id, source, bucket,
+          CASE WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id, source,
+          ${Fns.h60Sql("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 100
+            AS bucket FROM documents)""")),
+
+    // Training MIXTURE sampling: each source is down-sampled at its own
+    // configured rate (per-mille hash threshold) — the "web 10%, books
+    // 90%" mixing step that turns raw crawls into a training recipe.
+    // Deterministic (same docs selected every run, both engines); the
+    // 20-row rate table is broadcast, so the corpus scan is one
+    // filter-after-broadcast-join pass with no shuffle of the big side.
+    "q_llm_mixture" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val rates = mixtureRates.toDF("source", "permille")
+        Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source")
+          .join(broadcast(rates), "source")
+          .filter(Fns.h60($"doc_id") % 1000 < $"permille")
+          .select($"doc_id", $"source", $"permille")
+      },
+      oracle = Some(s"""
+        WITH rates(source, permille) AS (VALUES ${mixtureRates
+          .map { case (s0, p) => s"('$s0', CAST($p AS BIGINT))" }
+          .mkString(", ")})
+        SELECT doc_id, d.source, permille
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ${Fns.h60Sql("CAST(doc_id AS VARCHAR)")} % 1000 < permille""")),
 
     // Fixed-size token chunking with overlap (window 50, stride 40) —
     // the pre-tokenization op that turns a 100 TB document corpus into

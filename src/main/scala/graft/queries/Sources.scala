@@ -56,6 +56,26 @@ object Sources extends QueryModule {
         SELECT p_brand, count(*) AS n, min(p_retailprice) AS min_price
         FROM part WHERE p_size <= 10 GROUP BY p_brand""")),
 
+    // Plain-text sink + scan round trip: one line per doc, tab-framed
+    // id prefix, recovered by a limit-2 split on read (doc text is
+    // newline/tab-free in this corpus — the framing a text-format
+    // pipeline must guarantee, since the format has no escaping).
+    "q_src_text_roundtrip" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("text", dir)
+        Engine.table(s, dir, "documents")
+          .select(concat_ws("\t", $"doc_id".cast("string"), $"text")
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        val parts = split(col("value"), "\t", 2)
+        s.read.text(out)
+          .select(parts.getItem(0).cast("long").as("doc_id"),
+            length(parts.getItem(1)).cast("long").as("n_chars_rt"))
+      },
+      oracle = Some("""
+        SELECT doc_id, length(text) AS n_chars_rt FROM documents""")),
+
     // JSON sink + scan round trip.
     "q_src_json_roundtrip" -> QueryDef(
       fn = (s, dir) => {

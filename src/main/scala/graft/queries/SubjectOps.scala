@@ -168,6 +168,55 @@ object SubjectOps extends QueryModule {
         FROM ev JOIN first USING (user_id)
         GROUP BY cohort, week_no""")),
 
+    // Gap-based SESSIONIZATION of the event trail (batch form; the
+    // streaming form is q_stream_session's session_window): a session
+    // breaks after 30 idle minutes. One window pass computes both the
+    // lag-gap flag and its running sum (same partition+order spec →
+    // single shuffle+sort), then per-session stats aggregate on the
+    // already-co-partitioned (user_id, sess_seq) keys. Session revenue
+    // routes through the exact decimal sum.
+    "q_evt_sessionize" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.Fns.{dsumGate}
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Engine.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"value")
+          .withColumn("gap_s",
+            $"ts".cast("long") - lag($"ts", 1).over(w).cast("long"))
+          .withColumn("new_sess",
+            when($"gap_s".isNull || $"gap_s" > 1800, 1L).otherwise(0L))
+          .withColumn("sess_seq", sum($"new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sess_seq")
+          .agg(count(lit(1)).as("n_events"),
+            min($"ts").as("sess_start"), max($"ts").as("sess_end"),
+            dsumGate($"value").as("sess_value"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT user_id, ts, event_id, value,
+            date_diff('second', lag(ts, 1) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+          FROM events),
+        f AS (
+          SELECT user_id, ts, value,
+            CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END
+              AS new_sess, event_id
+          FROM g),
+        r AS (
+          SELECT user_id, ts, value,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS sess_seq
+          FROM f)
+        SELECT user_id, sess_seq, count(*) AS n_events,
+          min(ts) AS sess_start, max(ts) AS sess_end,
+          ${graft.functions.Fns.dsumGateSql("value")} AS sess_value
+        FROM r GROUP BY user_id, sess_seq""")),
+
     // Most common 3-step event-type paths per user trail: lag windows
     // over (ts, event_id) total order, then a count-ranked top 10 via
     // TakeOrderedAndProject (seq tiebreak keeps the cut deterministic).

@@ -56,6 +56,98 @@ private[queries] object TpchSql {
       CAST(rev_units AS DOUBLE) / 10000.0 AS total_rev
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
     WHERE rev_units = (SELECT max(rev_units) FROM rev)"""
+
+  /** Q2 shape: min-cost supplier per part in a region — the supply
+    * relation is proxied by (l_partkey, l_suppkey, min price) from
+    * lineitem (no partsupp table in the test schema); min over doubles
+    * is exact, so the correlated-min equality is bit-safe. The ORDER BY
+    * key (s_name, p_partkey unique per row) makes the LIMIT
+    * deterministic.
+    */
+  val q2: String = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
+    FROM ps
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'ASIA'
+      AND cost = (
+        SELECT min(ps2.cost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+  /** Q11 shape: parts whose supply value exceeds a fraction of the
+    * national total — scalar-subquery threshold over the same aggregate
+    * CTE. The comparison is PURE INTEGER (v * 1000 > total) on exact
+    * quantized units: no float crosses the engines.
+    */
+  val q11: String = """
+    WITH val AS (
+      SELECT l_partkey,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+          * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+          AS BIGINT) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) / 10000.0 AS part_value
+    FROM val
+    WHERE v * 1000 > (SELECT CAST(sum(v) AS BIGINT) FROM val)"""
+
+  /** Q16 shape: supplier diversity per part attribute — distinct
+    * (part, supplier) pairs from lineitem (partsupp proxy), a NOT IN
+    * null-aware anti subquery excluding flagged suppliers (negative
+    * balance proxies the complaints predicate), count-distinct per
+    * (brand, type, size).
+    */
+  val q16: String = """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size"""
+
+  /** Q21 shape: suppliers who were the SOLE late shipper on a
+    * multi-supplier finished order — EXISTS + NOT EXISTS self-joins on
+    * the fact table, both correlated on l_orderkey with residual
+    * predicates (the not-exists also references the outer order's date).
+    * Lateness is proxied by shipdate > orderdate + 700 days (no
+    * commit/receipt dates in the test schema; 700 sits between the
+    * corpus's p50 and p90 ship gaps).
+    */
+  val q21: String = """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 700 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 700 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25"""
 }
 
 object Tpch extends QueryModule {
@@ -542,6 +634,108 @@ object Tpch extends QueryModule {
         s.sql(TpchSql.q15)
       },
       oracle = Some(TpchSql.q15)),
+
+    // Q2 shape: min-cost supplier per part — correlated scalar-min
+    // subquery over the supply CTE, decorrelated by Catalyst into an
+    // aggregate + join back; the dims (part filter, nation, region)
+    // broadcast and the supply aggregation is the only big shuffle.
+    "q2_min_cost_supplier" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql(TpchSql.q2)
+      },
+      oracle = Some(TpchSql.q2)),
+
+    // Q8 shape: national market share within a region per order year —
+    // the widest star in the set (lineitem against part, orders,
+    // customer, two nation roles, region), with a conditional-ratio
+    // aggregate. All dims broadcast; the fact table shuffles once for
+    // the (o_year) aggregation. The share is a single double division
+    // of two exact unit sums, so it is bit-identical cross-engine.
+    "q8_market_share" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = Engine.table(s, dir, "lineitem").select($"l_partkey",
+          $"l_suppkey", $"l_orderkey",
+          revUnits($"l_extendedprice", $"l_discount").as("rev_units"))
+        val part = Engine.table(s, dir, "part")
+          .filter($"p_type" === "PROMO").select($"p_partkey")
+        val ord = Engine.table(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+        val cust = Engine.table(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey")
+        val cnat = Engine.table(s, dir, "nation")
+          .select($"n_nationkey".as("c_nkey"), $"n_regionkey")
+        val reg = Engine.table(s, dir, "region")
+          .filter($"r_name" === "ASIA").select($"r_regionkey")
+        val supp = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey")
+        val snat = Engine.table(s, dir, "nation")
+          .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation"))
+        li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+          .join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(cnat), $"c_nationkey" === $"c_nkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(snat), $"s_nationkey" === $"s_nkey")
+          .groupBy($"o_year")
+          .agg(
+            sum(when($"supp_nation" === "NATION_5", $"rev_units")
+              .otherwise(0L)).as("nat_units"),
+            sum($"rev_units").as("all_units"))
+          .select($"o_year", $"nat_units", $"all_units",
+            ($"nat_units".cast("double") / $"all_units".cast("double"))
+              .as("mkt_share"))
+      },
+      oracle = Some(s"""
+        SELECT o_year, nat_units, all_units,
+          CAST(nat_units AS DOUBLE) / CAST(all_units AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+            CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+              THEN ${revUnitsSql("l_extendedprice", "l_discount")}
+              ELSE 0 END) AS BIGINT) AS nat_units,
+            CAST(sum(${revUnitsSql("l_extendedprice", "l_discount")})
+              AS BIGINT) AS all_units
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+          GROUP BY year(o_orderdate))""")),
+
+    // Q11 shape: important parts by national supply value — HAVING-style
+    // filter against a scalar subquery over the same aggregate CTE.
+    "q11_important_parts" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql(TpchSql.q11)
+      },
+      oracle = Some(TpchSql.q11)),
+
+    // Q16 shape: supplier diversity per part attribute — NOT IN
+    // null-aware anti join + count distinct.
+    "q16_supplier_diversity" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql(TpchSql.q16)
+      },
+      oracle = Some(TpchSql.q16)),
+
+    // Q21 shape: sole late shipper on multi-supplier orders — EXISTS +
+    // NOT EXISTS self-joins on the fact table (left-semi and left-anti
+    // hash joins on l_orderkey after decorrelation).
+    "q21_waiting_suppliers" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql(TpchSql.q21)
+      },
+      oracle = Some(TpchSql.q21)),
 
     // Custom TypedImperativeAggregate: exact sorted distinct-set per
     // group (the imperative-buffer extension point for sketches).

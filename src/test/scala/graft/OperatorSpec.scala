@@ -353,6 +353,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(persisted.nonEmpty)
   }
 
+  test("incremental dedup shuffles only the new batch, never the index") {
+    // the probe's scale contract: the corpus-sized index side is read
+    // pre-bucketed on (band, bh); the only exchanges are the small new
+    // batch entering the bucket layout and the final groupBy(new_id)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val q = SparkEntry.queries("q_llm_dedup_incremental")(spark, sf)
+      q.write.format("noop").mode("overwrite").save()
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(2000))
+  }
+
   test("multi-probe LSH recall vs brute force >= single-probe recall") {
     def pairs(name: String) = SparkEntry.queries(name)(spark, sf)
       .select("q_id", "vec_id").collect()
