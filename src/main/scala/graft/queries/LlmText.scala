@@ -44,6 +44,14 @@ object LlmText extends QueryModule {
       case _ => 100L
     }))
 
+  /** Fixed query strings for the top-k search op (terms drawn from the
+    * corpus vocabulary), mirrored into the oracle's VALUES list.
+    */
+  private val searchQueries: Seq[(String, String)] = Seq(
+    "q_hash_join"  -> "hash join scan",
+    "q_stream_dup" -> "stream window dup",
+    "q_fast_vec"   -> "fast vector query")
+
   /** documents + near-dup copies (one appended word). */
   private def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Engine.table(s, dir, "documents")
@@ -104,12 +112,19 @@ object LlmText extends QueryModule {
     * codegen pass over the corpus. This IS the index payload
     * [[persistedBands]] materializes. DuckDB mirror: [[bandChainSql]].
     */
-  private[graft] def bandFrameOf(docs: DataFrame): DataFrame = {
-    val sig = docs
+  /** (doc_id, s0..s7) minhash signature columns of a (doc_id, text)
+    * frame — the per-doc sketch [[bandFrameOf]] bands, also consumed
+    * directly by the LSH precision audit.
+    */
+  private[graft] def sigFrameOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("shingles", graft.plans.Shingles(col("text"), 3))
       .withColumn("sigs", graft.plans.MinHashSigs(col("shingles"), K, MinP))
       .select(Seq(col("doc_id")) ++
         (0 until K).map(j => col("sigs").getItem(j).as(s"s$j")): _*)
+
+  private[graft] def bandFrameOf(docs: DataFrame): DataFrame = {
+    val sig = sigFrameOf(docs)
     val bandStructs = (0 until Bands).map(b => struct(
       lit(b).as("band"),
       Fns.h60(concat_ws(",", col(s"s${2 * b}").cast("string"),
@@ -408,6 +423,154 @@ object LlmText extends QueryModule {
         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
+
+    // ASYMMETRIC CONTAINMENT join: |A∩B| / |A| — catches subset
+    // duplicates (a doc wholly contained in a longer one) that the
+    // symmetric jaccard threshold misses when the container is much
+    // larger. Same inverted-index pair generation as the jaccard join;
+    // only the final per-pair math differs. Both directions are emitted
+    // so the consumer can drop whichever side its policy prefers.
+    "q_llm_containment" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = withNearDups(s, dir)
+          .select($"doc_id", $"source",
+            array_distinct(split($"text", " ")).as("ws"))
+          .withColumn("nw", size($"ws"))
+        val tok = d.select($"doc_id", $"source", $"nw",
+          explode($"ws").as("w"))
+        tok.as("a").join(tok.as("b"),
+          $"a.w" === $"b.w" && $"a.source" === $"b.source"
+            && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.nw".as("na"), $"b.nw".as("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("cont_a", $"inter".cast("double") / $"na")
+          .withColumn("cont_b", $"inter".cast("double") / $"nb")
+          .filter($"cont_a" >= 0.9 || $"cont_b" >= 0.9)
+          .select($"doc_a", $"doc_b", $"cont_a", $"cont_b")
+      },
+      oracle = Some(s"""
+        WITH $nearDupSql,
+        d AS (SELECT doc_id, source,
+                list_distinct(string_split(text, ' ')) AS ws FROM base)
+        SELECT doc_a, doc_b, cont_a, cont_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / len(a.ws) AS cont_a,
+            CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / len(b.ws) AS cont_b
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.ws, b.ws)) > 0)
+        WHERE cont_a >= 0.9 OR cont_b >= 0.9""")),
+
+    // LSH PRECISION AUDIT: for every banding candidate pair, the
+    // signature-agreement estimate (shared minhashes / K) next to the
+    // TRUE jaccard — the measurement a pipeline operator runs before
+    // trusting an LSH threshold at 100 TB (est_j is computable from the
+    // 8-long sketch alone; true_j needs the full token sets and is only
+    // affordable on the candidate subset, which is exactly this join).
+    "q_llm_lsh_precision" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = withNearDups(s, dir)
+        val bands = bandFrameOf(base)
+        val pairs = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.bh" === $"b.bh"
+              && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        val sig = sigFrameOf(base)
+        val sa = sig.select(Seq($"doc_id".as("doc_a")) ++
+          (0 until K).map(j => col(s"s$j").as(s"a$j")): _*)
+        val sb = sig.select(Seq($"doc_id".as("doc_b")) ++
+          (0 until K).map(j => col(s"s$j").as(s"b$j")): _*)
+        val d = base.select($"doc_id",
+          array_distinct(split($"text", " ")).as("ws"))
+        val da = d.select($"doc_id".as("doc_a"), $"ws".as("wa"))
+        val db = d.select($"doc_id".as("doc_b"), $"ws".as("wb"))
+        val agree = (0 until K)
+          .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+          .join(da, "doc_a").join(db, "doc_b")
+          .withColumn("inter", size(array_intersect($"wa", $"wb")))
+          .select($"doc_a", $"doc_b",
+            (agree.cast("double") / K).as("est_j"),
+            ($"inter".cast("double")
+              / (size($"wa") + size($"wb") - $"inter")).as("true_j"))
+      },
+      oracle = Some(s"""
+        WITH $bandCtesSql,
+        p AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        d AS (SELECT doc_id,
+                list_distinct(string_split(text, ' ')) AS ws FROM base)
+        SELECT p.doc_a, p.doc_b,
+          (${(0 until K).map(j =>
+            s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)")
+            .mkString(" + ")}) / CAST($K AS DOUBLE) AS est_j,
+          CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
+            / (len(da.ws) + len(db.ws)
+               - len(list_intersect(da.ws, db.ws))) AS true_j
+        FROM p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+        JOIN d da ON da.doc_id = p.doc_a
+        JOIN d db ON db.doc_id = p.doc_b""")),
+
+    // BM25-flavored TOP-K SEARCH: retrieve the best 5 docs per query
+    // string by an integer-exact tf/df relevance score — the retrieval
+    // op a RAG/data-curation pipeline runs against the corpus. The tiny
+    // query term list broadcasts onto the posting lists (corpus side
+    // never shuffles for the probe); per-query ranking is the
+    // heap-bounded GroupTopK, not a global sort. Score units are
+    // tf * 1e6 div df — integral division, so no float crosses engines
+    // until the final display cast.
+    "q_llm_search" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val queries = searchQueries.toDF("q_id", "q_text")
+          .select($"q_id", explode(split($"q_text", " ")).as("w"))
+        val tok = Engine.table(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.groupBy($"w")
+          .agg(count(lit(1)).as("df"))
+        val scored = tok.join(dfreq, "w")
+          .join(broadcast(queries), "w")
+          .groupBy($"q_id", $"doc_id")
+          .agg(sum(expr("tf * 1000000 div df")).as("score_units"))
+        graft.plans.GroupTopK(scored, Seq("q_id"),
+          Seq("score_units" -> true, "doc_id" -> false), k = 5)
+          .select($"q_id", $"doc_id", $"score_units",
+            ($"score_units".cast("double") / 1e6).as("score"))
+      },
+      oracle = Some(s"""
+        WITH queries(q_id, q_text) AS (VALUES ${searchQueries
+          .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")}),
+        qw AS (SELECT q_id, unnest(string_split(q_text, ' ')) AS w
+               FROM queries),
+        tok AS (
+          SELECT w, doc_id, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          GROUP BY w, doc_id),
+        dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        scored AS (
+          SELECT q_id, doc_id,
+            CAST(sum(tf * 1000000 // df) AS BIGINT) AS score_units
+          FROM tok JOIN dfreq USING (w) JOIN qw USING (w)
+          GROUP BY q_id, doc_id)
+        SELECT q_id, doc_id, score_units,
+          CAST(score_units AS DOUBLE) / 1e6 AS score
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY score_units DESC, doc_id) AS rn
+              FROM scored)
+        WHERE rn <= 5""")),
 
     // Connected-component dedup clusters over the near-dup pair graph:
     // cluster id = min doc_id reachable through jaccard>=0.7 edges. Pair
