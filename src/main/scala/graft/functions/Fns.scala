@@ -113,6 +113,38 @@ object Fns {
   def h60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT)"
 
+  // standard 2-D bit-spreading constants (bit i of a 31-bit input lands
+  // at bit 2i): shared verbatim by the Column chain and the SQL mirror
+  private val spreadMasks: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  private def spreadBits(c: Column): Column =
+    spreadMasks.foldLeft(
+      c.cast(LongType).bitwiseAND(lit(0x7FFFFFFFL))) {
+      case (x, (sh, m)) =>
+        x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
+    }
+
+  /** 2-D Morton (Z-order) key of two non-negative ints (each capped to
+    * 31 bits): bit i of `a` lands at bit 2i, bit i of `b` at 2i + 1 —
+    * the clustering key for multi-dimensional data-skipping layouts.
+    * Pure integer bit math, so bit-identical cross-engine. DuckDB
+    * mirror: [[mortonSql]].
+    */
+  def morton(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  private def spreadSql(e: String): String =
+    spreadMasks.foldLeft(s"((CAST(($e) AS BIGINT)) & 2147483647)") {
+      case (x, (sh, m)) => s"(($x | ($x << $sh)) & $m)"
+    }
+
+  /** DuckDB-side mirror of [[morton]]. */
+  def mortonSql(a: String, b: String): String =
+    s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
+
   /** DuckDB-side mirror of [[dsum]] (decimal result, no double cast). */
   def dsumSql(expr: String): String =
     s"sum(CAST(($expr) AS DECIMAL(28,10)))"

@@ -2,6 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 import graft.{Engine, QueryDef, QueryModule}
+import graft.functions.Fns
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -20,6 +21,13 @@ object Sources extends QueryModule {
 
   private def tempFor(tag: String, dir: String): String =
     dirs.getOrElseUpdate(s"$tag:$dir", Engine.scratchDir(s"graft_$tag"))
+
+  private def parquetFileCount(path: String): Int = {
+    val fs = new java.io.File(path)
+      .listFiles()
+    if (fs == null) 0
+    else fs.count(f => f.getName.endsWith(".parquet") && f.length() > 0)
+  }
 
   def defs: Vector[(String, QueryDef)] = Vector(
 
@@ -115,6 +123,72 @@ object Sources extends QueryModule {
       oracle = Some("""
         SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""")),
+
+    // Small-file COMPACTION — the lakehouse maintenance op a streaming
+    // ingest forces at scale (every micro-batch drops a file per
+    // partition; scans die by open()/footer overhead long before they
+    // die by bytes). Fragment the table into 64 splinter files, compact
+    // with a round-robin repartition to 4 right-sized files, then
+    // aggregate THROUGH the compacted layout. File counts before/after
+    // are asserted (64 -> 4) so the compaction is load-bearing, not
+    // decorative; the aggregate proves the rewrite lost nothing.
+    "q_src_compaction" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val frag = tempFor("frag", dir)
+        val compact = tempFor("compact", dir)
+        val src = Engine.table(s, dir, "orders")
+        if (!new java.io.File(compact, "_SUCCESS").exists()) {
+          src.repartition(64).write.mode("overwrite").parquet(frag)
+          val parts = s.read.parquet(frag)
+          require(parquetFileCount(frag) == 64,
+            s"fragmentation produced ${parquetFileCount(frag)} files")
+          parts.repartition(4).write.mode("overwrite").parquet(compact)
+          require(parquetFileCount(compact) == 4,
+            s"compaction produced ${parquetFileCount(compact)} files")
+        }
+        s.read.parquet(compact)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Fns.dsumGate($"o_totalprice").as("sum_price"),
+            min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderstatus, count(*) AS n,
+          ${graft.functions.Fns.dsumGateSql("o_totalprice")} AS sum_price,
+          min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // Z-ORDER clustered layout: documents rewritten range-partitioned +
+    // sorted by the Morton key of (n_chars, doc_id), then scanned with a
+    // 2-D range filter. Z-ordering makes BOTH dimensions' parquet
+    // row-group min/max stats selective at once — the data-skipping
+    // layout trick for multi-dimensional predicates at 100 TB (a sort on
+    // one column leaves the other's stats useless). The Morton key is
+    // pure integer bit math (Fns.morton), recomputed and hash-matched by
+    // the oracle row-by-row; the layout write is once-per-JVM like the
+    // other artifact queries.
+    "q_src_zorder" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("zorder", dir)
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          Engine.table(s, dir, "documents")
+            .select($"doc_id", $"source", $"n_chars")
+            .withColumn("z", Fns.morton($"n_chars", $"doc_id"))
+            .repartitionByRange(4, $"z")
+            .sortWithinPartitions($"z")
+            .write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out)
+          .filter($"n_chars".between(150, 300) && $"doc_id".between(100, 400))
+          .select($"doc_id", $"source", $"n_chars", $"z")
+      },
+      oracle = Some(s"""
+        SELECT doc_id, source, n_chars,
+          ${Fns.mortonSql("n_chars", "doc_id")} AS z
+        FROM documents
+        WHERE n_chars BETWEEN 150 AND 300 AND doc_id BETWEEN 100 AND 400""")),
 
     // Bucketed tables: write lineitem and orders bucketed (+sorted) on
     // the join key, then join the two bucketed tables. With

@@ -12,6 +12,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class AggPropertySpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("morton key equals naive bit interleave on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def naive(a: Long, b: Long): Long = {
+      val (x, y) = (a & 0x7FFFFFFFL, b & 0x7FFFFFFFL)
+      (0 until 31).foldLeft(0L)((acc, i) =>
+        acc | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1))
+    }
+    val rows = Seq((0L, 0L), (0x7FFFFFFFL, 0x7FFFFFFFL), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(500)((rnd.nextLong(1L << 31), rnd.nextLong(1L << 31)))
+    val got = rows.toDF("a", "b")
+      .select($"a", $"b", graft.functions.Fns.morton($"a", $"b").as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === naive(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // z-order locality sanity: the key is monotone in each dimension
+    // when the other bits are fixed
+    assert(naive(5, 9) < naive(6, 9) && naive(5, 9) < naive(5, 10))
+  }
+
   test("VecMeanAgg over many partitions equals naive quantized mean") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
