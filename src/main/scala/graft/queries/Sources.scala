@@ -159,6 +159,94 @@ object Sources extends QueryModule {
           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM orders GROUP BY o_orderstatus""")),
 
+    // UPSERT (merge-into) semantics on an immutable columnar store: the
+    // copy-on-write rewrite every parquet-backed warehouse runs for CDC
+    // apply — matched keys take the update's values, unmatched updates
+    // insert, everything else carries over. One full-outer join on the
+    // key, coalesce per column; at scale the join shuffles both sides
+    // once (or neither, on a bucketed layout — q_src_bucketed's point).
+    // The updates batch is deterministic (+10% price on every 7th order,
+    // 50 fresh synthetic orders), so the oracle replays the same merge.
+    "q_src_upsert" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val base = Engine.table(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val updates = base.filter($"o_orderkey" % 7 === 0)
+          .select($"o_orderkey", lit("U").as("o_orderstatus"),
+            ($"o_totalprice" * 1.1).as("o_totalprice"))
+          .unionByName(s.range(1, 51).select(
+            ($"id" + 90000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            ($"id" * 100.0).as("o_totalprice")))
+        base.as("t").join(updates.as("u"), Seq("o_orderkey"), "full_outer")
+          .select($"o_orderkey",
+            coalesce($"u.o_orderstatus", $"t.o_orderstatus")
+              .as("o_orderstatus"),
+            coalesce($"u.o_totalprice", $"t.o_totalprice")
+              .as("o_totalprice"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            Fns.dsumGate($"o_totalprice").as("sum_price"))
+      },
+      oracle = Some(s"""
+        WITH updates AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+            o_totalprice * 1.1 AS o_totalprice
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT 90000000 + r.range, 'N', r.range * 100.0
+          FROM range(1, 51) r),
+        merged AS (
+          SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+            coalesce(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+            coalesce(u.o_totalprice, t.o_totalprice) AS o_totalprice
+          FROM orders t FULL OUTER JOIN updates u
+            ON t.o_orderkey = u.o_orderkey)
+        SELECT o_orderstatus, count(*) AS n,
+          ${Fns.dsumGateSql("o_totalprice")} AS sum_price
+        FROM merged GROUP BY o_orderstatus""")),
+
+    // TABLE DIFF (CDC extract): given two versions of a table, emit the
+    // per-key change log — inserts, deletes, and updates with old/new
+    // values. The dual of q_src_upsert: a full-outer join classifying
+    // each key by presence and value inequality. Version 2 is derived
+    // deterministically from orders (drop every 13th key, re-price every
+    // 7th), so both engines diff identical inputs.
+    "q_src_table_diff" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val v1 = Engine.table(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val v2 = v1.filter($"o_orderkey" % 13 =!= 0)
+          .select($"o_orderkey",
+            when($"o_orderkey" % 7 === 0, $"o_totalprice" * 1.1)
+              .otherwise($"o_totalprice").as("o_totalprice"))
+        v1.as("a").join(v2.as("b"), Seq("o_orderkey"), "full_outer")
+          .withColumn("op",
+            when($"b.o_totalprice".isNull, "D")
+              .when($"a.o_totalprice".isNull, "I")
+              .when($"a.o_totalprice" =!= $"b.o_totalprice", "U"))
+          .filter($"op".isNotNull)
+          .select($"o_orderkey", $"op",
+            $"a.o_totalprice".as("old_price"),
+            $"b.o_totalprice".as("new_price"))
+      },
+      oracle = Some("""
+        WITH v2 AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 13 <> 0)
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN b.o_orderkey IS NULL THEN 'D'
+               WHEN a.o_orderkey IS NULL THEN 'I'
+               WHEN a.o_totalprice <> b.o_totalprice THEN 'U' END AS op,
+          a.o_totalprice AS old_price, b.o_totalprice AS new_price
+        FROM orders a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        WHERE (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+               OR a.o_totalprice <> b.o_totalprice)""")),
+
     // Z-ORDER clustered layout: documents rewritten range-partitioned +
     // sorted by the Morton key of (n_chars, doc_id), then scanned with a
     // 2-D range filter. Z-ordering makes BOTH dimensions' parquet
