@@ -1352,6 +1352,52 @@ object LlmText extends QueryModule {
         FROM documents d JOIN thr USING (source)
         WHERE d.n_chars <= thr.p95""")),
 
+    // TEXT NORMALIZATION — the canonicalization pass that runs BEFORE
+    // exact dedup (so byte-level variants of the same content collide):
+    // lowercase, strip punctuation, collapse whitespace runs, trim.
+    // Pure per-row codegen'd string ops; the canonical-form hash rides
+    // along as the dedup key the downstream exact pass would group on.
+    // Punctuation is injected deterministically so the normalization is
+    // load-bearing on this clean synthetic corpus.
+    "q_llm_textnorm" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select($"doc_id",
+            // deterministic dirt: every 3rd doc uppercased, every 4th
+            // gets stray punctuation and double spaces
+            when($"doc_id" % 3 === 0, upper($"text")).otherwise($"text")
+              .as("raw"))
+          .withColumn("raw",
+            when($"doc_id" % 4 === 0,
+              concat(lit("  ?? "), regexp_replace($"raw", " ", ",  ")))
+              .otherwise($"raw"))
+          .withColumn("norm",
+            trim(regexp_replace(
+              regexp_replace(lower($"raw"), "[^a-z0-9 ]", " "),
+              " +", " ")))
+          .select($"doc_id", length($"raw").cast("long").as("raw_len"),
+            $"norm", Fns.h60($"norm").as("norm_key"))
+      },
+      oracle = Some(s"""
+        WITH dirty AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0
+              THEN concat('  ?? ', regexp_replace(
+                CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+                ' ', ',  ', 'g'))
+              ELSE CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END
+            END AS raw
+          FROM documents),
+        n AS (
+          SELECT doc_id, length(raw) AS raw_len,
+            trim(regexp_replace(regexp_replace(lower(raw),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM dirty)
+        SELECT doc_id, raw_len, norm,
+          ${Fns.h60Sql("norm")} AS norm_key
+        FROM n""")),
+
     // Deterministic STRATIFIED train/validation/test split: bucket =
     // h60(source:doc_id) % 100, 80/10/10. Hashing the (source, id) pair
     // stratifies within each source and keeps the assignment stable
