@@ -147,15 +147,20 @@ object Sources extends QueryModule {
           require(parquetFileCount(compact) == 4,
             s"compaction produced ${parquetFileCount(compact)} files")
         }
+        // money sums as exact cent-quantized longs: status groups are so
+        // coarse that a decimal-gated double sum exceeds the 9e9
+        // bit-exact bound at sf0.1 (dgate raises loudly by design)
         s.read.parquet(compact)
           .groupBy($"o_orderstatus")
           .agg(count(lit(1)).as("n"),
-            graft.functions.Fns.dsumGate($"o_totalprice").as("sum_price"),
+            sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"),
             min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
       },
       oracle = Some(s"""
         SELECT o_orderstatus, count(*) AS n,
-          ${graft.functions.Fns.dsumGateSql("o_totalprice")} AS sum_price,
+          CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM orders GROUP BY o_orderstatus""")),
 
@@ -186,8 +191,10 @@ object Sources extends QueryModule {
             coalesce($"u.o_totalprice", $"t.o_totalprice")
               .as("o_totalprice"))
           .groupBy($"o_orderstatus")
+          // cent-quantized exact sum (see q_src_compaction note)
           .agg(count(lit(1)).as("n"),
-            Fns.dsumGate($"o_totalprice").as("sum_price"))
+            sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"))
       },
       oracle = Some(s"""
         WITH updates AS (
@@ -204,7 +211,8 @@ object Sources extends QueryModule {
           FROM orders t FULL OUTER JOIN updates u
             ON t.o_orderkey = u.o_orderkey)
         SELECT o_orderstatus, count(*) AS n,
-          ${Fns.dsumGateSql("o_totalprice")} AS sum_price
+          CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
         FROM merged GROUP BY o_orderstatus""")),
 
     // TABLE DIFF (CDC extract): given two versions of a table, emit the
