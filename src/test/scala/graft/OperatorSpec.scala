@@ -369,6 +369,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(2000))
   }
 
+  test("search plans the broadcast probe + two-phase GroupTopK") {
+    val q = SparkEntry.queries("q_llm_search")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    // the tiny query-term list must broadcast onto the posting lists
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // ranking is the heap-bounded custom operator, never a full sort
+    assert(plan.contains("GroupTopK"), plan.take(1500))
+    assert(!plan.contains("SortExec"), plan.take(1500))
+  }
+
+  test("q8 star joins broadcast every dimension; one fact shuffle") {
+    val q = SparkEntry.queries("q8_market_share")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 6, s"expected >=6 broadcast joins, got $bhj:\n" +
+      plan.take(1500))
+    // lineitem joins orders on l_orderkey: one exchange pair for the
+    // SMJ plus one for the final o_year aggregate is the ceiling
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"$shuffles shuffles:\n" + plan.take(2000))
+  }
+
   test("multi-probe LSH recall vs brute force >= single-probe recall") {
     def pairs(name: String) = SparkEntry.queries(name)(spark, sf)
       .select("q_id", "vec_id").collect()
