@@ -156,6 +156,63 @@ object Joins extends QueryModule {
         GROUP BY p_brand"""),
       headline = true),
 
+    // SHUFFLE_HASH hint: force a shuffled hash join where the planner
+    // would default to sort-merge — the right strategy when one side is
+    // far smaller than the other but above the broadcast threshold (the
+    // hash build skips BOTH sort passes). Plan-asserted in OperatorSpec;
+    // semantics identical to the plain join, which is what the oracle
+    // checks.
+    "q_join_hash_hint" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = Engine.table(s, dir, "lineitem")
+        val o = Engine.table(s, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT").hint("shuffle_hash")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus""")),
+
+    // NULL-SAFE equality join (<=>): NULL keys match each other instead
+    // of disappearing — the semantics a dedup/reconciliation join needs
+    // when the key is legitimately nullable. Nullable keys are derived
+    // deterministically (every 1000th key nulled on both sides — kept
+    // SPARSE on purpose: NULL <=> NULL matches every null-null pair, so
+    // a dense null column is a self-inflicted hot key; at scale you
+    // pre-filter or salt the null stripe). DuckDB mirror is IS NOT
+    // DISTINCT FROM. Still a hash join: <=> is an equi comparison, not
+    // a residual.
+    "q_join_nullsafe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = Engine.table(s, dir, "customer")
+          .select(when($"c_custkey" % 1000 === 0, lit(null).cast("bigint"))
+            .otherwise($"c_custkey").as("k"), $"c_acctbal")
+        val o = Engine.table(s, dir, "orders")
+          .select(when($"o_custkey" % 1000 === 0, lit(null).cast("bigint"))
+            .otherwise($"o_custkey").as("k"), $"o_totalprice")
+        c.join(o, c("k") <=> o("k"))
+          .groupBy(c("k").isNull.as("null_key"))
+          .agg(count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL
+                      ELSE c_custkey END AS k, c_acctbal
+          FROM customer),
+        o AS (
+          SELECT CASE WHEN o_custkey % 1000 = 0 THEN NULL
+                      ELSE o_custkey END AS k, o_totalprice
+          FROM orders)
+        SELECT c.k IS NULL AS null_key, count(*) AS n
+        FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+        GROUP BY c.k IS NULL""")),
+
     // Theta residual on an equi backbone: same nation, acctbal ordering.
     // (Equi key keeps it a hash/SMJ join at scale; the inequality is a
     // post-join residual, not a BNLJ.)

@@ -369,6 +369,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(2000))
   }
 
+  test("shuffle_hash hint produces a ShuffledHashJoin, never an SMJ") {
+    // broadcast disabled: at sf0.001 the filtered side fits the default
+    // threshold and the hint would be moot
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val q = SparkEntry.queries("q_join_hash_hint")(spark, sf)
+      q.write.format("noop").mode("overwrite").save()
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("search plans the broadcast probe + two-phase GroupTopK") {
     val q = SparkEntry.queries("q_llm_search")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
