@@ -28,6 +28,26 @@ object Extras extends QueryModule {
           sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         FROM lineitem GROUP BY l_linestatus""")),
 
+    // Unpivot/melt — the inverse surface: the pivoted wide frame melted
+    // back to (status, flag, qty) long form. Dataset.unpivot is a pure
+    // row-local generator (each wide row -> 3 long rows, no shuffle
+    // beyond the pivot's own agg); nulls from empty cells are dropped to
+    // keep the melt lossless-invertible.
+    "q_agg_unpivot" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum($"l_quantity"))
+          .unpivot(Array($"l_linestatus"), Array($"A", $"N", $"R"),
+            "l_returnflag", "sum_qty")
+          .filter($"sum_qty".isNotNull)
+      },
+      oracle = Some("""
+        SELECT l_linestatus, l_returnflag, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_linestatus, l_returnflag""")),
+
     // min_by / max_by with a deterministic ordering key. The synthetic
     // generator REUSES (l_orderkey, l_linenumber) pairs, so that pair is
     // not unique — the key packs price-cents into the low 24 bits as a
@@ -54,6 +74,67 @@ object Extras extends QueryModule {
           max((l_orderkey * 10 + l_linenumber) * 16777216
             + CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_key
         FROM lineitem GROUP BY l_returnflag""")),
+
+    // PAGERANK, 3 iterations, INTEGER-EXACT: the canonical iterative
+    // sparse-matvec beyond connected components — each round is one
+    // join (ranks onto edges) + one sum-by-destination shuffle, the
+    // exact shape a 1000-executor PageRank runs (per-round lineage is
+    // shallow at 3 rounds; a deep fixpoint would localCheckpoint like
+    // ConnectedComponents). Ranks are scaled longs (1.0 = 1e12 units)
+    // with damping applied as (85 * sum) div 100 — pure integer
+    // arithmetic, so both engines produce bit-identical ranks with NO
+    // float tolerance anywhere. Edges are derived deterministically
+    // from orders (src = o_custkey, dst = o_orderkey % |customer|:
+    // out-degree ~10, pseudo-random destinations). Dangling-node mass
+    // is dropped (standard simplification) identically on both sides.
+    "q_graph_pagerank" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val S = 1000000000000L
+        val nodes = Engine.table(s, dir, "customer")
+          .select($"c_custkey".as("node"))
+        val n = nodes.count()
+        val edges = Engine.table(s, dir, "orders")
+          .select($"o_custkey".as("src"), ($"o_orderkey" % n).as("dst"))
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        var ranks = nodes.select($"node", lit(S).as("rank"))
+        for (_ <- 1 to 3) {
+          val sums = edges.join(deg, "src")
+            .join(ranks, $"src" === $"node")
+            .select($"dst", expr("rank div deg").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("in_sum"))
+          ranks = nodes.join(sums, $"node" === $"dst", "left")
+            .select($"node",
+              (lit(15L * S / 100)
+                + expr("85 * coalesce(in_sum, CAST(0 AS BIGINT)) div 100"))
+                .as("rank"))
+        }
+        ranks.orderBy($"rank".desc, $"node").limit(20)
+      },
+      oracle = Some {
+        val S = 1000000000000L
+        val iters = (1 to 3).map { i =>
+          s"""s$i AS (
+            SELECT dst, sum(rank // deg) AS in_sum
+            FROM edges JOIN deg USING (src)
+            JOIN r${i - 1} ON src = node GROUP BY dst),
+          r$i AS (
+            SELECT node, CAST(${15L * S / 100}
+              + (85 * coalesce(in_sum, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes LEFT JOIN s$i ON node = dst)"""
+        }.mkString(",\n          ")
+        s"""
+        WITH nodes AS (SELECT c_custkey AS node FROM customer),
+        edges AS (
+          SELECT o_custkey AS src,
+            o_orderkey % (SELECT count(*) FROM customer) AS dst
+          FROM orders),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST($S AS BIGINT) AS rank FROM nodes),
+        $iters
+        SELECT node, rank FROM r3
+        ORDER BY rank DESC, node LIMIT 20"""
+      }),
 
     // The SQL entry path (E2' with spark.sql): scalar subquery, IN
     // subquery, and correlated EXISTS — Catalyst decorrelates all three.
