@@ -17,6 +17,57 @@ object Aggregates extends QueryModule {
 
   def defs: Vector[(String, QueryDef)] = Vector(
 
+    // Observation API (CollectMetrics): per-pass dataset metrics
+    // gathered as a SIDE CHANNEL of a real query — zero extra scans, the
+    // accumulator pattern a 100 TB pipeline uses for row-count /
+    // quality-gate telemetry instead of re-running audits. The observed
+    // values are returned AS the result frame so the oracle can check
+    // them; the observed query itself is forced through a noop sink.
+    "q_agg_observe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val obs = new org.apache.spark.sql.Observation()
+        Engine.table(s, dir, "lineitem")
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(when($"l_returnflag" === "R", 1L).otherwise(0L))
+              .as("n_returned"),
+            max($"l_quantity").as("max_qty"))
+          .filter($"l_quantity" > 0) // the "real" downstream query
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("n_returned").asInstanceOf[Long],
+          m("max_qty").asInstanceOf[Double]))
+          .toDF("n_rows", "n_returned", "max_qty")
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+          max(l_quantity) AS max_qty
+        FROM lineitem""")),
+
+    // Fixed-width HISTOGRAM of order totals: bucket = floor(x / width)
+    // (identical single IEEE divide + floor in both engines) — the
+    // distribution profile an ingest monitor computes per batch. One
+    // scan, one tiny shuffle on bucket ids.
+    "q_agg_histogram" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "orders")
+          .select(floor($"o_totalprice" / 25000.0).cast("long").as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("lo", $"bucket" * 25000.0)
+      },
+      oracle = Some("""
+        SELECT bucket, count(*) AS n,
+          bucket * CAST(25000.0 AS DOUBLE) AS lo
+        FROM (SELECT CAST(floor(o_totalprice / CAST(25000.0 AS DOUBLE))
+                AS BIGINT) AS bucket FROM orders)
+        GROUP BY bucket""")),
+
     // TPC-H Q1 shape: the flagship scan->filter->agg pipeline.
     //
     // Money columns are exact 2-dp decimals stored as doubles, so the

@@ -350,6 +350,34 @@ object Scalars extends QueryModule {
           'STRUCT<k: BIGINT>' AS props_schema
         FROM events""")),
 
+    // Bitwise function family (B-8): and/or/xor/not, shifts, popcount —
+    // exact integer semantics, identical in any engine. The inputs are
+    // the raw key columns, so this is one codegen'd projection pass.
+    "q_fn_bitwise" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "lineitem")
+          .filter($"l_orderkey" <= 1000)
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_orderkey".bitwiseAND($"l_linenumber")).as("b_and"),
+            ($"l_orderkey".bitwiseOR($"l_linenumber")).as("b_or"),
+            ($"l_orderkey".bitwiseXOR($"l_linenumber")).as("b_xor"),
+            bitwise_not($"l_orderkey").as("b_not"),
+            shiftleft($"l_linenumber".cast("int"), 4).as("b_shl"),
+            shiftright($"l_orderkey".cast("int"), 2).as("b_shr"),
+            bit_count($"l_orderkey").as("b_pop"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+          l_orderkey & l_linenumber AS b_and,
+          l_orderkey | l_linenumber AS b_or,
+          xor(l_orderkey, l_linenumber) AS b_xor,
+          ~l_orderkey AS b_not,
+          CAST(CAST(l_linenumber AS INTEGER) << 4 AS INTEGER) AS b_shl,
+          CAST(CAST(l_orderkey AS INTEGER) >> 2 AS INTEGER) AS b_shr,
+          CAST(bit_count(l_orderkey) AS INTEGER) AS b_pop
+        FROM lineitem WHERE l_orderkey <= 1000""")),
+
     // Cross-engine digests.
     "q_fn_hash" -> QueryDef(
       fn = (s, dir) => {
