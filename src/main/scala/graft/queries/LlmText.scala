@@ -799,6 +799,51 @@ object LlmText extends QueryModule {
           ON n.band = o.band AND n.bh = o.bh
         GROUP BY n.doc_id""")),
 
+    // STREAMING INGEST PIPELINE — the LLM ops COMPOSED as one streaming
+    // query, the shape a crawl-ingest service actually deploys:
+    // normalize (lowercase/punct-strip/space-collapse) -> exact dedup on
+    // the canonical-form hash (stateful dropDuplicates) -> quality gate
+    // (length floor) -> sink. Dirt and exact duplicates are injected
+    // deterministically; every output column is derived from the
+    // CONTENT (not arrival order), so keep-first dedup semantics yield
+    // an order-independent result the batch oracle can hash-match.
+    "q_stream_pipeline" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+        val input = d.select($"doc_id", $"text")
+          .unionByName(d.filter($"doc_id" % 6 === 0).select(
+            ($"doc_id" + 300000L).as("doc_id"),
+            concat(lit("  "), upper($"text"), lit(" !!")).as("text")))
+        graft.streaming.Replay.run(s, input, mode = "append",
+          cacheKey = s"pipeline:$dir") { st =>
+          val norm = st.withColumn("norm",
+            trim(regexp_replace(
+              regexp_replace(lower($"text"), "[^a-z0-9 ]", " "),
+              " +", " ")))
+            .withColumn("norm_key", Fns.h60($"norm"))
+          norm.dropDuplicates(Seq("norm_key"))
+            .withColumn("n_words", size(split($"norm", " ")))
+            .filter($"n_words" >= 5)
+            .select($"norm_key", $"norm", $"n_words")
+        }
+      },
+      oracle = Some(s"""
+        WITH input AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, concat('  ', upper(text), ' !!')
+          FROM documents WHERE doc_id % 6 = 0),
+        n AS (
+          SELECT trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM input),
+        dd AS (SELECT DISTINCT norm FROM n)
+        SELECT ${Fns.h60Sql("norm")} AS norm_key, norm,
+          CAST(len(string_split(norm, ' ')) AS INT) AS n_words
+        FROM dd
+        WHERE len(string_split(norm, ' ')) >= 5""")),
+
     // Cross-source CONTAMINATION MATRIX: how many near-dup pairs link
     // each (source_a, source_b) — the overlap audit run before mixing
     // crawls into a training set. The duplicate copies are injected
