@@ -86,7 +86,7 @@ object ScaleProbe {
       .withColumn("l_orderkey",
         when(pmod($"orig_key" + $"l_linenumber", lit(2L)) === 0, lit(42L))
           .otherwise($"l_orderkey"))
-    def noBroadcast(f: => Unit): Unit = {
+    def noBroadcast[T](f: => T): T = {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try f finally
@@ -139,7 +139,28 @@ object ScaleProbe {
       val tN = Seq.fill(3)(time(f(liN, ordersN))).sorted.apply(1)
       f"""\"$name\":{\"t1\":$t1%.3f,\"tN\":$tN%.3f,\"ratio\":${tN / t1}%.2f}"""
     }
-    println(s"""{"rows_1x":$rows1,"scale":$n,${report.mkString(",")}}""")
+    // introspection: did AQE actually split the hot partition at 8x?
+    // (interpretability guard — a "mitigated" timing without the split
+    // marker would be measuring the unmitigated plan)
+    val skewSplit = noBroadcast {
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+      val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val hot = mkHot(liN)
+        val q = hot.join(ordersN, hot("l_orderkey") === ordersN("o_orderkey"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)), graft.functions.Fns.dsum($"l_extendedprice"))
+        // collect (tiny grouped result) so THIS queryExecution carries the
+        // finalized adaptive plan — a noop write plans a separate
+        // execution and would leave isFinalPlan=false here
+        q.collect()
+        q.queryExecution.executedPlan.toString.contains("skew=true")
+      } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+    println(s"""{"rows_1x":$rows1,"scale":$n,"aqe_skew_split":$skewSplit,${report.mkString(",")}}""")
     spark.stop()
   }
 }
