@@ -1370,6 +1370,60 @@ object LlmText extends QueryModule {
           FROM tf JOIN dfr ON tf.w = dfr.w)
         WHERE rn <= 3""")),
 
+    // TOKEN CO-OCCURRENCE with INTEGER-EXACT lift — the association
+    // matrix (word2vec/PMI prep) over document-level co-occurrence:
+    // lift(a,b) = P(a,b)/(P(a)P(b)) scaled to exact integer units
+    // (n_ab * N * 1e6 div (n_a * n_b)), so no log/float crosses the
+    // engines. Shape: per-doc distinct tokens -> posting-list self-join
+    // (pairs only within a doc, never the global cross), then one
+    // aggregate per pair; document frequencies broadcast back onto the
+    // pair table. Top-20 pairs by (lift, pair) via GroupTopK on a
+    // constant group — the global heap, not a sort.
+    "q_llm_cooccur" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+        val n = d.count()
+        val tok = d.select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("w"))
+        val dfreq = tok.groupBy($"w").agg(count(lit(1)).as("df"))
+        val pairs = tok.as("a").join(tok.as("b"),
+            $"a.doc_id" === $"b.doc_id" && $"a.w" < $"b.w")
+          .groupBy($"a.w".as("w1"), $"b.w".as("w2"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 10)
+        val scored = pairs
+          .join(broadcast(dfreq.select($"w".as("w1"), $"df".as("df1"))), "w1")
+          .join(broadcast(dfreq.select($"w".as("w2"), $"df".as("df2"))), "w2")
+          .select($"w1", $"w2", $"n_ab",
+            expr(s"n_ab * $n * 1000000 div (df1 * df2)").as("lift_units"))
+          .withColumn("g", lit(1))
+        graft.plans.GroupTopK(scored, Seq("g"),
+          Seq("lift_units" -> true, "w1" -> false, "w2" -> false), k = 20)
+          .select($"w1", $"w2", $"n_ab", $"lift_units")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+          FROM documents),
+        dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        pairs AS (
+          SELECT a.w AS w1, b.w AS w2, count(*) AS n_ab
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY a.w, b.w
+          HAVING count(*) >= 10),
+        scored AS (
+          SELECT w1, w2, n_ab,
+            (n_ab * (SELECT count(*) FROM documents) * 1000000)
+              // (d1.df * d2.df) AS lift_units
+          FROM pairs
+          JOIN dfreq d1 ON w1 = d1.w
+          JOIN dfreq d2 ON w2 = d2.w)
+        SELECT w1, w2, n_ab, CAST(lift_units AS BIGINT) AS lift_units
+        FROM (SELECT *, row_number() OVER (ORDER BY lift_units DESC, w1, w2)
+                AS rn FROM scored)
+        WHERE rn <= 20""")),
+
     // Corpus-level OUTLIER FILTER: drop documents above their source's
     // p95 character length — the "remove pathologically long docs"
     // quality rule crawl pipelines apply before training. The per-source
