@@ -164,6 +164,41 @@ object Sources extends QueryModule {
           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM orders GROUP BY o_orderstatus""")),
 
+    // CORRUPT-RECORD QUARANTINE — schema-enforced JSON ingest with bad
+    // lines routed, not dropped: PERMISSIVE parse captures malformed
+    // records in _corrupt while good rows parse normally, and the
+    // ingest report counts both streams (losing bad lines silently is
+    // how a 100 TB crawl ingest corrupts its accounting). Every 7th
+    // line is deterministically mangled so the oracle can replay the
+    // split from the clean table.
+    "q_src_quarantine" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("quar", dir)
+        Engine.table(s, dir, "supplier")
+          .select(when($"s_suppkey" % 7 === 0,
+              concat(lit("{corrupt "), $"s_suppkey".cast("string")))
+            .otherwise(to_json(struct($"s_suppkey", $"s_acctbal")))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "s_suppkey LONG, s_acctbal DOUBLE, _corrupt STRING")
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(out)
+          .groupBy($"_corrupt".isNull.as("ok"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+              .as("cents"))
+      },
+      oracle = Some("""
+        SELECT s_suppkey % 7 <> 0 AS ok, count(*) AS n,
+          CAST(sum(CASE WHEN s_suppkey % 7 <> 0
+            THEN CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS cents
+        FROM supplier GROUP BY s_suppkey % 7 <> 0""")),
+
     // UPSERT (merge-into) semantics on an immutable columnar store: the
     // copy-on-write rewrite every parquet-backed warehouse runs for CDC
     // apply — matched keys take the update's values, unmatched updates
