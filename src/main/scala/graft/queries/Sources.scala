@@ -181,15 +181,20 @@ object Sources extends QueryModule {
             .otherwise(to_json(struct($"s_suppkey", $"s_acctbal")))
             .as("value"))
           .write.mode("overwrite").text(out)
+        // parse via from_json over a text scan rather than the raw JSON
+        // reader: the raw reader forbids plans whose pruned columns are
+        // ONLY the corrupt column (e.g. a count() over this query);
+        // from_json carries no such restriction and keeps the identical
+        // PERMISSIVE + _corrupt routing semantics
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "s_suppkey LONG, s_acctbal DOUBLE, _corrupt STRING")
-        s.read.schema(schema)
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", "_corrupt")
-          .json(out)
-          .groupBy($"_corrupt".isNull.as("ok"))
+        s.read.text(out)
+          .select(from_json($"value", schema,
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+          .groupBy($"r._corrupt".isNull.as("ok"))
           .agg(count(lit(1)).as("n"),
-            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+            sum(floor($"r.s_acctbal" * 100.0 + 0.5).cast("long"))
               .as("cents"))
       },
       oracle = Some("""
