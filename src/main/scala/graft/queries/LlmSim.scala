@@ -391,6 +391,57 @@ object LlmSim extends QueryModule {
     // Gate output explodes the mean vector to (label, dim, m) rows —
     // per-element doubles are bit-identical across engines, while a raw
     // array column crashes the external comparator.
+    // K-MEANS LLOYD ITERATION over the embedding corpus — the clustering
+    // step of SemDeDup-style curation (cluster embeddings, then dedup or
+    // budget within clusters). One iteration, fully deterministic:
+    // 4 fixed seed centroids (vec_id 0-3) broadcast onto the corpus
+    // scan; per-row distance via three bit-reproducible native dot
+    // products (d2 = v·v - 2 v·c + c·c, left-assoc both engines);
+    // argmin with explicit (d2, cid) tiebreak; new centroids via the
+    // exact quantized VecMeanAgg. At 100 TB this is per-row codegen +
+    // ONE shuffle on the 4-key assignment — the canonical Lloyd step.
+    "q_llm_kmeans_iter" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", $"embedding",
+            V.toDouble($"embedding").as("v"))
+        val c = e.filter($"vec_id" <= 3)
+          .select($"vec_id".as("cid"), $"v".as("cv"))
+        val d = e.crossJoin(broadcast(c))
+          .withColumn("d2",
+            V.dot($"v", $"v") - lit(2.0) * V.dot($"v", $"cv")
+              + V.dot($"cv", $"cv"))
+        val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+        val vecMean = udaf(VecMeanAgg)
+        d.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .groupBy($"cid")
+          .agg(vecMean($"embedding").as("mean_vec"),
+            count(lit(1)).as("n"))
+          .select($"cid", posexplode($"mean_vec").as(Seq("dim", "m")), $"n")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, embedding,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id <= 3),
+        d AS (SELECT vec_id, cid, embedding,
+            ${V.dotSql("v", "v")} - 2.0 * ${V.dotSql("v", "cv")}
+              + ${V.dotSql("cv", "cv")} AS d2
+          FROM e CROSS JOIN c),
+        a AS (SELECT cid, embedding,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM d)
+        SELECT cid, dim,
+          CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+            AS DOUBLE) / 10000000 / count(*) AS m,
+          count(*) AS n
+        FROM (SELECT cid,
+                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                unnest(embedding) AS x
+              FROM a WHERE rn = 1)
+        GROUP BY cid, dim""")),
+
     "q_udaf_vec_mean" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
