@@ -427,9 +427,15 @@ object LlmText extends QueryModule {
     // ASYMMETRIC CONTAINMENT join: |A∩B| / |A| — catches subset
     // duplicates (a doc wholly contained in a longer one) that the
     // symmetric jaccard threshold misses when the container is much
-    // larger. Same inverted-index pair generation as the jaccard join;
-    // only the final per-pair math differs. Both directions are emitted
-    // so the consumer can drop whichever side its policy prefers.
+    // larger. Candidate generation is PREFIX-FILTERED (the PPJoin trick
+    // adapted to containment's asymmetry): if |A∩B| >= ceil(0.9·|A|),
+    // at least one of A's (|A| - ceil(0.9·|A|) + 1) rarest tokens (in
+    // global df order) lies in B's FULL set — so candidates come from
+    // prefix(x) ⋈ full(y), each side taking a turn as x, instead of the
+    // full×full posting join. Lossless by pigeonhole; verification on
+    // full sets computes both directions. At 100 TB hot tokens land in
+    // nobody's prefix, so the quadratic posting blowup never happens on
+    // the candidate side (the full side stays linear).
     "q_llm_containment" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -439,14 +445,28 @@ object LlmText extends QueryModule {
           .withColumn("nw", size($"ws"))
         val tok = d.select($"doc_id", $"source", $"nw",
           explode($"ws").as("w"))
-        tok.as("a").join(tok.as("b"),
-          $"a.w" === $"b.w" && $"a.source" === $"b.source"
-            && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-            $"a.nw".as("na"), $"b.nw".as("nb"))
-          .agg(count(lit(1)).as("inter"))
-          .withColumn("cont_a", $"inter".cast("double") / $"na")
-          .withColumn("cont_b", $"inter".cast("double") / $"nb")
+        val dfreq = tok.groupBy($"source", $"w").agg(count(lit(1)).as("df"))
+        // prefix = the (nw - ceil(0.9*nw) + 1) rarest tokens per doc
+        val prefix = tok.join(dfreq, Seq("source", "w"))
+          .groupBy($"source", $"doc_id", $"nw")
+          .agg(collect_list(struct($"df", $"w")).as("tw"))
+          .withColumn("plen",
+            ($"nw" - expr("(nw * 9 + 9) div 10") + 1).cast("int"))
+          .select($"source", $"doc_id",
+            explode(slice(array_sort($"tw"), lit(1), $"plen")).as("p"))
+          .select($"source", $"doc_id", $"p.w".as("w"))
+        val cand = prefix.as("p").join(tok.as("t"),
+            $"p.w" === $"t.w" && $"p.source" === $"t.source"
+              && $"p.doc_id" =!= $"t.doc_id")
+          .select(least($"p.doc_id", $"t.doc_id").as("doc_a"),
+            greatest($"p.doc_id", $"t.doc_id").as("doc_b"))
+          .distinct()
+        val sets = d.select($"doc_id", $"ws", $"nw")
+        cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
+          .join(sets.as("db"), $"doc_b" === $"db.doc_id")
+          .withColumn("inter", size(array_intersect($"da.ws", $"db.ws")))
+          .withColumn("cont_a", $"inter".cast("double") / $"da.nw")
+          .withColumn("cont_b", $"inter".cast("double") / $"db.nw")
           .filter($"cont_a" >= 0.9 || $"cont_b" >= 0.9)
           .select($"doc_a", $"doc_b", $"cont_a", $"cont_b")
       },
