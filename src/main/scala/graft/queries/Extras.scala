@@ -28,6 +28,21 @@ object Extras extends QueryModule {
           sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         FROM lineitem GROUP BY l_linestatus""")),
 
+    // Contingency table via DataFrameStatFunctions.crosstab — the
+    // categorical pair-frequency profile (pivot's stat-API sibling).
+    "q_agg_crosstab" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.table(s, dir, "lineitem")
+          .stat.crosstab("l_returnflag", "l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag AS l_returnflag_l_linestatus,
+          CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS F,
+          CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS O
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // Unpivot/melt — the inverse surface: the pivoted wide frame melted
     // back to (status, flag, qty) long form. Dataset.unpivot is a pure
     // row-local generator (each wide row -> 3 long rows, no shuffle

@@ -19,6 +19,41 @@ object RowOps extends QueryModule {
 
   def defs: Vector[(String, QueryDef)] = Vector(
 
+    // DataFrameNaFunctions surface — the null-cleaning pass of an ingest
+    // pipeline: na.fill (defaults), na.replace (sentinel remap), na.drop
+    // (required-field gate). Nulls are injected deterministically so the
+    // cleaners are load-bearing; the oracle mirrors them with
+    // coalesce/CASE/IS NOT NULL.
+    "q_row_na_clean" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val dirty = Engine.table(s, dir, "customer")
+          .select($"c_custkey",
+            when($"c_custkey" % 11 === 0, lit(null).cast("string"))
+              .otherwise($"c_mktsegment").as("seg"),
+            when($"c_custkey" % 13 === 0, lit(null).cast("double"))
+              .otherwise($"c_acctbal").as("bal"),
+            when($"c_custkey" % 17 === 0, lit(null).cast("bigint"))
+              .otherwise($"c_nationkey").as("nk"))
+        dirty
+          .na.fill(Map("seg" -> "UNKNOWN", "bal" -> 0.0))
+          .na.replace("seg", Map("MACHINERY" -> "MACH"))
+          .na.drop(Seq("nk")) // required field: no default, gate it
+      },
+      oracle = Some("""
+        SELECT c_custkey,
+          CASE coalesce(CASE WHEN c_custkey % 11 = 0 THEN NULL
+                             ELSE c_mktsegment END, 'UNKNOWN')
+            WHEN 'MACHINERY' THEN 'MACH'
+            ELSE coalesce(CASE WHEN c_custkey % 11 = 0 THEN NULL
+                               ELSE c_mktsegment END, 'UNKNOWN')
+          END AS seg,
+          coalesce(CASE WHEN c_custkey % 13 = 0 THEN NULL
+                        ELSE c_acctbal END, 0.0) AS bal,
+          c_nationkey AS nk
+        FROM customer
+        WHERE c_custkey % 17 <> 0""")),
+
     // Projection + computed columns + rename; row-level double arithmetic
     // is IEEE-identical cross-engine so raw values are oracle-safe.
     "q_row_project" -> QueryDef(
