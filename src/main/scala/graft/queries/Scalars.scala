@@ -350,6 +350,52 @@ object Scalars extends QueryModule {
           'STRUCT<k: BIGINT>' AS props_schema
         FROM events""")),
 
+    // Error-safe TRY family (B-8, ANSI-mode companions): malformed casts,
+    // zero divides, and out-of-range array reads yield NULL instead of
+    // failing the job — the semantics a 100 TB ingest wants for dirty
+    // fields (fail the ROW, not the pipeline). Dirt injected
+    // deterministically; DuckDB mirrors via TRY_CAST / NULLIF / native
+    // NULL-on-OOB list indexing.
+    "q_fn_try" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select($"doc_id",
+            expr("""try_cast(CASE WHEN doc_id % 3 = 0
+                      THEN concat('x', CAST(doc_id AS STRING))
+                      ELSE CAST(doc_id AS STRING) END AS BIGINT)""")
+              .as("safe_int"),
+            expr("try_divide(n_chars, CAST(doc_id % 5 AS DOUBLE))")
+              .as("safe_div"),
+            expr("try_element_at(split(text, ' '), CAST(doc_id % 50 AS INT) + 1)")
+              .as("safe_at"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          TRY_CAST(CASE WHEN doc_id % 3 = 0
+                     THEN concat('x', CAST(doc_id AS VARCHAR))
+                     ELSE CAST(doc_id AS VARCHAR) END AS BIGINT)
+            AS safe_int,
+          n_chars / nullif(CAST(doc_id % 5 AS DOUBLE), 0.0) AS safe_div,
+          string_split(text, ' ')[CAST(doc_id % 50 AS INT) + 1] AS safe_at
+        FROM documents""")),
+
+    // Boolean aggregates (bool_and / bool_or): the per-group invariant
+    // check (every row passes the gate / any row trips the flag).
+    "q_agg_bool" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .groupBy($"source")
+          .agg(bool_and($"n_chars" > 100).as("all_long"),
+            bool_or($"lang" === "en").as("has_en"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT source, bool_and(n_chars > 100) AS all_long,
+          bool_or(lang = 'en') AS has_en, count(*) AS n
+        FROM documents GROUP BY source""")),
+
     // Bitwise function family (B-8): and/or/xor/not, shifts, popcount —
     // exact integer semantics, identical in any engine. The inputs are
     // the raw key columns, so this is one codegen'd projection pass.
