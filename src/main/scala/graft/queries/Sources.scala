@@ -164,6 +164,39 @@ object Sources extends QueryModule {
           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM orders GROUP BY o_orderstatus""")),
 
+    // DYNAMIC PARTITION OVERWRITE — the insert-overwrite a warehouse
+    // backfill runs: rewriting one partition's data must leave every
+    // other partition untouched (static mode would truncate the whole
+    // table). The R partition is rewritten with zeroed quantities; the
+    // readback aggregate proves A/N survived intact and R was replaced.
+    "q_src_dynamic_overwrite" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("dynover", dir)
+        val src = Engine.table(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus", $"l_quantity")
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          src.write.mode("overwrite")
+            .partitionBy("l_returnflag").parquet(out)
+          val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try src.filter($"l_returnflag" === "R")
+            .withColumn("l_quantity", lit(0.0))
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag").parquet(out)
+          finally s.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev)
+        }
+        s.read.parquet(out)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 0.0
+                   ELSE l_quantity END) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // CORRUPT-RECORD QUARANTINE — schema-enforced JSON ingest with bad
     // lines routed, not dropped: PERMISSIVE parse captures malformed
     // records in _corrupt while good rows parse normally, and the
