@@ -1465,6 +1465,53 @@ object LlmText extends QueryModule {
                 AS rn FROM scored)
         WHERE rn <= 20""")),
 
+    // BIGRAM LANGUAGE-MODEL statistics: conditional continuation rates
+    // P(w2 | w1) as integer-exact per-million units — the n-gram LM
+    // table (smoothing-free core) a data-quality or synthetic-detection
+    // pass builds at corpus scale. Bigrams come from the native Shingles
+    // expression (n=2, one codegen pass); the conditional denominator is
+    // one more aggregate over the bigram table itself. Top-20 by rate
+    // through the constant-group GroupTopK heap.
+    "q_llm_bigram_lm" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val bg = Engine.table(s, dir, "documents")
+          .select(explode(graft.plans.Shingles($"text", 2)).as("bg"))
+          .withColumn("w1", substring_index($"bg", " ", 1))
+        val c2 = bg.groupBy($"w1", $"bg").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+        val scored = c2.join(broadcast(c1), "w1")
+          .filter($"c2" >= 25)
+          .select($"bg", $"c2", $"c1",
+            expr("c2 * 1000000 div c1").as("ppm"))
+          .withColumn("g", lit(1))
+        graft.plans.GroupTopK(scored, Seq("g"),
+          Seq("ppm" -> true, "bg" -> false), k = 20)
+          .select($"bg", $"c2", $"c1", $"ppm")
+      },
+      oracle = Some("""
+        WITH bg AS (
+          SELECT CASE WHEN len(words) >= 2
+              THEN [concat_ws(' ', words[i+1], words[i+2])
+                    FOR i IN generate_series(0, len(words)-2)]
+              ELSE [text] END AS bgs
+          FROM (SELECT text, string_split(text, ' ') AS words
+                FROM documents)),
+        b AS (SELECT unnest(bgs) AS bg FROM bg),
+        c2 AS (SELECT split_part(bg, ' ', 1) AS w1, bg, count(*) AS c2
+               FROM b GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+               FROM c2 GROUP BY w1),
+        scored AS (
+          SELECT bg, c2.c2 AS c2, c1.c1 AS c1,
+            (c2.c2 * 1000000) // c1.c1 AS ppm
+          FROM c2 JOIN c1 USING (w1)
+          WHERE c2.c2 >= 25)
+        SELECT bg, c2, c1, CAST(ppm AS BIGINT) AS ppm
+        FROM (SELECT *, row_number() OVER (ORDER BY ppm DESC, bg) AS rn
+              FROM scored)
+        WHERE rn <= 20""")),
+
     // Corpus-level OUTLIER FILTER: drop documents above their source's
     // p95 character length — the "remove pathologically long docs"
     // quality rule crawl pipelines apply before training. The per-source

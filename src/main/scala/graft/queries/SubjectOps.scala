@@ -217,6 +217,52 @@ object SubjectOps extends QueryModule {
           ${graft.functions.Fns.dsumGateSql("value")} AS sess_value
         FROM r GROUP BY user_id, sess_seq""")),
 
+    // Z-SCORE ANOMALY DETECTION per user: flag events whose value sits
+    // more than 3 sigma from the user's own mean — the per-entity
+    // outlier monitor over the event trail. Stats are exact quantized-
+    // long sums (the q_agg_stats pattern, value at 1e4 units) broadcast
+    // back onto the scan; per-row z is identical IEEE double math both
+    // engines. Users with n < 2 or zero variance are excluded BEFORE
+    // the division (NaN compares as greater-than-everything in DuckDB
+    // but false in Spark — never let a NaN reach the filter).
+    "q_evt_anomaly" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ev = Engine.events(s, dir)
+          .select($"user_id", $"event_id",
+            floor($"value" * 10000.0).cast("long").as("vq"))
+        val st = ev.groupBy($"user_id")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum($"vq").cast("double").as("sx"),
+            sum($"vq" * $"vq").cast("double").as("sxx"))
+          .filter($"n" >= 2.0)
+          .select($"user_id", ($"sx" / $"n").as("mean"),
+            sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1.0)).as("std"))
+          .filter($"std" > 0.0)
+        ev.join(st, "user_id")
+          .withColumn("z", ($"vq".cast("double") - $"mean") / $"std")
+          .filter(abs($"z") > 3.0)
+          .select($"user_id", $"event_id", $"z")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id,
+            CAST(floor(value * 10000.0) AS BIGINT) AS vq
+          FROM events),
+        st AS (
+          SELECT user_id, sx / n AS mean,
+            sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std
+          FROM (SELECT user_id,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(vq * vq) AS BIGINT) AS DOUBLE) AS sxx
+                FROM ev GROUP BY user_id)
+          WHERE n >= 2.0)
+        SELECT user_id, event_id,
+          (CAST(vq AS DOUBLE) - mean) / std AS z
+        FROM ev JOIN st USING (user_id)
+        WHERE std > 0.0 AND abs((CAST(vq AS DOUBLE) - mean) / std) > 3.0""")),
+
     // Most common 3-step event-type paths per user trail: lag windows
     // over (ts, event_id) total order, then a count-ranked top 10 via
     // TakeOrderedAndProject (seq tiebreak keeps the cut deterministic).
