@@ -135,6 +135,33 @@ object Windows extends QueryModule {
                      ORDER BY o_totalprice DESC, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
 
+    // LOCF forward-fill (last observation carried forward): gap-fill a
+    // sparse measure column with the most recent non-null value per
+    // entity — the time-series repair pass before feature extraction.
+    // last(ignoreNulls) over a running frame; nulls injected
+    // deterministically so the fill is load-bearing.
+    "q_win_locf" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Engine.events(s, dir)
+          .select($"user_id", $"event_id", $"ts",
+            when($"event_id" % 5 === 0, lit(null).cast("double"))
+              .otherwise($"value").as("v"))
+          .withColumn("v_filled", last($"v", ignoreNulls = true).over(w))
+          .select($"user_id", $"event_id", $"v", $"v_filled")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM (SELECT user_id, event_id, ts,
+                CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+              FROM events)""")),
+
     // Per-group top-k (row_number <= k).
     "q_win_topk_group" -> QueryDef(
       fn = (s, dir) => {
