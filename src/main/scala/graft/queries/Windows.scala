@@ -162,6 +162,71 @@ object Windows extends QueryModule {
                 CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
               FROM events)""")),
 
+    // LINEAR INTERPOLATION between the surrounding observations — the
+    // LOCF sibling for continuous measures: a null sample is
+    // reconstructed from the previous and next non-null points weighted
+    // by time distance. Two window passes (backward last + forward
+    // first, both ignoreNulls) share the same partitioning; the blend is
+    // plain per-row IEEE math mirrored term-for-term. Degenerate cases
+    // (no neighbor on either side, zero time gap) resolve BEFORE the
+    // division, so no NaN/Inf ever reaches the output.
+    "q_win_interpolate" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val back = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val fwd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        Engine.events(s, dir)
+          .select($"user_id", $"event_id", $"ts",
+            $"ts".cast("long").as("tsl"),
+            when($"event_id" % 5 === 0, lit(null).cast("double"))
+              .otherwise($"value").as("v"))
+          .withColumn("pv", last($"v", ignoreNulls = true).over(back))
+          .withColumn("ptl", last(when($"v".isNotNull, $"tsl"),
+            ignoreNulls = true).over(back))
+          .withColumn("nv", first($"v", ignoreNulls = true).over(fwd))
+          .withColumn("ntl", first(when($"v".isNotNull, $"tsl"),
+            ignoreNulls = true).over(fwd))
+          .withColumn("v_interp",
+            when($"v".isNotNull, $"v")
+              .when($"pv".isNull || $"nv".isNull, lit(null).cast("double"))
+              .when($"ntl" === $"ptl", $"pv")
+              .otherwise($"pv" + ($"nv" - $"pv")
+                * (($"tsl" - $"ptl").cast("double")
+                  / ($"ntl" - $"ptl").cast("double"))))
+          .select($"user_id", $"event_id", $"v", $"v_interp")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+            CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+              AS BIGINT) AS tsl,
+            CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+          FROM events),
+        w AS (
+          SELECT user_id, event_id, v, tsl,
+            last_value(v IGNORE NULLS) OVER wb AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN tsl END IGNORE NULLS)
+              OVER wb AS ptl,
+            first_value(v IGNORE NULLS) OVER wf AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN tsl END IGNORE NULLS)
+              OVER wf AS ntl
+          FROM e
+          WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, event_id, v,
+          CASE WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL OR nv IS NULL THEN NULL
+               WHEN ntl = ptl THEN pv
+               ELSE pv + (nv - pv)
+                 * (CAST(tsl - ptl AS DOUBLE) / CAST(ntl - ptl AS DOUBLE))
+          END AS v_interp
+        FROM w""")),
+
     // Per-group top-k (row_number <= k).
     "q_win_topk_group" -> QueryDef(
       fn = (s, dir) => {
