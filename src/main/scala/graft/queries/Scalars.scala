@@ -350,6 +350,36 @@ object Scalars extends QueryModule {
           'STRUCT<k: BIGINT>' AS props_schema
         FROM events""")),
 
+    // Nested-array builders (B-8 remainder): flatten, array_compact,
+    // arrays_overlap, array_append — outputs joined to strings (the
+    // external comparator takes scalars; the array ops are the subject).
+    "q_fn_array_nest" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ws = split($"text", " ")
+        Engine.table(s, dir, "documents")
+          .select($"doc_id", $"text", $"lang", $"source")
+          .select($"doc_id",
+            array_join(flatten(array(slice(ws, 1, 2), slice(ws, 3, 2))),
+              ",").as("flat4"),
+            array_join(array_compact(array($"lang",
+              lit(null).cast("string"), $"source")), ",").as("compacted"),
+            arrays_overlap(slice(ws, 1, 5), slice(reverse(ws), 1, 5))
+              .as("ends_share"),
+            array_join(array_append(slice(ws, 1, 2), $"lang"), ",")
+              .as("appended"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          array_to_string(flatten([words[1:2], words[3:4]]), ',') AS flat4,
+          array_to_string(list_filter([lang, NULL, source],
+            x -> x IS NOT NULL), ',') AS compacted,
+          len(list_intersect(words[1:5], list_reverse(words)[1:5])) > 0
+            AS ends_share,
+          array_to_string(list_append(words[1:2], lang), ',') AS appended
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS words
+              FROM documents)""")),
+
     // Error-safe TRY family (B-8, ANSI-mode companions): malformed casts,
     // zero divides, and out-of-range array reads yield NULL instead of
     // failing the job — the semantics a 100 TB ingest wants for dirty
