@@ -1585,6 +1585,33 @@ object LlmText extends QueryModule {
           ${Fns.h60Sql("norm")} AS norm_key
         FROM n""")),
 
+    // WINSORIZATION: clamp a skew-prone measure into its source's
+    // [p05, p95] band instead of dropping rows — the outlier treatment
+    // used when coverage matters more than tail fidelity (the keep-all
+    // dual of q_llm_length_filter). Tiny per-source percentile aggregate
+    // broadcast back onto the scan; the clamp is per-row codegen.
+    "q_llm_winsorize" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars")
+        val pct = d.groupBy($"source")
+          .agg(expr("percentile(n_chars, 0.05)").as("p05"),
+            expr("percentile(n_chars, 0.95)").as("p95"))
+        d.join(broadcast(pct), "source")
+          .select($"doc_id", $"source", $"n_chars",
+            greatest(least($"n_chars".cast("double"), $"p95"), $"p05")
+              .as("clipped"))
+      },
+      oracle = Some("""
+        WITH pct AS (
+          SELECT source, quantile_cont(n_chars, 0.05) AS p05,
+            quantile_cont(n_chars, 0.95) AS p95
+          FROM documents GROUP BY source)
+        SELECT doc_id, d.source, n_chars,
+          greatest(least(CAST(n_chars AS DOUBLE), p95), p05) AS clipped
+        FROM documents d JOIN pct ON d.source = pct.source""")),
+
     // Deterministic STRATIFIED train/validation/test split: bucket =
     // h60(source:doc_id) % 100, 80/10/10. Hashing the (source, id) pair
     // stratifies within each source and keeps the assignment stable
