@@ -164,6 +164,31 @@ object Sources extends QueryModule {
           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM orders GROUP BY o_orderstatus""")),
 
+    // APPEND sink mode — incremental ingest: two writes into one layout
+    // (initial load + a later delta with mode("append")) must read back
+    // as their union. The split is deterministic so the oracle is the
+    // whole table.
+    "q_src_append" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("append", dir)
+        val src = Engine.table(s, dir, "supplier")
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          src.filter($"s_suppkey" % 2 === 0)
+            .write.mode("overwrite").parquet(out)
+          src.filter($"s_suppkey" % 2 === 1)
+            .write.mode("append").parquet(out)
+        }
+        s.read.parquet(out)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            Fns.dsumGate($"s_acctbal").as("sum_bal"))
+      },
+      oracle = Some(s"""
+        SELECT s_nationkey, count(*) AS n,
+          ${Fns.dsumGateSql("s_acctbal")} AS sum_bal
+        FROM supplier GROUP BY s_nationkey""")),
+
     // DYNAMIC PARTITION OVERWRITE — the insert-overwrite a warehouse
     // backfill runs: rewriting one partition's data must leave every
     // other partition untouched (static mode would truncate the whole
