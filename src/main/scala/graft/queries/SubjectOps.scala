@@ -217,6 +217,41 @@ object SubjectOps extends QueryModule {
           ${graft.functions.Fns.dsumGateSql("value")} AS sess_value
         FROM r GROUP BY user_id, sess_seq""")),
 
+    // INTER-EVENT GAP statistics per event type: the latency/cadence
+    // profile (median and p95 seconds between a user's consecutive
+    // events of each type) — the ops dashboard metric over the trail.
+    // One window pass for the lag gap, one aggregate; percentile's
+    // linear interpolation over integer seconds is identical IEEE math
+    // in both engines (q_agg_percentile precedent).
+    "q_evt_gap_stats" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts", $"event_id")
+        Engine.events(s, dir)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("gap_s",
+            $"ts".cast("long") - lag($"ts", 1).over(w).cast("long"))
+          .filter($"gap_s".isNotNull)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_s, 0.5)").as("p50_s"),
+            expr("percentile(gap_s, 0.95)").as("p95_s"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type,
+            date_diff('second', lag(ts, 1) OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts, event_id), ts) AS gap_s
+          FROM events)
+        SELECT event_type, count(*) AS n_gaps,
+          quantile_cont(gap_s, 0.5) AS p50_s,
+          quantile_cont(gap_s, 0.95) AS p95_s
+        FROM g WHERE gap_s IS NOT NULL
+        GROUP BY event_type""")),
+
     // Z-SCORE ANOMALY DETECTION per user: flag events whose value sits
     // more than 3 sigma from the user's own mean — the per-entity
     // outlier monitor over the event trail. Stats are exact quantized-
