@@ -217,6 +217,37 @@ object SubjectOps extends QueryModule {
           ${graft.functions.Fns.dsumGateSql("value")} AS sess_value
         FROM r GROUP BY user_id, sess_seq""")),
 
+    // DAILY ACTIVE USERS + 7-day rolling mean — the engagement rollup
+    // every trail pipeline publishes: distinct users per day (one
+    // dedup + tiny agg), then a rows-frame window over the daily
+    // series. The rolling mean divides an exact long sum by the frame
+    // count — one IEEE op, bit-identical cross-engine.
+    "q_evt_dau" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Engine.events(s, dir)
+          .select(date_trunc("day", $"ts").as("d"), $"user_id")
+          .distinct()
+          .groupBy($"d").agg(count(lit(1)).as("dau"))
+        val w = Window.orderBy($"d").rowsBetween(-6, 0)
+        daily.withColumn("avg7",
+          sum($"dau").over(w).cast("double")
+            / count($"dau").over(w).cast("double"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT d, count(*) AS dau FROM (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+              user_id FROM events)
+          GROUP BY d)
+        SELECT d, dau,
+          CAST(sum(dau) OVER w AS DOUBLE)
+            / CAST(count(dau) OVER w AS DOUBLE) AS avg7
+        FROM daily
+        WINDOW w AS (ORDER BY d
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""")),
+
     // INTER-EVENT GAP statistics per event type: the latency/cadence
     // profile (median and p95 seconds between a user's consecutive
     // events of each type) — the ops dashboard metric over the trail.
