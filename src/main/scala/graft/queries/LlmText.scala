@@ -457,6 +457,59 @@ object LlmText extends QueryModule {
         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
 
+    // THRESHOLD CALIBRATION SWEEP: pair counts at several jaccard
+    // cutoffs from ONE pass over the pair join — the tuning table an
+    // operator reads before fixing the dedup threshold (re-running the
+    // join per candidate cutoff at 100 TB is the naive alternative).
+    // Conditional sums over the same exact per-pair jaccard the dedup
+    // queries compute.
+    "q_llm_threshold_sweep" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = withNearDups(s, dir)
+          .select($"doc_id", $"source",
+            array_distinct(split($"text", " ")).as("ws"))
+          .withColumn("nw", size($"ws"))
+        val tok = d.select($"doc_id", $"source", $"nw",
+          explode($"ws").as("w"))
+        val j = tok.as("a").join(tok.as("b"),
+          $"a.w" === $"b.w" && $"a.source" === $"b.source"
+            && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.nw".as("na"), $"b.nw".as("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .select(($"inter".cast("double")
+            / ($"na" + $"nb" - $"inter")).as("jac"))
+        j.agg(
+          sum(when($"jac" >= 0.5, 1L).otherwise(0L)).as("ge_50"),
+          sum(when($"jac" >= 0.7, 1L).otherwise(0L)).as("ge_70"),
+          sum(when($"jac" >= 0.8, 1L).otherwise(0L)).as("ge_80"),
+          sum(when($"jac" >= 0.9, 1L).otherwise(0L)).as("ge_90"),
+          count(lit(1)).as("n_pairs"))
+      },
+      oracle = Some(s"""
+        WITH $nearDupSql,
+        d AS (SELECT doc_id, source,
+                list_distinct(string_split(text, ' ')) AS ws FROM base),
+        j AS (
+          SELECT CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws)
+                 - len(list_intersect(a.ws, b.ws))) AS jac
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.ws, b.ws)) > 0)
+        SELECT
+          CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS ge_50,
+          CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+            AS ge_70,
+          CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+            AS ge_80,
+          CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS ge_90,
+          count(*) AS n_pairs
+        FROM j""")),
+
     // ASYMMETRIC CONTAINMENT join: |A∩B| / |A| — catches subset
     // duplicates (a doc wholly contained in a longer one) that the
     // symmetric jaccard threshold misses when the container is much
