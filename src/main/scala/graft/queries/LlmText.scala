@@ -1518,6 +1518,35 @@ object LlmText extends QueryModule {
                 AS rn FROM scored)
         WHERE rn <= 20""")),
 
+    // CHARACTER TRIGRAM PROFILE: corpus-wide top char 3-grams — the
+    // byte-level signature used for encoding/language drift detection
+    // (word tokenizers miss it). Pure per-row explode (one output row
+    // per character position), then one count aggregate; top-20 via the
+    // constant-group GroupTopK heap.
+    "q_llm_char_ngrams" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val grams = Engine.table(s, dir, "documents")
+          .filter(length($"text") >= 3)
+          .select(explode(expr(
+            "transform(sequence(1, length(text) - 2)," +
+              " i -> substring(text, i, 3))")).as("g"))
+        val counted = grams.groupBy($"g").agg(count(lit(1)).as("n"))
+          .withColumn("grp", lit(1))
+        graft.plans.GroupTopK(counted, Seq("grp"),
+          Seq("n" -> true, "g" -> false), k = 20)
+          .select($"g", $"n")
+      },
+      oracle = Some("""
+        SELECT g, n FROM (
+          SELECT g, n, row_number() OVER (ORDER BY n DESC, g) AS rn
+          FROM (SELECT g, count(*) AS n FROM (
+                  SELECT unnest([substr(text, i, 3)
+                    FOR i IN generate_series(1, len(text) - 2)]) AS g
+                  FROM documents WHERE len(text) >= 3)
+                GROUP BY g))
+        WHERE rn <= 20""")),
+
     // BIGRAM LANGUAGE-MODEL statistics: conditional continuation rates
     // P(w2 | w1) as integer-exact per-million units — the n-gram LM
     // table (smoothing-free core) a data-quality or synthetic-detection
