@@ -442,6 +442,45 @@ object LlmSim extends QueryModule {
               FROM a WHERE rn = 1)
         GROUP BY cid, dim""")),
 
+    // PER-DIMENSION EMBEDDING DISTRIBUTION: mean/std for every vector
+    // dimension — the drift monitor run on each embedding batch before
+    // it enters an index (a shifted dimension poisons every distance).
+    // Exact quantized-long moment sums (the q_agg_stats pattern at 1e7
+    // units: |x| < 0.6 and n/dim = corpus size keep sums far inside
+    // int64), one explode + one 64-key aggregate.
+    "q_llm_embed_stats" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "embeddings")
+          .select(posexplode(V.toDouble($"embedding")).as(Seq("dim", "x")))
+          .select($"dim", floor($"x" * 1e7).cast("long").as("vq"))
+          .groupBy($"dim")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum($"vq").cast("double").as("sx"),
+            sum($"vq" * $"vq").cast("double").as("sxx"))
+          .select($"dim",
+            ($"sx" / $"n" / 1e7).as("mean"),
+            (sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1.0)) / 1e7)
+              .as("std"),
+            $"n".cast("long").as("n"))
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT dim, CAST(floor(x * 1e7) AS BIGINT) AS vq FROM (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+                AS dim,
+              CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings)),
+        m AS (
+          SELECT dim, CAST(count(*) AS DOUBLE) AS n,
+            CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) AS sx,
+            CAST(CAST(sum(vq * vq) AS BIGINT) AS DOUBLE) AS sxx
+          FROM q GROUP BY dim)
+        SELECT dim, sx / n / 1e7 AS mean,
+          sqrt((sxx - sx * sx / n) / (n - 1.0)) / 1e7 AS std,
+          CAST(n AS BIGINT) AS n
+        FROM m""")),
+
     "q_udaf_vec_mean" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
