@@ -457,6 +457,80 @@ object LlmText extends QueryModule {
         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
 
+    // PER-SOURCE DUPLICATION RATE: what fraction of each source's docs
+    // are exact duplicates — the contamination KPI that decides which
+    // crawl gets re-cleaned first. Content groups from one hash-groupBy
+    // (the exact-dedup shape), dup flags joined back, integer-exact
+    // permille rate.
+    "q_llm_dup_rate" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+        val base = d.select($"doc_id", $"source", $"text")
+          .unionByName(d.filter($"doc_id" % 10 === 0).select(
+            ($"doc_id" + 100000L).as("doc_id"), $"source", $"text"))
+        val groups = base.groupBy($"text")
+          .agg(count(lit(1)).as("copies"), min($"doc_id").as("keep_id"))
+        base.join(groups, "text")
+          .select($"source",
+            when($"copies" > 1 && $"doc_id" =!= $"keep_id", 1L)
+              .otherwise(0L).as("is_dup"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"is_dup").as("n_dups"))
+          .withColumn("dup_permille",
+            expr("n_dups * 1000 div n_docs"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, source, text FROM documents
+          WHERE doc_id % 10 = 0),
+        g AS (SELECT text, count(*) AS copies, min(doc_id) AS keep_id
+              FROM base GROUP BY text)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN copies > 1 AND doc_id <> keep_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+          CAST((sum(CASE WHEN copies > 1 AND doc_id <> keep_id
+            THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT)
+            AS dup_permille
+        FROM base JOIN g USING (text)
+        GROUP BY source""")),
+
+    // COMPOSITE QUALITY GATE: the accept/reject decision with a REASON
+    // BITMASK (which rules fired) — what a filtering pipeline actually
+    // emits, so rejected docs are auditable by rule. Three cheap per-row
+    // rules (short doc, low lexical diversity, high top-word share);
+    // pure codegen, no shuffle.
+    "q_llm_quality_gate" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ws = split($"text", " ")
+        Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars", $"text")
+          .withColumn("n_words", size(ws))
+          .withColumn("n_distinct", size(array_distinct(ws)))
+          .withColumn("mask",
+            when($"n_chars" < 100, 1L).otherwise(0L)
+              + when($"n_distinct".cast("double")
+                  / $"n_words" < 0.3, 2L).otherwise(0L)
+              + when($"n_words" < 20, 4L).otherwise(0L))
+          .select($"doc_id", $"source", $"mask",
+            ($"mask" === 0L).as("accepted"))
+      },
+      oracle = Some("""
+        SELECT doc_id, source, CAST(mask AS BIGINT) AS mask,
+          mask = 0 AS accepted FROM (
+          SELECT doc_id, source,
+            (CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE)
+                  / len(ws) < 0.3 THEN 2 ELSE 0 END)
+            + (CASE WHEN len(ws) < 20 THEN 4 ELSE 0 END) AS mask
+          FROM (SELECT doc_id, source, n_chars,
+                  string_split(text, ' ') AS ws
+                FROM documents))""")),
+
     // THRESHOLD CALIBRATION SWEEP: pair counts at several jaccard
     // cutoffs from ONE pass over the pair join — the tuning table an
     // operator reads before fixing the dedup threshold (re-running the
