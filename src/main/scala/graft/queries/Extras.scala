@@ -28,6 +28,17 @@ object Extras extends QueryModule {
           sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         FROM lineitem GROUP BY l_linestatus""")),
 
+    // LATERAL correlated subquery in FROM (SQL surface): top-2 orders
+    // PER customer via a correlated ORDER BY ... LIMIT — Catalyst
+    // decorrelates the lateral into a window-filter; DuckDB executes the
+    // same text natively. Deterministic tiebreak inside the LIMIT.
+    "q_sql_lateral" -> QueryDef(
+      fn = (s, dir) => {
+        Engine.registerAll(s, dir)
+        s.sql(TpchSql.lateral)
+      },
+      oracle = Some(TpchSql.lateral)),
+
     // Contingency table via DataFrameStatFunctions.crosstab — the
     // categorical pair-frequency profile (pivot's stat-API sibling).
     "q_agg_crosstab" -> QueryDef(

@@ -57,6 +57,18 @@ private[queries] object TpchSql {
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
     WHERE rev_units = (SELECT max(rev_units) FROM rev)"""
 
+  /** Top-2 orders per high-balance customer via a LATERAL correlated
+    * subquery with ORDER BY + LIMIT — runs identically on both engines.
+    */
+  val lateral: String = """
+    SELECT c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) o
+    WHERE c_acctbal > 9000.0"""
+
   /** Q2 shape: min-cost supplier per part in a region — the supply
     * relation is proxied by (l_partkey, l_suppkey, min price) from
     * lineitem (no partsupp table in the test schema); min over doubles

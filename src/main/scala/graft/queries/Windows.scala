@@ -135,6 +135,39 @@ object Windows extends QueryModule {
                      ORDER BY o_totalprice DESC, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
 
+    // RUNNING DISTINCT COUNT ("new items seen so far"): count(DISTINCT)
+    // isn't a window function, but first-occurrence flags (row_number
+    // over the per-(entity, item) order == 1) summed over the running
+    // frame compute it exactly — the discovery-curve formulation that
+    // scales (two window passes, no per-row set state).
+    "q_win_running_distinct" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wfirst = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts", $"event_id")
+        val wrun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Engine.events(s, dir)
+          .select($"user_id", $"event_id", $"event_type", $"ts")
+          .withColumn("is_new",
+            when(row_number().over(wfirst) === 1, 1L).otherwise(0L))
+          .withColumn("types_seen", sum($"is_new").over(wrun))
+          .select($"user_id", $"event_id", $"types_seen")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id,
+          CAST(sum(is_new) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS types_seen
+        FROM (
+          SELECT user_id, event_id, ts,
+            CASE WHEN row_number() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_new
+          FROM events)""")),
+
     // LOCF forward-fill (last observation carried forward): gap-fill a
     // sparse measure column with the most recent non-null value per
     // entity — the time-series repair pass before feature extraction.
