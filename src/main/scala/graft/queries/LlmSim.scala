@@ -442,6 +442,34 @@ object LlmSim extends QueryModule {
               FROM a WHERE rn = 1)
         GROUP BY cid, dim""")),
 
+    // TRAINING RECORD ASSEMBLY: join the text table to its embedding
+    // table into the (text features + vector features) record a trainer
+    // consumes — one co-partitionable equi-join on the shared id (at
+    // 100 TB both sides bucket on it; here the planner picks the
+    // shuffle/broadcast). Vector feature = L2 norm via the native dot.
+    "q_llm_record_assembly" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source", $"lang", $"n_chars",
+            size(split($"text", " ")).cast("long").as("n_words"))
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", V.toDouble($"embedding").as("v"))
+          .select($"vec_id", sqrt(V.dot($"v", $"v")).as("vnorm"))
+        d.join(e, $"doc_id" === $"vec_id")
+          .select($"doc_id", $"source", $"lang", $"n_chars",
+            $"n_words", $"vnorm")
+      },
+      oracle = Some(s"""
+        SELECT doc_id, source, lang, n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          sqrt(${V.dotSql("v", "v")}) AS vnorm
+        FROM documents
+        JOIN (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings) e
+          ON doc_id = vec_id""")),
+
     // PER-DIMENSION EMBEDDING DISTRIBUTION: mean/std for every vector
     // dimension — the drift monitor run on each embedding batch before
     // it enters an index (a shifted dimension poisons every distance).

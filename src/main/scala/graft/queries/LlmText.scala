@@ -457,6 +457,35 @@ object LlmText extends QueryModule {
         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
             / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7""")),
 
+    // DATASET CARD: the one-row corpus summary published with a training
+    // set — volumes, token/char totals, source/language breadth, length
+    // distribution anchors. One scan, one aggregate (count distinct
+    // pays its expand only over this single pass).
+    "q_llm_dataset_card" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select($"source", $"lang", $"n_chars",
+            size(split($"text", " ")).cast("long").as("n_words"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("total_chars"),
+            sum($"n_words").as("total_words"),
+            countDistinct($"source").as("n_sources"),
+            countDistinct($"lang").as("n_langs"),
+            min($"n_chars").as("min_chars"),
+            max($"n_chars").as("max_chars"),
+            expr("percentile(n_chars, 0.5)").as("median_chars"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+          count(DISTINCT source) AS n_sources,
+          count(DISTINCT lang) AS n_langs,
+          min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+          quantile_cont(n_chars, 0.5) AS median_chars
+        FROM documents""")),
+
     // PER-SOURCE DUPLICATION RATE: what fraction of each source's docs
     // are exact duplicates — the contamination KPI that decides which
     // crawl gets re-cleaned first. Content groups from one hash-groupBy
