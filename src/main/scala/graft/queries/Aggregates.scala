@@ -48,6 +48,24 @@ object Aggregates extends QueryModule {
           max(l_quantity) AS max_qty
         FROM lineitem""")),
 
+    // count_if / filtered aggregation — the conditional-count shorthand
+    // (DuckDB mirrors with FILTER clauses).
+    "q_agg_count_if" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(count_if($"o_totalprice" > 200000.0).as("n_big"),
+            count_if($"o_orderstatus" === "F").as("n_finished"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+          count(*) FILTER (o_totalprice > 200000.0) AS n_big,
+          count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+          count(*) AS n
+        FROM orders GROUP BY o_orderpriority""")),
+
     // Fixed-width HISTOGRAM of order totals: bucket = floor(x / width)
     // (identical single IEEE divide + floor in both engines) — the
     // distribution profile an ingest monitor computes per batch. One
