@@ -59,10 +59,21 @@ object Bench {
     // A query that threw is recorded as -1 in `queries`; surface it
     // explicitly so a failure can't silently shrink the headline total.
     val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.mkString("[", ",", "]")},""" +
-        s""""n_failed":${failed.size},"ok":${failed.isEmpty},"sf":"$sfDir"}""")
+        s""""n_failed":${failed.size},"ok":${failed.isEmpty},"sf":"$sfDir"}"""
+    println(line)
+    // Sidecar with ALL per-query times: the driver's BENCH_rN.json stores
+    // stdout as a truncated string, which silently drops most of the
+    // corpus from the auditable record. Full-corpus runs (no arg filter)
+    // also persist the complete JSON to a committable file.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

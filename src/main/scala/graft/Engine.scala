@@ -44,12 +44,15 @@ object Engine {
   /** Root for shuffle/spill files (spark.local.dir). Spill exists to
     * RELIEVE memory pressure, so tmpfs is only used when it demonstrably
     * has headroom: explicitly via SPARK_GRAFT_SHM_SPILL=1/0, or by
-    * default only when /dev/shm has >= 32 GiB free (the sf0.1 bench
-    * shuffles are a few hundred MB — far under that bound). Any other
-    * box falls back to real disk, where a large shuffle degrades instead
-    * of OOM-killing the host. Streaming-checkpoint ephemera stay on
-    * [[scratchRoot]] (tmpfs-preferring): they are small, fsync-latency
-    * bound, and drained within the run.
+    * default when /dev/shm has >= 4 GiB free. The bound was 32 GiB in
+    * round 4, which silently demoted shuffles to real disk on any box
+    * with a modest /dev/shm — the leading suspect for r4's driver-only
+    * 2-5x inflation of the shuffle-heavy bench tail (the same commits
+    * re-measured locally in r5 sat within the r3 band; see PLANS.md).
+    * 4 GiB is >10x the largest sf0.1 corpus shuffle (a few hundred MB),
+    * so the demotion now only triggers where disk is genuinely the
+    * safer choice. Streaming-checkpoint ephemera stay on [[scratchRoot]]
+    * (tmpfs-preferring): small, fsync-latency bound, drained in-run.
     */
   lazy val spillRoot: String = {
     val shm = new java.io.File("/dev/shm")
@@ -57,7 +60,7 @@ object Engine {
     val useShm = sys.env.get("SPARK_GRAFT_SHM_SPILL") match {
       case Some("1") => shmOk
       case Some(_)   => false
-      case None      => shmOk && shm.getUsableSpace >= (32L << 30)
+      case None      => shmOk && shm.getUsableSpace >= (4L << 30)
     }
     val root =
       if (useShm) new java.io.File(shm, "graft-spill")

@@ -325,18 +325,48 @@ object Aggregates extends QueryModule {
         FROM lineitem GROUP BY l_returnflag""")),
 
     // approx sketches beyond HLL: percentile_approx (KLL-style quantile
-    // sketch) and count_min_sketch (binary CMS) — engine-specific layouts,
-    // so rows-only gate; accuracy asserted in unit tests.
+    // sketch) and count_min_sketch (binary CMS). The sketch LAYOUTS are
+    // engine-specific (no DuckDB twin), so the gated output carries the
+    // accuracy ASSERTIONS instead: DuckDB recomputes the exact anchors
+    // (true median, true key-1 frequency) and expects TRUE for each
+    // bound check — a hash-matchable oracle instead of rows-only.
+    // Bounds: |approx_p50 - exact_p50| <= 2 (accuracy=1000 => rank error
+    // ~n/1000 on a 1..50-valued column); CMS is never-underestimate plus
+    // overestimate <= 2*eps*n (eps = 0.01, fixed seed => deterministic).
+    // The CMS decode is a 3-row driver-grain UDF (one call per group) —
+    // Spark ships no SQL estimator for its own CMS binary; this is not a
+    // per-row hot path.
     "q_agg_sketches" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
+        val cmsEst = udf((bytes: Array[Byte], key: Long) =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .estimateCount(key))
         Engine.table(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
             percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
-            expr("hex(count_min_sketch(l_suppkey, 0.01d, 0.99d, 42))").as("cms_hex"))
+            percentile($"l_quantity", lit(0.5)).as("p50_exact"),
+            expr("count_min_sketch(l_suppkey, 0.01d, 0.99d, 42)").as("cms"),
+            count(when($"l_suppkey" === 1L, 1)).as("k1_exact"),
+            count(lit(1)).as("n"))
+          .select($"l_returnflag",
+            $"p50_exact",
+            (abs($"p50_approx" - $"p50_exact") <= lit(2.0)).as("p50_ok"),
+            $"k1_exact",
+            (cmsEst($"cms", lit(1L)) >= $"k1_exact" &&
+              cmsEst($"cms", lit(1L)) <= $"k1_exact" + $"n" * 2.0 / 100.0)
+              .as("cms_ok"))
       },
-      oracle = None),
+      oracle = Some("""
+        SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS p50_exact,
+          TRUE AS p50_ok,
+          CAST(sum(CASE WHEN l_suppkey = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS k1_exact,
+          TRUE AS cms_ok
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // collect_list sorted (order-insensitive via explicit array_sort).
     // Gate output joins the sorted lists to strings (raw arrays crash the
@@ -356,16 +386,29 @@ object Aggregates extends QueryModule {
           array_to_string(list(DISTINCT n_name ORDER BY n_name), '|') AS nation_set
         FROM nation GROUP BY n_regionkey""")),
 
-    // approx_count_distinct (HLL): no cross-engine oracle — rows-only gate;
-    // accuracy asserted against exact counts in unit tests.
+    // approx_count_distinct (HLL): the estimate itself has no DuckDB
+    // twin, so the gated output is the error-bound ASSERTION — DuckDB
+    // computes the exact distinct count and expects TRUE. Bound is
+    // 5*rsd (rsd = 0.01): HLL++ at that precision lands well inside it,
+    // and the estimate is deterministic given the data, so the boolean
+    // is stable. max(..., 1) keeps tiny groups from demanding 0 error.
     "q_agg_approx_distinct" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
         Engine.table(s, dir, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+          .agg(
+            countDistinct($"l_orderkey").as("exact_orders"),
+            approx_count_distinct($"l_orderkey", 0.01).as("approx"))
+          .select($"l_returnflag", $"exact_orders",
+            (abs($"approx" - $"exact_orders") <=
+              greatest($"exact_orders" * 0.05, lit(1.0))).as("within_5x_rsd"))
       },
-      oracle = None),
+      oracle = Some("""
+        SELECT l_returnflag,
+          count(DISTINCT l_orderkey) AS exact_orders,
+          TRUE AS within_5x_rsd
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // Custom HLL sketch (TypedImperativeAggregate over the shared h60
     // hash): unlike approx_count_distinct, the register STATE is

@@ -39,12 +39,22 @@ object Extras extends QueryModule {
       },
       oracle = Some(TpchSql.lateral)),
 
-    // Contingency table via DataFrameStatFunctions.crosstab — the
-    // categorical pair-frequency profile (pivot's stat-API sibling).
+    // Contingency table (crosstab semantics). Deliberately NOT
+    // DataFrameStatFunctions.crosstab: that API collects the distinct
+    // (a, b) pair counts to the driver to assemble the wide frame — fine
+    // at 3x2, a driver-killer on a high-cardinality pair at 100x. With
+    // the category values supplied explicitly, groupBy(a).pivot(b, vals)
+    // builds the identical table fully distributed (one partial-agg
+    // shuffle, no driver materialization beyond the final rows); empty
+    // cells are 0-filled to match crosstab's contract.
     "q_agg_crosstab" -> QueryDef(
       fn = (s, dir) => {
+        import s.implicits._
         Engine.table(s, dir, "lineitem")
-          .stat.crosstab("l_returnflag", "l_linestatus")
+          .groupBy($"l_returnflag".as("l_returnflag_l_linestatus"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O"))
       },
       oracle = Some("""
         SELECT l_returnflag AS l_returnflag_l_linestatus,
@@ -120,6 +130,16 @@ object Extras extends QueryModule {
         val nodes = Engine.table(s, dir, "customer")
           .select($"c_custkey".as("node"))
         val n = nodes.count()
+        // Overflow guard for the integer-exact damping below: the worst
+        // case for any single destination's in_sum is the ENTIRE rank
+        // mass (n * S units, if every edge pointed at one node), and the
+        // Spark side computes 85 * in_sum in Int64 (silent wrap) while
+        // DuckDB sums in HUGEINT (loud cast error) — a latent divergence
+        // unless the mass bound holds. Fail loudly at the same place on
+        // both engines' behalf: n * S * 85 must fit in a signed 64-bit.
+        require(n <= Long.MaxValue / 85 / S,
+          s"pagerank integer-exact scale bound exceeded: n=$n nodes at " +
+            s"S=$S rank units; shrink S to keep 85*in_sum inside Int64")
         val edges = Engine.table(s, dir, "orders")
           .select($"o_custkey".as("src"), ($"o_orderkey" % n).as("dst"))
         val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))

@@ -467,18 +467,40 @@ object Scalars extends QueryModule {
         SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
         FROM documents""")),
 
-    // Spark-native hashes (xxhash64 / murmur hash / crc32): no DuckDB
-    // counterpart — rows-only gate; stability asserted in unit tests.
+    // Spark-native hashes (xxhash64 / murmur hash / crc32): the hash
+    // VALUES have no DuckDB counterpart, so the gated output asserts the
+    // properties a consumer depends on — xxhash64 injective on this
+    // corpus (64-bit: collision odds ~1e-8 at 1M docs), murmur (32-bit,
+    // collisions expected at scale) spreading over >= 99% of distinct
+    // inputs, crc32 inside its unsigned-32 range — anchored to DuckDB's
+    // exact row/distinct-text counts. Per-value stability stays covered
+    // in unit tests.
     "q_fn_hash_spark" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        Engine.table(s, dir, "documents").select(
-          $"doc_id",
-          xxhash64($"text").as("xx64"),
-          hash($"text").as("murmur"),
-          crc32($"text".cast(BinaryType)).as("crc"))
+        Engine.table(s, dir, "documents")
+          .select(
+            $"text",
+            xxhash64($"text").as("xx64"),
+            hash($"text").as("murmur"),
+            crc32($"text".cast(BinaryType)).as("crc"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct($"text").as("n_texts"),
+            (countDistinct($"xx64") === countDistinct($"text"))
+              .as("xx64_injective"),
+            (countDistinct($"murmur") >= countDistinct($"text") * 0.99)
+              .as("murmur_spread_ok"),
+            (min($"crc") >= 0L && max($"crc") <= 4294967295L)
+              .as("crc_in_range"))
       },
-      oracle = None),
+      oracle = Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+          TRUE AS xx64_injective,
+          TRUE AS murmur_spread_ok,
+          TRUE AS crc_in_range
+        FROM documents""")),
 
     // Map construction + key/value ops (DuckDB map[k] yields LIST -> [1]).
     "q_fn_map" -> QueryDef(

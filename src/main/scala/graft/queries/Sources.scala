@@ -275,11 +275,17 @@ object Sources extends QueryModule {
         import s.implicits._
         val base = Engine.table(s, dir, "orders")
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        // Insert keys start ABOVE the live key range (max + id), not at
+        // a fixed constant: o_orderkey reaches ~6M*sf, so any hardcoded
+        // base collides with real keys at a large enough SF and turns
+        // the inserts into duplicate-key fan-out in the merge join. The
+        // max() is a one-row scalar fetch, same cost class as a count().
+        val maxKey = base.agg(max($"o_orderkey")).first().getLong(0)
         val updates = base.filter($"o_orderkey" % 7 === 0)
           .select($"o_orderkey", lit("U").as("o_orderstatus"),
             ($"o_totalprice" * 1.1).as("o_totalprice"))
           .unionByName(s.range(1, 51).select(
-            ($"id" + 90000000L).as("o_orderkey"),
+            ($"id" + maxKey).as("o_orderkey"),
             lit("N").as("o_orderstatus"),
             ($"id" * 100.0).as("o_totalprice")))
         base.as("t").join(updates.as("u"), Seq("o_orderkey"), "full_outer")
@@ -300,7 +306,8 @@ object Sources extends QueryModule {
             o_totalprice * 1.1 AS o_totalprice
           FROM orders WHERE o_orderkey % 7 = 0
           UNION ALL
-          SELECT 90000000 + r.range, 'N', r.range * 100.0
+          SELECT (SELECT max(o_orderkey) FROM orders) + r.range,
+            'N', r.range * 100.0
           FROM range(1, 51) r),
         merged AS (
           SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,

@@ -202,6 +202,70 @@ object Streaming extends QueryModule {
         SELECT p_id, c_id, p_user, p_value FROM matched
         UNION ALL SELECT p_id, c_id, p_user, p_value FROM unmatched""")),
 
+    // Stream-stream FULL OUTER join: completes the outer family — both
+    // sides emit watermark-evicted null rows. Eviction truth per side
+    // follows from the time bounds: a purchase is provably unmatched
+    // once the watermark passes p_ts + 1h (no click in its window can
+    // still arrive); a click once the watermark passes c_ts (any future
+    // purchase has p_ts >= wm > c_ts, outside c_ts >= p_ts). Purchases/
+    // clicks above those lines are live state at drain time and are NOT
+    // emitted — the oracle mirrors both watermark-truth sets. Null sides
+    // render as -1 (gate outputs stay non-null for the comparator);
+    // user_id coalesces across sides so it is never null.
+    "q_stream_join_full" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Replay.run(s, Replay.events(s, dir), mode = "append",
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
+          val clicks = st.filter($"event_type" === "click")
+            .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+              $"event_id".as("c_id"))
+            .withWatermark("c_ts", "2 hours")
+          val purchases = st.filter($"event_type" === "purchase")
+            .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+              $"event_id".as("p_id"), $"value".as("p_value"))
+            .withWatermark("p_ts", "2 hours")
+          purchases.join(clicks,
+            expr("""p_user = c_user AND
+                    c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 1 HOUR"""),
+            "fullOuter")
+            .select(
+              coalesce($"p_id", lit(-1L)).as("p_id"),
+              coalesce($"c_id", lit(-1L)).as("c_id"),
+              coalesce($"p_user", $"c_user").as("user_id"),
+              coalesce($"p_value", lit(-1.0)).as("p_value"))
+        }
+      },
+      oracle = Some("""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                 - INTERVAL 2 HOUR AS w),
+        matched AS (
+          SELECT p.event_id AS p_id, c.event_id AS c_id,
+            p.user_id AS user_id, p.value AS p_value
+          FROM p JOIN c ON p.user_id = c.user_id
+            AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR),
+        un_p AS (
+          SELECT p.event_id AS p_id, CAST(-1 AS BIGINT) AS c_id,
+            p.user_id AS user_id, p.value AS p_value
+          FROM p, wm
+          WHERE p.ts + INTERVAL 1 HOUR < wm.w
+            AND NOT EXISTS (SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)),
+        un_c AS (
+          SELECT CAST(-1 AS BIGINT) AS p_id, c.event_id AS c_id,
+            c.user_id AS user_id, CAST(-1.0 AS DOUBLE) AS p_value
+          FROM c, wm
+          WHERE c.ts < wm.w
+            AND NOT EXISTS (SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR))
+        SELECT p_id, c_id, user_id, p_value FROM matched
+        UNION ALL SELECT p_id, c_id, user_id, p_value FROM un_p
+        UNION ALL SELECT p_id, c_id, user_id, p_value FROM un_c""")),
+
     // Update output mode: with a single AvailableNow trigger the sink
     // holds exactly one (final) update per key — batch-equivalent and
     // t2-checkable. (Multi-trigger update streams are exercised by the

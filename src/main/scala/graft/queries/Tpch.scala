@@ -749,6 +749,54 @@ object Tpch extends QueryModule {
       },
       oracle = Some(TpchSql.q21)),
 
+    // Q21 scale-safe rewrite: the decorrelated EXISTS/NOT-EXISTS plan
+    // above scans lineitem three times and self-joins the fact table
+    // twice — at 100 TB those sides stop broadcasting and become two full
+    // fact shuffles. This variant derives the same answer from ONE
+    // lineitem scan: classify each line late/on-time against its order's
+    // date, reduce to (order, supplier) grain (map-side partial agg eats
+    // the fan-in), then to order grain — an order qualifies iff it has
+    // >= 2 suppliers and EXACTLY ONE of them shipped late; every late
+    // line then belongs to that sole supplier, so its late-line count is
+    // the order's numwait contribution. Two orderkey-clustered shuffles
+    // (pair agg reuses the first's partitioning prefix) replace the two
+    // fact-fact semi/anti joins. Oracle = the original q21 SQL, so the
+    // gate proves the rewrite hash-matches the subquery formulation.
+    "q21_waiting_suppliers_fast" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val orders = Engine.table(s, dir, "orders")
+          .filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate")
+        val lines = Engine.table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+          .join(orders, $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"l_suppkey",
+            ($"l_shipdate" > date_add($"o_orderdate", 700)).as("late"))
+        val perPair = lines
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(
+            max(when($"late", 1).otherwise(0)).as("any_late"),
+            sum(when($"late", 1L).otherwise(0L)).as("late_lines"))
+        val soleLate = perPair
+          .groupBy($"l_orderkey")
+          .agg(
+            count(lit(1)).as("n_supp"),
+            sum($"any_late").as("n_late_supp"),
+            max(when($"any_late" === 1, $"l_suppkey")).as("late_supp"),
+            sum(when($"any_late" === 1, $"late_lines")).as("late_supp_lines"))
+          .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+        val supplier = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name")
+        soleLate
+          .join(supplier, $"late_supp" === $"s_suppkey")
+          .groupBy($"s_name")
+          .agg(sum($"late_supp_lines").as("numwait"))
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(25)
+      },
+      oracle = Some(TpchSql.q21)),
+
     // Custom TypedImperativeAggregate: exact sorted distinct-set per
     // group (the imperative-buffer extension point for sketches).
     // Gate output is the ','-joined set (raw arrays crash the external

@@ -494,6 +494,23 @@ class OperatorSpec extends AnyFunSuite {
       assert(!read.contains(c), s"$c read but unused: $read"))
   }
 
+  test("q21 fast rewrite scans lineitem exactly once (vs 3x decorrelated)") {
+    val q = SparkEntry.queries("q21_waiting_suppliers_fast")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val liScans = "lineitem".r.findAllIn(plan).size
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans:\n" +
+      plan.take(2000))
+    // the decorrelated original really does scan it three times — the
+    // rewrite's reason to exist
+    val orig = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+    orig.write.format("noop").mode("overwrite").save()
+    val origScans =
+      "lineitem".r.findAllIn(orig.queryExecution.executedPlan.toString).size
+    assert(origScans >= 3, s"expected >=3 lineitem scans in original, " +
+      s"got $origScans")
+  }
+
   test("q13 outer-join distribution: agg reuses the join's partitioning") {
     val q = SparkEntry.queries("q13_order_distribution")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
