@@ -416,13 +416,22 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh1 = pairs("q_llm_ann_lsh")
     val lsh2 = pairs("q_llm_ann_lsh2")
-    val r1 = (lsh1 & brute).size.toDouble / brute.size
-    val r2 = (lsh2 & brute).size.toDouble / brute.size
+    val lshMt = pairs("q_llm_ann_lsh_mt")
+    val ivf1 = pairs("q_llm_ann_ivf")
+    val ivf2 = pairs("q_llm_ann_ivf2")
+    def recall(s: Set[(Long, Long)]) = (s & brute).size.toDouble / brute.size
+    val (r1, r2, rMt) = (recall(lsh1), recall(lsh2), recall(lshMt))
     // multi-probe candidates are a superset of single-probe candidates,
     // so recall against the exact top-3 cannot decrease
     assert(r2 >= r1, s"recall lsh2=$r2 < lsh=$r1")
-    assert(r2 > 0.0)
-    info(f"recall@3 vs brute force: single-probe $r1%.2f, multi-probe $r2%.2f")
+    // the multi-table config (2 tables x 10 planes x radius 3, ~32% of
+    // the corpus scanned) carries a named recall floor: 0.6. Offline
+    // sweep (PLANS.md) measures 0.67-0.73 across sf0.001/0.01/0.1, so
+    // the floor has margin at every gated scale.
+    assert(rMt >= 0.6, s"multi-table LSH recall@3 $rMt below 0.6 floor")
+    info(f"recall@3 vs brute force: lsh(r0) $r1%.2f, lsh2(r1) $r2%.2f, " +
+      f"lsh_mt(2x10xr3) $rMt%.2f, ivf(np1) ${recall(ivf1)}%.2f, " +
+      f"ivf2(np2) ${recall(ivf2)}%.2f")
   }
 
   test("labelStar keeps self-loop-only nodes and works on string ids") {
