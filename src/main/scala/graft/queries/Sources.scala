@@ -360,6 +360,51 @@ object Sources extends QueryModule {
         WHERE (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
                OR a.o_totalprice <> b.o_totalprice)""")),
 
+    // LOG-BACKED TABLE (graft.operators.TxLog): ACID-on-parquet via an
+    // ordered transaction log — atomic commits, optimistic concurrency,
+    // snapshot isolation, TIME TRAVEL, file-granular copy-on-write
+    // delete. Three commits build the table (append evens, append odds,
+    // COW-delete one nation group); the query reads ALL THREE versions
+    // back through the log and aggregates each — so the oracle replays
+    // the same history from the base table and every versioned state is
+    // hash-checked, not just the head. Conflict/atomicity semantics are
+    // unit-tested in OperatorSpec.
+    "q_src_txlog_timetravel" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txlog", dir)
+        val src = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+        if (TxLog.version(table) < 0) {
+          TxLog.append(s, src.filter($"s_suppkey" % 2 === 0), table) // v0
+          TxLog.append(s, src.filter($"s_suppkey" % 2 === 1), table) // v1
+          TxLog.deleteWhere(s, table, $"s_nationkey" % 5 === 0)      // v2
+        }
+        (0 to 2).map { v =>
+          TxLog.read(s, table, Some(v))
+            .agg(count(lit(1)).as("n"),
+              sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+                .as("sum_cents"))
+            .select(lit(v).as("version"), $"n", $"sum_cents")
+        }.reduce(_ unionByName _)
+      },
+      oracle = Some("""
+        SELECT 0 AS version, count(*) AS n,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM supplier WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT 1, count(*),
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT)
+        FROM supplier
+        UNION ALL
+        SELECT 2, count(*),
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT)
+        FROM supplier WHERE s_nationkey % 5 <> 0""")),
+
     // Z-ORDER clustered layout: documents rewritten range-partitioned +
     // sorted by the Morton key of (n_chars, doc_id), then scanned with a
     // 2-D range filter. Z-ordering makes BOTH dimensions' parquet

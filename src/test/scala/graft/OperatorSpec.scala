@@ -520,6 +520,40 @@ class OperatorSpec extends AnyFunSuite {
       s"got $origScans")
   }
 
+  test("TxLog: optimistic concurrency, time travel, file-granular COW") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txlog_spec")
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x")
+    val b = Seq((4L, 40.0), (5L, 50.0)).toDF("k", "x")
+    val v0 = TxLog.append(spark, a, table)
+    val v1 = TxLog.append(spark, b, table)
+    assert(v0 === 0 && v1 === 1)
+    // losing writer: committing against a stale base version must fail
+    // atomically, not overwrite v1
+    intercept[TxLog.ConcurrentCommit] {
+      TxLog.commit(table, expected = 0, actions = Seq("add" -> "bogus"))
+    }
+    assert(TxLog.version(table) === 1)
+    // COW delete: only the file(s) containing k=1 are rewritten; the
+    // second append's files must survive BY REFERENCE in the v2 set
+    val beforeFiles = TxLog.files(table, Some(1)).toSet
+    val v2 = TxLog.deleteWhere(spark, table, $"k" === 1L)
+    assert(v2 === 2)
+    val afterFiles = TxLog.files(table, Some(2)).toSet
+    val bFiles = beforeFiles -- TxLog.files(table, Some(0)).toSet
+    assert(bFiles.subsetOf(afterFiles),
+      s"untouched append files were rewritten: $bFiles vs $afterFiles")
+    // time travel: every version stays readable with its own content
+    assert(TxLog.read(spark, table, Some(0)).count() === 3)
+    assert(TxLog.read(spark, table, Some(1)).count() === 5)
+    assert(TxLog.read(spark, table, Some(2)).count() === 4)
+    assert(TxLog.read(spark, table).select(sum($"k")).first().getLong(0)
+      === 2L + 3L + 4L + 5L)
+    // no-match delete is a no-op version-wise
+    assert(TxLog.deleteWhere(spark, table, $"k" === 999L) === 2)
+  }
+
   test("q13 outer-join distribution: agg reuses the join's partitioning") {
     val q = SparkEntry.queries("q13_order_distribution")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
