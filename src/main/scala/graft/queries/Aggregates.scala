@@ -392,14 +392,20 @@ object Aggregates extends QueryModule {
     // 5*rsd (rsd = 0.01): HLL++ at that precision lands well inside it,
     // and the estimate is deterministic given the data, so the boolean
     // is stable. max(..., 1) keeps tiny groups from demanding 0 error.
+    // The exact and approx sides run as SEPARATE passes joined on the
+    // 3-row result: mixed distinct+non-distinct planning would carry the
+    // 1639-word HLL partial buffer through every (flag, orderkey) group
+    // of the distinct expansion — ~13 KB of state per distinct pair,
+    // measured 9 s at sf0.1 vs ~0.5 s for the two-pass shape.
     "q_agg_approx_distinct" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        Engine.table(s, dir, "lineitem")
-          .groupBy($"l_returnflag")
-          .agg(
-            countDistinct($"l_orderkey").as("exact_orders"),
-            approx_count_distinct($"l_orderkey", 0.01).as("approx"))
+        val t = Engine.table(s, dir, "lineitem")
+        val exact = t.groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("exact_orders"))
+        val approx = t.groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx"))
+        exact.join(approx, "l_returnflag")
           .select($"l_returnflag", $"exact_orders",
             (abs($"approx" - $"exact_orders") <=
               greatest($"exact_orders" * 0.05, lit(1.0))).as("within_5x_rsd"))
