@@ -266,6 +266,39 @@ object Streaming extends QueryModule {
         UNION ALL SELECT p_id, c_id, user_id, p_value FROM un_p
         UNION ALL SELECT p_id, c_id, user_id, p_value FROM un_c""")),
 
+    // Stream-stream LEFT SEMI join: "purchase that HAS a click within
+    // the hour" without materializing the matches — the streaming
+    // existence filter. Unlike the outer variants, emission needs no
+    // watermark proof (a semi row is final the moment one match
+    // arrives), so the oracle is a plain EXISTS with no eviction-truth
+    // clause; watermarks still bound both sides' state.
+    "q_stream_join_semi" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        Replay.run(s, Replay.events(s, dir), mode = "append",
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
+          val clicks = st.filter($"event_type" === "click")
+            .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+            .withWatermark("c_ts", "2 hours")
+          val purchases = st.filter($"event_type" === "purchase")
+            .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+              $"event_id".as("p_id"), $"value".as("p_value"))
+            .withWatermark("p_ts", "2 hours")
+          purchases.join(clicks,
+            expr("""p_user = c_user AND
+                    c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 1 HOUR"""),
+            "leftSemi")
+            .select($"p_id", $"p_user", $"p_value")
+        }
+      },
+      oracle = Some("""
+        SELECT p.event_id AS p_id, p.user_id AS p_user, p.value AS p_value
+        FROM events p
+        WHERE p.event_type = 'purchase'
+          AND EXISTS (SELECT 1 FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)""")),
+
     // Update output mode: with a single AvailableNow trigger the sink
     // holds exactly one (final) update per key — batch-equivalent and
     // t2-checkable. (Multi-trigger update streams are exercised by the
