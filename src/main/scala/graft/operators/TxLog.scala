@@ -96,7 +96,11 @@ object TxLog {
         // two fixed keys, hand-rolled parse (no JSON dependency)
         val op = l.split("\"op\":\"")(1).split("\"")(0)
         val path = l.split("\"path\":\"")(1).split("\"")(0)
-        if (op == "add") live += path else live -= path
+        op match {
+          case "add"    => live += path
+          case "remove" => live -= path
+          case _        => () // txn markers and future action types
+        }
       }
     }
     live.toSeq
@@ -120,6 +124,43 @@ object TxLog {
     val adds = newFiles(table, sub).map(("add", _))
     try commit(table, version(table), adds)
     catch { case _: ConcurrentCommit => commit(table, version(table), adds) }
+  }
+
+  /** Transaction ids recorded in the log (see [[appendIdempotent]]). */
+  def txns(table: String): Set[String] = {
+    val latest = version(table)
+    (0 to latest).flatMap { i =>
+      val out = scala.collection.mutable.ListBuffer[String]()
+      Files.readAllLines(logFile(table, i).toPath).forEach { l =>
+        if (l.contains("\"op\":\"txn\""))
+          out += l.split("\"path\":\"")(1).split("\"")(0)
+      }
+      out
+    }.toSet
+  }
+
+  /** Exactly-once append: commit `df` tagged with `txn`, or do nothing
+    * if that transaction id is already in the log. This is the sink
+    * contract a streaming foreachBatch needs — Spark may re-invoke the
+    * same (batchId, data) after a failure, and the re-delivery must not
+    * double-append. The txn check and the commit race safely: if two
+    * deliveries interleave, the loser's commit throws ConcurrentCommit,
+    * it re-reads the log, sees its txn committed, and returns. Orphaned
+    * data files from the losing writer are unreferenced by the log and
+    * invisible to readers (vacuum-able), never double-counted.
+    */
+  def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
+                       txn: String): Int = {
+    if (txns(table).contains(txn)) return version(table)
+    val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(new File(table, sub).getAbsolutePath)
+    val actions = ("txn" -> txn) +: newFiles(table, sub).map(("add", _))
+    try commit(table, version(table), actions)
+    catch {
+      case _: ConcurrentCommit =>
+        if (txns(table).contains(txn)) version(table)
+        else commit(table, version(table), actions)
+    }
   }
 
   /** File-granular copy-on-write delete: rewrite only the files that

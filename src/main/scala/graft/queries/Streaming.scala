@@ -357,6 +357,54 @@ object Streaming extends QueryModule {
           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
         FROM events GROUP BY event_type""")),
 
+    // EXACTLY-ONCE STREAMING INGEST into the log-backed ACID table:
+    // foreachBatch commits each micro-batch to graft.operators.TxLog via
+    // appendIdempotent, and the sink DELIBERATELY delivers every batch
+    // TWICE (Spark's failure contract: foreachBatch may re-run the same
+    // batchId) — the txn marker in the log makes the re-delivery a
+    // no-op, so the readback aggregate equals the plain batch oracle.
+    // If idempotence broke, every count would double and the gate would
+    // hash-mismatch. This is the lakehouse version of the parquet-append
+    // sink in q_stream_foreach_batch: atomic visibility per batch, no
+    // torn reads, and orphaned retry files stay unreferenced by the log.
+    "q_stream_txlog_sink" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val root = tempFor("txsink", dir)
+        val inDir = s"$root/in"
+        if (!new java.io.File(inDir).exists()) {
+          Replay.events(s, dir).repartition(4)
+            .write.mode("overwrite").parquet(inDir)
+        }
+        val table = s"$root/table"
+        rmTree(new java.io.File(table))
+        rmTree(new java.io.File(s"$root/ckpt"))
+        val schema = s.read.parquet(inDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 2).parquet(inDir)
+          .select($"event_id", $"event_type", $"value")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            TxLog.appendIdempotent(s, df, table, txn = s"batch-$id")
+            // simulated re-delivery of the SAME batch: must be a no-op
+            TxLog.appendIdempotent(s, df, table, txn = s"batch-$id")
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        TxLog.read(s, table)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events GROUP BY event_type""")),
+
     // Stateful dedup bounded by watermark (state TTL variant of
     // dropDuplicates): the input stream carries exact duplicates; a
     // single AvailableNow batch keeps every duplicate inside the

@@ -552,6 +552,12 @@ class OperatorSpec extends AnyFunSuite {
       === 2L + 3L + 4L + 5L)
     // no-match delete is a no-op version-wise
     assert(TxLog.deleteWhere(spark, table, $"k" === 999L) === 2)
+    // idempotent append: the same txn id commits exactly once
+    val vA = TxLog.appendIdempotent(spark, b, table, txn = "tx-1")
+    val vB = TxLog.appendIdempotent(spark, b, table, txn = "tx-1")
+    assert(vA === 3 && vB === 3)
+    assert(TxLog.read(spark, table).count() === 6)
+    assert(TxLog.txns(table) === Set("tx-1"))
   }
 
   test("q13 outer-join distribution: agg reuses the join's partitioning") {
