@@ -62,13 +62,17 @@ object TxLog {
     * of two racing writers wins; the loser gets [[ConcurrentCommit]].
     */
   def commit(table: String, expected: Int,
-             actions: Seq[(String, String)]): Int = {
+             actions: Seq[(String, String)]): Int =
+    commitLines(table, expected, actions.map { case (op, path) =>
+      s"""{"op":"$op","path":"$path"}"""
+    })
+
+  private[operators] def commitLines(table: String, expected: Int,
+                                     lines: Seq[String]): Int = {
     val next = expected + 1
     val d = logDir(table)
     d.mkdirs()
-    val body = actions.map { case (op, path) =>
-      s"""{"op":"$op","path":"$path"}"""
-    }.mkString("", "\n", "\n")
+    val body = lines.mkString("", "\n", "\n")
     val tmp = Files.createTempFile(d.toPath, s".commit-", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.TRUNCATE_EXISTING)
@@ -85,26 +89,8 @@ object TxLog {
   }
 
   /** Live file set (relative paths) at `asOf` (default: latest). */
-  def files(table: String, asOf: Option[Int] = None): Seq[String] = {
-    val latest = version(table)
-    val v = asOf.getOrElse(latest)
-    require(v >= 0 && v <= latest, s"version $v outside [0, $latest]")
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    for (i <- 0 to v) {
-      val lines = Files.readAllLines(logFile(table, i).toPath)
-      lines.forEach { l =>
-        // two fixed keys, hand-rolled parse (no JSON dependency)
-        val op = l.split("\"op\":\"")(1).split("\"")(0)
-        val path = l.split("\"path\":\"")(1).split("\"")(0)
-        op match {
-          case "add"    => live += path
-          case "remove" => live -= path
-          case _        => () // txn markers and future action types
-        }
-      }
-    }
-    live.toSeq
-  }
+  def files(table: String, asOf: Option[Int] = None): Seq[String] =
+    filesWithStats(table, asOf).map(_._1)
 
   /** Snapshot read at a version. Empty live set still yields the right
     * schema by reading zero files is impossible in Spark — callers only
@@ -117,13 +103,83 @@ object TxLog {
 
   /** Write `df` as new parquet files under the table and commit them as
     * an APPEND. Returns the new version. Retries once on a lost race
-    * (append never conflicts logically — the file set is additive). */
-  def append(spark: SparkSession, df: DataFrame, table: String): Int = {
+    * (append never conflicts logically — the file set is additive).
+    *
+    * `statsCol`: optionally record per-file min/max of one long column
+    * in the add actions (computed in ONE distributed pass, grouped by
+    * input_file_name) — the data-skipping index [[readPruned]] uses.
+    * At 100 TB this is what turns a key-range query from "scan the
+    * table" into "scan the few files whose range overlaps".
+    */
+  def append(spark: SparkSession, df: DataFrame, table: String,
+             statsCol: Option[String] = None): Int = {
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(new File(table, sub).getAbsolutePath)
-    val adds = newFiles(table, sub).map(("add", _))
-    try commit(table, version(table), adds)
-    catch { case _: ConcurrentCommit => commit(table, version(table), adds) }
+    val subAbs = new File(table, sub).getAbsolutePath
+    df.write.parquet(subAbs)
+    val adds: Seq[String] = statsCol match {
+      case None => newFiles(table, sub).map(p =>
+        s"""{"op":"add","path":"$p"}""")
+      case Some(c) =>
+        val stats = spark.read.parquet(subAbs)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+          .collect() // file METADATA (one row per file), not data
+          .map(r => (new File(new java.net.URI(r.getString(0))).getName,
+            (r.getLong(1), r.getLong(2)))).toMap
+        newFiles(table, sub).map { p =>
+          val (lo, hi) = stats(new File(p).getName)
+          s"""{"op":"add","path":"$p","min":$lo,"max":$hi,"col":"$c"}"""
+        }
+    }
+    try commitLines(table, version(table), adds)
+    catch {
+      case _: ConcurrentCommit => commitLines(table, version(table), adds)
+    }
+  }
+
+  /** Live files with their recorded stats range (None when the add
+    * carried no stats). */
+  def filesWithStats(table: String,
+                     asOf: Option[Int] = None): Seq[(String, Option[(Long, Long)])] = {
+    val latest = version(table)
+    val v = asOf.getOrElse(latest)
+    require(v >= 0 && v <= latest, s"version $v outside [0, $latest]")
+    val live =
+      scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
+    for (i <- 0 to v) {
+      Files.readAllLines(logFile(table, i).toPath).forEach { l =>
+        val op = l.split("\"op\":\"")(1).split("\"")(0)
+        val path = l.split("\"path\":\"")(1).split("\"")(0)
+        op match {
+          case "add" =>
+            val stats =
+              if (l.contains("\"min\":"))
+                Some((l.split("\"min\":")(1).split(",")(0).toLong,
+                  l.split("\"max\":")(1).split(",")(0).toLong))
+              else None
+            live += path -> stats
+          case "remove" => live -= path
+          case _        => ()
+        }
+      }
+    }
+    live.toSeq
+  }
+
+  /** Data-skipping read: prune files whose recorded [min, max] cannot
+    * intersect [lo, hi] BEFORE Spark ever lists them — log-level
+    * skipping on top of parquet's own row-group pruning. Files without
+    * stats are conservatively kept. The residual filter still applies
+    * (stats prune files, not rows). */
+  def readPruned(spark: SparkSession, table: String, col0: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val kept = filesWithStats(table).collect {
+      case (p, None)                                   => p
+      case (p, Some((mn, mx))) if mx >= lo && mn <= hi => p
+    }
+    val fs = kept.map(p => new File(table, p).getAbsolutePath)
+    spark.read.parquet(fs: _*)
+      .filter(col(col0) >= lo && col(col0) <= hi)
   }
 
   /** Transaction ids recorded in the log (see [[appendIdempotent]]). */

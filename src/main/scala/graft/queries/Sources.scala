@@ -405,6 +405,37 @@ object Sources extends QueryModule {
             AS BIGINT)
         FROM supplier WHERE s_nationkey % 5 <> 0""")),
 
+    // DATA-SKIPPING READ through the log's per-file min/max statistics:
+    // the table is written range-clustered on s_suppkey with
+    // statsCol-indexed commits, and the key-range read prunes files at
+    // the LOG level before Spark ever lists them (on top of parquet's
+    // own row-group pruning). At 100 TB this turns a key-range query
+    // from "scan the table" into "scan the overlapping files". File
+    // pruning (not just row filtering) is asserted in OperatorSpec.
+    "q_src_txlog_skipping" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txskip", dir)
+        if (TxLog.version(table) < 0) {
+          val src = Engine.table(s, dir, "supplier")
+            .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+            .repartitionByRange(8, $"s_suppkey")
+          TxLog.append(s, src, table, statsCol = Some("s_suppkey"))
+        }
+        TxLog.readPruned(s, table, "s_suppkey", 3L, 7L)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"))
+      },
+      oracle = Some("""
+        SELECT s_nationkey, count(*) AS n,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM supplier WHERE s_suppkey BETWEEN 3 AND 7
+        GROUP BY s_nationkey""")),
+
     // Z-ORDER clustered layout: documents rewritten range-partitioned +
     // sorted by the Morton key of (n_chars, doc_id), then scanned with a
     // 2-D range filter. Z-ordering makes BOTH dimensions' parquet

@@ -560,6 +560,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.txns(table) === Set("tx-1"))
   }
 
+  test("TxLog data skipping prunes non-overlapping files from the read") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txskip_spec")
+    val df = spark.range(1, 101).select($"id".as("k"), ($"id" * 2).as("x"))
+      .repartitionByRange(5, $"k")
+    TxLog.append(spark, df, table, statsCol = Some("k"))
+    val all = TxLog.filesWithStats(table)
+    assert(all.size === 5 && all.forall(_._2.nonEmpty))
+    // the range [10, 30] overlaps at most 2 of the 5 range-clustered
+    // files; pruning must drop the rest BEFORE the scan
+    val kept = all.collect {
+      case (p, Some((mn, mx))) if mx >= 10L && mn <= 30L => p
+    }
+    assert(kept.size < all.size, s"no files pruned: $all")
+    val pruned = TxLog.readPruned(spark, table, "k", 10L, 30L)
+    assert(pruned.count() === 21)
+    assert(pruned.agg(sum($"x")).first().getLong(0) === (10L to 30L).map(_ * 2).sum)
+  }
+
   test("q13 outer-join distribution: agg reuses the join's partitioning") {
     val q = SparkEntry.queries("q13_order_distribution")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
