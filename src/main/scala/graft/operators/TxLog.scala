@@ -113,6 +113,7 @@ object TxLog {
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
              statsCol: Option[String] = None): Int = {
+    enforceSchema(spark, df, table)
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     val subAbs = new File(table, sub).getAbsolutePath
     df.write.parquet(subAbs)
@@ -242,6 +243,49 @@ object TxLog {
     val actions = affected.map(("remove", _)) ++
       newFiles(table, sub).map(("add", _))
     commit(table, base, actions) // conflict => caller retries from snapshot
+  }
+
+  /** ACID tables enforce their schema on write: an append whose shape
+    * drifts from the table's (names + types; nullability is advisory)
+    * fails LOUDLY at commit time instead of poisoning every future read
+    * — the failure mode schemaless parquet directories are notorious
+    * for. Evolution would be an explicit log action; out of scope. */
+  private def enforceSchema(spark: SparkSession, df: DataFrame,
+                            table: String): Unit = {
+    if (version(table) < 0) return
+    val existing = read(spark, table).schema
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    require(shape(existing) == shape(df.schema),
+      s"schema drift rejected: table has ${existing.simpleString}, " +
+        s"append has ${df.schema.simpleString}")
+  }
+
+  /** Delete data files no LIVE OR HISTORICAL version references (failed
+    * writers' orphans) plus, when `retainVersions` is given, files only
+    * referenced by versions older than the retention horizon — after
+    * which time travel below the horizon is gone (the log entries stay
+    * as an audit record). Returns the deleted relative paths. The
+    * deletion order is safe under concurrent readers of RETAINED
+    * versions: a file is only removed once no retained snapshot can
+    * resolve to it.
+    */
+  def vacuum(table: String, retainVersions: Int = Int.MaxValue): Seq[String] = {
+    val latest = version(table)
+    val floor = math.max(0, latest - math.max(0, retainVersions - 1))
+    val referenced = (floor to latest).flatMap(v => files(table, Some(v))).toSet
+    val tableDir = new File(table).toPath.toAbsolutePath
+    val onDisk = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      Files.walk(tableDir).forEach { p =>
+        val rel = tableDir.relativize(p).toString
+        if (rel.endsWith(".parquet") && !rel.startsWith("_txlog")) out += rel
+      }
+      out.toList
+    }
+    val doomed = onDisk.filterNot(referenced)
+    doomed.foreach(p => Files.deleteIfExists(tableDir.resolve(p)))
+    doomed
   }
 
   private def newFiles(table: String, sub: String): Seq[String] = {

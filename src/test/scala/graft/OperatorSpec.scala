@@ -560,6 +560,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.txns(table) === Set("tx-1"))
   }
 
+  test("TxLog vacuum removes orphans, keeps retained history; schema enforced") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txvac_spec")
+    val a = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x")
+    TxLog.append(spark, a, table)                       // v0
+    TxLog.deleteWhere(spark, table, $"k" === 1L)        // v1 (rewrites v0 file)
+    // plant an orphan: a data file no commit references (failed writer)
+    val orphanDir = new java.io.File(table, "data-orphan")
+    a.write.parquet(orphanDir.getAbsolutePath)
+    // schema drift rejected loudly
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((3L, "oops")).toDF("k", "x"), table)
+    }
+    // full-history vacuum: only the orphan goes; v0 stays time-travelable
+    val gone1 = TxLog.vacuum(table)
+    assert(gone1.forall(_.startsWith("data-orphan")) && gone1.nonEmpty)
+    assert(TxLog.read(spark, table, Some(0)).count() === 2)
+    // retain only the latest version: v0-only files become vacuumable,
+    // latest snapshot is untouched
+    val gone2 = TxLog.vacuum(table, retainVersions = 1)
+    assert(gone2.nonEmpty)
+    assert(TxLog.read(spark, table).count() === 1)
+    intercept[Exception] { // v0 data is gone past the retention horizon
+      TxLog.read(spark, table, Some(0)).count()
+    }
+  }
+
   test("TxLog data skipping prunes non-overlapping files from the read") {
     import graft.operators.TxLog
     import spark.implicits._
