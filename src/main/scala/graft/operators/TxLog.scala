@@ -132,10 +132,23 @@ object TxLog {
           s"""{"op":"add","path":"$p","min":$lo,"max":$hi,"col":"$c"}"""
         }
     }
-    try commitLines(table, version(table), adds)
-    catch {
-      case _: ConcurrentCommit => commitLines(table, version(table), adds)
+    retryCommit(table)(commitLines(table, _, adds))
+  }
+
+  /** Optimistic-concurrency retry loop: re-read the latest version and
+    * re-attempt the commit until it lands (bounded — 64 lost races in a
+    * row means something is pathologically wrong, fail loudly). Correct
+    * only for commits whose actions stay valid on a moved base (appends
+    * and txn markers); read-modify-write commits like deleteWhere must
+    * instead recompute from the fresh snapshot, so they surface the
+    * conflict to the caller. */
+  private def retryCommit(table: String)(attempt: Int => Int): Int = {
+    var lastErr: ConcurrentCommit = null
+    for (_ <- 0 until 64) {
+      try return attempt(version(table))
+      catch { case e: ConcurrentCommit => lastErr = e }
     }
+    throw lastErr
   }
 
   /** Live files with their recorded stats range (None when the add
@@ -212,11 +225,9 @@ object TxLog {
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, sub).getAbsolutePath)
     val actions = ("txn" -> txn) +: newFiles(table, sub).map(("add", _))
-    try commit(table, version(table), actions)
-    catch {
-      case _: ConcurrentCommit =>
-        if (txns(table).contains(txn)) version(table)
-        else commit(table, version(table), actions)
+    retryCommit(table) { base =>
+      if (txns(table).contains(txn)) base // a racing delivery won: no-op
+      else commit(table, base, actions)
     }
   }
 

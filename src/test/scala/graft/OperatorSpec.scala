@@ -588,6 +588,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("TxLog concurrent appenders all land, exactly one version each") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val table = Engine.scratchDir("txrace_spec")
+    val writers = (0 until 6).map { i =>
+      Future {
+        TxLog.append(spark,
+          Seq((i.toLong, i * 10.0)).toDF("k", "x"), table)
+      }
+    }
+    val versions = Await.result(Future.sequence(writers), 120.seconds)
+    // every writer won exactly one distinct version 0..5 and no rows
+    // were lost or duplicated in the race
+    assert(versions.sorted === (0 to 5))
+    assert(TxLog.version(table) === 5)
+    assert(TxLog.read(spark, table).count() === 6)
+    assert(TxLog.read(spark, table).agg(sum($"k")).first().getLong(0) === 15L)
+  }
+
   test("TxLog data skipping prunes non-overlapping files from the read") {
     import graft.operators.TxLog
     import spark.implicits._
