@@ -54,6 +54,35 @@ object ScaleProbe {
         k = 10)
       .write.format("noop").mode("overwrite").save()
 
+    // Q21-fast shape (r5): the single-scan sole-late-supplier rewrite —
+    // fact-fact join + two orderkey-grain aggregations + broadcast dim.
+    // The point of the probe: the decorrelated original's two fact-fact
+    // self-joins stop broadcasting at scale, while this shape is two
+    // clustered shuffles and should grow ~linearly.
+    val supplier1 = Engine.table(spark, sfDir, "supplier")
+      .select($"s_suppkey", $"s_name")
+    def q21fast(li: DataFrame, o: DataFrame): Unit = {
+      val orders = o.filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate")
+      val lines = li.select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_suppkey",
+          ($"l_shipdate" > date_add($"o_orderdate", 700)).as("late"))
+      val perPair = lines.groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max(when($"late", 1).otherwise(0)).as("any_late"),
+          sum(when($"late", 1L).otherwise(0L)).as("late_lines"))
+      perPair.groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum($"any_late").as("n_late_supp"),
+          max(when($"any_late" === 1, $"l_suppkey")).as("late_supp"),
+          sum(when($"any_late" === 1, $"late_lines")).as("late_supp_lines"))
+        .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+        .join(supplier1, $"late_supp" === $"s_suppkey")
+        .groupBy($"s_name").agg(sum($"late_supp_lines").as("numwait"))
+        .orderBy($"numwait".desc, $"s_name").limit(25)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // Connected-components shape: bipartite order→customer star graph
     // (components = customer stars, diameter 2 at every scale, so the
     // probe isolates per-round cost growth, not round count).
@@ -124,10 +153,12 @@ object ScaleProbe {
     }
 
     q1(li1); join(li1, orders1); topk(li1); cc(orders1); chunk(orders1)
+    q21fast(li1, orders1)
     skewAqe(li1, orders1); skewSalted(li1, orders1) // warmup
     val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
       "q1_agg_shape" -> ((l, _) => q1(l)),
       "join_agg_shape" -> ((l, o) => join(l, o)),
+      "q21_fast_shape" -> ((l, o) => q21fast(l, o)),
       "group_topk_shape" -> ((l, _) => topk(l)),
       "conn_components_shape" -> ((_, o) => cc(o)),
       "chunk_explode_shape" -> ((_, o) => chunk(o)),
