@@ -256,6 +256,46 @@ object TxLog {
     commit(table, base, actions) // conflict => caller retries from snapshot
   }
 
+  /** File-granular MERGE (upsert): matched keys take the update row's
+    * values, unmatched update keys insert — and ONLY the files that
+    * contain a matched key are rewritten (discovered with a left-semi
+    * join at file grain); every other file carries over by reference.
+    * This is the log-backed upgrade of the full-outer-join COW upsert:
+    * at 100 TB a trickle of updates rewrites the few overlapping files,
+    * not the table. Conflicts surface to the caller (read-modify-write
+    * cannot blindly retry on a moved base). */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+            key: String): Int = {
+    enforceSchema(spark, updates, table)
+    val base = version(table)
+    val snap = read(spark, table, Some(base))
+    val tablePath = new File(table).toPath.toAbsolutePath
+    // input_file_name must bind to the snapshot's scan BEFORE the join
+    // introduces a second file source (Spark rejects it as ambiguous
+    // otherwise)
+    val affected = snap.withColumn("__file", input_file_name())
+      .join(updates.select(col(key)), Seq(key), "left_semi")
+      .select(col("__file").as("f")).distinct()
+      .collect().map(_.getString(0)) // file METADATA, not data
+      .map(u => tablePath.relativize(
+        Paths.get(new java.net.URI(u)).toAbsolutePath).toString)
+      .toSeq
+    val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    val newData =
+      if (affected.isEmpty) updates // pure insert
+      else {
+        val affectedAbs = affected.map(p => new File(table, p).getAbsolutePath)
+        spark.read.parquet(affectedAbs: _*)
+          .join(updates.select(col(key)), Seq(key), "left_anti")
+          .select(snap.columns.map(col): _*)
+          .unionByName(updates.select(snap.columns.map(col): _*))
+      }
+    newData.write.parquet(new File(table, sub).getAbsolutePath)
+    val actions = affected.map(("remove", _)) ++
+      newFiles(table, sub).map(("add", _))
+    commit(table, base, actions)
+  }
+
   /** ACID tables enforce their schema on write: an append whose shape
     * drifts from the table's (names + types; nullability is advisory)
     * fails LOUDLY at commit time instead of poisoning every future read

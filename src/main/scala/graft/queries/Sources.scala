@@ -436,6 +436,58 @@ object Sources extends QueryModule {
         FROM supplier WHERE s_suppkey BETWEEN 3 AND 7
         GROUP BY s_nationkey""")),
 
+    // FILE-GRANULAR MERGE through the transaction log: re-price every
+    // 7th supplier and insert 20 fresh rows in ONE TxLog.merge — only
+    // the files containing a matched key are rewritten (left-semi file
+    // discovery), the rest carry over by reference in the log, and the
+    // insert keys derive from max(s_suppkey) so the scheme is collision-
+    // free at any SF (same policy as q_src_upsert). The oracle replays
+    // the identical merge relationally. File-granularity is asserted in
+    // OperatorSpec (q_src_upsert remains the log-free COW contrast).
+    "q_src_txlog_merge" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txmerge", dir)
+        val src = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+        if (TxLog.version(table) < 0) {
+          TxLog.append(s, src.repartitionByRange(8, $"s_suppkey"), table)
+          val maxKey = src.agg(max($"s_suppkey")).first().getLong(0)
+          val updates = src.filter($"s_suppkey" % 7 === 0)
+            .select($"s_suppkey", $"s_nationkey",
+              ($"s_acctbal" * 1.1).as("s_acctbal"))
+            .unionByName(s.range(1, 21).select(
+              ($"id" + maxKey).as("s_suppkey"),
+              ($"id" % 5).cast("int").as("s_nationkey"),
+              ($"id" * 10.0).as("s_acctbal")))
+          TxLog.merge(s, table, updates, "s_suppkey")
+        }
+        TxLog.read(s, table)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"))
+      },
+      oracle = Some("""
+        WITH mx AS (SELECT max(s_suppkey) AS m FROM supplier),
+        updates AS (
+          SELECT s_suppkey, s_nationkey, s_acctbal * 1.1 AS s_acctbal
+          FROM supplier WHERE s_suppkey % 7 = 0
+          UNION ALL
+          SELECT (SELECT m FROM mx) + r.range,
+            CAST(r.range % 5 AS INTEGER), r.range * 10.0
+          FROM range(1, 21) r),
+        merged AS (
+          SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+          WHERE s_suppkey NOT IN (SELECT s_suppkey FROM updates)
+          UNION ALL
+          SELECT s_suppkey, s_nationkey, s_acctbal FROM updates)
+        SELECT s_nationkey, count(*) AS n,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM merged GROUP BY s_nationkey""")),
+
     // Z-ORDER clustered layout: documents rewritten range-partitioned +
     // sorted by the Morton key of (n_chars, doc_id), then scanned with a
     // 2-D range filter. Z-ordering makes BOTH dimensions' parquet

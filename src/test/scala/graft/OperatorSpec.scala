@@ -610,6 +610,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.read(spark, table).agg(sum($"k")).first().getLong(0) === 15L)
   }
 
+  test("TxLog merge rewrites only the files containing matched keys") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txmerge_spec")
+    val df = spark.range(1, 101).select($"id".as("k"), ($"id" * 1.0).as("x"))
+      .repartitionByRange(5, $"k")
+    TxLog.append(spark, df, table)
+    val before = TxLog.files(table).toSet
+    assert(before.size === 5)
+    // matched keys 1 and 2 live in ONE range file; 200/201 are inserts
+    val upd = Seq((1L, 111.0), (2L, 222.0), (200L, 1.0), (201L, 2.0))
+      .toDF("k", "x")
+    TxLog.merge(spark, table, upd, "k")
+    val after = TxLog.files(table).toSet
+    assert((before & after).size === 4,
+      s"expected 4 of 5 files to survive by reference: $before vs $after")
+    val r = TxLog.read(spark, table)
+    assert(r.count() === 102)
+    assert(r.filter($"k" === 1L).select($"x").first().getDouble(0) === 111.0)
+    assert(r.filter($"k" === 200L).count() === 1)
+  }
+
   test("TxLog data skipping prunes non-overlapping files from the read") {
     import graft.operators.TxLog
     import spark.implicits._
