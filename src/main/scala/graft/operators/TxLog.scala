@@ -85,7 +85,28 @@ object TxLog {
               "re-read the snapshot and retry")
       }
     } finally Files.deleteIfExists(tmp)
+    maybeCheckpoint(table, next)
     next
+  }
+
+  /** OPTIMIZE: compact the live file set down to `targetFiles` as one
+    * log commit (remove all live, add the compacted set) — the
+    * maintenance op a streaming TxLog sink needs, since every
+    * micro-batch commit adds at least one file. History before the
+    * optimize stays time-travelable until vacuumed; a concurrent
+    * append surfaces as ConcurrentCommit (read-modify-write, caller
+    * retries on the fresh snapshot). */
+  def optimize(spark: SparkSession, table: String,
+               targetFiles: Int): Int = {
+    val base = version(table)
+    val live = files(table, Some(base))
+    if (live.size <= targetFiles) return base
+    val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    read(spark, table, Some(base)).repartition(targetFiles)
+      .write.parquet(new File(table, sub).getAbsolutePath)
+    val actions = live.map(("remove", _)) ++
+      newFiles(table, sub).map(("add", _))
+    commit(table, base, actions)
   }
 
   /** Live file set (relative paths) at `asOf` (default: latest). */
@@ -151,34 +172,73 @@ object TxLog {
     throw lastErr
   }
 
+  /** Commit interval at which a checkpoint of the full live state is
+    * folded next to the log (the published-format answer to "replay
+    * 1e5 commits to plan one query"): reads start from the newest
+    * checkpoint at or below the requested version and replay only the
+    * suffix. Checkpoints are an OPTIMIZATION — every log file is kept,
+    * so any version stays replayable without one. */
+  private val CheckpointEvery = 16
+
+  private def checkpointFile(table: String, v: Int): File =
+    new File(logDir(table), f"$v%08d.checkpoint")
+
+  private def maybeCheckpoint(table: String, v: Int): Unit =
+    if (v > 0 && v % CheckpointEvery == 0) {
+      val body = filesWithStats(table, Some(v)).map {
+        case (p, None)           => s"""{"op":"add","path":"$p"}"""
+        case (p, Some((lo, hi))) =>
+          s"""{"op":"add","path":"$p","min":$lo,"max":$hi}"""
+      }.mkString("", "\n", "\n")
+      val tmp = Files.createTempFile(logDir(table).toPath, ".ckpt-", ".tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try Files.createLink(checkpointFile(table, v).toPath, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+
   /** Live files with their recorded stats range (None when the add
-    * carried no stats). */
+    * carried no stats). Starts from the newest checkpoint <= asOf when
+    * one exists; otherwise replays from commit 0. */
   def filesWithStats(table: String,
                      asOf: Option[Int] = None): Seq[(String, Option[(Long, Long)])] = {
     val latest = version(table)
     val v = asOf.getOrElse(latest)
     require(v >= 0 && v <= latest, s"version $v outside [0, $latest]")
+    val ckpt = (v to 1 by -1).find(i => checkpointFile(table, i).exists())
     val live =
       scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
-    for (i <- 0 to v) {
-      Files.readAllLines(logFile(table, i).toPath).forEach { l =>
-        val op = l.split("\"op\":\"")(1).split("\"")(0)
-        val path = l.split("\"path\":\"")(1).split("\"")(0)
-        op match {
-          case "add" =>
-            val stats =
-              if (l.contains("\"min\":"))
-                Some((l.split("\"min\":")(1).split(",")(0).toLong,
-                  l.split("\"max\":")(1).split(",")(0).toLong))
-              else None
-            live += path -> stats
-          case "remove" => live -= path
-          case _        => ()
-        }
-      }
+    val from = ckpt match {
+      case Some(c) =>
+        applyLines(Files.readAllLines(checkpointFile(table, c).toPath), live)
+        c + 1
+      case None => 0
     }
+    for (i <- from to v)
+      applyLines(Files.readAllLines(logFile(table, i).toPath), live)
     live.toSeq
   }
+
+  /** Fold one file's action lines (hand-rolled two-key parse, no JSON
+    * dependency) into the live map. */
+  private def applyLines(lines: java.util.List[String],
+      live: scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]): Unit =
+    lines.forEach { l =>
+      val op = l.split("\"op\":\"")(1).split("\"")(0)
+      val path = l.split("\"path\":\"")(1).split("\"")(0)
+      op match {
+        case "add" =>
+          val stats =
+            if (l.contains("\"min\":"))
+              Some((l.split("\"min\":")(1).split(",")(0).toLong,
+                l.split("\"max\":")(1).split(",")(0).toLong))
+            else None
+          live += path -> stats
+        case "remove" => live -= path
+        case _        => ()
+      }
+    }
 
   /** Data-skipping read: prune files whose recorded [min, max] cannot
     * intersect [lo, hi] BEFORE Spark ever lists them — log-level

@@ -610,6 +610,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.read(spark, table).agg(sum($"k")).first().getLong(0) === 15L)
   }
 
+  test("TxLog checkpoints fold the log; optimize compacts as one commit") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txckpt_spec")
+    // 20 single-row appends cross the checkpoint interval (16)
+    (0 until 20).foreach { i =>
+      TxLog.append(spark,
+        Seq((i.toLong, i * 1.0)).toDF("k", "x"), table)
+    }
+    assert(TxLog.version(table) === 19)
+    val ckpts = new java.io.File(table, "_txlog").listFiles()
+      .map(_.getName).filter(_.endsWith(".checkpoint"))
+    assert(ckpts.nonEmpty, "no checkpoint written by commit 19")
+    // reads resolve through the checkpoint to the same state
+    assert(TxLog.read(spark, table).count() === 20)
+    // time travel BELOW the checkpoint still replays from commit 0
+    assert(TxLog.read(spark, table, Some(4)).count() === 5)
+    // optimize: 20 splinter files -> 2, one commit, history intact
+    val v = TxLog.optimize(spark, table, targetFiles = 2)
+    assert(v === 20)
+    assert(TxLog.files(table).size === 2)
+    assert(TxLog.read(spark, table).count() === 20)
+    assert(TxLog.read(spark, table).agg(sum($"k")).first().getLong(0) === 190L)
+    assert(TxLog.read(spark, table, Some(19)).count() === 20) // pre-optimize
+  }
+
   test("TxLog merge rewrites only the files containing matched keys") {
     import graft.operators.TxLog
     import spark.implicits._
