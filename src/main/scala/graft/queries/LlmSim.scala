@@ -91,6 +91,64 @@ object LlmSim extends QueryModule {
           AND a.vec_id < b.vec_id
         WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30""")),
 
+    // Embedding-dedup KEEP-ONE rewrite — closes the embedding dedup
+    // loop the way q_llm_dedup_rewrite closes the text loop: near-dup
+    // pairs (same LSH bucket + label, cosine >= 0.30) → connected
+    // components → keep the min vec_id per cluster, carry every
+    // singleton. Output is the per-label kept-corpus summary with an
+    // identity-checking id sum, so the oracle (recursive-CTE closure on
+    // the same pair set) verifies exactly WHICH vectors survived, not
+    // just how many. The pair graph is bucket-scoped and tiny relative
+    // to the corpus, so the driver-side CC fixpoint iterates over
+    // counts, never data.
+    "q_llm_embed_dedup_rewrite" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", $"label", V.toDouble($"embedding").as("v"))
+          .withColumn("bucket", bucketCol($"v"))
+        val pairs = e.as("a").join(e.as("b"),
+          $"a.label" === $"b.label" && $"a.bucket" === $"b.bucket"
+            && $"a.vec_id" < $"b.vec_id")
+          .withColumn("cos", V.cosine($"a.v", $"b.v"))
+          .filter($"cos" >= 0.30)
+          .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+        val labels = graft.operators.ConnectedComponents
+          .label(pairs, "vec_a", "vec_b")
+        val reps = labels.groupBy($"lab").agg(min($"id").as("keep_id"))
+        val dropped = labels.join(reps, "lab")
+          .filter($"id" =!= $"keep_id").select($"id")
+        e.join(dropped, e("vec_id") === dropped("id"), "left_anti")
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"vec_id").as("kept_id_sum"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE e0 AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        e AS (SELECT vec_id, label, v, ${bucketSql("v")} AS bucket FROM e0),
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+            AND a.vec_id < b.vec_id
+          WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30),
+        edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM p
+          UNION SELECT vec_b, vec_a FROM p
+          UNION SELECT vec_a, vec_a FROM p
+          UNION SELECT vec_b, vec_b FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        lab AS (SELECT src, min(dst) AS rep FROM reach GROUP BY src),
+        dropped AS (SELECT src AS vec_id FROM lab WHERE src <> rep)
+        SELECT label, count(*) AS n_kept,
+          CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+        FROM e0 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        GROUP BY label""")),
+
     // Brute-force cosine top-k: the exact baseline every ANN variant is
     // judged against. Queries broadcast; ranking deterministic (cos is
     // bit-identical cross-engine, vec_id tiebreak).
