@@ -488,6 +488,49 @@ object Sources extends QueryModule {
             AS BIGINT) AS sum_cents
         FROM merged GROUP BY s_nationkey""")),
 
+    // OPTIMIZE through the transaction log: 16 splinter files compacted
+    // to 2 as ONE commit (file counts require-asserted so the compaction
+    // is load-bearing), and the query reads BOTH versions back — the
+    // pre-optimize splinters via time travel and the compacted head —
+    // proving the rewrite lost nothing and history survived it. The
+    // log-backed sibling of q_src_compaction (which rewrites a bare
+    // directory and has no history to keep).
+    "q_src_txlog_optimize" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txopt", dir)
+        val src = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+        if (TxLog.version(table) < 0) {
+          TxLog.append(s, src.repartition(16), table)
+          TxLog.optimize(s, table, targetFiles = 2)
+        }
+        // empty partitions write no file, so tiny SFs yield < 16
+        // splinters; the invariant is "more splinters than compacted"
+        require(TxLog.files(table, Some(0)).size > 2,
+          "pre-optimize version should hold splinter files")
+        require(TxLog.files(table, Some(1)).size == 2,
+          "optimize should compact to 2 files")
+        (0 to 1).map { v =>
+          TxLog.read(s, table, Some(v))
+            .agg(count(lit(1)).as("n"),
+              sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+                .as("sum_cents"))
+            .select(lit(v).as("version"), $"n", $"sum_cents")
+        }.reduce(_ unionByName _)
+      },
+      oracle = Some("""
+        SELECT 0 AS version, count(*) AS n,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM supplier
+        UNION ALL
+        SELECT 1, count(*),
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT)
+        FROM supplier""")),
+
     // Z-ORDER clustered layout: documents rewritten range-partitioned +
     // sorted by the Morton key of (n_chars, doc_id), then scanned with a
     // 2-D range filter. Z-ordering makes BOTH dimensions' parquet
