@@ -298,14 +298,19 @@ object LlmSim extends QueryModule {
             struct(lit(0).as("t"), $"b0".as("bucket")),
             struct(lit(1).as("t"), $"b1".as("bucket")))).as("tb"))
           .select($"vec_id", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+        // probe fan-out as a broadcast mask-table join, NOT a 352-child
+        // array literal: the giant expression costs more to codegen-
+        // compile than the whole query (and would be re-compiled per
+        // plan); a 352-row broadcast is free and the xor stays one tiny
+        // codegen'd expression
+        val maskDf = masks.map(_.toLong).toDF("mask")
         val probes = e.filter($"vec_id" < 5)
-          .select($"vec_id".as("q_id"), explode(array(
-            masks.map(m =>
-              struct(lit(0).as("t"),
-                $"b0".bitwiseXOR(lit(m.toLong)).as("pb"))) ++
-            masks.map(m =>
-              struct(lit(1).as("t"),
-                $"b1".bitwiseXOR(lit(m.toLong)).as("pb"))): _*)).as("p"))
+          .select($"vec_id".as("q_id"), $"b0", $"b1")
+          .crossJoin(broadcast(maskDf))
+          .select($"q_id", explode(array(
+            struct(lit(0).as("t"), $"b0".bitwiseXOR($"mask").as("pb")),
+            struct(lit(1).as("t"), $"b1".bitwiseXOR($"mask").as("pb"))))
+            .as("p"))
           .select($"q_id", $"p.t".as("t"), $"p.pb".as("pb"))
         val cand = probes.as("p")
           .join(eLong.as("el"),
