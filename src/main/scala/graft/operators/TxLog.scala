@@ -6,11 +6,12 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Minimal log-backed table format: ACID-on-parquet via an ordered
   * transaction log — the structure every production lakehouse table
   * format (as published in the Delta Lake paper, VLDB 2020) builds on,
-  * reduced to the four properties that matter at warehouse scale:
+  * reduced to the properties that matter at warehouse scale:
   *
   *   1. ATOMIC COMMITS. A commit is one log file `_txlog/%08d.json`
   *      whose creation is all-or-nothing (hard-link publish, which
@@ -32,15 +33,39 @@ import org.apache.spark.sql.functions._
   *      never data); untouched files carry over by reference. At 100 TB
   *      that is the difference between rewriting gigabytes and
   *      rewriting the table.
+  *   5. LOG CHECKPOINTS. Every [[CheckpointEvery]] commits the full
+  *      live state (file set + per-file column stats + seen txn ids) is
+  *      folded into a sibling checkpoint file; reads and idempotent-txn
+  *      checks start from the newest checkpoint at or below the
+  *      requested version and replay only the suffix — O(recent
+  *      commits), not O(log), once a streaming sink has run for a while.
+  *   6. DATA-SKIPPING STATS. Adds may carry per-file min/max for any
+  *      set of columns (integral, floating, string, date);
+  *      [[readPruned]] drops files whose recorded range cannot
+  *      intersect the query's BEFORE Spark ever lists them.
   *
-  * Deliberately out of scope (documented, not faked): log checkpoints
-  * (at 1e5+ commits you fold the log into a parquet checkpoint exactly
-  * like the published formats), schema evolution, and multi-table
-  * transactions.
+  * Deliberately out of scope (documented, not faked): multi-table
+  * transactions, and schema evolution beyond additive nullable columns
+  * (see [[appendEvolve]]).
   */
 object TxLog {
 
   final class ConcurrentCommit(msg: String) extends RuntimeException(msg)
+
+  /** Per-file, per-column min/max with a type tag so comparisons happen
+    * in the value's own domain (never via stringly-compared numbers):
+    * "L" integral (compared as Long), "D" floating (as Double), "S"
+    * string/date (lexicographic; dates serialize ISO so order agrees).
+    */
+  final case class ColStats(typ: String, lo: String, hi: String) {
+    def overlaps(qTyp: String, qLo: String, qHi: String): Boolean =
+      if (qTyp != typ) true // incomparable domains: conservatively keep
+      else typ match {
+        case "L" => hi.toLong >= qLo.toLong && lo.toLong <= qHi.toLong
+        case "D" => hi.toDouble >= qLo.toDouble && lo.toDouble <= qHi.toDouble
+        case _   => hi >= qLo && lo <= qHi
+      }
+  }
 
   private def logDir(table: String): File = new File(table, "_txlog")
 
@@ -56,6 +81,131 @@ object TxLog {
       .map(_.stripSuffix(".json").toInt).sorted.lastOption.getOrElse(-1)
   }
 
+  // ---------------------------------------------------------------------
+  // Log-line encoding. Hand-rolled micro-JSON: op/path/txn fields are
+  // engine-generated (UUID dirs, part files, batch ids — never contain
+  // quotes), but STATS VALUES come from user data, so strings are
+  // escaped on write and parsed with a real quote-aware scanner.
+  // ---------------------------------------------------------------------
+
+  private def jesc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Parse the JSON string starting at `s(i)` == '"'. Returns (value,
+    * index just past the closing quote). Only `\\` and `\"` escapes are
+    * ever written, so unescape-next-char is exact. */
+  private def jstr(s: String, i: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var j = i + 1
+    while (s.charAt(j) != '"') {
+      if (s.charAt(j) == '\\') { sb.append(s.charAt(j + 1)); j += 2 }
+      else { sb.append(s.charAt(j)); j += 1 }
+    }
+    (sb.toString, j + 1)
+  }
+
+  private def addLine(path: String, stats: Map[String, ColStats]): String =
+    if (stats.isEmpty) s"""{"op":"add","path":"${jesc(path)}"}"""
+    else {
+      val body = stats.toSeq.sortBy(_._1).map { case (c, st) =>
+        s""""${jesc(c)}":["${st.typ}","${jesc(st.lo)}","${jesc(st.hi)}"]"""
+      }.mkString(",")
+      s"""{"op":"add","path":"${jesc(path)}","stats":{$body}}"""
+    }
+
+  /** One folded log state: live files with their stats, txn ids seen,
+    * and whether the schema has additively evolved (reads then merge
+    * parquet footers; un-evolved tables skip that cost). */
+  private final class State {
+    val live = scala.collection.mutable.LinkedHashMap[String, Map[String, ColStats]]()
+    val txns = scala.collection.mutable.LinkedHashSet[String]()
+    var evolved = false
+  }
+
+  private def applyLines(lines: java.util.List[String], st: State): Unit =
+    lines.forEach { l =>
+      val op = l.split("\"op\":\"")(1).split("\"")(0)
+      op match {
+        case "add" =>
+          val (path, after) = jstr(l, l.indexOf("\"path\":\"") + 7)
+          val stats = {
+            val k = l.indexOf("\"stats\":{", after)
+            if (k < 0) Map.empty[String, ColStats]
+            else {
+              val m = scala.collection.mutable.Map[String, ColStats]()
+              var i = k + "\"stats\":{".length
+              while (l.charAt(i) != '}') {
+                val (c, i1) = jstr(l, i)
+                var j = i1
+                while (l.charAt(j) != '[') j += 1
+                val (t, j1) = jstr(l, j + 1)
+                val (lo, j2) = jstr(l, j1 + 1)
+                val (hi, j3) = jstr(l, j2 + 1)
+                m += c -> ColStats(t, lo, hi)
+                i = j3 + 1 // past ']'
+                if (l.charAt(i) == ',') i += 1
+              }
+              m.toMap
+            }
+          }
+          st.live += path -> stats
+        case "remove" =>
+          st.live -= l.split("\"path\":\"")(1).split("\"")(0)
+        case "txn" =>
+          st.txns += l.split("\"path\":\"")(1).split("\"")(0)
+        case "evolve" => st.evolved = true
+        case _        => ()
+      }
+    }
+
+  /** Fold the log through commit `v`, starting from the newest
+    * checkpoint at or below `v` when one exists (replay is O(suffix),
+    * not O(log)). */
+  private def replay(table: String, v: Int): State = {
+    val st = new State
+    val ckpt = (v to 1 by -1).find(i => checkpointFile(table, i).exists())
+    val from = ckpt match {
+      case Some(c) =>
+        applyLines(Files.readAllLines(checkpointFile(table, c).toPath), st)
+        c + 1
+      case None => 0
+    }
+    for (i <- from to v)
+      applyLines(Files.readAllLines(logFile(table, i).toPath), st)
+    st
+  }
+
+  private def stateAt(table: String, asOf: Option[Int]): State = {
+    val latest = version(table)
+    val v = asOf.getOrElse(latest)
+    require(v >= 0 && v <= latest, s"version $v outside [0, $latest]")
+    replay(table, v)
+  }
+
+  /** Live files with their recorded per-column stats (empty map when the
+    * add carried none). */
+  def filesWithStats(table: String,
+                     asOf: Option[Int] = None): Seq[(String, Map[String, ColStats])] =
+    stateAt(table, asOf).live.toSeq
+
+  /** Live file set (relative paths) at `asOf` (default: latest). */
+  def files(table: String, asOf: Option[Int] = None): Seq[String] =
+    filesWithStats(table, asOf).map(_._1)
+
+  /** Snapshot read at a version. Callers only time-travel to versions
+    * with data (all graft uses do) — Spark cannot scan zero files.
+    * Tables whose schema has evolved read with mergeSchema so
+    * pre-evolution files surface NULL in the added columns; un-evolved
+    * tables keep the cheap single-footer path. */
+  def read(spark: SparkSession, table: String,
+           asOf: Option[Int] = None): DataFrame = {
+    val st = stateAt(table, asOf)
+    val fs = st.live.keysIterator
+      .map(p => new File(table, p).getAbsolutePath).toSeq
+    if (st.evolved) spark.read.option("mergeSchema", "true").parquet(fs: _*)
+    else spark.read.parquet(fs: _*)
+  }
+
   /** Atomically publish version `expected + 1` containing `actions`
     * (op -> relative path). Hard-link from a fully-written temp file:
     * link(2) is atomic and fails if the target exists, so exactly one
@@ -64,7 +214,7 @@ object TxLog {
   def commit(table: String, expected: Int,
              actions: Seq[(String, String)]): Int =
     commitLines(table, expected, actions.map { case (op, path) =>
-      s"""{"op":"$op","path":"$path"}"""
+      s"""{"op":"$op","path":"${jesc(path)}"}"""
     })
 
   private[operators] def commitLines(table: String, expected: Int,
@@ -109,51 +259,112 @@ object TxLog {
     commit(table, base, actions)
   }
 
-  /** Live file set (relative paths) at `asOf` (default: latest). */
-  def files(table: String, asOf: Option[Int] = None): Seq[String] =
-    filesWithStats(table, asOf).map(_._1)
+  /** Stats type tag for a column's data type; None = unsupported (no
+    * stats recorded, file conservatively never pruned on that column).
+    * Decimals/timestamps are deliberately unsupported rather than
+    * approximated — approximate bounds would WRONGLY prune. */
+  private def tagOf(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("L")
+    case FloatType | DoubleType                        => Some("D")
+    case StringType | DateType                         => Some("S")
+    case _                                             => None
+  }
 
-  /** Snapshot read at a version. Empty live set still yields the right
-    * schema by reading zero files is impossible in Spark — callers only
-    * time-travel to versions with data (all graft uses do). */
-  def read(spark: SparkSession, table: String,
-           asOf: Option[Int] = None): DataFrame = {
-    val fs = files(table, asOf).map(p => new File(table, p).getAbsolutePath)
-    spark.read.parquet(fs: _*)
+  private def fmt(tag: String, v: Any): String = (tag, v) match {
+    case ("L", n: Number) => n.longValue.toString
+    case ("D", n: Number) => n.doubleValue.toString
+    case _                => v.toString // "S": String / java.sql.Date ISO
+  }
+
+  /** Encode a query bound the same way append encodes stats values, so
+    * pruning compares like with like. */
+  private def encodeBound(v: Any): (String, String) = v match {
+    case n @ (_: Byte | _: Short | _: Int | _: Long) =>
+      ("L", n.asInstanceOf[Number].longValue.toString)
+    case n @ (_: Float | _: Double) =>
+      ("D", n.asInstanceOf[Number].doubleValue.toString)
+    case other => ("S", other.toString)
   }
 
   /** Write `df` as new parquet files under the table and commit them as
-    * an APPEND. Returns the new version. Retries once on a lost race
+    * an APPEND. Returns the new version. Retries on a lost race
     * (append never conflicts logically — the file set is additive).
     *
-    * `statsCol`: optionally record per-file min/max of one long column
-    * in the add actions (computed in ONE distributed pass, grouped by
+    * `statsCols`: record per-file min/max of these columns in the add
+    * actions (computed in ONE distributed pass, grouped by
     * input_file_name) — the data-skipping index [[readPruned]] uses.
-    * At 100 TB this is what turns a key-range query from "scan the
-    * table" into "scan the few files whose range overlaps".
+    * All-null columns within a file record no stats for that column
+    * (the file is then never pruned on it). At 100 TB this is what
+    * turns a key-range query from "scan the table" into "scan the few
+    * files whose range overlaps".
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
-             statsCol: Option[String] = None): Int = {
+             statsCols: Seq[String] = Nil): Int = {
     enforceSchema(spark, df, table)
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     val subAbs = new File(table, sub).getAbsolutePath
     df.write.parquet(subAbs)
-    val adds: Seq[String] = statsCol match {
-      case None => newFiles(table, sub).map(p =>
-        s"""{"op":"add","path":"$p"}""")
-      case Some(c) =>
-        val stats = spark.read.parquet(subAbs)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
-          .collect() // file METADATA (one row per file), not data
-          .map(r => (new File(new java.net.URI(r.getString(0))).getName,
-            (r.getLong(1), r.getLong(2)))).toMap
-        newFiles(table, sub).map { p =>
-          val (lo, hi) = stats(new File(p).getName)
-          s"""{"op":"add","path":"$p","min":$lo,"max":$hi,"col":"$c"}"""
-        }
-    }
+    val adds = addActions(spark, table, sub, subAbs, statsCols)
     retryCommit(table)(commitLines(table, _, adds))
+  }
+
+  /** Schema-EVOLUTION append: the additive path every production log
+    * format supports. The incoming frame must carry the table's
+    * existing columns (same names + types, as a prefix) plus any number
+    * of NEW columns; the commit records an explicit `evolve` action, and
+    * from that version on [[read]] merges parquet schemas so rows from
+    * pre-evolution files surface NULL in the new columns. Narrowing or
+    * retyping stays rejected — evolution is additive-only, and it is an
+    * explicit entry point, never an accident of a drifted writer. */
+  def appendEvolve(spark: SparkSession, df: DataFrame, table: String,
+                   statsCols: Seq[String] = Nil): Int = {
+    val v = version(table)
+    if (v < 0) return append(spark, df, table, statsCols)
+    val existing = read(spark, table).schema
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    val (oldShape, newShape) = (shape(existing), shape(df.schema))
+    require(newShape.take(oldShape.size) == oldShape,
+      s"evolution must be additive: table has ${existing.simpleString}, " +
+        s"append has ${df.schema.simpleString}")
+    val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    val subAbs = new File(table, sub).getAbsolutePath
+    df.write.parquet(subAbs)
+    val evolveMark =
+      if (newShape.size > oldShape.size) Seq("""{"op":"evolve","path":""}""")
+      else Nil
+    val adds = evolveMark ++ addActions(spark, table, sub, subAbs, statsCols)
+    retryCommit(table)(commitLines(table, _, adds))
+  }
+
+  private def addActions(spark: SparkSession, table: String, sub: String,
+                         subAbs: String, statsCols: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty)
+      return newFiles(table, sub).map(p => addLine(p, Map.empty))
+    val written = spark.read.parquet(subAbs)
+    val tagged = statsCols.map { c =>
+      val f = written.schema(c)
+      val t = tagOf(f.dataType).getOrElse(throw new IllegalArgumentException(
+        s"stats unsupported for column $c: ${f.dataType.simpleString}"))
+      (c, t)
+    }
+    val aggs = tagged.zipWithIndex.flatMap { case ((c, _), i) =>
+      Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
+    }
+    val byFile = written
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // file METADATA (one row per file), not data
+      .map { r =>
+        val stats = tagged.zipWithIndex.flatMap { case ((c, t), i) =>
+          val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
+          if (r.isNullAt(loI) || r.isNullAt(hiI)) None // all-null file
+          else Some(c -> ColStats(t, fmt(t, r.get(loI)), fmt(t, r.get(hiI))))
+        }.toMap
+        new File(new java.net.URI(r.getString(0))).getName -> stats
+      }.toMap
+    newFiles(table, sub).map { p =>
+      addLine(p, byFile.getOrElse(new File(p).getName, Map.empty))
+    }
   }
 
   /** Optimistic-concurrency retry loop: re-read the latest version and
@@ -176,8 +387,10 @@ object TxLog {
     * folded next to the log (the published-format answer to "replay
     * 1e5 commits to plan one query"): reads start from the newest
     * checkpoint at or below the requested version and replay only the
-    * suffix. Checkpoints are an OPTIMIZATION — every log file is kept,
-    * so any version stays replayable without one. */
+    * suffix. The checkpoint carries per-file stats AND the seen txn-id
+    * set, so both data skipping and idempotent-sink dedup stay O(recent
+    * commits). Checkpoints are an OPTIMIZATION — every log file is
+    * kept, so any version stays replayable without one. */
   private val CheckpointEvery = 16
 
   private def checkpointFile(table: String, v: Int): File =
@@ -185,11 +398,11 @@ object TxLog {
 
   private def maybeCheckpoint(table: String, v: Int): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
-      val body = filesWithStats(table, Some(v)).map {
-        case (p, None)           => s"""{"op":"add","path":"$p"}"""
-        case (p, Some((lo, hi))) =>
-          s"""{"op":"add","path":"$p","min":$lo,"max":$hi}"""
-      }.mkString("", "\n", "\n")
+      val st = replay(table, v)
+      val body = ((if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
+        st.live.toSeq.map { case (p, stats) => addLine(p, stats) } ++
+        st.txns.toSeq.map(t => s"""{"op":"txn","path":"${jesc(t)}"}"""))
+        .mkString("", "\n", "\n")
       val tmp = Files.createTempFile(logDir(table).toPath, ".ckpt-", ".tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.TRUNCATE_EXISTING)
@@ -198,75 +411,47 @@ object TxLog {
       finally Files.deleteIfExists(tmp)
     }
 
-  /** Live files with their recorded stats range (None when the add
-    * carried no stats). Starts from the newest checkpoint <= asOf when
-    * one exists; otherwise replays from commit 0. */
-  def filesWithStats(table: String,
-                     asOf: Option[Int] = None): Seq[(String, Option[(Long, Long)])] = {
-    val latest = version(table)
-    val v = asOf.getOrElse(latest)
-    require(v >= 0 && v <= latest, s"version $v outside [0, $latest]")
-    val ckpt = (v to 1 by -1).find(i => checkpointFile(table, i).exists())
-    val live =
-      scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
-    val from = ckpt match {
-      case Some(c) =>
-        applyLines(Files.readAllLines(checkpointFile(table, c).toPath), live)
-        c + 1
-      case None => 0
+  /** Data-skipping read: prune files whose recorded per-column [min,
+    * max] cannot intersect the requested bounds BEFORE Spark ever lists
+    * them — log-level skipping on top of parquet's own row-group
+    * pruning. A file survives unless EVERY requested column proves it
+    * disjoint: files without stats for a column (or with stats recorded
+    * under a different type) are conservatively kept. The residual
+    * filter still applies (stats prune files, not rows). */
+  def readPrunedAll(spark: SparkSession, table: String,
+                    bounds: Seq[(String, Any, Any)]): DataFrame = {
+    require(bounds.nonEmpty, "readPrunedAll needs at least one bound")
+    val enc = bounds.map { case (c, lo, hi) =>
+      val (tLo, sLo) = encodeBound(lo)
+      val (tHi, sHi) = encodeBound(hi)
+      require(tLo == tHi, s"bound type mismatch on $c: $lo vs $hi")
+      (c, tLo, sLo, sHi)
     }
-    for (i <- from to v)
-      applyLines(Files.readAllLines(logFile(table, i).toPath), live)
-    live.toSeq
-  }
-
-  /** Fold one file's action lines (hand-rolled two-key parse, no JSON
-    * dependency) into the live map. */
-  private def applyLines(lines: java.util.List[String],
-      live: scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]): Unit =
-    lines.forEach { l =>
-      val op = l.split("\"op\":\"")(1).split("\"")(0)
-      val path = l.split("\"path\":\"")(1).split("\"")(0)
-      op match {
-        case "add" =>
-          val stats =
-            if (l.contains("\"min\":"))
-              Some((l.split("\"min\":")(1).split(",")(0).toLong,
-                l.split("\"max\":")(1).split(",")(0).toLong))
-            else None
-          live += path -> stats
-        case "remove" => live -= path
-        case _        => ()
-      }
-    }
-
-  /** Data-skipping read: prune files whose recorded [min, max] cannot
-    * intersect [lo, hi] BEFORE Spark ever lists them — log-level
-    * skipping on top of parquet's own row-group pruning. Files without
-    * stats are conservatively kept. The residual filter still applies
-    * (stats prune files, not rows). */
-  def readPruned(spark: SparkSession, table: String, col0: String,
-                 lo: Long, hi: Long): DataFrame = {
     val kept = filesWithStats(table).collect {
-      case (p, None)                                   => p
-      case (p, Some((mn, mx))) if mx >= lo && mn <= hi => p
+      case (p, stats) if enc.forall { case (c, t, lo, hi) =>
+        stats.get(c).forall(_.overlaps(t, lo, hi))
+      } => p
     }
     val fs = kept.map(p => new File(table, p).getAbsolutePath)
-    spark.read.parquet(fs: _*)
-      .filter(col(col0) >= lo && col(col0) <= hi)
+    val residual = bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    spark.read.parquet(fs: _*).filter(residual)
   }
 
-  /** Transaction ids recorded in the log (see [[appendIdempotent]]). */
+  /** Single-Long-column data-skipping read (common key-range case). */
+  def readPruned(spark: SparkSession, table: String, col0: String,
+                 lo: Long, hi: Long): DataFrame =
+    readPrunedAll(spark, table, Seq((col0, lo, hi)))
+
+  /** Transaction ids recorded in the log (see [[appendIdempotent]]).
+    * Rides checkpoints: O(suffix since last checkpoint), not O(log) —
+    * a long-running streaming sink accumulates thousands of commits
+    * and pays this on every micro-batch. */
   def txns(table: String): Set[String] = {
     val latest = version(table)
-    (0 to latest).flatMap { i =>
-      val out = scala.collection.mutable.ListBuffer[String]()
-      Files.readAllLines(logFile(table, i).toPath).forEach { l =>
-        if (l.contains("\"op\":\"txn\""))
-          out += l.split("\"path\":\"")(1).split("\"")(0)
-      }
-      out
-    }.toSet
+    if (latest < 0) Set.empty
+    else replay(table, latest).txns.toSet
   }
 
   /** Exactly-once append: commit `df` tagged with `txn`, or do nothing
@@ -294,6 +479,12 @@ object TxLog {
   /** File-granular copy-on-write delete: rewrite only the files that
     * contain matching rows; everything else carries over by reference
     * in the log. Returns the new version (unchanged if nothing matched).
+    *
+    * Survivors are the rows where `pred` is NOT TRUE — under SQL
+    * three-valued logic a NULL predicate must KEEP the row (it did not
+    * match the delete), so the survivor filter is
+    * `NOT coalesce(pred, false)`, never `!pred` (which drops NULLs
+    * from both sides).
     */
   def deleteWhere(spark: SparkSession, table: String,
                   pred: org.apache.spark.sql.Column): Int = {
@@ -308,7 +499,10 @@ object TxLog {
       .toSeq
     if (affected.isEmpty) return base
     val affectedAbs = affected.map(p => new File(table, p).getAbsolutePath)
-    val survivors = spark.read.parquet(affectedAbs: _*).filter(!pred)
+    // explicit snapshot schema: fills evolution-added columns with NULL
+    // even when every affected file predates the evolution
+    val survivors = spark.read.schema(snap.schema).parquet(affectedAbs: _*)
+      .filter(!coalesce(pred, lit(false)))
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     survivors.write.parquet(new File(table, sub).getAbsolutePath)
     val actions = affected.map(("remove", _)) ++
@@ -345,7 +539,7 @@ object TxLog {
       if (affected.isEmpty) updates // pure insert
       else {
         val affectedAbs = affected.map(p => new File(table, p).getAbsolutePath)
-        spark.read.parquet(affectedAbs: _*)
+        spark.read.schema(snap.schema).parquet(affectedAbs: _*)
           .join(updates.select(col(key)), Seq(key), "left_anti")
           .select(snap.columns.map(col): _*)
           .unionByName(updates.select(snap.columns.map(col): _*))
@@ -360,37 +554,45 @@ object TxLog {
     * drifts from the table's (names + types; nullability is advisory)
     * fails LOUDLY at commit time instead of poisoning every future read
     * — the failure mode schemaless parquet directories are notorious
-    * for. Evolution would be an explicit log action; out of scope. */
+    * for. Evolution is an explicit, separate entry point
+    * ([[appendEvolve]]), never an accident. */
   private def enforceSchema(spark: SparkSession, df: DataFrame,
                             table: String): Unit = {
     if (version(table) < 0) return
     val existing = read(spark, table).schema
-    def shape(s: org.apache.spark.sql.types.StructType) =
-      s.fields.map(f => (f.name, f.dataType)).toSeq
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     require(shape(existing) == shape(df.schema),
       s"schema drift rejected: table has ${existing.simpleString}, " +
         s"append has ${df.schema.simpleString}")
   }
 
-  /** Delete data files no LIVE OR HISTORICAL version references (failed
-    * writers' orphans) plus, when `retainVersions` is given, files only
-    * referenced by versions older than the retention horizon — after
-    * which time travel below the horizon is gone (the log entries stay
-    * as an audit record). Returns the deleted relative paths. The
-    * deletion order is safe under concurrent readers of RETAINED
-    * versions: a file is only removed once no retained snapshot can
-    * resolve to it.
+  /** Delete data files no RETAINED version references (failed writers'
+    * orphans, and — when `retainVersions` is given — files only
+    * referenced below the retention horizon; time travel below it is
+    * gone, the log entries stay as an audit record). Returns the
+    * deleted relative paths.
+    *
+    * `minAgeMillis` is the concurrent-writer guard the production
+    * formats use: a writer that has materialized its data files but not
+    * yet committed has files on disk the log does not reference yet —
+    * indistinguishable from orphans. Files younger than the horizon are
+    * therefore never deleted; run vacuum with a horizon comfortably
+    * above the longest write+commit latency (default 0 keeps the old
+    * behavior and is safe only with no in-flight writers).
     */
-  def vacuum(table: String, retainVersions: Int = Int.MaxValue): Seq[String] = {
+  def vacuum(table: String, retainVersions: Int = Int.MaxValue,
+             minAgeMillis: Long = 0L): Seq[String] = {
     val latest = version(table)
     val floor = math.max(0, latest - math.max(0, retainVersions - 1))
     val referenced = (floor to latest).flatMap(v => files(table, Some(v))).toSet
     val tableDir = new File(table).toPath.toAbsolutePath
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val onDisk = {
       val out = scala.collection.mutable.ListBuffer[String]()
       Files.walk(tableDir).forEach { p =>
         val rel = tableDir.relativize(p).toString
-        if (rel.endsWith(".parquet") && !rel.startsWith("_txlog")) out += rel
+        if (rel.endsWith(".parquet") && !rel.startsWith("_txlog") &&
+          p.toFile.lastModified() <= cutoff) out += rel
       }
       out.toList
     }

@@ -421,7 +421,7 @@ object Sources extends QueryModule {
           val src = Engine.table(s, dir, "supplier")
             .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
             .repartitionByRange(8, $"s_suppkey")
-          TxLog.append(s, src, table, statsCol = Some("s_suppkey"))
+          TxLog.append(s, src, table, statsCols = Seq("s_suppkey"))
         }
         TxLog.readPruned(s, table, "s_suppkey", 3L, 7L)
           .groupBy($"s_nationkey")
@@ -530,6 +530,83 @@ object Sources extends QueryModule {
           CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
             AS BIGINT)
         FROM supplier""")),
+
+    // MULTI-COLUMN data skipping through the log: the table is written
+    // range-clustered on (source, doc_id) with per-file min/max recorded
+    // for BOTH columns — a STRING and a LONG, compared each in its own
+    // domain — and the read prunes on both bounds at once. This is what
+    // composes with a Z-order layout at 100 TB: one clustered write, and
+    // every dimension's stats stay selective. The prune is load-bearing:
+    // the query REQUIRES fewer files kept than live before scanning.
+    "q_src_txlog_skipping2" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txskip2", dir)
+        if (TxLog.version(table) < 0) {
+          val src = Engine.table(s, dir, "documents")
+            .select($"doc_id", $"source", $"n_chars")
+            .repartitionByRange(8, $"source", $"doc_id")
+          TxLog.append(s, src, table, statsCols = Seq("source", "doc_id"))
+        }
+        val all = TxLog.filesWithStats(table)
+        val kept = all.count { case (_, st) =>
+          st("source").overlaps("S", "src12", "src14") &&
+            st("doc_id").overlaps("L", "0", "250")
+        }
+        require(kept < all.size,
+          s"two-column stats pruned nothing: kept $kept of ${all.size}")
+        TxLog.readPrunedAll(s, table,
+          Seq(("source", "src12", "src14"), ("doc_id", 0L, 250L)))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE source BETWEEN 'src12' AND 'src14'
+          AND doc_id BETWEEN 0 AND 250
+        GROUP BY source""")),
+
+    // SCHEMA EVOLUTION through the log: v0 appends a 2-column supplier
+    // projection, v1 appendEvolve adds s_acctbal — an explicit additive
+    // log action, never a drifted writer (plain append still rejects
+    // shape drift, unit-tested). Reads merge schemas so pre-evolution
+    // rows surface NULL in the new column; the aggregate proves the
+    // backfill (n vs n_evolved) and the evolved values hash-match the
+    // oracle's replay of the same two-wave history.
+    "q_src_txlog_evolve" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txevolve", dir)
+        val src = Engine.table(s, dir, "supplier")
+        if (TxLog.version(table) < 0) {
+          TxLog.append(s, src.filter($"s_suppkey" % 2 === 0)
+            .select($"s_suppkey", $"s_nationkey"), table)          // v0
+          TxLog.appendEvolve(s, src.filter($"s_suppkey" % 2 === 1)
+            .select($"s_suppkey", $"s_nationkey", $"s_acctbal"), table) // v1
+        }
+        TxLog.read(s, table)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            count($"s_acctbal").as("n_evolved"),
+            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT s_suppkey, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal
+          FROM supplier WHERE s_suppkey % 2 = 0
+          UNION ALL
+          SELECT s_suppkey, s_nationkey, s_acctbal
+          FROM supplier WHERE s_suppkey % 2 = 1)
+        SELECT s_nationkey, count(*) AS n,
+          count(s_acctbal) AS n_evolved,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM t GROUP BY s_nationkey""")),
 
     // Z-ORDER clustered layout: documents rewritten range-partitioned +
     // sorted by the Morton key of (n_chars, doc_id), then scanned with a

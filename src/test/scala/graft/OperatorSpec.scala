@@ -664,18 +664,158 @@ class OperatorSpec extends AnyFunSuite {
     val table = Engine.scratchDir("txskip_spec")
     val df = spark.range(1, 101).select($"id".as("k"), ($"id" * 2).as("x"))
       .repartitionByRange(5, $"k")
-    TxLog.append(spark, df, table, statsCol = Some("k"))
+    TxLog.append(spark, df, table, statsCols = Seq("k"))
     val all = TxLog.filesWithStats(table)
-    assert(all.size === 5 && all.forall(_._2.nonEmpty))
+    assert(all.size === 5 && all.forall(_._2.contains("k")))
     // the range [10, 30] overlaps at most 2 of the 5 range-clustered
     // files; pruning must drop the rest BEFORE the scan
     val kept = all.collect {
-      case (p, Some((mn, mx))) if mx >= 10L && mn <= 30L => p
+      case (p, stats) if stats("k").overlaps("L", "10", "30") => p
     }
     assert(kept.size < all.size, s"no files pruned: $all")
     val pruned = TxLog.readPruned(spark, table, "k", 10L, 30L)
     assert(pruned.count() === 21)
     assert(pruned.agg(sum($"x")).first().getLong(0) === (10L to 30L).map(_ * 2).sum)
+  }
+
+  test("TxLog deleteWhere keeps rows whose predicate evaluates NULL") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txnull_spec")
+    // x is nullable: pred (x > 5) is NULL for the null rows — a DELETE
+    // must keep them (NULL is "did not match"), never drop them
+    val df = Seq[(Long, Option[Double])](
+      (1L, Some(1.0)), (2L, Some(9.0)), (3L, None), (4L, None),
+      (5L, Some(3.0))).toDF("k", "x")
+    TxLog.append(spark, df, table)
+    TxLog.deleteWhere(spark, table, $"x" > 5.0)
+    val rows = TxLog.read(spark, table).orderBy($"k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L, 5L),
+      "NULL-predicate rows must survive a delete")
+    assert(rows.count(_.isNullAt(1)) === 2)
+  }
+
+  test("TxLog stats survive checkpoints; txns ride checkpoints (suffix-only)") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txckptstats_spec")
+    // 20 stats-carrying idempotent-style commits cross the checkpoint
+    // interval (16): the checkpoint must carry BOTH the per-file stats
+    // and the txn set, and reads after it must still work (r5's parser
+    // crashed on checkpointed stats lines)
+    (0 until 20).foreach { i =>
+      TxLog.appendIdempotent(spark,
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), table, txn = s"b-$i")
+    }
+    // appends under appendIdempotent carry no stats; add two that do
+    TxLog.append(spark, Seq((100L, "hi")).toDF("k", "s"), table,
+      statsCols = Seq("k", "s"))
+    assert(TxLog.version(table) === 20)
+    val withStats = TxLog.filesWithStats(table).filter(_._2.nonEmpty)
+    assert(withStats.nonEmpty && withStats.forall(_._2.size === 2))
+    // force readback THROUGH the checkpoint: remove pre-checkpoint log
+    // files — replay must start at the checkpoint, not commit 0
+    val dir = new java.io.File(table, "_txlog")
+    val ckptV = dir.listFiles().map(_.getName)
+      .filter(_.endsWith(".checkpoint")).map(_.stripSuffix(".checkpoint").toInt).max
+    assert(ckptV === 16)
+    (0 until ckptV).foreach { v =>
+      java.nio.file.Files.delete(
+        new java.io.File(dir, f"$v%08d.json").toPath)
+    }
+    assert(TxLog.read(spark, table).count() === 21)
+    assert(TxLog.txns(table) === (0 until 20).map(i => s"b-$i").toSet,
+      "txn ids must survive into the checkpoint")
+    // re-delivery of a pre-checkpoint batch is still a no-op
+    val v0 = TxLog.version(table)
+    TxLog.appendIdempotent(spark,
+      Seq((3L, "dup")).toDF("k", "s"), table, txn = "b-3")
+    assert(TxLog.version(table) === v0)
+    assert(TxLog.read(spark, table).count() === 21)
+  }
+
+  test("TxLog multi-column type-generic stats prune on every bound") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txmulti_spec")
+    // 4 files, range-clustered on k; s correlates ("a".."d" by quartile)
+    val df = spark.range(0, 100).select(
+      $"id".as("k"),
+      concat(lit("g"), ($"id" / 25).cast("int").cast("string")).as("s"),
+      ($"id" * 1.5).as("d"))
+      .repartitionByRange(4, $"k")
+    TxLog.append(spark, df, table, statsCols = Seq("k", "s", "d"))
+    val all = TxLog.filesWithStats(table)
+    assert(all.size === 4 && all.forall(_._2.size === 3))
+    // long + string bounds together: only the g1 quartile file survives
+    val pruned = TxLog.readPrunedAll(spark, table,
+      Seq(("k", 25L, 49L), ("s", "g1", "g1")))
+    assert(pruned.count() === 25)
+    val keptFiles = all.count { case (_, st) =>
+      st("k").overlaps("L", "25", "49") && st("s").overlaps("S", "g1", "g1")
+    }
+    assert(keptFiles === 1, s"expected 1 of 4 files kept, stats: $all")
+    // double bound prunes too, and a stats-less column never prunes
+    assert(TxLog.readPrunedAll(spark, table, Seq(("d", 0.0, 10.0)))
+      .count() === 7) // d = k*1.5 <= 10 -> k <= 6
+    // all-null column: stats skipped for that file, no crash, no prune
+    val t2 = Engine.scratchDir("txnullstats_spec")
+    TxLog.append(spark,
+      Seq[(Long, Option[Long])]((1L, None), (2L, None)).toDF("k", "v"),
+      t2, statsCols = Seq("v"))
+    assert(TxLog.filesWithStats(t2).forall(_._2.isEmpty))
+    assert(TxLog.readPruned(spark, t2, "v", 0L, 100L).count() === 0)
+    assert(TxLog.read(spark, t2).count() === 2)
+  }
+
+  test("TxLog vacuum age horizon protects in-flight writers' files") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txvac_spec")
+    TxLog.append(spark, Seq((1L, 1.0)).toDF("k", "x"), table)
+    // simulate an in-flight writer: data files on disk, commit not yet
+    // published — vacuum with an age horizon must NOT delete them
+    val orphanDir = new java.io.File(table, "data-inflight")
+    spark.range(1).select($"id".as("k"), lit(2.0).as("x"))
+      .write.parquet(orphanDir.getAbsolutePath)
+    val young = TxLog.vacuum(table, minAgeMillis = 3600L * 1000L)
+    assert(young.isEmpty, s"age horizon violated: deleted $young")
+    // the writer commits; its files are now referenced and safe forever
+    val orphans = orphanDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+      .map(f => s"data-inflight/${f.getName}").toSeq
+    TxLog.commit(table, TxLog.version(table), orphans.map(("add", _)))
+    assert(TxLog.vacuum(table).isEmpty)
+    assert(TxLog.read(spark, table).count() === 2)
+  }
+
+  test("TxLog schema evolution: additive columns, NULL backfill, COW intact") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txevolve_spec")
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), table)
+    // non-additive evolution rejected (retyping s)
+    intercept[IllegalArgumentException] {
+      TxLog.appendEvolve(spark, Seq((3L, 1.0)).toDF("k", "s"), table)
+    }
+    // additive: new nullable column v; old rows surface NULL
+    TxLog.appendEvolve(spark,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "s", "v"), table)
+    val r = TxLog.read(spark, table).orderBy($"k").collect()
+    assert(r.length === 4)
+    assert(r.map(_.schema.fieldNames.toSeq).head === Seq("k", "s", "v"))
+    assert(r.take(2).forall(_.isNullAt(2)), "pre-evolution rows read NULL")
+    assert(r.drop(2).map(_.getLong(2)).toSeq === Seq(30L, 40L))
+    // plain append must now match the FULL evolved schema
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((9L, "z")).toDF("k", "s"), table)
+    }
+    // COW delete across the evolution boundary: affected files include a
+    // pre-evolution file; survivors keep the evolved schema
+    TxLog.deleteWhere(spark, table, $"k" % 2 === 0L)
+    val r2 = TxLog.read(spark, table).orderBy($"k").collect()
+    assert(r2.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(r2.head.isNullAt(2) && r2.last.getLong(2) === 30L)
   }
 
   test("q13 outer-join distribution: agg reuses the join's partitioning") {
