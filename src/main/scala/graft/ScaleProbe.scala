@@ -18,7 +18,26 @@ object ScaleProbe {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** ANN recall sweep: recall@3 of the multi-table multi-probe LSH
+    * pipeline vs exact brute force over `nQueries` query vectors.
+    * Usage: tools/run.sh graft.ScaleProbe recall [sfDir] [nQueries]
+    * (Evidence tooling for the PLANS.md sweep — the 0.6 floor itself is
+    * gated in OperatorSpec on 50 vectors.) */
+  private def recallProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val nQ = args.lift(1).map(_.toInt).getOrElse(50)
+    val spark = Engine.session("graft-recallprobe")
+    def top3(df: DataFrame) = df.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = top3(queries.LlmSim.bruteTopK(spark, sfDir, nQ))
+    val mt = top3(queries.LlmSim.annLshMtTopK(spark, sfDir, nQ))
+    val n = Engine.table(spark, sfDir, "embeddings").count()
+    println(f"""{"sfDir":"$sfDir","nQueries":$nQ,"corpus":$n,""" +
+      f""""recall_at_3":${(mt & brute).size.toDouble / brute.size}%.4f}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("recall")) return recallProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = Engine.session("graft-scaleprobe")

@@ -294,15 +294,46 @@ object Extras extends QueryModule {
           FROM orders)
         WHERE rn <= 3""")),
 
-    // Stratified sampling (seeded, engine-specific) — rows-only gate.
+    // Stratified sampling (seeded, engine-specific RNG): assertion-
+    // oracled like q_row_sample — per-stratum source counts and 6-sigma
+    // binomial bounds are recomputed by DuckDB from the same table
+    // (hash-matched arithmetic), while Spark verifies the sample's
+    // properties distributedly: per-stratum size within bounds and
+    // every sampled row present in its stratum (anti-join count 0).
     "q_row_sample_by" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        Engine.table(s, dir, "lineitem")
-          .stat.sampleBy("l_returnflag",
-            Map("A" -> 0.05, "N" -> 0.1, "R" -> 0.05), 42L)
-          .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+        val fr = Map("A" -> 0.05, "N" -> 0.1, "R" -> 0.05)
+        val li = Engine.table(s, dir, "lineitem")
+        val cols = Seq($"l_returnflag", $"l_orderkey", $"l_linenumber")
+        val src = li.select(cols: _*)
+        val samp = li.stat.sampleBy("l_returnflag", fr, 42L).select(cols: _*)
+        val nSrc = src.groupBy($"l_returnflag").agg(count(lit(1)).as("n_src"))
+        val nSamp = samp.groupBy($"l_returnflag").agg(count(lit(1)).as("n_samp"))
+        val notIn = samp
+          .join(src, Seq("l_returnflag", "l_orderkey", "l_linenumber"), "left_anti")
+          .groupBy($"l_returnflag").agg(count(lit(1)).as("bad"))
+        val f = element_at(typedLit(fr), $"l_returnflag")
+        val lo = col("n_src") * f - lit(6.0) * sqrt(col("n_src") * f * (lit(1) - f))
+        val hi = col("n_src") * f + lit(6.0) * sqrt(col("n_src") * f * (lit(1) - f))
+        nSrc.join(nSamp, Seq("l_returnflag"))
+          .join(notIn, Seq("l_returnflag"), "left")
+          .select($"l_returnflag", $"n_src", lo.as("lo"), hi.as("hi"),
+            ($"n_samp" >= lo && $"n_samp" <= hi).as("in_bounds"),
+            coalesce($"bad", lit(0L)).as("not_in_src"))
       },
-      oracle = None)
+      oracle = Some("""
+        WITH f(flag, fr) AS (VALUES
+          ('A', CAST(0.05 AS DOUBLE)),
+          ('N', CAST(0.1  AS DOUBLE)),
+          ('R', CAST(0.05 AS DOUBLE))),
+        s AS (SELECT l_returnflag, count(*) AS n_src
+              FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n_src,
+          n_src * fr - 6.0 * sqrt(n_src * fr * (1 - fr)) AS lo,
+          n_src * fr + 6.0 * sqrt(n_src * fr * (1 - fr)) AS hi,
+          TRUE AS in_bounds,
+          CAST(0 AS BIGINT) AS not_in_src
+        FROM s JOIN f ON f.flag = s.l_returnflag"""))
   )
 }

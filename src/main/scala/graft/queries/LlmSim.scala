@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Engine, QueryDef, QueryModule}
 import graft.functions.{Fns, VecMeanAgg}
 import graft.operators.{Multimodal, VectorOps => V}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -285,47 +285,7 @@ object LlmSim extends QueryModule {
     // then dedup to (q_id, vec_id) before the cosine rerank, so each
     // candidate pair is scored exactly once.
     "q_llm_ann_lsh_mt" -> QueryDef(
-      fn = (s, dir) => {
-        import s.implicits._
-        val P = 10; val R = 3
-        val masks =
-          (0 until (1 << P)).filter(m => Integer.bitCount(m) <= R)
-        val e = Engine.table(s, dir, "embeddings")
-          .select($"vec_id", V.toDouble($"embedding").as("v"))
-          .withColumn("b0", bucketColT($"v", 0, P))
-          .withColumn("b1", bucketColT($"v", P, P))
-        val eLong = e.select($"vec_id", explode(array(
-            struct(lit(0).as("t"), $"b0".as("bucket")),
-            struct(lit(1).as("t"), $"b1".as("bucket")))).as("tb"))
-          .select($"vec_id", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
-        // probe fan-out as a broadcast mask-table join, NOT a 352-child
-        // array literal: the giant expression costs more to codegen-
-        // compile than the whole query (and would be re-compiled per
-        // plan); a 352-row broadcast is free and the xor stays one tiny
-        // codegen'd expression
-        val maskDf = masks.map(_.toLong).toDF("mask")
-        val probes = e.filter($"vec_id" < 5)
-          .select($"vec_id".as("q_id"), $"b0", $"b1")
-          .crossJoin(broadcast(maskDf))
-          .select($"q_id", explode(array(
-            struct(lit(0).as("t"), $"b0".bitwiseXOR($"mask").as("pb")),
-            struct(lit(1).as("t"), $"b1".bitwiseXOR($"mask").as("pb"))))
-            .as("p"))
-          .select($"q_id", $"p.t".as("t"), $"p.pb".as("pb"))
-        val cand = probes.as("p")
-          .join(eLong.as("el"),
-            $"p.t" === $"el.t" && $"p.pb" === $"el.bucket" &&
-              $"p.q_id" =!= $"el.vec_id")
-          .select($"p.q_id", $"el.vec_id").distinct()
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-        cand
-          .join(e.select($"vec_id".as("q_id"), $"v".as("qv")), "q_id")
-          .join(e.select($"vec_id", $"v"), "vec_id")
-          .withColumn("cos", V.cosine($"qv", $"v"))
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 3)
-          .select($"q_id", $"rank", $"vec_id", $"cos")
-      },
+      fn = (s, dir) => annLshMtTopK(s, dir, nQueries = 5),
       oracle = Some {
         val P = 10; val R = 3
         val masks =
@@ -754,4 +714,70 @@ object LlmSim extends QueryModule {
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                 FROM embeddings))"""))
   )
+
+  /** The q_llm_ann_lsh_mt pipeline — 2 tables x 10 planes x radius-3
+    * probes via a broadcast mask-table join (NOT a 352-child array
+    * literal: the giant expression costs more to codegen-compile than
+    * the whole query), candidates dedup'd to (q_id, vec_id) before the
+    * cosine rerank — over the first `nQueries` query vectors. The GATED
+    * query pins nQueries=5 to keep its oracle small; the recall gate in
+    * OperatorSpec measures >=50 vectors, because a 5-vector recall@3
+    * estimate (15 relevant pairs) carries ~±0.2 sampling noise against
+    * a 0.6 floor. */
+  private[graft] def annLshMtTopK(s: SparkSession, dir: String,
+                                  nQueries: Int): DataFrame = {
+    import s.implicits._
+    val P = 10; val R = 3
+    val masks =
+      (0 until (1 << P)).filter(m => Integer.bitCount(m) <= R)
+    val e = Engine.table(s, dir, "embeddings")
+      .select($"vec_id", V.toDouble($"embedding").as("v"))
+      .withColumn("b0", bucketColT($"v", 0, P))
+      .withColumn("b1", bucketColT($"v", P, P))
+    val eLong = e.select($"vec_id", explode(array(
+        struct(lit(0).as("t"), $"b0".as("bucket")),
+        struct(lit(1).as("t"), $"b1".as("bucket")))).as("tb"))
+      .select($"vec_id", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+    val maskDf = masks.map(_.toLong).toDF("mask")
+    val probes = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"b0", $"b1")
+      .crossJoin(broadcast(maskDf))
+      .select($"q_id", explode(array(
+        struct(lit(0).as("t"), $"b0".bitwiseXOR($"mask").as("pb")),
+        struct(lit(1).as("t"), $"b1".bitwiseXOR($"mask").as("pb"))))
+        .as("p"))
+      .select($"q_id", $"p.t".as("t"), $"p.pb".as("pb"))
+    val cand = probes.as("p")
+      .join(eLong.as("el"),
+        $"p.t" === $"el.t" && $"p.pb" === $"el.bucket" &&
+          $"p.q_id" =!= $"el.vec_id")
+      .select($"p.q_id", $"el.vec_id").distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    cand
+      .join(e.select($"vec_id".as("q_id"), $"v".as("qv")), "q_id")
+      .join(e.select($"vec_id", $"v"), "vec_id")
+      .withColumn("cos", V.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
+  /** Exact brute-force cosine top-3 over the first `nQueries` query
+    * vectors — the recall denominator for the OperatorSpec ANN gate
+    * (broadcast queries x one corpus scan, same shape as
+    * q_llm_cosine_topk). */
+  private[graft] def bruteTopK(s: SparkSession, dir: String,
+                               nQueries: Int): DataFrame = {
+    import s.implicits._
+    val e = Engine.table(s, dir, "embeddings")
+      .select($"vec_id", V.toDouble($"embedding").as("v"))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    broadcast(q).join(e, $"q_id" =!= $"vec_id")
+      .withColumn("cos", V.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
 }

@@ -216,13 +216,51 @@ object RowOps extends QueryModule {
         FROM expanded GROUP BY l_orderkey""")),
 
     // Seeded sampling: not cross-engine reproducible — rows-only gate.
+    // Seeded Bernoulli sampling. The sample itself has no cross-engine
+    // twin (Spark's RNG), so the gate is the r5 assertion pattern made
+    // as strong as the data allows: the oracle RECOMPUTES the source
+    // count and the 6-sigma binomial bounds from the same table (the
+    // arithmetic is hash-matched, not just a constant TRUE), and the
+    // sample's properties — every row drawn from the source (anti-join),
+    // no row drawn more often than it occurs (multiplicity join), size
+    // inside the bounds — are verified distributedly in Spark and
+    // surface as the 0/TRUE columns DuckDB expects.
     "q_row_sample" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        Engine.table(s, dir, "lineitem")
-          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        val f = 0.1
+        val li = Engine.table(s, dir, "lineitem")
+        val src = li.select($"l_orderkey", $"l_linenumber")
+        val samp = li.sample(withReplacement = false, fraction = f, seed = 42L)
           .select($"l_orderkey", $"l_linenumber")
+        val nSrc = src.agg(count(lit(1)).as("n_total"))
+        val nSamp = samp.agg(count(lit(1)).as("n_samp"))
+        val notIn = samp.join(src, Seq("l_orderkey", "l_linenumber"), "left_anti")
+          .agg(count(lit(1)).as("not_in_src"))
+        val overM = samp.groupBy($"l_orderkey", $"l_linenumber")
+          .agg(count(lit(1)).as("cs"))
+          .join(src.groupBy($"l_orderkey", $"l_linenumber")
+            .agg(count(lit(1)).as("ct")), Seq("l_orderkey", "l_linenumber"))
+          .filter($"cs" > $"ct")
+          .agg(count(lit(1)).as("over_mult"))
+        val lo = col("n_total") * f - lit(6.0) * sqrt(col("n_total") * f * (1 - f))
+        val hi = col("n_total") * f + lit(6.0) * sqrt(col("n_total") * f * (1 - f))
+        nSrc.crossJoin(nSamp).crossJoin(notIn).crossJoin(overM).select(
+          $"n_total", lo.as("lo"), hi.as("hi"),
+          ($"n_samp" >= lo && $"n_samp" <= hi).as("in_bounds"),
+          $"not_in_src", $"over_mult")
       },
-      oracle = None)
+      oracle = Some("""
+        SELECT count(*) AS n_total,
+          count(*) * CAST(0.1 AS DOUBLE)
+            - 6.0 * sqrt(count(*) * CAST(0.1 AS DOUBLE)
+                         * (1 - CAST(0.1 AS DOUBLE))) AS lo,
+          count(*) * CAST(0.1 AS DOUBLE)
+            + 6.0 * sqrt(count(*) * CAST(0.1 AS DOUBLE)
+                         * (1 - CAST(0.1 AS DOUBLE))) AS hi,
+          TRUE AS in_bounds,
+          CAST(0 AS BIGINT) AS not_in_src,
+          CAST(0 AS BIGINT) AS over_mult
+        FROM lineitem"""))
   )
 }
