@@ -41,26 +41,50 @@ object Engine {
     root.getAbsolutePath
   }
 
+  /** The active scale-factor directory, when a contract main (Verify /
+    * Bench) has declared it — lets [[spillRoot]] size its tmpfs
+    * headroom check against the DATA, not a fixed constant. System
+    * property first (set by Verify.main from its args before any
+    * session exists), env second (Bench's contract). */
+  private def declaredSfDir: Option[String] =
+    sys.props.get("graft.sf.dir").orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+
+  private def dirBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) 0L
+    else {
+      var total = 0L
+      java.nio.file.Files.walk(p).forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f)) total += f.toFile.length()
+      }
+      total
+    }
+  }
+
   /** Root for shuffle/spill files (spark.local.dir). Spill exists to
     * RELIEVE memory pressure, so tmpfs is only used when it demonstrably
     * has headroom: explicitly via SPARK_GRAFT_SHM_SPILL=1/0, or by
-    * default when /dev/shm has >= 4 GiB free. The bound was 32 GiB in
-    * round 4, which silently demoted shuffles to real disk on any box
-    * with a modest /dev/shm — the leading suspect for r4's driver-only
-    * 2-5x inflation of the shuffle-heavy bench tail (the same commits
-    * re-measured locally in r5 sat within the r3 band; see PLANS.md).
-    * 4 GiB is >10x the largest sf0.1 corpus shuffle (a few hundred MB),
-    * so the demotion now only triggers where disk is genuinely the
-    * safer choice. Streaming-checkpoint ephemera stay on [[scratchRoot]]
-    * (tmpfs-preferring): small, fsync-latency bound, drained in-run.
+    * default when /dev/shm's free space covers max(4 GiB, 16x the
+    * declared SF dir's on-disk bytes). The fixed 4 GiB floor alone was
+    * sized for sf0.1 (~hundreds of MB of shuffle); scaling with the
+    * dataset means a larger-SF run on a box with a modest /dev/shm
+    * demotes to real disk instead of spilling multi-GiB shuffles into
+    * RAM-backed tmpfs and OOMing the host — spill into RAM is only a
+    * win while it is provably not needed as RAM. 16x compressed parquet
+    * comfortably bounds the decompressed+serialized shuffle footprint
+    * of every corpus query. Streaming-checkpoint ephemera stay on
+    * [[scratchRoot]] (tmpfs-preferring): small, fsync-latency bound,
+    * drained in-run.
     */
   lazy val spillRoot: String = {
     val shm = new java.io.File("/dev/shm")
     val shmOk = shm.isDirectory && shm.canWrite
+    val needed = math.max(4L << 30,
+      16L * declaredSfDir.map(dirBytes).getOrElse(0L))
     val useShm = sys.env.get("SPARK_GRAFT_SHM_SPILL") match {
       case Some("1") => shmOk
       case Some(_)   => false
-      case None      => shmOk && shm.getUsableSpace >= (4L << 30)
+      case None      => shmOk && shm.getUsableSpace >= needed
     }
     val root =
       if (useShm) new java.io.File(shm, "graft-spill")

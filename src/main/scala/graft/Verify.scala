@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    // declare the SF dir before any Engine lazy-val evaluates, so the
+    // tmpfs-spill headroom check scales with the actual dataset
+    sys.props.put("graft.sf.dir", sfDir)
     // optional extra args: run only the named queries (local fast loop;
     // the driver always passes exactly two args = full corpus)
     val only = args.drop(2).toSet

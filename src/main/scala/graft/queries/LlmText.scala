@@ -197,6 +197,10 @@ object LlmText extends QueryModule {
           .withColumn("nw", size($"ws"))
         val tok = d.select($"doc_id", $"source", $"nw",
           explode($"ws").as("w"))
+          // CPU-dense byte-light self-join: pin to cluster parallelism
+          // (see q_llm_containment's rationale on AQE coalescing)
+          .repartition(s.sparkContext.defaultParallelism * 2,
+            $"source", $"w")
         val pairs = tok.as("a").join(tok.as("b"),
           $"a.w" === $"b.w" && $"a.source" === $"b.source"
             && $"a.doc_id" < $"b.doc_id")
@@ -435,6 +439,11 @@ object LlmText extends QueryModule {
           .withColumn("nw", size($"ws"))
         val tok = d.select($"doc_id", $"source", $"nw",
           explode($"ws").as("w"))
+          // pinned like the other token self-joins (the prefix-filter
+          // CONTRAST with q_llm_dedup_jaccard_pf is algorithmic; both
+          // run at the same parallelism)
+          .repartition(s.sparkContext.defaultParallelism * 2,
+            $"source", $"w")
         tok.as("a").join(tok.as("b"),
           $"a.w" === $"b.w" && $"a.source" === $"b.source"
             && $"a.doc_id" < $"b.doc_id")
@@ -575,6 +584,10 @@ object LlmText extends QueryModule {
           .withColumn("nw", size($"ws"))
         val tok = d.select($"doc_id", $"source", $"nw",
           explode($"ws").as("w"))
+          // the token self-join is CPU-dense but byte-light; pin it to
+          // cluster parallelism (see q_llm_containment's rationale)
+          .repartition(s.sparkContext.defaultParallelism * 2,
+            $"source", $"w")
         val j = tok.as("a").join(tok.as("b"),
           $"a.w" === $"b.w" && $"a.source" === $"b.source"
             && $"a.doc_id" < $"b.doc_id")
@@ -644,7 +657,16 @@ object LlmText extends QueryModule {
           .select($"source", $"doc_id",
             explode(slice(array_sort($"tw"), lit(1), $"plen")).as("p"))
           .select($"source", $"doc_id", $"p.w".as("w"))
-        val cand = prefix.as("p").join(tok.as("t"),
+        // The candidate join and the set-intersection rerank are CPU-
+        // dense but byte-LIGHT (a few MB of shuffle driving seconds of
+        // compute), so AQE's byte-based coalescing would strangle them
+        // to 1-5 tasks on 32 cores. Explicit fixed-N repartitions on
+        // the join keys pin those stages to cluster parallelism — AQE
+        // never coalesces a user-numbered repartition, and the planner
+        // reuses it as the join's own exchange (no extra shuffle).
+        val par = s.sparkContext.defaultParallelism * 2
+        val cand = prefix.repartition(par, $"source", $"w").as("p")
+          .join(tok.repartition(par, $"source", $"w").as("t"),
             $"p.w" === $"t.w" && $"p.source" === $"t.source"
               && $"p.doc_id" =!= $"t.doc_id")
           .select(least($"p.doc_id", $"t.doc_id").as("doc_a"),
@@ -652,6 +674,7 @@ object LlmText extends QueryModule {
           .distinct()
         val sets = d.select($"doc_id", $"ws", $"nw")
         cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
+          .repartition(par, $"doc_b")
           .join(sets.as("db"), $"doc_b" === $"db.doc_id")
           .withColumn("inter", size(array_intersect($"da.ws", $"db.ws")))
           .withColumn("cont_a", $"inter".cast("double") / $"da.nw")
@@ -801,6 +824,10 @@ object LlmText extends QueryModule {
           .withColumn("nw", size($"ws"))
         val tok = d.select($"doc_id", $"source", $"nw",
           explode($"ws").as("w"))
+          // CPU-dense byte-light self-join: pin to cluster parallelism
+          // (see q_llm_containment's rationale on AQE coalescing)
+          .repartition(s.sparkContext.defaultParallelism * 2,
+            $"source", $"w")
         val pairs = tok.as("a").join(tok.as("b"),
           $"a.w" === $"b.w" && $"a.source" === $"b.source"
             && $"a.doc_id" < $"b.doc_id")
@@ -1127,13 +1154,20 @@ object LlmText extends QueryModule {
           .select($"source", $"doc_id",
             explode(slice(array_sort($"tw"), lit(1), $"plen")).as("p"))
           .select($"source", $"doc_id", $"p.w".as("w"))
-        val cand = prefix.as("a").join(prefix.as("b"),
+        // CPU-dense, byte-light stages (see q_llm_containment): pin the
+        // prefix self-join and the intersection rerank to cluster
+        // parallelism with user-numbered repartitions on the join keys
+        // so AQE's byte-based coalescing can't shrink them to 1-5 tasks.
+        val par = s.sparkContext.defaultParallelism * 2
+        val prefixR = prefix.repartition(par, $"source", $"w")
+        val cand = prefixR.as("a").join(prefixR.as("b"),
           $"a.w" === $"b.w" && $"a.source" === $"b.source"
             && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .distinct()
         val sets = d.select($"doc_id", $"ws", $"nw")
         cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
+          .repartition(par, $"doc_b")
           .join(sets.as("db"), $"doc_b" === $"db.doc_id")
           .withColumn("inter", size(array_intersect($"da.ws", $"db.ws")))
           .withColumn("jaccard", $"inter".cast("double")
