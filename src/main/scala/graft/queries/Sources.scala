@@ -22,6 +22,26 @@ object Sources extends QueryModule {
   private def tempFor(tag: String, dir: String): String =
     dirs.getOrElseUpdate(s"$tag:$dir", Engine.scratchDir(s"graft_$tag"))
 
+  /** The shared three-version TxLog history artifact (build-once per
+    * JVM, the standard artifact lifecycle): v0 appends even suppliers,
+    * v1 appends odd, v2 COW-deletes nationkey%5==0 — consumed by
+    * q_src_txlog_timetravel (per-version reads) and
+    * q_src_txlog_changes (the v0→v2 change feed). */
+  private def txlogHistory(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    import s.implicits._
+    import graft.operators.TxLog
+    val table = tempFor("txlog", dir)
+    val src = Engine.table(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    if (TxLog.version(table) < 0) {
+      TxLog.append(s, src.filter($"s_suppkey" % 2 === 0), table) // v0
+      TxLog.append(s, src.filter($"s_suppkey" % 2 === 1), table) // v1
+      TxLog.deleteWhere(s, table, $"s_nationkey" % 5 === 0)      // v2
+    }
+    table
+  }
+
   private def parquetFileCount(path: String): Int = {
     val fs = new java.io.File(path)
       .listFiles()
@@ -373,14 +393,7 @@ object Sources extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         import graft.operators.TxLog
-        val table = tempFor("txlog", dir)
-        val src = Engine.table(s, dir, "supplier")
-          .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
-        if (TxLog.version(table) < 0) {
-          TxLog.append(s, src.filter($"s_suppkey" % 2 === 0), table) // v0
-          TxLog.append(s, src.filter($"s_suppkey" % 2 === 1), table) // v1
-          TxLog.deleteWhere(s, table, $"s_nationkey" % 5 === 0)      // v2
-        }
+        val table = txlogHistory(s, dir)
         (0 to 2).map { v =>
           TxLog.read(s, table, Some(v))
             .agg(count(lit(1)).as("n"),
@@ -530,6 +543,67 @@ object Sources extends QueryModule {
           CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
             AS BIGINT)
         FROM supplier""")),
+
+    // CHANGE FEED (CDC read) through the transaction log: the rows
+    // inserted/deleted between v0 and v2 of the shared three-version
+    // history, derived from the log's FILE diff — only files added or
+    // removed between the versions are scanned, carried-over files are
+    // never touched, and rows merely rewritten through the COW delete
+    // cancel under EXCEPT ALL. The oracle recomputes the same feed
+    // relationally: inserts = the odd-key wave minus what v2 deleted;
+    // deletes = even-key rows the delete removed (odd-key deleted rows
+    // net out — inserted AND deleted inside the window).
+    "q_src_txlog_changes" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = txlogHistory(s, dir)
+        TxLog.changes(s, table, fromV = 0, toV = 2)
+          .groupBy($"_change", $"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"))
+      },
+      oracle = Some("""
+        WITH feed AS (
+          SELECT 'insert' AS _change, s_nationkey, s_acctbal
+          FROM supplier WHERE s_suppkey % 2 = 1 AND s_nationkey % 5 <> 0
+          UNION ALL
+          SELECT 'delete', s_nationkey, s_acctbal
+          FROM supplier WHERE s_suppkey % 2 = 0 AND s_nationkey % 5 = 0)
+        SELECT _change, s_nationkey, count(*) AS n,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM feed GROUP BY _change, s_nationkey""")),
+
+    // MESSAGE-BUS VALUE CODEC — the broker-free half of the Kafka row
+    // (SURVEY §2B-1; the broker itself is environment-blocked: zero
+    // egress). A Kafka message is (key bytes, value bytes); the part
+    // the ENGINE owns is decoding value bytes to typed columns.
+    // Supplier rows are encoded to Avro binary message bodies (the
+    // dominant bus wire format, plain Apache Avro API) and decoded
+    // back, both as narrow mapPartitions with per-partition codec
+    // reuse; the aggregate hash-matches the source, proving the wire
+    // roundtrip lossless across long/string/int/double fields.
+    "q_src_avro_roundtrip" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val src = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+        val wire = graft.operators.AvroCodec.encode(src)
+        graft.operators.AvroCodec.decode(wire, src.schema)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(length($"s_name")).as("name_chars"),
+            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"))
+      },
+      oracle = Some("""
+        SELECT s_nationkey, count(*) AS n,
+          CAST(sum(length(s_name)) AS BIGINT) AS name_chars,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM supplier GROUP BY s_nationkey""")),
 
     // MULTI-COLUMN data skipping through the log: the table is written
     // range-clustered on (source, doc_id) with per-file min/max recorded

@@ -208,4 +208,38 @@ class AggPropertySpec extends AnyFunSuite {
       assert(got === expected, s"trial=$trial factor=$factor")
     }
   }
+
+  test("TxLog stats log lines roundtrip hostile string values") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    // the stats encoder/parser is hand-rolled micro-JSON; string stats
+    // come from USER DATA, so every JSON-hostile shape must survive the
+    // write -> commit-line -> (checkpoint ->) parse roundtrip exactly
+    val rnd = new scala.util.Random(13)
+    val hostile = Seq("\"", "\\", "\\\"", "{", "}", "[", "]", ",", ":",
+      """{"op":"add","path":"x"}""", "min\":1,\"max", "\\\\\"",
+      "päth \" ümlaut", "", " ", "\t", "a,b}c]d\"e\\f")
+    def randStr() = {
+      val alphabet = "ab\\\"{}[],:x "
+      (0 until 1 + rnd.nextInt(8))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val trials = hostile.map(h => Seq(h, randStr(), randStr())) ++
+      (0 until 5).map(_ => Seq.fill(4)(randStr()))
+    trials.zipWithIndex.foreach { case (vals, i) =>
+      val table = Engine.scratchDir(s"txprop_$i")
+      val df = vals.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("k", "s").coalesce(1)
+      TxLog.append(spark, df, table, statsCols = Seq("k", "s"))
+      // 17 metadata-only commits force a checkpoint so the parse also
+      // runs over the checkpoint serialization of the same stats
+      (0 until 17).foreach { _ =>
+        TxLog.commit(table, TxLog.version(table), Seq(("noop", "x")))
+      }
+      val stats = TxLog.filesWithStats(table).head._2
+      assert(stats("s").lo === vals.min, s"trial $i: $vals")
+      assert(stats("s").hi === vals.max, s"trial $i: $vals")
+      assert(stats("k") === TxLog.ColStats("L", "0", (vals.size - 1).toString))
+    }
+  }
 }

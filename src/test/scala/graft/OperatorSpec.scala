@@ -828,6 +828,77 @@ class OperatorSpec extends AnyFunSuite {
     assert(r2.head.isNullAt(2) && r2.last.getLong(2) === 30L)
   }
 
+  test("TxLog change feed: updates pair up, carried rows cancel, empty diff") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txcdc_spec")
+    val df = spark.range(1, 101).select($"id".as("k"), ($"id" * 1.0).as("x"))
+      .repartitionByRange(5, $"k")
+    TxLog.append(spark, df, table)                                   // v0
+    TxLog.merge(spark, table,
+      Seq((7L, 700.0), (200L, 1.0)).toDF("k", "x"), "k")             // v1
+    TxLog.deleteWhere(spark, table, $"k" > 190L)                     // v2
+    // v0 -> v1: update = delete(old)+insert(new) pair, plus the insert;
+    // the ~19 rows sharing key 7's file were rewritten but must CANCEL
+    val c01 = TxLog.changes(spark, table, 0, 1)
+      .select($"_change", $"k", $"x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c01 === Set(("delete", 7L, 7.0), ("insert", 7L, 700.0),
+      ("insert", 200L, 1.0)))
+    // v1 -> v2 deletes only the k=200 insert; v2 -> v2 is empty
+    val c12 = TxLog.changes(spark, table, 1, 2)
+      .select($"_change", $"k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(c12 === Set(("delete", 200L)))
+    assert(TxLog.changes(spark, table, 2, 2).count() === 0)
+    // full-window feed composes: v0 -> v2 nets out the k=200 roundtrip
+    val c02 = TxLog.changes(spark, table, 0, 2)
+      .select($"_change", $"k", $"x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c02 === Set(("delete", 7L, 7.0), ("insert", 7L, 700.0)))
+  }
+
+  test("AvroCodec roundtrips every supported type including nulls") {
+    import graft.operators.AvroCodec
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("bin", BinaryType)))
+    val rows = Seq(
+      Row(1L, 2, 3.5, 4.5f, true, "plain", Array[Byte](1, 2, 3)),
+      Row(null, null, null, null, null, null, null),
+      Row(Long.MinValue, Int.MaxValue, Double.NaN, 0f, false,
+        "uni é中 \"q\\", Array.empty[Byte]),
+      Row(0L, 0, -0.0, Float.NaN, true, "", Array[Byte](-128, 127)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val back = AvroCodec.decode(AvroCodec.encode(df), schema).collect()
+    assert(back.length === rows.length)
+    def cmp(r: Row) = (0 until r.length).map { i =>
+      r.get(i) match {
+        case a: Array[Byte] => a.toSeq
+        // bit-compare floats: Scala == on boxed NaN is false, and bits
+        // also catch a lost -0.0
+        case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
+        case f: java.lang.Float  => java.lang.Float.floatToRawIntBits(f)
+        case v                   => v
+      }
+    }
+    assert(back.map(cmp).toSet === rows.map(cmp).toSet)
+    // a message body is ONE compact record, not a container file
+    val sizes = AvroCodec.encode(df).collect()
+      .map(_.getAs[Array[Byte]](0).length)
+    assert(sizes.forall(n => n > 0 && n < 64), sizes.toSeq)
+    // unsupported types fail loudly, never coerce
+    intercept[IllegalArgumentException] {
+      AvroCodec.avroSchemaFor(StructType(Seq(
+        StructField("ts", TimestampType))))
+    }
+  }
+
   test("q13 outer-join distribution: agg reuses the join's partitioning") {
     val q = SparkEntry.queries("q13_order_distribution")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
