@@ -366,6 +366,9 @@ object LlmText extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         val tok = withNearDups(s, dir)
+          // spread source rows before the explode+hash fan-out (cheap
+          // bytes, expensive compute — see q_llm_char_ngrams)
+          .repartition(s.sparkContext.defaultParallelism)
           .select($"doc_id", explode(split($"text", " ")).as("w"))
           .withColumn("h", Fns.h60($"w"))
         val bitSums = (0 until SimBits).map(i =>
@@ -391,6 +394,10 @@ object LlmText extends QueryModule {
                 .as("bits"))): _*)).as("bk"))
           .select($"doc_id", $"simhash",
             $"bk.band".as("band"), $"bk.bits".as("bits"))
+          // CPU-dense byte-light self-join: pin to cluster parallelism
+          // (see q_llm_containment's rationale on AQE coalescing)
+          .repartition(s.sparkContext.defaultParallelism * 2,
+            $"band", $"bits")
         bandKeys.as("a").join(bandKeys.as("b"),
           $"a.band" === $"b.band" && $"a.bits" === $"b.bits"
             && $"a.doc_id" < $"b.doc_id")
@@ -1663,8 +1670,13 @@ object LlmText extends QueryModule {
     "q_llm_char_ngrams" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
+        // the n-gram generator multiplies rows ~|text|-fold: input bytes
+        // are tiny next to generator compute, so spread the source rows
+        // across the cluster FIRST (a single small parquet file scans as
+        // 1-3 splits, which would serialize the explode)
         val grams = Engine.table(s, dir, "documents")
           .filter(length($"text") >= 3)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(expr(
             "transform(sequence(1, length(text) - 2)," +
               " i -> substring(text, i, 3))")).as("g"))

@@ -192,6 +192,10 @@ object RowOps extends QueryModule {
         import s.implicits._
         Engine.table(s, dir, "lineitem")
           .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+          // typed flatMap pays per-row encoder+object cost: spread the
+          // narrow projection across the cluster first (a small file
+          // scans as few splits, serializing the compute)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[LineSlim]
           .flatMap { r =>
             // each unit carries the full line revenue (no pre-sum
