@@ -171,8 +171,42 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Pinned pair-join shape (r6): the token self-join + per-pair
+    // jaccard aggregation exactly as the dedup family runs it, with the
+    // user-numbered repartition pin on (source, w). Documents replicate
+    // with shifted ids AND shifted sources (source is a join key, so
+    // copies never inter-join — corpus growth adds sources, it does not
+    // square the intra-source pair count). The probe answers: does the
+    // pin — a FIXED partition count locally — still scale ~linearly
+    // when the data grows Nx? (It must: the pinned count tracks
+    // defaultParallelism, which grows with the cluster at real scale.)
+    val docs1 = Engine.table(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val docsN = (0 until n).map(i => docs1
+        .withColumn("doc_id", $"doc_id" + lit(i * 1000000L))
+        .withColumn("source", concat($"source", lit(s"_$i"))))
+      .reduce(_ unionByName _)
+    def pairJoin(d0: DataFrame): Unit = {
+      val d = d0
+        .select($"doc_id", $"source",
+          array_distinct(split($"text", " ")).as("ws"))
+        .withColumn("nw", size($"ws"))
+      val tok = d.select($"doc_id", $"source", $"nw", explode($"ws").as("w"))
+        .repartition(spark.sparkContext.defaultParallelism * 2,
+          $"source", $"w")
+      tok.as("a").join(tok.as("b"),
+          $"a.w" === $"b.w" && $"a.source" === $"b.source"
+            && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.nw".as("na"), $"b.nw".as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter($"inter".cast("double")
+          / ($"na" + $"nb" - $"inter") >= 0.7)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     q1(li1); join(li1, orders1); topk(li1); cc(orders1); chunk(orders1)
-    q21fast(li1, orders1)
+    q21fast(li1, orders1); pairJoin(docs1)
     skewAqe(li1, orders1); skewSalted(li1, orders1) // warmup
     val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
       "q1_agg_shape" -> ((l, _) => q1(l)),
@@ -180,6 +214,8 @@ object ScaleProbe {
       "q21_fast_shape" -> ((l, o) => q21fast(l, o)),
       "group_topk_shape" -> ((l, _) => topk(l)),
       "conn_components_shape" -> ((_, o) => cc(o)),
+      "pair_join_pinned_shape" -> ((l, _) =>
+        pairJoin(if (l eq li1) docs1 else docsN)),
       "chunk_explode_shape" -> ((_, o) => chunk(o)),
       "skew_join_aqe_shape" -> ((l, o) => skewAqe(l, o)),
       "skew_join_salted_shape" -> ((l, o) => skewSalted(l, o)))
