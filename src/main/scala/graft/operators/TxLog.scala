@@ -545,8 +545,8 @@ object TxLog {
         val affectedAbs = affected.map(p => new File(table, p).getAbsolutePath)
         spark.read.schema(snap.schema).parquet(affectedAbs: _*)
           .join(updates.select(col(key)), Seq(key), "left_anti")
-          .select(snap.columns.map(col): _*)
-          .unionByName(updates.select(snap.columns.map(col): _*))
+          .select(snap.columns.toIndexedSeq.map(col): _*)
+          .unionByName(updates.select(snap.columns.toIndexedSeq.map(col): _*))
       }
     newData.write.parquet(new File(table, sub).getAbsolutePath)
     val actions = affected.map(("remove", _)) ++
@@ -585,6 +585,89 @@ object TxLog {
       .unionByName(
         removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
+
+  private def opPath(l: String): (String, String) = {
+    val op = l.split("\"op\":\"")(1).split("\"")(0)
+    (op, jstr(l, l.indexOf("\"path\":\"") + 7)._1)
+  }
+
+  /** STREAMING SOURCE over the table's commit log — the read half of the
+    * exactly-once pipeline ([[appendIdempotent]] is the write half). The
+    * `_txlog` directory is itself an append-only file stream, so the
+    * source is Spark's own checkpointed file stream over the COMMIT
+    * FILES (pure metadata, a handful of lines per commit): each
+    * discovered commit's `add` actions name the parquet files that
+    * entered the table at that version, and ONLY those files are read
+    * as the micro-batch payload — a trickle of commits yields a
+    * trickle-sized scan regardless of table size, and offset tracking /
+    * recovery ride Spark's streaming checkpoint for free.
+    *
+    * Semantics (the published streaming-source contract for log-backed
+    * tables): APPEND commits stream; a commit that REMOVES files (COW
+    * delete/merge/optimize) fails the stream unless `ignoreChanges`,
+    * which forwards the commit's rewritten adds instead — carried-over
+    * rows re-deliver, so downstream must key-dedup (exactly the
+    * documented `ignoreChanges` caveat). The payload schema is fixed at
+    * start time; restart the stream to surface columns added by
+    * [[appendEvolve]] mid-stream (pre-restart payloads project the old
+    * columns from evolved files).
+    *
+    * `process(df, v)` runs once per commit, in version order within a
+    * batch; Spark may re-deliver a batch after failure, so `process`
+    * must be idempotent — e.g. [[appendIdempotent]] keyed on `v`, as
+    * [[mirror]] does.
+    */
+  def streamChanges(spark: SparkSession, table: String, checkpointDir: String,
+                    ignoreChanges: Boolean = false,
+                    commitsPerTrigger: Int = 8,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                   (process: (DataFrame, Int) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(version(table) >= 0, s"streamChanges: no commits yet in $table")
+    val schema = read(spark, table).schema
+    spark.readStream
+      .option("maxFilesPerTrigger", commitsPerTrigger)
+      .text(new File(logDir(table), "*.json").getAbsolutePath) // commits only, never checkpoints
+      .select(col("value"), col("_metadata.file_path").as("_src"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val lines = batch.collect() // commit METADATA lines, never data
+        lines.groupBy(r => new File(r.getString(1)).getName
+            .stripSuffix(".json").toInt)
+          .toSeq.sortBy(_._1)
+          .foreach { case (v, ls) =>
+            val ops = ls.map(_.getString(0)).filter(_.trim.nonEmpty)
+              .map(opPath)
+            if (ops.exists(_._1 == "remove") && !ignoreChanges)
+              throw new IllegalStateException(
+                s"commit $v of $table removes files (COW rewrite/optimize); " +
+                  "the streaming source is append-only — pass " +
+                  "ignoreChanges=true to forward rewritten files " +
+                  "(re-delivers carried-over rows)")
+            val adds = ops.collect { case ("add", p) => p }.toIndexedSeq
+            if (adds.nonEmpty) {
+              val fs = adds.map(p => new File(table, p).getAbsolutePath)
+              process(spark.read.schema(schema).parquet(fs: _*), v)
+            }
+          }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming REPLICATION: subscribe to `src`'s commit log and append
+    * each commit into `dst` exactly-once (txn = source version, so
+    * batch re-delivery AND a from-scratch re-subscription are both
+    * no-ops). Log-shipping between ACID tables in one call. */
+  def mirror(spark: SparkSession, src: String, dst: String,
+             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamChanges(spark, src, checkpointDir) { (df, v) =>
+      appendIdempotent(spark, df, dst, txn = s"src-v$v")
+      ()
+    }
 
   /** ACID tables enforce their schema on write: an append whose shape
     * drifts from the table's (names + types; nullability is advisory)

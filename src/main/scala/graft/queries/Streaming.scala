@@ -405,6 +405,42 @@ object Streaming extends QueryModule {
           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
         FROM events GROUP BY event_type""")),
 
+    // STREAMING SOURCE over the log-backed ACID table — the read half of
+    // the exactly-once pipeline (q_stream_txlog_sink is the write half).
+    // TxLog.streamChanges subscribes to the table's COMMIT LOG as a
+    // checkpointed file stream (commit metadata only; each batch reads
+    // exactly the parquet files that commit added), and TxLog.mirror
+    // log-ships a 3-commit source table into a second ACID table with
+    // txn = source version. The mirror then re-runs from a FRESH
+    // checkpoint: every commit re-delivers and every append must no-op
+    // on its txn marker — a replay leak doubles the counts and the gate
+    // hash-mismatches. Readback equals the plain batch oracle.
+    "q_stream_txlog_source" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val root = tempFor("txsrc", dir)
+        val srcTable = s"$root/src"
+        val dstTable = s"$root/dst"
+        Seq("src", "dst", "ckpt", "ckpt2")
+          .foreach(d => rmTree(new java.io.File(s"$root/$d")))
+        val ev = Replay.events(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        for (i <- 0 until 3) // three append commits, deterministic split
+          TxLog.append(s, ev.filter(pmod($"event_id", lit(3)) === i), srcTable)
+        TxLog.mirror(s, srcTable, dstTable, s"$root/ckpt").awaitTermination()
+        // from-scratch re-subscription: all 3 commits re-deliver, all no-op
+        TxLog.mirror(s, srcTable, dstTable, s"$root/ckpt2").awaitTermination()
+        TxLog.read(s, dstTable)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events GROUP BY event_type""")),
+
     // Stateful dedup bounded by watermark (state TTL variant of
     // dropDuplicates): the input stream carries exact duplicates; a
     // single AvailableNow batch keeps every duplicate inside the

@@ -570,6 +570,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.txns(table) === Set("tx-1"))
   }
 
+  test("TxLog streaming source: incremental resume, exactly-once mirror, COW guard") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val src = Engine.scratchDir("txsrc_spec")
+    val dst = Engine.scratchDir("txdst_spec")
+    val ckpt = Engine.scratchDir("txsrc_ckpt")
+    TxLog.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x").repartition(1), src) // v0
+    TxLog.append(spark, Seq((3L, 30.0)).toDF("k", "x").repartition(1), src)             // v1
+    val seen = scala.collection.mutable.ArrayBuffer[Int]()
+    def runMirror(cp: String): Unit =
+      TxLog.streamChanges(spark, src, cp) { (df, v) =>
+        seen += v
+        TxLog.appendIdempotent(spark, df, dst, txn = s"src-v$v")
+        ()
+      }.awaitTermination()
+    runMirror(ckpt)
+    assert(seen.sorted.toSeq === Seq(0, 1))
+    assert(TxLog.read(spark, dst).count() === 3)
+    // commit lands while the stream is down; the SAME checkpoint resumes
+    // and processes ONLY the suffix — the incremental-source proof
+    TxLog.append(spark, Seq((4L, 40.0)).toDF("k", "x").repartition(1), src) // v2
+    seen.clear()
+    runMirror(ckpt)
+    assert(seen.toSeq === Seq(2), s"expected suffix-only replay, saw $seen")
+    assert(TxLog.read(spark, dst).select(sum($"k")).first().getLong(0) === 10L)
+    // re-subscription from SCRATCH re-delivers every commit; the txn
+    // markers keyed on source version make each one a no-op
+    TxLog.mirror(spark, src, dst, Engine.scratchDir("txsrc_ckpt2"))
+      .awaitTermination()
+    assert(TxLog.read(spark, dst).count() === 4)
+    // COW commit: the append-only source must fail loudly...
+    TxLog.deleteWhere(spark, src, $"k" === 1L) // v3: remove + rewritten add
+    val ex = intercept[Exception] {
+      TxLog.streamChanges(spark, src, Engine.scratchDir("txsrc_ckpt3")) {
+        (_, _) => ()
+      }.awaitTermination()
+    }
+    assert(ex.toString.contains("append-only") ||
+      Option(ex.getCause).exists(_.toString.contains("append-only")))
+    // ...and with ignoreChanges forward the rewritten file (survivor row)
+    var v3Rows = -1L
+    TxLog.streamChanges(spark, src, Engine.scratchDir("txsrc_ckpt4"),
+      ignoreChanges = true) { (df, v) =>
+      if (v == 3) v3Rows = df.count()
+      ()
+    }.awaitTermination()
+    assert(v3Rows === 1L)
+  }
+
   test("TxLog vacuum removes orphans, keeps retained history; schema enforced") {
     import graft.operators.TxLog
     import spark.implicits._
