@@ -263,6 +263,37 @@ object TxLog {
     commit(table, base, actions)
   }
 
+  /** OPTIMIZE ... ZORDER: compact the live set AND lay the result out
+    * along the 2-D Morton curve of `(colA, colB)` (range-partitioned +
+    * sorted on the interleaved key), recording fresh per-file min/max
+    * stats for both columns — so after compaction [[readPrunedAll]]
+    * prunes selectively on EITHER dimension. This is the maintenance op
+    * that keeps data skipping alive on a table whose appends arrive in
+    * arbitrary key order: at 100 TB, one clustered rewrite buys every
+    * subsequent 2-D range query a few-file scan. Both columns must be
+    * non-negative integral (Morton bit-interleave domain). History
+    * before the optimize stays time-travelable until vacuumed; a
+    * concurrent append surfaces as ConcurrentCommit (read-modify-write,
+    * caller retries on the fresh snapshot). */
+  def optimizeZorder(spark: SparkSession, table: String, targetFiles: Int,
+                     colA: String, colB: String,
+                     statsCols: Seq[String] = Nil): Int = {
+    val base = version(table)
+    val live = files(table, Some(base))
+    val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    val subAbs = new File(table, sub).getAbsolutePath
+    read(spark, table, Some(base))
+      .withColumn("__z", graft.functions.Fns.morton(col(colA), col(colB)))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(subAbs)
+    val stats = if (statsCols.isEmpty) Seq(colA, colB) else statsCols
+    val adds = addActions(spark, table, sub, subAbs, stats)
+    val removeLines = live.map(p => s"""{"op":"remove","path":"${jesc(p)}"}""")
+    commitLines(table, base, removeLines ++ adds)
+  }
+
   /** Stats type tag for a column's data type; None = unsupported (no
     * stats recorded, file conservatively never pruned on that column).
     * Decimals/timestamps are deliberately unsupported rather than
@@ -624,8 +655,69 @@ object TxLog {
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
                    (process: (DataFrame, Int) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(version(table) >= 0, s"streamChanges: no commits yet in $table")
     val schema = read(spark, table).schema
+    streamLog(spark, table, checkpointDir, commitsPerTrigger, trigger) {
+      (adds, removes, v) =>
+        if (removes.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"commit $v of $table removes files (COW rewrite/optimize); " +
+              "the streaming source is append-only — pass " +
+              "ignoreChanges=true to forward rewritten files " +
+              "(re-delivers carried-over rows), or use streamCdc for " +
+              "true insert/delete change events")
+        if (adds.nonEmpty) {
+          val fs = adds.map(p => new File(table, p).getAbsolutePath)
+          process(spark.read.schema(schema).parquet(fs: _*), v)
+        }
+    }
+  }
+
+  /** CDC STREAMING: subscribe to the table's commit log and receive
+    * each commit as INSERT/DELETE change rows (`_change` column), the
+    * streaming twin of the batch [[changes]] read. Where
+    * [[streamChanges]] is append-only, this forwards EVERY commit
+    * faithfully: a COW delete/merge surfaces as the per-commit file
+    * diff under EXCEPT ALL multiset cancellation — rows merely carried
+    * through a rewrite cancel out, an update is delete(old)+insert(new).
+    * Removed files must still be on disk (run [[vacuum]] with a horizon
+    * above the subscriber's lag). Payload schema is fixed at start
+    * time, as in [[streamChanges]]. */
+  def streamCdc(spark: SparkSession, table: String, checkpointDir: String,
+                commitsPerTrigger: Int = 8,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+               (process: (DataFrame, Int) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = read(spark, table).schema
+    def rd(ps: Seq[String]): DataFrame =
+      if (ps.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      else spark.read.schema(schema)
+        .parquet(ps.map(p => new File(table, p).getAbsolutePath): _*)
+    streamLog(spark, table, checkpointDir, commitsPerTrigger, trigger) {
+      (adds, removes, v) =>
+        if (adds.nonEmpty || removes.nonEmpty) {
+          val added = rd(adds)
+          val removed = rd(removes)
+          val cdc = added.exceptAll(removed)
+            .withColumn("_change", lit("insert"))
+            .unionByName(removed.exceptAll(added)
+              .withColumn("_change", lit("delete")))
+          process(cdc, v)
+        }
+    }
+  }
+
+  /** Shared commit-log subscription core: a checkpointed Spark file
+    * stream over the `_txlog/NNNNNNNN.json` commit files (metadata
+    * only); `perCommit(addPaths, removePaths, version)` fires once per
+    * discovered commit, in version order within a batch. */
+  private def streamLog(spark: SparkSession, table: String,
+                        checkpointDir: String, commitsPerTrigger: Int,
+                        trigger: org.apache.spark.sql.streaming.Trigger)
+                       (perCommit: (Seq[String], Seq[String], Int) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(version(table) >= 0, s"stream source: no commits yet in $table")
     spark.readStream
       .option("maxFilesPerTrigger", commitsPerTrigger)
       .text(new File(logDir(table), "*.json").getAbsolutePath) // commits only, never checkpoints
@@ -641,17 +733,8 @@ object TxLog {
           .foreach { case (v, ls) =>
             val ops = ls.map(_.getString(0)).filter(_.trim.nonEmpty)
               .map(opPath)
-            if (ops.exists(_._1 == "remove") && !ignoreChanges)
-              throw new IllegalStateException(
-                s"commit $v of $table removes files (COW rewrite/optimize); " +
-                  "the streaming source is append-only — pass " +
-                  "ignoreChanges=true to forward rewritten files " +
-                  "(re-delivers carried-over rows)")
-            val adds = ops.collect { case ("add", p) => p }.toIndexedSeq
-            if (adds.nonEmpty) {
-              val fs = adds.map(p => new File(table, p).getAbsolutePath)
-              process(spark.read.schema(schema).parquet(fs: _*), v)
-            }
+            perCommit(ops.collect { case ("add", p) => p }.toIndexedSeq,
+              ops.collect { case ("remove", p) => p }.toIndexedSeq, v)
           }
         ()
       }

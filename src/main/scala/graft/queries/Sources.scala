@@ -643,6 +643,51 @@ object Sources extends QueryModule {
           AND doc_id BETWEEN 0 AND 250
         GROUP BY source""")),
 
+    // OPTIMIZE ... ZORDER through the transaction log: v0 appends the
+    // documents projection RANDOMLY partitioned with two-column stats —
+    // every file spans nearly the full (n_chars, doc_id) range, so the
+    // stats prune NOTHING (require-asserted). One optimizeZorder commit
+    // compacts and re-lays the table along the Morton curve of the two
+    // keys, records fresh stats, and the SAME 2-D box read now skips
+    // files at the log level (require-asserted). This is the
+    // maintenance op that keeps data skipping alive on a table whose
+    // appends arrive in arbitrary key order: at 100 TB one clustered
+    // rewrite buys every later 2-D range query a few-file scan.
+    "q_src_txlog_zorder" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txzorder", dir)
+        if (TxLog.version(table) < 0) {
+          val src = Engine.table(s, dir, "documents")
+            .select($"doc_id", $"source", $"n_chars")
+            .repartition(8) // deliberately unclustered
+          TxLog.append(s, src, table, statsCols = Seq("n_chars", "doc_id"))
+          def kept(v: Int) = TxLog.filesWithStats(table, Some(v)).count {
+            case (_, st) =>
+              st.get("n_chars").forall(_.overlaps("L", "100", "400")) &&
+                st.get("doc_id").forall(_.overlaps("L", "0", "250"))
+          }
+          val before = (kept(0), TxLog.files(table, Some(0)).size)
+          require(before._1 == before._2,
+            s"random layout should prune nothing, kept $before")
+          TxLog.optimizeZorder(s, table, targetFiles = 8,
+            colA = "n_chars", colB = "doc_id")
+          require(kept(1) < TxLog.files(table, Some(1)).size,
+            "z-order layout should make 2-D stats selective")
+        }
+        TxLog.readPrunedAll(s, table,
+          Seq(("n_chars", 100L, 400L), ("doc_id", 0L, 250L)))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE n_chars BETWEEN 100 AND 400 AND doc_id BETWEEN 0 AND 250
+        GROUP BY source""")),
+
     // SCHEMA EVOLUTION through the log: v0 appends a 2-column supplier
     // projection, v1 appendEvolve adds s_acctbal — an explicit additive
     // log action, never a drifted writer (plain append still rejects

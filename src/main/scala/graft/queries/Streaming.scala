@@ -441,6 +441,49 @@ object Streaming extends QueryModule {
           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
         FROM events GROUP BY event_type""")),
 
+    // CDC STREAMING over the log-backed ACID table: TxLog.streamCdc
+    // forwards EVERY commit as insert/delete change rows (the streaming
+    // twin of the q_src_txlog_changes batch read) — a COW delete commit
+    // surfaces exactly the deleted rows as `_change='delete'` while
+    // carried-over rows cancel under EXCEPT ALL. The subscriber
+    // replays the feed into a parquet changelog, and the final state is
+    // reconstructed PURELY from the stream (inserts EXCEPT ALL
+    // deletes): it must equal the head table, which the oracle
+    // recomputes relationally from the base events table. Any
+    // mis-tagged, duplicated, or lost change row breaks the
+    // reconstruction and hash-mismatches.
+    "q_stream_txlog_cdc" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val root = tempFor("txcdc", dir)
+        val srcTable = s"$root/src"
+        val sink = s"$root/changelog"
+        Seq("src", "changelog", "ckpt")
+          .foreach(d => rmTree(new java.io.File(s"$root/$d")))
+        val ev = Replay.events(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        // v0: append everything (range-clustered so the delete is
+        // file-granular); v1: COW-delete one event type
+        TxLog.append(s, ev.repartitionByRange(4, $"event_id"), srcTable)
+        TxLog.deleteWhere(s, srcTable, $"event_type" === "click")
+        TxLog.streamCdc(s, srcTable, s"$root/ckpt") { (cdc, v) =>
+          cdc.withColumn("_v", lit(v)).write.mode("append").parquet(sink)
+          ()
+        }.awaitTermination()
+        val log = s.read.parquet(sink)
+        log.filter($"_change" === "insert").drop("_change", "_v")
+          .exceptAll(log.filter($"_change" === "delete").drop("_change", "_v"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(28, 10))).cast(DoubleType).as("sum_v"))
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v
+        FROM events WHERE event_type <> 'click'
+        GROUP BY event_type""")),
+
     // Stateful dedup bounded by watermark (state TTL variant of
     // dropDuplicates): the input stream carries exact duplicates; a
     // single AvailableNow batch keeps every duplicate inside the

@@ -619,6 +619,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(v3Rows === 1L)
   }
 
+  test("TxLog CDC stream: merge surfaces delete(old)+insert(new), carried rows cancel") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val t = Engine.scratchDir("txcdc_spec")
+    TxLog.append(spark,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x").repartition(1),
+      t)                                                           // v0
+    TxLog.merge(spark, t, Seq((2L, 99.0), (4L, 40.0)).toDF("k", "x"), "k") // v1
+    val got = scala.collection.mutable.Map[Int, Seq[(String, Long, Double)]]()
+    TxLog.streamCdc(spark, t, Engine.scratchDir("txcdc_ck")) { (df, v) =>
+      got(v) = df.select($"_change", $"k", $"x")
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      ()
+    }.awaitTermination()
+    assert(got(0) === Seq(("insert", 1L, 10.0), ("insert", 2L, 20.0),
+      ("insert", 3L, 30.0)))
+    // the COW merge rewrote the whole single-file table, but rows 1 and 3
+    // were merely carried — they must cancel out of the feed
+    assert(got(1) === Seq(("delete", 2L, 20.0), ("insert", 2L, 99.0),
+      ("insert", 4L, 40.0)))
+  }
+
   test("TxLog vacuum removes orphans, keeps retained history; schema enforced") {
     import graft.operators.TxLog
     import spark.implicits._
