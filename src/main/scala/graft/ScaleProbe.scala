@@ -205,8 +205,39 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Log-backed-table maintenance shape (r6): the two reads that must
+    // stay DELTA-proportional as the table grows — a stats-pruned
+    // key-range read (the kept file count is constant: same range, same
+    // clustering) and a CDC diff of one small commit (only that
+    // commit's files are ever scanned). A ~flat t1->tN curve is the
+    // pass condition; O(table) growth here is exactly what the log
+    // format exists to avoid at 100 TB.
+    def mkTx(tag: String, li: DataFrame): String = {
+      import graft.operators.TxLog
+      val t = Engine.scratchDir(s"sp_txlog_$tag")
+      val proj = li.select($"l_orderkey", $"l_quantity")
+      TxLog.append(spark, proj.repartitionByRange(32, $"l_orderkey"), t,
+        statsCols = Seq("l_orderkey"))
+      TxLog.append(spark, proj.filter($"l_orderkey" < 2000)
+          .withColumn("l_orderkey", $"l_orderkey" + lit(900000000000L))
+          .repartition(2), t,
+        statsCols = Seq("l_orderkey"))
+      t
+    }
+    lazy val tx1 = mkTx("1", li1)
+    lazy val txN = mkTx("n", liN)
+    def txProbe(t: String): Unit = {
+      import graft.operators.TxLog
+      TxLog.readPruned(spark, t, "l_orderkey", 100L, 2000L)
+        .agg(count(lit(1)), sum($"l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+      TxLog.changes(spark, t, 0, 1)
+        .agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     q1(li1); join(li1, orders1); topk(li1); cc(orders1); chunk(orders1)
-    q21fast(li1, orders1); pairJoin(docs1)
+    q21fast(li1, orders1); pairJoin(docs1); txProbe(tx1)
     skewAqe(li1, orders1); skewSalted(li1, orders1) // warmup
     val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
       "q1_agg_shape" -> ((l, _) => q1(l)),
@@ -216,6 +247,8 @@ object ScaleProbe {
       "conn_components_shape" -> ((_, o) => cc(o)),
       "pair_join_pinned_shape" -> ((l, _) =>
         pairJoin(if (l eq li1) docs1 else docsN)),
+      "txlog_delta_shape" -> ((l, _) =>
+        txProbe(if (l eq li1) tx1 else txN)),
       "chunk_explode_shape" -> ((_, o) => chunk(o)),
       "skew_join_aqe_shape" -> ((l, o) => skewAqe(l, o)),
       "skew_join_salted_shape" -> ((l, o) => skewSalted(l, o)))

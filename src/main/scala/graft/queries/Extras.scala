@@ -182,6 +182,74 @@ object Extras extends QueryModule {
         ORDER BY rank DESC, node LIMIT 20"""
       }),
 
+    // TRIANGLE COUNTING via degree-ordered orientation — the third
+    // iterative-graph shape next to ConnectedComponents and PageRank.
+    // Each undirected edge is oriented from its lower-(degree, id) to
+    // higher-(degree, id) endpoint (materialized as one long key), so
+    // every triangle a≺b≺c is counted exactly once as wedge (a→b, a→c)
+    // closed by edge b→c — and, the scale property, out-degree is
+    // bounded by O(sqrt(m)): the wedge self-join never explodes on a
+    // hub node the way a naive neighbor join does. The wedge join is
+    // compute-dense and byte-light, so its parallelism is pinned with
+    // the user-numbered repartition (the r6 AQE-coalesce lesson).
+    // Integer-exact throughout; the oracle replays the identical
+    // orientation relationally.
+    "q_graph_triangles" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val n = Engine.table(s, dir, "customer").count()
+        // node ids stay below the key stride, so k = deg*1e7 + v is a
+        // collision-free (degree, id) order key
+        require(n < 10000000L, s"triangle key stride needs node ids < 1e7, n=$n")
+        val raw = Engine.table(s, dir, "orders")
+          .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+            greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+          .filter($"a" =!= $"b")
+          .distinct()
+        val deg = raw.select(explode(array($"a", $"b")).as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+        val nk = deg.select($"v", ($"deg" * 10000000L + $"v").as("k"))
+        val oriented = raw
+          .join(nk.select($"v".as("a"), $"k".as("ka")), "a")
+          .join(nk.select($"v".as("b"), $"k".as("kb")), "b")
+          .select(
+            when($"ka" < $"kb", $"a").otherwise($"b").as("src"),
+            when($"ka" < $"kb", $"b").otherwise($"a").as("dst"),
+            greatest($"ka", $"kb").as("dk"))
+          .repartition(s.sparkContext.defaultParallelism * 2, $"src")
+        val wedges = oriented.as("x").join(oriented.as("y"),
+            col("x.src") === col("y.src") && col("x.dk") < col("y.dk"))
+          .select(col("x.dst").as("u"), col("y.dst").as("w"))
+        wedges.join(oriented.select($"src".as("u"), $"dst".as("w")),
+            Seq("u", "w"))
+          .agg(count(lit(1)).as("n_triangles"),
+            sum($"u").as("sum_u"), sum($"w").as("sum_w"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT DISTINCT
+            least(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS a,
+            greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS b
+          FROM orders
+          WHERE least(o_custkey, o_orderkey % (SELECT count(*) FROM customer))
+            <> greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer))),
+        deg AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM raw UNION ALL SELECT b FROM raw)
+          GROUP BY v),
+        nk AS (SELECT v, deg * 10000000 + v AS k FROM deg),
+        ori AS (
+          SELECT CASE WHEN ka.k < kb.k THEN raw.a ELSE raw.b END AS src,
+                 CASE WHEN ka.k < kb.k THEN raw.b ELSE raw.a END AS dst,
+                 greatest(ka.k, kb.k) AS dk
+          FROM raw JOIN nk ka ON ka.v = raw.a JOIN nk kb ON kb.v = raw.b),
+        wed AS (
+          SELECT x.dst AS u, y.dst AS w
+          FROM ori x JOIN ori y ON x.src = y.src AND x.dk < y.dk)
+        SELECT count(*) AS n_triangles,
+          CAST(sum(u) AS BIGINT) AS sum_u, CAST(sum(w) AS BIGINT) AS sum_w
+        FROM wed JOIN ori z ON z.src = wed.u AND z.dst = wed.w""")),
+
     // The SQL entry path (E2' with spark.sql): scalar subquery, IN
     // subquery, and correlated EXISTS — Catalyst decorrelates all three.
     "q_sql_subqueries" -> QueryDef(
