@@ -119,6 +119,7 @@ object TxLog {
   private final class State {
     val live = scala.collection.mutable.LinkedHashMap[String, Map[String, ColStats]]()
     val txns = scala.collection.mutable.LinkedHashSet[String]()
+    val checks = scala.collection.mutable.LinkedHashMap[String, String]()
     var evolved = false
   }
 
@@ -157,6 +158,10 @@ object TxLog {
           st.live -= jstr(l, l.indexOf("\"path\":\"") + 7)._1
         case "txn" =>
           st.txns += jstr(l, l.indexOf("\"path\":\"") + 7)._1
+        case "check" =>
+          val (name, _) = jstr(l, l.indexOf("\"path\":\"") + 7)
+          val (pred, _) = jstr(l, l.indexOf("\"pred\":\"") + 7)
+          st.checks += name -> pred
         case "evolve" => st.evolved = true
         case _        => ()
       }
@@ -336,6 +341,7 @@ object TxLog {
   def append(spark: SparkSession, df: DataFrame, table: String,
              statsCols: Seq[String] = Nil): Int = {
     enforceSchema(spark, df, table)
+    enforceChecks(spark, df, table)
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     val subAbs = new File(table, sub).getAbsolutePath
     df.write.parquet(subAbs)
@@ -361,6 +367,7 @@ object TxLog {
     require(newShape.take(oldShape.size) == oldShape,
       s"evolution must be additive: table has ${existing.simpleString}, " +
         s"append has ${df.schema.simpleString}")
+    enforceChecks(spark, df, table)
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     val subAbs = new File(table, sub).getAbsolutePath
     df.write.parquet(subAbs)
@@ -436,7 +443,10 @@ object TxLog {
       val st = replay(table, v)
       val body = ((if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
         st.live.toSeq.map { case (p, stats) => addLine(p, stats) } ++
-        st.txns.toSeq.map(t => s"""{"op":"txn","path":"${jesc(t)}"}"""))
+        st.txns.toSeq.map(t => s"""{"op":"txn","path":"${jesc(t)}"}""") ++
+        st.checks.toSeq.map { case (n0, p0) =>
+          s"""{"op":"check","path":"${jesc(n0)}","pred":"${jesc(p0)}"}"""
+        })
         .mkString("", "\n", "\n")
       val tmp = Files.createTempFile(logDir(table).toPath, ".ckpt-", ".tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
@@ -502,6 +512,7 @@ object TxLog {
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
                        txn: String): Int = {
     if (txns(table).contains(txn)) return version(table)
+    enforceChecks(spark, df, table)
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, sub).getAbsolutePath)
     val actions = ("txn" -> txn) +: newFiles(table, sub).map(("add", _))
@@ -556,6 +567,7 @@ object TxLog {
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             key: String): Int = {
     enforceSchema(spark, updates, table)
+    enforceChecks(spark, updates, table)
     val base = version(table)
     val snap = read(spark, table, Some(base))
     val tablePath = new File(table).toPath.toAbsolutePath
@@ -750,6 +762,43 @@ object TxLog {
     streamChanges(spark, src, checkpointDir) { (df, v) =>
       appendIdempotent(spark, df, dst, txn = s"src-v$v")
       ()
+    }
+
+  /** Register a CHECK constraint: from this commit on, every write that
+    * introduces rows ([[append]], [[appendEvolve]], [[appendIdempotent]],
+    * [[merge]]) validates `sqlPred` against the incoming frame and
+    * REJECTS the whole write if any row evaluates it FALSE — data
+    * quality enforced at the table boundary, not discovered downstream.
+    * SQL-standard semantics: NULL (unknown) passes, only FALSE
+    * violates. The existing snapshot is validated before the
+    * constraint commits (a constraint the current data already breaks
+    * is refused). Constraints live in the log and ride checkpoints
+    * like txn ids. */
+  def addCheck(spark: SparkSession, table: String, name: String,
+               sqlPred: String): Int = {
+    require(version(table) >= 0, s"addCheck: no table at $table yet")
+    val bad = read(spark, table)
+      .filter(!coalesce(expr(sqlPred), lit(true))).limit(1).count()
+    require(bad == 0L,
+      s"cannot add CHECK '$name' ($sqlPred): existing rows violate it")
+    retryCommit(table)(commitLines(table, _, Seq(
+      s"""{"op":"check","path":"${jesc(name)}","pred":"${jesc(sqlPred)}"}""")))
+  }
+
+  /** Registered CHECK constraints (name -> SQL predicate). */
+  def checks(table: String): Map[String, String] =
+    if (version(table) < 0) Map.empty
+    else replay(table, version(table)).checks.toMap
+
+  /** Validate the incoming frame against every registered CHECK; one
+    * short-circuiting probe job per constraint over the batch (the
+    * write-side scan the production formats fold into the commit). */
+  private def enforceChecks(spark: SparkSession, df: DataFrame,
+                            table: String): Unit =
+    checks(table).foreach { case (name, pred) =>
+      val bad = df.filter(!coalesce(expr(pred), lit(true))).limit(1).count()
+      require(bad == 0L,
+        s"CHECK constraint '$name' ($pred) violated; write rejected")
     }
 
   /** ACID tables enforce their schema on write: an append whose shape

