@@ -299,6 +299,32 @@ object TxLog {
     commitLines(table, base, removeLines ++ adds)
   }
 
+  /** RESTORE an earlier version as a NEW commit (roll forward to the
+    * past): the target version's file set — per-file stats included —
+    * becomes the live set again, while every intermediate version
+    * stays time-travelable. History is never rewritten, so an audit
+    * can still see both the bad data and the rollback that removed
+    * it. Unchanged files carry over by reference (a restore after an
+    * append is a metadata-only commit, no data I/O at any table
+    * size). Fails loudly if the target's files were vacuumed past
+    * retention. Returns the new version. */
+  def restore(table: String, toVersion: Int): Int = {
+    val target = replay(table, toVersion).live.toSeq
+    target.foreach { case (p, _) =>
+      require(new File(table, p).exists(),
+        s"restore: file $p of v$toVersion was vacuumed; cannot restore")
+    }
+    val tgt = target.map(_._1).toSet
+    retryCommit(table) { base =>
+      val cur = replay(table, base).live.keySet
+      val lines =
+        cur.filterNot(tgt).toSeq.sorted
+          .map(p => s"""{"op":"remove","path":"${jesc(p)}"}""") ++
+          target.collect { case (p, st) if !cur.contains(p) => addLine(p, st) }
+      commitLines(table, base, lines)
+    }
+  }
+
   /** Stats type tag for a column's data type; None = unsupported (no
     * stats recorded, file conservatively never pruned on that column).
     * Decimals/timestamps are deliberately unsupported rather than
@@ -481,7 +507,13 @@ object TxLog {
     val residual = bounds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    spark.read.parquet(fs: _*).filter(residual)
+    // every file pruned: a pathless scan can't infer a schema — return
+    // the (correct) empty result under the table's own schema instead
+    if (fs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, table).schema)
+    else spark.read.parquet(fs: _*).filter(residual)
   }
 
   /** Single-Long-column data-skipping read (common key-range case). */

@@ -727,6 +727,49 @@ object Sources extends QueryModule {
             AS BIGINT) AS sum_cents
         FROM t GROUP BY s_nationkey""")),
 
+    // RESTORE (rollback-as-commit): a bad batch lands at v1, restore
+    // publishes v2 whose live set IS v0's — the bad files drop out by
+    // reference, no data is read or written (metadata-only commit, the
+    // same cost at 100 TB as at 100 rows), and v1 stays time-travelable
+    // for the audit. The three per-version reads prove head == v0
+    // content while the poison version remains reachable. File-set
+    // equality and the no-new-files property are unit-asserted.
+    "q_src_txlog_restore" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txrestore", dir)
+        val src = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+        if (TxLog.version(table) < 0) {
+          TxLog.append(s, src.filter($"s_suppkey" % 2 === 0), table) // v0
+          TxLog.append(s, src.filter($"s_suppkey" % 2 === 1), table) // v1
+          TxLog.restore(table, 0)                                    // v2
+        }
+        (0 to 2).map { v =>
+          TxLog.read(s, table, Some(v))
+            .agg(count(lit(1)).as("n"),
+              sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+                .as("sum_cents"))
+            .select(lit(v).as("version"), $"n", $"sum_cents")
+        }.reduce(_ unionByName _)
+      },
+      oracle = Some("""
+        SELECT 0 AS version, count(*) AS n,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM supplier WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT 1, count(*),
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT)
+        FROM supplier
+        UNION ALL
+        SELECT 2, count(*),
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT)
+        FROM supplier WHERE s_suppkey % 2 = 0""")),
+
     // CHECK CONSTRAINTS at the table boundary: register a predicate on
     // the log, then prove (a) a conforming append lands, (b) a
     // violating append is REJECTED before any file is written — the

@@ -859,6 +859,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t2).count() === 2)
   }
 
+  test("TxLog restore is a metadata-only rollback; history intact; stats carried") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txrestore_spec")
+    val a = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x")
+    val b = Seq((90L, 9.0)).toDF("k", "x")
+    TxLog.append(spark, a, table, statsCols = Seq("k"))   // v0
+    TxLog.append(spark, b, table, statsCols = Seq("k"))   // v1 (bad batch)
+    val dataBefore = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("data-")).map(_.getName).toSet
+    assert(TxLog.restore(table, 0) === 2)                 // v2 = v0's set
+    // metadata-only: no new data directory appeared
+    val dataAfter = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("data-")).map(_.getName).toSet
+    assert(dataAfter === dataBefore)
+    assert(TxLog.files(table, Some(2)).toSet === TxLog.files(table, Some(0)).toSet)
+    // head shows v0 content; the poison version stays time-travelable
+    assert(TxLog.read(spark, table).as[(Long, Double)].collect().toSet
+      === Set((1L, 1.0), (2L, 2.0)))
+    assert(TxLog.read(spark, table, Some(1)).count() === 3)
+    // stats carried through the restore: key-range pruning still works
+    assert(TxLog.readPruned(spark, table, "k", 50L, 100L).count() === 0)
+    assert(TxLog.readPruned(spark, table, "k", 1L, 1L).count() === 1)
+    // append after restore continues the lineage
+    TxLog.append(spark, Seq((3L, 3.0)).toDF("k", "x"), table) // v3
+    assert(TxLog.read(spark, table).count() === 3)
+    // restore to a vacuumed version fails loudly, table stays intact
+    TxLog.restore(table, 2)                               // v4 (drop v3 file)
+    TxLog.vacuum(table, retainVersions = 1)
+    intercept[IllegalArgumentException] { TxLog.restore(table, 3) }
+    assert(TxLog.read(spark, table).count() === 2)
+  }
+
   test("TxLog CHECK constraints gate every write path; NULL passes; ride checkpoints") {
     import graft.operators.TxLog
     import spark.implicits._
