@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-source (or multi-source) BFS hop distance by iterative
+  * frontier expansion: round `i` joins the hop-(i-1) frontier against
+  * the edge list and anti-joins the already-settled set, so every node
+  * is settled exactly once at its minimum hop count — integer-exact,
+  * no floating point anywhere. The per-round lineage is cut with
+  * `localCheckpoint` (plan stays flat, superseded rounds' blocks are
+  * released), and the edge list is shuffled ONCE up front onto its
+  * join key: `localCheckpoint` preserves physical partitioning, so
+  * every subsequent round only moves the (small) frontier — at 100 TB
+  * the edge relation never re-crosses the wire. Work per round is
+  * O(frontier-adjacent edges), the textbook distributed-BFS bound.
+  */
+object Bfs {
+
+  private def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.SqlBridge.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false))
+
+  /** Hop distances over the DIRECTED edge set `edges(src, dst)` from
+    * the nodes of `sources(node)`; pass both directions for an
+    * undirected graph. Returns `(node, d)` for every node reachable
+    * within `maxHops` (sources at d=0). Stops early when the frontier
+    * empties. */
+  def hopDistance(edges: DataFrame, sources: DataFrame,
+                  maxHops: Int): DataFrame = {
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(par * 2, col("src")).localCheckpoint()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("d", lit(0)).localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("d", lit(hop))
+        .localCheckpoint()
+      val settled = dist.unionByName(next).localCheckpoint()
+      if (frontier ne dist) release(frontier)
+      release(dist)
+      dist = settled
+      frontier = next
+    }
+    release(e)
+    if (frontier ne dist) release(frontier)
+    dist
+  }
+}

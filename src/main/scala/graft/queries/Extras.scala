@@ -250,6 +250,53 @@ object Extras extends QueryModule {
           CAST(sum(u) AS BIGINT) AS sum_u, CAST(sum(w) AS BIGINT) AS sum_w
         FROM wed JOIN ori z ON z.src = wed.u AND z.dst = wed.w""")),
 
+    // BFS HOP DISTANCE — the fourth iterative-graph shape next to
+    // ConnectedComponents, PageRank, and triangles: frontier expansion
+    // settles each node exactly once at its minimum hop count from the
+    // source (integer-exact, capped at 8 hops on both engines). The
+    // edge list shuffles onto src ONCE up front (localCheckpoint
+    // preserves the partitioning), so each round only moves the
+    // frontier — the distributed-BFS cost model that holds at 100 TB.
+    // Result = per-distance histogram; the oracle replays it as a
+    // depth-capped recursive CTE with min-over-walks, which equals hop
+    // distance for every node reachable within the cap.
+    "q_graph_bfs" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val n = Engine.table(s, dir, "customer").count()
+        val raw = Engine.table(s, dir, "orders")
+          .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+            greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+          .filter($"a" =!= $"b")
+          .distinct()
+        val edges = raw.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(raw.select($"b".as("src"), $"a".as("dst")))
+        val sources = s.range(1, 2).select($"id".as("node"))
+        graft.operators.Bfs.hopDistance(edges, sources, maxHops = 8)
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE raw AS (
+          SELECT DISTINCT
+            least(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS a,
+            greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS b
+          FROM orders
+          WHERE least(o_custkey, o_orderkey % (SELECT count(*) FROM customer))
+            <> greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer))),
+        edges AS (
+          SELECT a AS src, b AS dst FROM raw
+          UNION ALL SELECT b, a FROM raw),
+        walk(node, d) AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+          UNION
+          SELECT e.dst, w.d + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.d < 8)
+        SELECT d, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_node
+        FROM (SELECT node, min(d) AS d FROM walk GROUP BY node)
+        GROUP BY d""")),
+
     // The SQL entry path (E2' with spark.sql): scalar subquery, IN
     // subquery, and correlated EXISTS — Catalyst decorrelates all three.
     "q_sql_subqueries" -> QueryDef(

@@ -859,6 +859,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t2).count() === 2)
   }
 
+  test("Bfs settles minimum hop distance, respects the cap, ignores other components") {
+    import graft.operators.Bfs
+    import spark.implicits._
+    // path 0-1-2-3-4 with a shortcut 0-3, plus a disconnected pair
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (100L, 101L))
+    val edges = pairs.toDF("src", "dst")
+      .unionByName(pairs.map(_.swap).toDF("src", "dst"))
+    val src = Seq(0L).toDF("node")
+    val d = Bfs.hopDistance(edges, src, maxHops = 8)
+      .as[(Long, Int)].collect().toMap
+    // shortcut wins: node 3 at d=1, node 4 at d=2; far component absent
+    assert(d === Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2))
+    // cap truncates: maxHops=1 settles only the direct neighbors
+    val capped = Bfs.hopDistance(edges, src, maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(capped === Map(0L -> 0, 1L -> 1, 3L -> 1))
+    // multi-source: both components reached, each from its own seed
+    val multi = Bfs.hopDistance(edges, Seq(0L, 100L).toDF("node"), 8)
+      .as[(Long, Int)].collect().toMap
+    assert(multi(100L) === 0 && multi(101L) === 1 && multi(4L) === 2)
+  }
+
   test("TxLog restore is a metadata-only rollback; history intact; stats carried") {
     import graft.operators.TxLog
     import spark.implicits._
