@@ -144,6 +144,52 @@ object Sources extends QueryModule {
         SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""")),
 
+    // DYNAMIC partition pruning: the fact table is partitioned on ship
+    // year and joined to a dim whose filter is on a NON-key attribute
+    // (per-year urgent-order count), so no static rewrite can turn it
+    // into a partition predicate — the years to keep only exist at
+    // RUNTIME, after the dim side executes. Spark's DPP runs the
+    // (broadcast) dim first and injects its year set into the fact
+    // scan's partition filters, so the fact side never reads the
+    // pruned years' files at all. At 100 TB this is THE star-join scan
+    // reducer: the selective dim decides which partitions of the big
+    // table exist for this query. `dynamicpruningexpression` in the
+    // scan is plan-asserted in OperatorSpec.
+    "q_src_dpp" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val out = tempFor("dpp", dir)
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          Engine.table(s, dir, "lineitem")
+            .withColumn("ship_year", year($"l_shipdate"))
+            .write.mode("overwrite").partitionBy("ship_year").parquet(out)
+        }
+        val fact = s.read.parquet(out)
+        // parity of the urgent count = a stand-in for any genuinely
+        // selective dim attribute; deterministic at every SF
+        val dim = Engine.table(s, dir, "orders")
+          .groupBy(year($"o_orderdate").as("y"))
+          .agg(count(when($"o_orderpriority" === "1-URGENT", 1)).as("urg"))
+          .filter($"urg" % 2 === 0)
+          .select($"y")
+        fact.join(dim, fact("ship_year") === dim("y"))
+          .groupBy($"y")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"l_extendedprice" * 100.0 + 0.5).cast("long"))
+              .as("rev_cents"))
+      },
+      oracle = Some("""
+        WITH dim AS (
+          SELECT year(o_orderdate) AS y,
+            count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urg
+          FROM orders GROUP BY 1),
+        sel AS (SELECT y FROM dim WHERE urg % 2 = 0)
+        SELECT y, count(*) AS n,
+          CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev_cents
+        FROM lineitem JOIN sel ON year(l_shipdate) = sel.y
+        GROUP BY y""")),
+
     // Small-file COMPACTION — the lakehouse maintenance op a streaming
     // ingest forces at scale (every micro-batch drops a file per
     // partition; scans die by open()/footer overhead long before they

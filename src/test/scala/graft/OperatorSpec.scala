@@ -859,6 +859,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t2).count() === 2)
   }
 
+  test("q_src_dpp: fact scan carries a runtime dynamic-pruning partition filter") {
+    val q = SparkEntry.queries("q_src_dpp")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "expected dynamicpruningexpression in the fact scan's partition " +
+        "filters:\n" + plan.take(2000))
+  }
+
   test("Bfs settles minimum hop distance, respects the cap, ignores other components") {
     import graft.operators.Bfs
     import spark.implicits._
