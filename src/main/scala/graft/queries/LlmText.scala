@@ -1872,6 +1872,65 @@ object LlmText extends QueryModule {
           ${Fns.h60Sql("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 100
             AS bucket FROM documents)""")),
 
+    // KEEP-BEST survivorship: real pipelines don't keep the min-id doc
+    // of a near-dup cluster, they keep the BEST one — here longest text
+    // with doc_id as the deterministic tie-break. The pick is a single
+    // max_by(struct) hash aggregate over the persisted cluster labels
+    // (partial-aggregated map-side, no per-cluster sort and no window
+    // shuffle-and-order pass): at 100 TB selecting survivors costs one
+    // agg over the labeled corpus. Contrast: q_llm_dedup_rewrite is
+    // the min-id policy on the same artifact.
+    "q_llm_dedup_keep_best" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val corpus = withNearDups(s, dir)
+        val labels = persistedLabels(s, dir)
+        corpus.join(labels, corpus("doc_id") === labels("id"), "left")
+          .select($"doc_id", $"source",
+            coalesce($"lab", $"doc_id").as("cluster_id"),
+            length($"text").cast("long").as("n_chars_nd"))
+          .groupBy($"cluster_id")
+          .agg(
+            max_by(struct($"doc_id", $"source", $"n_chars_nd"),
+              struct($"n_chars_nd", (-$"doc_id").as("nid"))).as("w"),
+            count(lit(1)).as("csize"))
+          .select($"cluster_id", $"w.doc_id".as("doc_id"),
+            $"w.source".as("source"), $"w.n_chars_nd".as("n_chars"),
+            $"csize")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $nearDupSql,
+        d AS (SELECT doc_id, source,
+                list_distinct(string_split(text, ' ')) AS ws FROM base),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION SELECT doc_b, doc_a FROM p
+          UNION SELECT doc_a, doc_a FROM p
+          UNION SELECT doc_b, doc_b FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        lab AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src),
+        c AS (
+          SELECT coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+            b.doc_id, b.source, length(b.text) AS n_chars,
+            row_number() OVER (
+              PARTITION BY coalesce(l.cluster_id, b.doc_id)
+              ORDER BY length(b.text) DESC, b.doc_id) AS rn,
+            count(*) OVER (
+              PARTITION BY coalesce(l.cluster_id, b.doc_id)) AS csize
+          FROM base b LEFT JOIN lab l ON l.doc_id = b.doc_id)
+        SELECT cluster_id, doc_id, source, n_chars, csize
+        FROM c WHERE rn = 1""")),
+
     // END-TO-END BATCH CLEAN: normalize -> quality gate -> exact dedup
     // (keep-first per canonical hash) -> stable split assignment -> per
     // (source, split) corpus report, composed as ONE DataFrame chain —
