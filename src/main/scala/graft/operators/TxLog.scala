@@ -299,6 +299,33 @@ object TxLog {
     commitLines(table, base, removeLines ++ adds)
   }
 
+  /** SHALLOW CLONE: create `clone` as a new table whose first commit
+    * references `source`'s current live files IN PLACE (relative
+    * `../` paths) — a zero-copy branch: cloning a 100 TB table is one
+    * metadata commit. Writes to the clone (appends, COW deletes,
+    * merges, optimize) land under the clone's own directory and the
+    * source never sees them; the clone carries the source's schema
+    * posture, per-file stats, and CHECK constraints. Caveat shared
+    * with every production shallow clone: vacuuming the SOURCE can
+    * remove files the clone still references — vacuum sources only
+    * after dropping their clones. */
+  def cloneShallow(source: String, clone: String): Int = {
+    require(version(source) >= 0, s"cloneShallow: no table at $source")
+    require(version(clone) < 0, s"cloneShallow: $clone already exists")
+    val st = replay(source, version(source))
+    val cloneDir = new File(clone).toPath.toAbsolutePath
+    val lines =
+      (if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
+        st.live.toSeq.map { case (p, stats) =>
+          val abs = new File(source, p).toPath.toAbsolutePath
+          addLine(cloneDir.relativize(abs).toString, stats)
+        } ++
+        st.checks.toSeq.map { case (n0, p0) =>
+          s"""{"op":"check","path":"${jesc(n0)}","pred":"${jesc(p0)}"}"""
+        }
+    commitLines(clone, -1, lines)
+  }
+
   /** RESTORE an earlier version as a NEW commit (roll forward to the
     * past): the target version's file set — per-file stats included —
     * becomes the live set again, while every intermediate version

@@ -773,6 +773,42 @@ object Sources extends QueryModule {
             AS BIGINT) AS sum_cents
         FROM t GROUP BY s_nationkey""")),
 
+    // SHALLOW CLONE: branch the shared history table at zero copy cost
+    // (one metadata commit referencing the source's files in place),
+    // then DIVERGE the clone with a COW delete — the clone rewrites
+    // only its affected files under its OWN directory while the source
+    // head stays bit-identical. Dev-branching a 100 TB production
+    // table costs one commit; the oracle recomputes both sides'
+    // states relationally. Zero-copy + isolation are unit-asserted.
+    "q_src_txlog_clone" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val src = txlogHistory(s, dir)
+        val clone = tempFor("txclone", dir)
+        if (TxLog.version(clone) < 0) {
+          TxLog.cloneShallow(src, clone)                       // v0
+          TxLog.deleteWhere(s, clone, $"s_suppkey" % 3 === 0)  // v1
+        }
+        def agg(t: String, tag: String) = TxLog.read(s, t)
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long"))
+              .as("sum_cents"))
+          .select(lit(tag).as("side"), $"n", $"sum_cents")
+        agg(src, "source").unionByName(agg(clone, "clone"))
+      },
+      oracle = Some("""
+        SELECT 'source' AS side, count(*) AS n,
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM supplier WHERE s_nationkey % 5 <> 0
+        UNION ALL
+        SELECT 'clone', count(*),
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT)
+        FROM supplier
+        WHERE s_nationkey % 5 <> 0 AND s_suppkey % 3 <> 0""")),
+
     // RESTORE (rollback-as-commit): a bad batch lands at v1, restore
     // publishes v2 whose live set IS v0's — the bad files drop out by
     // reference, no data is read or written (metadata-only commit, the

@@ -924,6 +924,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.read(spark, table).count() === 2)
   }
 
+  test("TxLog shallow clone is zero-copy, isolated both ways, carries stats+checks") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val src = Engine.scratchDir("txclsrc_spec")
+    val cl = Engine.scratchDir("txclone_spec")
+    TxLog.append(spark,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x").repartition(2),
+      src, statsCols = Seq("k"))
+    TxLog.addCheck(spark, src, "pos", "x > 0.0")
+    assert(TxLog.cloneShallow(src, cl) === 0)
+    // zero-copy: the clone directory holds NO data files, only the log
+    assert(!new java.io.File(cl).listFiles()
+      .exists(_.getName.startsWith("data-")))
+    assert(TxLog.read(spark, cl).count() === 3)
+    // stats + checks carried
+    assert(TxLog.readPruned(spark, cl, "k", 100L, 200L).count() === 0)
+    assert(TxLog.checks(cl) === Map("pos" -> "x > 0.0"))
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, Seq((9L, -1.0)).toDF("k", "x"), cl)
+    }
+    // diverge the clone: COW rewrite lands under the CLONE's dir
+    TxLog.deleteWhere(spark, cl, $"k" === 2L)
+    assert(TxLog.read(spark, cl).as[(Long, Double)].collect().toSet
+      === Set((1L, 10.0), (3L, 30.0)))
+    assert(new java.io.File(cl).listFiles()
+      .exists(_.getName.startsWith("data-"))) // survivors materialized here
+    // ...and the source never noticed
+    assert(TxLog.version(src) === 1) // v0 data + v1 check
+    assert(TxLog.read(spark, src).count() === 3)
+    // divergence the other way: source append invisible to the clone
+    TxLog.append(spark, Seq((4L, 40.0)).toDF("k", "x"), src)
+    assert(TxLog.read(spark, src).count() === 4)
+    assert(TxLog.read(spark, cl).count() === 2)
+    // vacuuming the CLONE must not touch source-referenced files
+    assert(TxLog.vacuum(cl).isEmpty)
+    assert(TxLog.read(spark, src).count() === 4)
+  }
+
   test("TxLog CHECK constraints gate every write path; NULL passes; ride checkpoints") {
     import graft.operators.TxLog
     import spark.implicits._
