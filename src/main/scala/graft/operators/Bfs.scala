@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * frontier expansion: round `i` joins the hop-(i-1) frontier against
   * the edge list and anti-joins the already-settled set, so every node
   * is settled exactly once at its minimum hop count — integer-exact,
-  * no floating point anywhere. The per-round lineage is cut with
-  * `localCheckpoint` (plan stays flat, superseded rounds' blocks are
-  * released), and the edge list is shuffled ONCE up front onto its
+  * no floating point anywhere. Each round's frontier is cut with
+  * `localCheckpoint` (plans stay flat; the settled set is a
+  * metadata-only union of the round frames, so every node's row is
+  * cached exactly once), and the edge list is shuffled ONCE onto its
   * join key: `localCheckpoint` preserves physical partitioning, so
   * every subsequent round only moves the (small) frontier — at 100 TB
   * the edge relation never re-crosses the wire. Work per round is
@@ -42,14 +43,18 @@ object Bfs {
         .join(dist, Seq("node"), "left_anti")
         .withColumn("d", lit(hop))
         .localCheckpoint()
-      val settled = dist.unionByName(next).localCheckpoint()
-      if (frontier ne dist) release(frontier)
-      release(dist)
-      dist = settled
+      // `dist` stays a plain union of the checkpointed rounds: the
+      // union is metadata-only over materialized blocks, so each node's
+      // row is cached exactly once across the whole run (one
+      // materialization job per round, not two, and no per-round
+      // re-caching of the full settled set). The round frames are live
+      // pieces of `dist` — nothing can be released until the result is
+      // consumed, and total cached bytes equal the old design's single
+      // settled frame.
+      dist = dist.unionByName(next)
       frontier = next
     }
     release(e)
-    if (frontier ne dist) release(frontier)
     dist
   }
 }
