@@ -1872,6 +1872,59 @@ object LlmText extends QueryModule {
           ${Fns.h60Sql("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 100
             AS bucket FROM documents)""")),
 
+    // EXACT SUBSTRING-SPAN DEDUP (the Lee et al. 2022 shape, public
+    // "Deduplicating Training Data Makes Language Models Better"
+    // method family): a doc is contaminated by REPEATED SPANS, not
+    // just whole-doc near-dups — hash every 8-token window, find
+    // hashes occurring in >= 2 distinct docs, and report per-doc how
+    // many of its window instances are cross-doc duplicated. The
+    // distributed shape that replaces a suffix array at 100 TB: a
+    // narrow window-hash generator (codegen slice+hash, fan-out ~
+    // tokens/doc, parallelism pinned after the small-file scan), ONE
+    // corpus shuffle on the window hash, and an equi-join back —
+    // integer-exact end to end.
+    "q_llm_span_dedup" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val W = 8
+        val docs = withNearDups(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .filter(size($"ws") >= W)
+        val wins = docs.select($"doc_id",
+          explode(transform(sequence(lit(0), size($"ws") - W),
+            i => Fns.h60(concat_ws(" ", slice($"ws", i + lit(1), lit(W)))))).as("wh"))
+        val dupHashes = wins.groupBy($"wh")
+          .agg(count_distinct($"doc_id").as("nd"))
+          .filter($"nd" >= 2)
+          .select($"wh")
+        wins.join(dupHashes, "wh")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_windows"))
+          .join(wins.groupBy($"doc_id")
+            .agg(count(lit(1)).as("n_windows")), "doc_id")
+          .select($"doc_id", $"n_windows", $"n_dup_windows")
+      },
+      oracle = Some(s"""
+        WITH $nearDupSql,
+        t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM base
+          WHERE len(string_split(text, ' ')) >= 8),
+        w AS (
+          SELECT doc_id, ${h60Sql(
+            "array_to_string(list_slice(ws, i, i + 7), ' ')")} AS wh
+          FROM (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - 7)) AS i
+                FROM t)),
+        dup AS (
+          SELECT wh FROM w GROUP BY wh
+          HAVING count(DISTINCT doc_id) >= 2),
+        nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+        nd AS (
+          SELECT doc_id, count(*) AS n_dup_windows
+          FROM w JOIN dup USING (wh) GROUP BY doc_id)
+        SELECT doc_id, n_windows, n_dup_windows
+        FROM nd JOIN nw USING (doc_id)""")),
+
     // KEEP-BEST survivorship: real pipelines don't keep the min-id doc
     // of a near-dup cluster, they keep the BEST one — here longest text
     // with doc_id as the deterministic tie-break. The pick is a single
