@@ -34,6 +34,77 @@ class AggPropertySpec extends AnyFunSuite {
     assert(naive(5, 9) < naive(6, 9) && naive(5, 9) < naive(5, 10))
   }
 
+  test("TxLog model check: random append/delete/merge/restore/optimize sequences") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    // Seeded-random op sequences replayed against an in-memory model:
+    // after EVERY op the table head must equal the model, and at the
+    // end every historical version must still time-travel to its
+    // model snapshot — the ACID contract as one executable property.
+    val rnd = new scala.util.Random(2026)
+    (0 until 3).foreach { run =>
+      val table = Engine.scratchDir(s"txmodel_spec_$run")
+      var nextKey = 0L
+      def freshBatch(): Seq[(Long, Double)] = {
+        val n = 1 + rnd.nextInt(4)
+        val b = (0 until n).map(i => (nextKey + i, (nextKey + i) * 1.5))
+        nextKey += n
+        b
+      }
+      // v0 so every later op has a table to act on
+      var model = freshBatch().toSet
+      TxLog.append(spark, model.toSeq.toDF("k", "x"), table)
+      var history = Vector(model)
+      (0 until 14).foreach { _ =>
+        val before = TxLog.version(table)
+        rnd.nextInt(5) match {
+          case 0 => // append fresh keys
+            val b = freshBatch()
+            TxLog.append(spark, b.toDF("k", "x"), table)
+            model = model ++ b
+          case 1 => // COW delete on a modulus predicate (never emptying)
+            val m = 2 + rnd.nextInt(3)
+            val r = rnd.nextInt(m)
+            val next = model.filterNot { case (k, _) => k % m == r }
+            if (next.nonEmpty) {
+              TxLog.deleteWhere(spark, table, $"k" % m === r)
+              model = next
+            }
+          case 2 => // merge: update the max-key row + insert a fresh one
+            val upd = model.toSeq.sortBy(_._1).lastOption
+            val updated = upd.map { case (k, _) => (k, -1.0) }.toSeq
+            val ins = Seq((nextKey, nextKey * 1.5)); nextKey += 1
+            TxLog.merge(spark, table, (updated ++ ins).toDF("k", "x"), "k")
+            model = model -- upd ++ updated ++ ins
+          case 3 => // restore to a random non-empty historical version
+            val v = rnd.nextInt(history.size)
+            if (history(v).nonEmpty) {
+              TxLog.restore(table, v)
+              model = history(v)
+            }
+          case 4 => // optimize: layout-only, content must not move
+            TxLog.optimize(spark, table, 1 + rnd.nextInt(2))
+        }
+        // some ops legitimately commit nothing (skipped delete, no-op
+        // optimize): history tracks the table's own version counter
+        val v = TxLog.version(table)
+        if (v > before) history = history :+ model
+        else assert(history.last === model,
+          s"uncommitted op changed state at v$v in run $run")
+        assert(history.size === v + 1)
+        assert(TxLog.read(spark, table).as[(Long, Double)].collect().toSet
+          === model, s"head diverged at v$v in run $run")
+      }
+      // every version still time-travels to its recorded snapshot
+      history.zipWithIndex.foreach { case (snap, v) =>
+        if (snap.nonEmpty)
+          assert(TxLog.read(spark, table, Some(v))
+            .as[(Long, Double)].collect().toSet === snap,
+            s"time travel to v$v diverged in run $run")
+      }
+    }
+  }
+
   test("VecMeanAgg over many partitions equals naive quantized mean") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
