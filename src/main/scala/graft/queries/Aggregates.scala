@@ -423,6 +423,59 @@ object Aggregates extends QueryModule {
     // top 8 hash bits, rho = leading-zero rank of the low 52 via
     // length(bin(x)), max per bucket). Estimate accuracy is asserted in
     // unit tests (AggPropertySpec).
+    // MISRA-GRIES heavy hitters (FreqItemsAgg): the O(k)-state frequent-
+    // token detector. Register content is merge-order-dependent (true
+    // of any MG sketch), so the query oracles the GUARANTEES, which
+    // hold under every merge order: every item with true count >
+    // n/(k+1) is present, every estimate e obeys true - n/(k+1) <= e
+    // <= true, and the summary never exceeds k entries. All three are
+    // integer-exact inequalities ((k+1)-scaled, no division) verified
+    // against exact counts; DuckDB recomputes n_heavy and expects the
+    // booleans to be true. A hot key is injected deterministically
+    // (40x 'grafthh' per doc) so a guaranteed heavy hitter exists at
+    // every SF, and vocab > k keeps the eviction path load-bearing.
+    "q_agg_freq_items" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val K = 8
+        val items = Engine.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(explode(concat(split($"text", " "),
+            array_repeat(lit("grafthh"), 40))).as("item"))
+        val exact = items.groupBy($"item").agg(count(lit(1)).as("cnt"))
+        val tot = items.agg(count(lit(1)).as("n"))
+        val entries = items
+          .agg(graft.plans.FreqItemsAgg($"item", K).as("mg"))
+          .select(explode($"mg").as(Seq("item", "est")))
+        val nHeavy = exact.crossJoin(tot)
+          .filter($"cnt" * (K + 1) > $"n")
+          .agg(count(lit(1)).as("n_heavy"))
+        val missing = exact.crossJoin(tot)
+          .filter($"cnt" * (K + 1) > $"n")
+          .join(entries.select($"item"), Seq("item"), "left_anti")
+          .agg(count(lit(1)).as("miss"))
+        val viol = entries.join(exact, Seq("item")).crossJoin(tot)
+          .filter($"est" > $"cnt" ||
+            $"est" * (K + 1) < $"cnt" * (K + 1) - $"n")
+          .agg(count(lit(1)).as("nviol"))
+        val sz = entries.agg(count(lit(1)).as("sz"))
+        nHeavy.crossJoin(missing).crossJoin(viol).crossJoin(sz)
+          .select($"n_heavy",
+            ($"miss" === 0).as("all_heavy_present"),
+            ($"nviol" === 0).as("bounds_ok"),
+            ($"sz" <= K).as("size_ok"))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS item FROM documents
+          UNION ALL
+          SELECT 'grafthh' FROM documents, range(40)),
+        c AS (SELECT item, count(*) AS cnt FROM w GROUP BY item),
+        t AS (SELECT count(*) AS n FROM w)
+        SELECT (SELECT count(*) FROM c, t WHERE cnt * 9 > n) AS n_heavy,
+          true AS all_heavy_present, true AS bounds_ok,
+          true AS size_ok""")),
+
     "q_agg_hll_registers" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._

@@ -34,6 +34,38 @@ class AggPropertySpec extends AnyFunSuite {
     assert(naive(5, 9) < naive(6, 9) && naive(5, 9) < naive(5, 10))
   }
 
+  test("FreqItemsAgg honors Misra-Gries guarantees across partitions and seeds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val k = 4 + rnd.nextInt(5) // 4..8
+      // skewed stream: 2 hot items + a 30-word uniform tail, vocab > k
+      // so the eviction (decrement) path runs constantly
+      val hotA = Seq.fill(2000 + rnd.nextInt(500))("hotA")
+      val hotB = Seq.fill(1200 + rnd.nextInt(300))("hotB")
+      val tail = Seq.tabulate(3000)(i => s"w${rnd.nextInt(30)}" + (i - i))
+      val items = rnd.shuffle(hotA ++ hotB ++ tail)
+      val n = items.size.toLong
+      val truth = items.groupBy(identity).map { case (i, xs) =>
+        (i, xs.size.toLong) }
+      val got = items.toDF("item").repartition(16)
+        .agg(graft.plans.FreqItemsAgg($"item", k).as("mg"))
+        .selectExpr("explode(mg) AS (item, est)")
+        .as[(String, Long)].collect().toMap
+      assert(got.size <= k, s"trial $trial: ${got.size} entries > k=$k")
+      val bound = n / (k + 1)
+      truth.filter(_._2 > bound).keys.foreach { heavy =>
+        assert(got.contains(heavy),
+          s"trial $trial: heavy '$heavy' missing (bound=$bound)")
+      }
+      got.foreach { case (i, est) =>
+        val t = truth(i)
+        assert(est <= t && est >= t - bound,
+          s"trial $trial: est($i)=$est outside [${t - bound}, $t]")
+      }
+    }
+  }
+
   test("TxLog model check: random append/delete/merge/restore/optimize sequences") {
     import graft.operators.TxLog
     import spark.implicits._
