@@ -435,30 +435,117 @@ object TxLog {
                          subAbs: String, statsCols: Seq[String]): Seq[String] = {
     if (statsCols.isEmpty)
       return newFiles(table, sub).map(p => addLine(p, Map.empty))
+    // "bloom:c" requests a per-file Bloom filter on c (point-lookup
+    // skipping); bare names request min/max range stats
+    val (bloomSpecs, plainCols) = statsCols.partition(_.startsWith("bloom:"))
+    val bloomCols = bloomSpecs.map(_.stripPrefix("bloom:"))
     val written = spark.read.parquet(subAbs)
-    val tagged = statsCols.map { c =>
+    val tagged = plainCols.map { c =>
       val f = written.schema(c)
       val t = tagOf(f.dataType).getOrElse(throw new IllegalArgumentException(
         s"stats unsupported for column $c: ${f.dataType.simpleString}"))
       (c, t)
     }
-    val aggs = tagged.zipWithIndex.flatMap { case ((c, _), i) =>
-      Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
-    }
-    val byFile = written
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // file METADATA (one row per file), not data
-      .map { r =>
-        val stats = tagged.zipWithIndex.flatMap { case ((c, t), i) =>
-          val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
-          if (r.isNullAt(loI) || r.isNullAt(hiI)) None // all-null file
-          else Some(c -> ColStats(t, fmt(t, r.get(loI)), fmt(t, r.get(hiI))))
-        }.toMap
-        new File(new java.net.URI(r.getString(0))).getName -> stats
-      }.toMap
+    val byFileRange: Map[String, Map[String, ColStats]] =
+      if (tagged.isEmpty) Map.empty
+      else {
+        val aggs = tagged.zipWithIndex.flatMap { case ((c, _), i) =>
+          Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
+        }
+        written.groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // file METADATA (one row per file), not data
+          .map { r =>
+            val stats = tagged.zipWithIndex.flatMap { case ((c, t), i) =>
+              val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
+              if (r.isNullAt(loI) || r.isNullAt(hiI)) None // all-null file
+              else Some(c ->
+                ColStats(t, fmt(t, r.get(loI)), fmt(t, r.get(hiI))))
+            }.toMap
+            new File(new java.net.URI(r.getString(0))).getName -> stats
+          }.toMap
+      }
+    // one extra pass per bloom column: the set-bit positions of each
+    // file's filter, as a distinct-position set (bounded by BloomBits,
+    // so the driver holds the FILTER, never the data; a production
+    // writer folds this fold into the file write itself)
+    val byFileBloom: Map[String, Map[String, ColStats]] =
+      bloomCols.map { c =>
+        val posExprs = (0 until 4).map(s =>
+          expr(s"cast(shiftright(__h, ${15 * s}) & ${BloomBits - 1} as int)"))
+        written
+          .withColumn("__h", graft.functions.Fns.h60(col(c)))
+          .select(input_file_name().as("f"),
+            explode(array(posExprs: _*)).as("pos"))
+          .groupBy(col("f")).agg(collect_set(col("pos")).as("ps"))
+          .collect()
+          .map { r =>
+            val words = new Array[Long](BloomWords)
+            r.getSeq[Int](1).foreach(b => words(b >> 6) |= 1L << (b & 63))
+            val hex = words.map(w => f"$w%016x").mkString
+            new File(new java.net.URI(r.getString(0))).getName ->
+              (s"bloom:$c" -> ColStats("B", hex, ""))
+          }.toMap
+      }.foldLeft(Map.empty[String, Map[String, ColStats]]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (f, kv)) =>
+          a.updated(f, a.getOrElse(f, Map.empty) + kv)
+        }
+      }
     newFiles(table, sub).map { p =>
-      addLine(p, byFile.getOrElse(new File(p).getName, Map.empty))
+      val name = new File(p).getName
+      addLine(p, byFileRange.getOrElse(name, Map.empty) ++
+        byFileBloom.getOrElse(name, Map.empty))
+    }
+  }
+
+  private val BloomBits = 65536 // 8 KiB/file; 4 x 16-bit probes from h60
+  private val BloomWords = BloomBits / 64
+
+  /** Driver-side mirror of [[graft.functions.Fns.h60]]: first 15 hex
+    * chars of md5 of the value's STRING form (the bloom hashes every
+    * column through its string cast, so lookups are type-agnostic). */
+  private def h60OfString(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def bloomPositions(h: Long): Seq[Int] =
+    Seq(0, 15, 30, 45).map(sh => ((h >>> sh) & (BloomBits - 1)).toInt)
+
+  /** Bloom-skipped POINT LOOKUP: scan only the files whose per-file
+    * Bloom filter (recorded at append time via a `bloom:col` stats
+    * spec) may contain `value` — the skipping primitive min/max range
+    * stats cannot provide on a randomly-laid high-cardinality key,
+    * where every file spans the whole domain. At 65536 bits / 4
+    * probes the false-positive rate stays ~1e-4 up to ~2k distinct
+    * keys per file (size the bits to per-file NDV at larger files, as
+    * production formats do); a false positive costs one extra file
+    * scan, never a wrong result. Files with no recorded bloom for the
+    * column are conservatively kept. */
+  def readPoint(spark: SparkSession, table: String, col0: String,
+                value: Any): DataFrame = {
+    val fs = bloomKeptFiles(table, col0, value)
+      .map(p => new File(table, p).getAbsolutePath)
+    if (fs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, table).schema)
+    else spark.read.parquet(fs: _*).filter(col(col0) === lit(value))
+  }
+
+  /** Live files whose recorded bloom for `col0` may contain `value`
+    * (files without a bloom count as kept) — the pruning decision
+    * [[readPoint]] acts on, exposed for assertions. */
+  def bloomKeptFiles(table: String, col0: String, value: Any): Seq[String] = {
+    val pos = bloomPositions(h60OfString(String.valueOf(value)))
+    filesWithStats(table).collect {
+      case (p, stats) if stats.get(s"bloom:$col0").forall { cs =>
+        val words = cs.lo.grouped(16)
+          .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+        pos.forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
+      } => p
     }
   }
 

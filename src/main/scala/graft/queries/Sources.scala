@@ -773,6 +773,72 @@ object Sources extends QueryModule {
             AS BIGINT) AS sum_cents
         FROM t GROUP BY s_nationkey""")),
 
+    // PER-FILE BLOOM FILTERS in the log: the table is written RANDOMLY
+    // laid out on the key (every file spans the whole domain, so
+    // min/max stats prune NOTHING — require-asserted), with a
+    // `bloom:s_suppkey` stats spec recording a 1024-bit / 4-probe
+    // Bloom filter per file at commit time. Point lookups then scan
+    // only the files whose bloom may contain the key — the skipping
+    // primitive for needle-in-haystack reads on high-cardinality keys
+    // at 100 TB (a false positive costs one extra file, never a wrong
+    // row). Bloom pruning being load-bearing is require()d in-query;
+    // the lookup results are oracled exactly.
+    "q_src_txlog_bloom" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txbloom", dir)
+        if (TxLog.version(table) < 0) {
+          // round-robin layout: every file holds keys scattered across
+          // the whole domain — the worst case for min/max skipping
+          val src = Engine.table(s, dir, "customer")
+            .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+            .repartition(8)
+          TxLog.append(s, src, table,
+            statsCols = Seq("c_custkey", "bloom:c_custkey"))
+        }
+        val total = TxLog.files(table).size
+        val keysHit = Seq(50L, 97L) // mid-range keys: exist at every SF
+        val keyMiss = -12345L
+        keysHit.foreach { k =>
+          // min/max keeps MOST files on this layout...
+          val rangeKept = TxLog.filesWithStats(table).count { case (_, st) =>
+            st.get("c_custkey").forall(_.overlaps("L", s"$k", s"$k"))
+          }
+          require(rangeKept * 2 > total,
+            s"layout unexpectedly range-prunable ($rangeKept of $total)")
+          // ...while the bloom narrows the same probe further
+          val kept = TxLog.bloomKeptFiles(table, "c_custkey", k).size
+          require(kept < rangeKept,
+            s"bloom did not beat range stats for key $k " +
+              s"($kept vs $rangeKept of $total)")
+        }
+        require(TxLog.bloomKeptFiles(table, "c_custkey", keyMiss).size
+          < total, "bloom kept every file for an absent key")
+        (keysHit :+ keyMiss).map { k =>
+          TxLog.readPoint(s, table, "c_custkey", k)
+            .agg(count(lit(1)).as("n"),
+              sum(floor($"c_acctbal" * 100.0 + 0.5).cast("long"))
+                .as("sum_cents"))
+            .select(lit(k).as("key"), $"n", $"sum_cents")
+        }.reduce(_ unionByName _)
+      },
+      oracle = Some("""
+        SELECT CAST(50 AS BIGINT) AS key, count(*) AS n,
+          CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM customer WHERE c_custkey = 50
+        UNION ALL
+        SELECT 97, count(*),
+          CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT)
+        FROM customer WHERE c_custkey = 97
+        UNION ALL
+        SELECT -12345, count(*),
+          CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT)
+        FROM customer WHERE c_custkey = -12345""")),
+
     // SHALLOW CLONE: branch the shared history table at zero copy cost
     // (one metadata commit referencing the source's files in place),
     // then DIVERGE the clone with a COW delete — the clone rewrites

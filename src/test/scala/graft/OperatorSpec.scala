@@ -924,6 +924,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.read(spark, table).count() === 2)
   }
 
+  test("TxLog bloom skipping: no false negatives, prunes absent keys, rides the log") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txbloom_spec")
+    // 4 files, interleaved layout: every file spans the full key range
+    val df = spark.range(0, 200)
+      .select($"id".as("k"), ($"id" * 2.0).as("x"))
+      .repartition(4, $"k" % 4)
+    TxLog.append(spark, df, table, statsCols = Seq("bloom:k"))
+    val total = TxLog.files(table).size
+    assert(total >= 3) // %4 buckets hash into >=3 non-empty partitions
+    // NO false negatives: every present key's lookup returns its row
+    (0L until 200L by 17L).foreach { k =>
+      val got = TxLog.readPoint(spark, table, "k", k)
+        .as[(Long, Double)].collect()
+      assert(got.toSeq === Seq((k, k * 2.0)), s"key $k")
+      // and the true file is among the kept ones, usually alone
+      assert(TxLog.bloomKeptFiles(table, "k", k).nonEmpty)
+    }
+    // absent keys prune (deterministic for this data; ~1% FP per file)
+    val absentKept = (1000L to 1040L)
+      .map(k => TxLog.bloomKeptFiles(table, "k", k).size)
+    assert(absentKept.count(_ == 0) >= 35,
+      s"absent keys should mostly prune ALL files: $absentKept")
+    assert(TxLog.readPoint(spark, table, "k", 1234L).count() === 0)
+    // blooms survive a restore and a shallow clone (stats plumbing)
+    TxLog.append(spark, Seq((500L, 1.0)).toDF("k", "x"), table)
+    TxLog.restore(table, 0)
+    assert(TxLog.readPoint(spark, table, "k", 17L).count() === 1)
+    val cl = Engine.scratchDir("txbloom_clone_spec")
+    TxLog.cloneShallow(table, cl)
+    assert(TxLog.readPoint(spark, cl, "k", 17L).count() === 1)
+    assert(TxLog.bloomKeptFiles(cl, "k", 99999L).size < total)
+  }
+
   test("TxLog shallow clone is zero-copy, isolated both ways, carries stats+checks") {
     import graft.operators.TxLog
     import spark.implicits._
