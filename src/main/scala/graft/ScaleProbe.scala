@@ -226,6 +226,31 @@ object ScaleProbe {
     }
     lazy val tx1 = mkTx("1", li1)
     lazy val txN = mkTx("n", liN)
+
+    // Bloom point-lookup shape (r6): the table grows the way production
+    // tables grow — MORE bounded-size files, not bigger files — so
+    // per-file NDV (and hence bloom quality) is constant, and a point
+    // lookup must cost O(matching files) regardless of table size:
+    // log-metadata bloom probes + ~1 scanned file at 1x and at Nx.
+    def mkTxBloom(tag: String, li: DataFrame, nFiles: Int): String = {
+      import graft.operators.TxLog
+      val t = Engine.scratchDir(s"sp_txbloom_$tag")
+      TxLog.append(spark,
+        li.select($"l_orderkey", $"l_quantity").repartition(nFiles),
+        t, statsCols = Seq("bloom:l_orderkey"))
+      t
+    }
+    lazy val txb1 = mkTxBloom("1", li1, 32)
+    lazy val txbN = mkTxBloom("n", liN, 32 * n)
+    def bloomProbe(t: String): Unit = {
+      import graft.operators.TxLog
+      TxLog.readPoint(spark, t, "l_orderkey", 1500L)
+        .agg(count(lit(1)), sum($"l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+      TxLog.readPoint(spark, t, "l_orderkey", -77L)
+        .agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
     def txProbe(t: String): Unit = {
       import graft.operators.TxLog
       TxLog.readPruned(spark, t, "l_orderkey", 100L, 2000L)
@@ -237,7 +262,7 @@ object ScaleProbe {
     }
 
     q1(li1); join(li1, orders1); topk(li1); cc(orders1); chunk(orders1)
-    q21fast(li1, orders1); pairJoin(docs1); txProbe(tx1)
+    q21fast(li1, orders1); pairJoin(docs1); txProbe(tx1); bloomProbe(txb1)
     skewAqe(li1, orders1); skewSalted(li1, orders1) // warmup
     val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
       "q1_agg_shape" -> ((l, _) => q1(l)),
@@ -249,6 +274,8 @@ object ScaleProbe {
         pairJoin(if (l eq li1) docs1 else docsN)),
       "txlog_delta_shape" -> ((l, _) =>
         txProbe(if (l eq li1) tx1 else txN)),
+      "txlog_bloom_point_shape" -> ((l, _) =>
+        bloomProbe(if (l eq li1) txb1 else txbN)),
       "chunk_explode_shape" -> ((_, o) => chunk(o)),
       "skew_join_aqe_shape" -> ((l, o) => skewAqe(l, o)),
       "skew_join_salted_shape" -> ((l, o) => skewSalted(l, o)))

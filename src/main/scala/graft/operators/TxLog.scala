@@ -58,6 +58,12 @@ object TxLog {
     * string/date (lexicographic; dates serialize ISO so order agrees).
     */
   final case class ColStats(typ: String, lo: String, hi: String) {
+    /** Parsed filter words for "B" (bloom) entries — computed once per
+      * instance; instances live in the memoized replay snapshots, so
+      * repeated lookups never re-parse the hex. */
+    lazy val bloomWords: Array[Long] =
+      lo.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+
     def overlaps(qTyp: String, qLo: String, qHi: String): Boolean =
       if (qTyp != typ) true // incomparable domains: conservatively keep
       else typ match {
@@ -170,19 +176,29 @@ object TxLog {
   /** Fold the log through commit `v`, starting from the newest
     * checkpoint at or below `v` when one exists (replay is O(suffix),
     * not O(log)). */
-  private def replay(table: String, v: Int): State = {
-    val st = new State
-    val ckpt = (v to 1 by -1).find(i => checkpointFile(table, i).exists())
-    val from = ckpt match {
-      case Some(c) =>
-        applyLines(Files.readAllLines(checkpointFile(table, c).toPath), st)
-        c + 1
-      case None => 0
-    }
-    for (i <- from to v)
-      applyLines(Files.readAllLines(logFile(table, i).toPath), st)
-    st
-  }
+  // Snapshot cache: a (table, version) state is IMMUTABLE once
+  // committed (log files are write-once, hard-link published), so
+  // replays memoize — repeated metadata ops on a large log parse it
+  // once per version instead of once per call. Callers treat returned
+  // States as read-only. Bounded: reset when oversized.
+  private val replayCache =
+    scala.collection.concurrent.TrieMap[(String, Int), State]()
+
+  private def replay(table: String, v: Int): State =
+    replayCache.getOrElseUpdate((new File(table).getAbsolutePath, v), {
+      if (replayCache.size > 256) replayCache.clear()
+      val st = new State
+      val ckpt = (v to 1 by -1).find(i => checkpointFile(table, i).exists())
+      val from = ckpt match {
+        case Some(c) =>
+          applyLines(Files.readAllLines(checkpointFile(table, c).toPath), st)
+          c + 1
+        case None => 0
+      }
+      for (i <- from to v)
+        applyLines(Files.readAllLines(logFile(table, i).toPath), st)
+      st
+    })
 
   private def stateAt(table: String, asOf: Option[Int]): State = {
     val latest = version(table)
@@ -465,23 +481,36 @@ object TxLog {
             new File(new java.net.URI(r.getString(0))).getName -> stats
           }.toMap
       }
-    // one extra pass per bloom column: the set-bit positions of each
-    // file's filter, as a distinct-position set (bounded by BloomBits,
-    // so the driver holds the FILTER, never the data; a production
-    // writer folds this fold into the file write itself)
+    // two passes per bloom column: (A) per-file NDV to SIZE each
+    // file's filter (~10 bits/key, the production knob), then (B) the
+    // set-bit positions of each filter as a distinct-position set —
+    // the driver holds the FILTER, never the data; a production
+    // writer folds both into the file write itself
     val byFileBloom: Map[String, Map[String, ColStats]] =
       bloomCols.map { c =>
-        val posExprs = (0 until 4).map(s =>
-          expr(s"cast(shiftright(__h, ${15 * s}) & ${BloomBits - 1} as int)"))
-        written
-          .withColumn("__h", graft.functions.Fns.h60(col(c)))
-          .select(input_file_name().as("f"),
+        val hed = written.withColumn("__h", graft.functions.Fns.h60(col(c)))
+        val bitsByUri = hed
+          .groupBy(input_file_name().as("f"))
+          .agg(approx_count_distinct(col("__h")).as("ndv"))
+          .collect()
+          .map(r => r.getString(0) -> bloomBitsFor(r.getLong(1)))
+          .toMap
+        val mMap = map(bitsByUri.toSeq.flatMap { case (u, b) =>
+          Seq(lit(u), lit(b)) }: _*)
+        // Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m
+        // works for ANY per-file m from the same two hash halves
+        val posExprs = (0 until 4).map(i =>
+          expr(s"cast(((__h & 1073741823) + $i * (shiftright(__h, 30) | 1))" +
+            s" % __m as int)"))
+        hed
+          .withColumn("__m", element_at(mMap, input_file_name()))
+          .select(input_file_name().as("f"), col("__m"),
             explode(array(posExprs: _*)).as("pos"))
-          .groupBy(col("f")).agg(collect_set(col("pos")).as("ps"))
+          .groupBy(col("f"), col("__m")).agg(collect_set(col("pos")).as("ps"))
           .collect()
           .map { r =>
-            val words = new Array[Long](BloomWords)
-            r.getSeq[Int](1).foreach(b => words(b >> 6) |= 1L << (b & 63))
+            val words = new Array[Long]((r.getLong(1) / 64).toInt)
+            r.getSeq[Int](2).foreach(b => words(b >> 6) |= 1L << (b & 63))
             val hex = words.map(w => f"$w%016x").mkString
             new File(new java.net.URI(r.getString(0))).getName ->
               (s"bloom:$c" -> ColStats("B", hex, ""))
@@ -498,8 +527,15 @@ object TxLog {
     }
   }
 
-  private val BloomBits = 65536 // 8 KiB/file; 4 x 16-bit probes from h60
-  private val BloomWords = BloomBits / 64
+  /** Filter size for a file: next power of two >= ~10 bits per
+    * distinct key (FP ~1e-2 per probe^4 ≈ 1e-4 per file), clamped to
+    * [1 KiB, 512 KiB] of bits. Power-of-two so the read side derives
+    * the modulus from the stored hex length alone. */
+  private def bloomBitsFor(ndv: Long): Long = {
+    var b = 1024L
+    while (b < ndv * 10 && b < (1L << 22)) b <<= 1
+    b
+  }
 
   /** Driver-side mirror of [[graft.functions.Fns.h60]]: first 15 hex
     * chars of md5 of the value's STRING form (the bloom hashes every
@@ -511,27 +547,29 @@ object TxLog {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  private def bloomPositions(h: Long): Seq[Int] =
-    Seq(0, 15, 30, 45).map(sh => ((h >>> sh) & (BloomBits - 1)).toInt)
+  /** Probe positions for a filter of `bits` (power of two), mirroring
+    * the write side's double hashing. */
+  private def bloomPositions(h: Long, bits: Long): Seq[Int] = {
+    val h1 = h & ((1L << 30) - 1)
+    val h2 = (h >>> 30) | 1L
+    (0 until 4).map(i => ((h1 + i * h2) % bits).toInt)
+  }
 
   /** Bloom-skipped POINT LOOKUP: scan only the files whose per-file
     * Bloom filter (recorded at append time via a `bloom:col` stats
     * spec) may contain `value` — the skipping primitive min/max range
     * stats cannot provide on a randomly-laid high-cardinality key,
-    * where every file spans the whole domain. At 65536 bits / 4
-    * probes the false-positive rate stays ~1e-4 up to ~2k distinct
-    * keys per file (size the bits to per-file NDV at larger files, as
-    * production formats do); a false positive costs one extra file
+    * where every file spans the whole domain. Filters are NDV-sized at
+    * write time (~10 bits per distinct key, 4 double-hashed probes →
+    * ~1e-4 false positives per file at any file size, the same knob
+    * production formats turn); a false positive costs one extra file
     * scan, never a wrong result. Files with no recorded bloom for the
     * column are conservatively kept. */
   def readPoint(spark: SparkSession, table: String, col0: String,
                 value: Any): DataFrame = {
     val fs = bloomKeptFiles(table, col0, value)
       .map(p => new File(table, p).getAbsolutePath)
-    if (fs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        read(spark, table).schema)
+    if (fs.isEmpty) emptyLike(spark, table)
     else spark.read.parquet(fs: _*).filter(col(col0) === lit(value))
   }
 
@@ -539,11 +577,11 @@ object TxLog {
     * (files without a bloom count as kept) — the pruning decision
     * [[readPoint]] acts on, exposed for assertions. */
   def bloomKeptFiles(table: String, col0: String, value: Any): Seq[String] = {
-    val pos = bloomPositions(h60OfString(String.valueOf(value)))
+    val h = h60OfString(String.valueOf(value))
     filesWithStats(table).collect {
       case (p, stats) if stats.get(s"bloom:$col0").forall { cs =>
-        val words = cs.lo.grouped(16)
-          .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+        val words = cs.bloomWords
+        val pos = bloomPositions(h, words.length.toLong * 64)
         pos.forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
       } => p
     }
@@ -623,11 +661,21 @@ object TxLog {
     }.reduce(_ && _)
     // every file pruned: a pathless scan can't infer a schema — return
     // the (correct) empty result under the table's own schema instead
-    if (fs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        read(spark, table).schema)
+    if (fs.isEmpty) emptyLike(spark, table)
     else spark.read.parquet(fs: _*).filter(residual)
+  }
+
+  /** Empty frame under the table's schema, inferred from ONE live file
+    * (never a full-table frame — its listing cost scales with the
+    * table). */
+  private def emptyLike(spark: SparkSession, table: String): DataFrame = {
+    val st = stateAt(table, None)
+    val schema =
+      if (st.evolved) read(spark, table).schema // rare: needs the merge
+      else spark.read.parquet(
+        new File(table, st.live.keysIterator.next()).getAbsolutePath).schema
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Single-Long-column data-skipping read (common key-range case). */
