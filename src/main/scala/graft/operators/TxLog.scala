@@ -119,13 +119,21 @@ object TxLog {
       s"""{"op":"add","path":"${jesc(path)}","stats":{$body}}"""
     }
 
+  private def dvLine(path: String, dv: String): String =
+    s"""{"op":"dv","path":"${jesc(path)}","dv":"${jesc(dv)}"}"""
+
   /** One folded log state: live files with their stats, txn ids seen,
-    * and whether the schema has additively evolved (reads then merge
-    * parquet footers; un-evolved tables skip that cost). */
+    * per-file deletion vectors, and whether the schema has additively
+    * evolved (reads then merge parquet footers; un-evolved tables skip
+    * that cost). */
   private final class State {
     val live = scala.collection.mutable.LinkedHashMap[String, Map[String, ColStats]]()
     val txns = scala.collection.mutable.LinkedHashSet[String]()
     val checks = scala.collection.mutable.LinkedHashMap[String, String]()
+    /** data file rel path -> deletion-vector dirs (rel paths), in the
+      * order the MOR deletes landed. Removing a file drops its DVs
+      * (a rewrite materializes them). */
+    val dvs = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     var evolved = false
   }
 
@@ -161,7 +169,14 @@ object TxLog {
           }
           st.live += path -> stats
         case "remove" =>
-          st.live -= jstr(l, l.indexOf("\"path\":\"") + 7)._1
+          val p = jstr(l, l.indexOf("\"path\":\"") + 7)._1
+          st.live -= p
+          st.dvs -= p // a rewrite materializes the file's deletes
+        case "dv" =>
+          val (p, _) = jstr(l, l.indexOf("\"path\":\"") + 7)
+          val (d, _) = jstr(l, l.indexOf("\"dv\":\"") + 5)
+          if (st.live.contains(p))
+            st.dvs += p -> (st.dvs.getOrElse(p, Vector.empty) :+ d)
         case "txn" =>
           st.txns += jstr(l, l.indexOf("\"path\":\"") + 7)._1
         case "check" =>
@@ -621,6 +636,7 @@ object TxLog {
       val st = replay(table, v)
       val body = ((if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
         st.live.toSeq.map { case (p, stats) => addLine(p, stats) } ++
+        st.dvs.toSeq.flatMap { case (p, ds) => ds.map(dvLine(p, _)) } ++
         st.txns.toSeq.map(t => s"""{"op":"txn","path":"${jesc(t)}"}""") ++
         st.checks.toSeq.map { case (n0, p0) =>
           s"""{"op":"check","path":"${jesc(n0)}","pred":"${jesc(p0)}"}"""
