@@ -49,7 +49,14 @@ object Bench {
           if (headlines(name)) runOnce(name) // extra warmup
           val ts = Seq.fill(3)(runOnce(name)).sorted
           ts(1)
-        } catch { case _: Throwable => -1.0 }
+        } catch {
+          case e: Throwable =>
+            // Never swallow: a silent -1 cost round 6 its bench. The
+            // driver captures stderr, so the stack trace is auditable.
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.printStackTrace()
+            -1.0
+        }
       name -> t
     }
 

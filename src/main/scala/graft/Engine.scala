@@ -145,19 +145,32 @@ object Engine {
       spark.read.schema(schema).parquet(path)
     }
 
-  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default. Read it as long (legacy conf) and convert ns->us
-    * with integer division (`div`, not `/`: ns-since-epoch ~1.7e18 exceeds
-    * exact double range, float division would corrupt timestamps).
-    */
+  /** The events table's `ts` physical type varies by data generation:
+    * parquet TIMESTAMP(NANOS) (which Spark 4 rejects by default — read
+    * as long via the legacy conf and convert ns->us with integer
+    * division: `div`, not `/`, because ns-since-epoch ~1.7e18 exceeds
+    * exact double range and float division would corrupt timestamps),
+    * or plain TIMESTAMP(MICROS) without UTC adjustment (surfaces as
+    * TIMESTAMP_NTZ). Normalize BOTH to session-zone TimestampType so
+    * every downstream window/watermark/oracle sees one type; the
+    * session zone is pinned UTC, so the NTZ->LTZ cast is
+    * value-identical. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val schema = schemaCache.getOrElseUpdate(path,
       spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.schema(schema).parquet(path)
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case _ => // TIMESTAMP_NTZ (micros, isAdjustedToUTC=false)
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Register every test table as a temp view (enables spark.sql paths). */

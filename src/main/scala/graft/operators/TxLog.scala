@@ -191,16 +191,40 @@ object TxLog {
   /** Fold the log through commit `v`, starting from the newest
     * checkpoint at or below `v` when one exists (replay is O(suffix),
     * not O(log)). */
-  // Snapshot cache: a (table, version) state is IMMUTABLE once
-  // committed (log files are write-once, hard-link published), so
+  // Snapshot cache: a (table, generation, version) state is IMMUTABLE
+  // once committed (log files are write-once, hard-link published), so
   // replays memoize — repeated metadata ops on a large log parse it
   // once per version instead of once per call. Callers treat returned
   // States as read-only. Bounded: reset when oversized.
+  //
+  // The GENERATION component is what makes the key safe against a
+  // table deleted and recreated at the same path (a pattern every
+  // test/bench harness hits): without it, the new incarnation replays
+  // the old one's memoized state — reads reference vanished data-file
+  // UUID dirs (PATH_NOT_FOUND) and stale txn sets make appendIdempotent
+  // silently skip fresh batches. One stat(2) per replay call buys that
+  // correctness; the parse it saves is orders of magnitude larger.
   private val replayCache =
-    scala.collection.concurrent.TrieMap[(String, Int), State]()
+    scala.collection.concurrent.TrieMap[(String, String, Int), State]()
+
+  /** Identity token for the CURRENT incarnation of a table's log: the
+    * filesystem fileKey (device+inode on POSIX) of commit 0, which a
+    * delete-recreate at the same path can never reproduce. Falls back
+    * to creationTime+size where a filesystem reports no fileKey. */
+  private def generation(table: String): String = {
+    val p = logFile(table, 0).toPath
+    try {
+      val a = Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      val k = a.fileKey()
+      if (k != null) k.toString
+      else a.creationTime().toMillis.toString + ":" + a.size().toString
+    } catch { case _: java.io.IOException => "absent" }
+  }
 
   private def replay(table: String, v: Int): State =
-    replayCache.getOrElseUpdate((new File(table).getAbsolutePath, v), {
+    replayCache.getOrElseUpdate(
+      (new File(table).getAbsolutePath, generation(table), v), {
       if (replayCache.size > 256) replayCache.clear()
       val st = new State
       val ckpt = (v to 1 by -1).find(i => checkpointFile(table, i).exists())

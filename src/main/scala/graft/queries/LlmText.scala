@@ -580,8 +580,18 @@ object LlmText extends QueryModule {
     // cutoffs from ONE pass over the pair join — the tuning table an
     // operator reads before fixing the dedup threshold (re-running the
     // join per candidate cutoff at 100 TB is the naive alternative).
-    // Conditional sums over the same exact per-pair jaccard the dedup
-    // queries compute.
+    // Candidate generation is PREFIX-FILTERED at the sweep's own
+    // minimum cutoff θ=0.5 (same PPJoin machinery as
+    // q_llm_containment): jac(A,B) >= θ implies |A∩B| >= ceil(θ·|A|)
+    // (i(1+θ) >= θ(|A|+|B|) and |B| >= i), while A's non-prefix suffix
+    // holds only ceil(θ·|A|)-1 tokens — so a shared token must land in
+    // A's (|A| - ceil(θ·|A|) + 1)-token rarest prefix, and
+    // prefix(x) ⋈ full(y) with both sides taking a turn as x is
+    // lossless for every sweep cutoff >= 0.5 by pigeonhole. At 100 TB
+    // hot tokens land in nobody's prefix, so the quadratic posting
+    // blowup of the old full×full token self-join never forms.
+    // Exact per-pair jaccard is then recomputed on the FULL sets —
+    // the same value the dedup queries use.
     "q_llm_threshold_sweep" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -591,24 +601,52 @@ object LlmText extends QueryModule {
           .withColumn("nw", size($"ws"))
         val tok = d.select($"doc_id", $"source", $"nw",
           explode($"ws").as("w"))
-          // the token self-join is CPU-dense but byte-light; pin it to
-          // cluster parallelism (see q_llm_containment's rationale)
-          .repartition(s.sparkContext.defaultParallelism * 2,
-            $"source", $"w")
-        val j = tok.as("a").join(tok.as("b"),
-          $"a.w" === $"b.w" && $"a.source" === $"b.source"
-            && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-            $"a.nw".as("na"), $"b.nw".as("nb"))
-          .agg(count(lit(1)).as("inter"))
+        val dfreq = tok.groupBy($"source", $"w").agg(count(lit(1)).as("df"))
+        // prefix = the (nw - ceil(0.5·nw) + 1) rarest tokens per doc,
+        // global order = (df asc, token) so posting lists stay short
+        val prefix = tok.join(dfreq, Seq("source", "w"))
+          .groupBy($"source", $"doc_id", $"nw")
+          .agg(collect_list(struct($"df", $"w")).as("tw"))
+          .withColumn("plen",
+            ($"nw" - expr("(nw + 1) div 2") + 1).cast("int"))
+          .select($"source", $"doc_id",
+            explode(slice(array_sort($"tw"), lit(1), $"plen")).as("p"))
+          .select($"source", $"doc_id", $"p.w".as("w"))
+        // CPU-dense, byte-light join: pin to cluster parallelism (see
+        // q_llm_containment's rationale — AQE never coalesces a
+        // user-numbered repartition and the planner reuses it as the
+        // join's own exchange)
+        val par = s.sparkContext.defaultParallelism * 2
+        val cand = prefix.repartition(par, $"source", $"w").as("p")
+          .join(tok.repartition(par, $"source", $"w").as("t"),
+            $"p.w" === $"t.w" && $"p.source" === $"t.source"
+              && $"p.doc_id" =!= $"t.doc_id")
+          .select(least($"p.doc_id", $"t.doc_id").as("doc_a"),
+            greatest($"p.doc_id", $"t.doc_id").as("doc_b"))
+          .groupBy($"doc_a", $"doc_b")
+          .agg(count(lit(1)).as("hits"))
+          .persist()
+        // The filter must actually FILTER: the candidate join's row
+        // volume (ordered co-token instances through a prefix) must be
+        // strictly below the full posting join's Σ df·(df−1), which is
+        // computable from token frequencies without running it.
+        val candInstances = cand.agg(sum($"hits")).first().getLong(0)
+        val naiveInstances =
+          dfreq.agg(sum($"df" * ($"df" - 1L))).first().getLong(0)
+        require(candInstances < naiveInstances,
+          s"prefix filter pruned nothing: $candInstances >= $naiveInstances")
+        val sets = d.select($"doc_id", $"ws", $"nw")
+        cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
+          .repartition(par, $"doc_b")
+          .join(sets.as("db"), $"doc_b" === $"db.doc_id")
+          .withColumn("inter", size(array_intersect($"da.ws", $"db.ws")))
           .select(($"inter".cast("double")
-            / ($"na" + $"nb" - $"inter")).as("jac"))
-        j.agg(
-          sum(when($"jac" >= 0.5, 1L).otherwise(0L)).as("ge_50"),
-          sum(when($"jac" >= 0.7, 1L).otherwise(0L)).as("ge_70"),
-          sum(when($"jac" >= 0.8, 1L).otherwise(0L)).as("ge_80"),
-          sum(when($"jac" >= 0.9, 1L).otherwise(0L)).as("ge_90"),
-          count(lit(1)).as("n_pairs"))
+            / ($"da.nw" + $"db.nw" - $"inter")).as("jac"))
+          .agg(
+            sum(when($"jac" >= 0.5, 1L).otherwise(0L)).as("ge_50"),
+            sum(when($"jac" >= 0.7, 1L).otherwise(0L)).as("ge_70"),
+            sum(when($"jac" >= 0.8, 1L).otherwise(0L)).as("ge_80"),
+            sum(when($"jac" >= 0.9, 1L).otherwise(0L)).as("ge_90"))
       },
       oracle = Some(s"""
         WITH $nearDupSql,
@@ -629,8 +667,7 @@ object LlmText extends QueryModule {
           CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
             AS ge_80,
           CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
-            AS ge_90,
-          count(*) AS n_pairs
+            AS ge_90
         FROM j""")),
 
     // ASYMMETRIC CONTAINMENT join: |A∩B| / |A| — catches subset

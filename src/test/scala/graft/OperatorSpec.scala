@@ -580,6 +580,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.txns(table) === Set("tx-1"))
   }
 
+  test("TxLog: delete-recreate at the same path never replays stale state") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    // The pattern every bench/test loop hits: a table built, read
+    // (populating the replay cache), deleted, and rebuilt at the SAME
+    // path. The second incarnation must see only its own log — a stale
+    // cached snapshot here meant PATH_NOT_FOUND reads and, worse,
+    // appendIdempotent silently dropping fresh batches because the old
+    // incarnation's txn markers leaked through (the r6 bench failure).
+    val table = Engine.scratchDir("txlog_regen_spec")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    // --- incarnation 0: build, read (cache fills), verify in-generation
+    // txn dedup, then delete the whole table dir ---
+    TxLog.appendIdempotent(
+      spark, Seq((1L, 1.0)).toDF("k", "x"), table, txn = "batch-0")
+    TxLog.append(spark, Seq((2L, 2.0)).toDF("k", "x"), table)
+    assert(TxLog.read(spark, table).count() === 2)
+    assert(TxLog.txns(table) === Set("batch-0"))
+    // dedup WITHIN a generation still holds: same txn id is a no-op
+    assert(TxLog.appendIdempotent(
+      spark, Seq((9L, 9.0)).toDF("k", "x"), table, txn = "batch-0") === 1)
+    assert(TxLog.read(spark, table).count() === 2)
+    rmTree(new java.io.File(table))
+    // --- incarnation 1 at the SAME path: the old incarnation's txn id
+    // must be unseen (fresh table = fresh txn history), and every read
+    // must resolve THIS incarnation's files only ---
+    val v0 = TxLog.appendIdempotent(
+      spark, Seq((101L, 1.0)).toDF("k", "x"), table, txn = "batch-0")
+    assert(v0 === 0, s"recreated table started at v=$v0, not 0")
+    assert(TxLog.read(spark, table).as[(Long, Double)].collect().map(_._1)
+      .toSet === Set(101L),
+      "second incarnation lost its first batch to a stale txn marker " +
+        "or read the first incarnation's vanished files")
+    TxLog.append(spark, Seq((102L, 2.0)).toDF("k", "x"), table)
+    assert(TxLog.read(spark, table).count() === 2)
+    assert(TxLog.read(spark, table, Some(0)).count() === 1)
+  }
+
   test("TxLog streaming source: incremental resume, exactly-once mirror, COW guard") {
     import graft.operators.TxLog
     import spark.implicits._
