@@ -167,9 +167,19 @@ object Engine {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType =>
         raw
-      case _ => // TIMESTAMP_NTZ (micros, isAdjustedToUTC=false)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP(MICROS) with isAdjustedToUTC=false; session zone is
+        // pinned UTC so the NTZ->LTZ cast is value-identical
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // Any other physical type means the file is corrupt or was
+        // generated by something this reader was never taught: casting
+        // (e.g. StringType) can silently yield NULLs, so fail at read
+        // time instead of poisoning every downstream watermark.
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other " +
+            "(expected TIMESTAMP, TIMESTAMP_NTZ, or TIMESTAMP(NANOS)-as-long)")
     }
   }
 

@@ -40,6 +40,8 @@ object ScaleProbe {
     if (args.headOption.contains("recall")) return recallProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
+    // optional args 3+: probe only the named shapes (local fast loop)
+    val onlyShapes = args.drop(2).toSet
     val spark = Engine.session("graft-scaleprobe")
     import spark.implicits._
 
@@ -205,6 +207,20 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Prefix-filtered sweep shape (r7/r8): the q_llm_threshold_sweep
+    // pipeline with TWO corpus-wide HOT tokens appended to every doc —
+    // the distribution that squares the full posting self-join above
+    // (each hot token alone would put ndocs² pairs through pairJoin's
+    // shuffle). The df-ordered prefix excludes hot tokens from every
+    // doc's rarest-half prefix, so the candidate join never sees them
+    // and the 1x->Nx curve must stay ~linear. This is the curve the
+    // prefix filter exists for.
+    def sweepHot(d0: DataFrame): Unit =
+      queries.LlmText.thresholdSweep(spark,
+          d0.withColumn("text",
+            concat($"text", lit(" grafthotx grafthoty"))))
+        .write.format("noop").mode("overwrite").save()
+
     // Log-backed-table maintenance shape (r6): the two reads that must
     // stay DELTA-proportional as the table grows — a stats-pruned
     // key-range read (the kept file count is constant: same range, same
@@ -261,9 +277,21 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
-    q1(li1); join(li1, orders1); topk(li1); cc(orders1); chunk(orders1)
-    q21fast(li1, orders1); pairJoin(docs1); txProbe(tx1); bloomProbe(txb1)
-    skewAqe(li1, orders1); skewSalted(li1, orders1) // warmup
+    val warmups = Seq[(String, () => Unit)](
+      "q1_agg_shape" -> (() => q1(li1)),
+      "join_agg_shape" -> (() => join(li1, orders1)),
+      "group_topk_shape" -> (() => topk(li1)),
+      "conn_components_shape" -> (() => cc(orders1)),
+      "chunk_explode_shape" -> (() => chunk(orders1)),
+      "q21_fast_shape" -> (() => q21fast(li1, orders1)),
+      "pair_join_pinned_shape" -> (() => pairJoin(docs1)),
+      "sweep_prefix_hot_shape" -> (() => sweepHot(docs1)),
+      "txlog_delta_shape" -> (() => txProbe(tx1)),
+      "txlog_bloom_point_shape" -> (() => bloomProbe(txb1)),
+      "skew_join_aqe_shape" -> (() => skewAqe(li1, orders1)),
+      "skew_join_salted_shape" -> (() => skewSalted(li1, orders1)))
+    warmups.foreach { case (name, f) =>
+      if (onlyShapes.isEmpty || onlyShapes(name)) f() }
     val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
       "q1_agg_shape" -> ((l, _) => q1(l)),
       "join_agg_shape" -> ((l, o) => join(l, o)),
@@ -272,6 +300,8 @@ object ScaleProbe {
       "conn_components_shape" -> ((_, o) => cc(o)),
       "pair_join_pinned_shape" -> ((l, _) =>
         pairJoin(if (l eq li1) docs1 else docsN)),
+      "sweep_prefix_hot_shape" -> ((l, _) =>
+        sweepHot(if (l eq li1) docs1 else docsN)),
       "txlog_delta_shape" -> ((l, _) =>
         txProbe(if (l eq li1) tx1 else txN)),
       "txlog_bloom_point_shape" -> ((l, _) =>
@@ -280,7 +310,9 @@ object ScaleProbe {
       "skew_join_aqe_shape" -> ((l, o) => skewAqe(l, o)),
       "skew_join_salted_shape" -> ((l, o) => skewSalted(l, o)))
     val rows1 = li1.count()
-    val report = shapes.map { case (name, f) =>
+    val report = shapes
+      .filter { case (name, _) => onlyShapes.isEmpty || onlyShapes(name) }
+      .map { case (name, f) =>
       val t1 = Seq.fill(3)(time(f(li1, orders1))).sorted.apply(1)
       val tN = Seq.fill(3)(time(f(liN, ordersN))).sorted.apply(1)
       f"""\"$name\":{\"t1\":$t1%.3f,\"tN\":$tN%.3f,\"ratio\":${tN / t1}%.2f}"""

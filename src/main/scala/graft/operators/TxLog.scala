@@ -119,21 +119,13 @@ object TxLog {
       s"""{"op":"add","path":"${jesc(path)}","stats":{$body}}"""
     }
 
-  private def dvLine(path: String, dv: String): String =
-    s"""{"op":"dv","path":"${jesc(path)}","dv":"${jesc(dv)}"}"""
-
   /** One folded log state: live files with their stats, txn ids seen,
-    * per-file deletion vectors, and whether the schema has additively
-    * evolved (reads then merge parquet footers; un-evolved tables skip
-    * that cost). */
+    * and whether the schema has additively evolved (reads then merge
+    * parquet footers; un-evolved tables skip that cost). */
   private final class State {
     val live = scala.collection.mutable.LinkedHashMap[String, Map[String, ColStats]]()
     val txns = scala.collection.mutable.LinkedHashSet[String]()
     val checks = scala.collection.mutable.LinkedHashMap[String, String]()
-    /** data file rel path -> deletion-vector dirs (rel paths), in the
-      * order the MOR deletes landed. Removing a file drops its DVs
-      * (a rewrite materializes them). */
-    val dvs = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     var evolved = false
   }
 
@@ -169,14 +161,17 @@ object TxLog {
           }
           st.live += path -> stats
         case "remove" =>
-          val p = jstr(l, l.indexOf("\"path\":\"") + 7)._1
-          st.live -= p
-          st.dvs -= p // a rewrite materializes the file's deletes
+          st.live -= jstr(l, l.indexOf("\"path\":\"") + 7)._1
         case "dv" =>
-          val (p, _) = jstr(l, l.indexOf("\"path\":\"") + 7)
-          val (d, _) = jstr(l, l.indexOf("\"dv\":\"") + 5)
-          if (st.live.contains(p))
-            st.dvs += p -> (st.dvs.getOrElse(p, Vector.empty) :+ d)
+          // No writer in this engine emits deletion vectors (deletes
+          // are copy-on-write rewrites). A log that contains one was
+          // written by something newer/foreign: honoring the snapshot
+          // WITHOUT applying the DV would resurrect deleted rows, so
+          // refuse loudly instead of silently mis-reading.
+          throw new UnsupportedOperationException(
+            "unsupported log action 'dv' (deletion vector): this " +
+              "engine's deletes are copy-on-write; refusing to read a " +
+              "log whose snapshot depends on merge-on-read deletes")
         case "txn" =>
           st.txns += jstr(l, l.indexOf("\"path\":\"") + 7)._1
         case "check" =>
@@ -209,8 +204,14 @@ object TxLog {
 
   /** Identity token for the CURRENT incarnation of a table's log: the
     * filesystem fileKey (device+inode on POSIX) of commit 0, which a
-    * delete-recreate at the same path can never reproduce. Falls back
-    * to creationTime+size where a filesystem reports no fileKey. */
+    * delete-recreate at the same path can never reproduce. Where a
+    * filesystem reports no fileKey the token falls back to
+    * creationTime+size+CONTENT HASH of commit 0 — size and mtime alone
+    * collide under fast delete-recreate (commit-0 bodies are
+    * fixed-length UUID paths and timestamp granularity can be coarse),
+    * but the body itself names the incarnation's first data files, so
+    * two incarnations hash alike only if commit 0 is byte-identical —
+    * in which case their v0 states ARE interchangeable. */
   private def generation(table: String): String = {
     val p = logFile(table, 0).toPath
     try {
@@ -218,7 +219,13 @@ object TxLog {
         p, classOf[java.nio.file.attribute.BasicFileAttributes])
       val k = a.fileKey()
       if (k != null) k.toString
-      else a.creationTime().toMillis.toString + ":" + a.size().toString
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+        a.creationTime().toMillis.toString + ":" + a.size().toString +
+          ":" + h
+      }
     } catch { case _: java.io.IOException => "absent" }
   }
 
@@ -375,6 +382,11 @@ object TxLog {
           val abs = new File(source, p).toPath.toAbsolutePath
           addLine(cloneDir.relativize(abs).toString, stats)
         } ++
+        // Seen-txn markers carry over: an idempotent sink or mirror
+        // redirected at the clone must NO-OP on batches the source
+        // already applied — without these a redirect re-applies every
+        // delivered batch (duplicate rows under exactly-once contracts).
+        st.txns.toSeq.map(t0 => s"""{"op":"txn","path":"${jesc(t0)}"}""") ++
         st.checks.toSeq.map { case (n0, p0) =>
           s"""{"op":"check","path":"${jesc(n0)}","pred":"${jesc(p0)}"}"""
         }
@@ -660,7 +672,6 @@ object TxLog {
       val st = replay(table, v)
       val body = ((if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
         st.live.toSeq.map { case (p, stats) => addLine(p, stats) } ++
-        st.dvs.toSeq.flatMap { case (p, ds) => ds.map(dvLine(p, _)) } ++
         st.txns.toSeq.map(t => s"""{"op":"txn","path":"${jesc(t)}"}""") ++
         st.checks.toSeq.map { case (n0, p0) =>
           s"""{"op":"check","path":"${jesc(n0)}","pred":"${jesc(p0)}"}"""

@@ -53,7 +53,7 @@ object LlmText extends QueryModule {
     "q_fast_vec"   -> "fast vector query")
 
   /** documents + near-dup copies (one appended word). */
-  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Engine.table(s, dir, "documents")
     d.select(d("doc_id"), d("text"), d("source"))
       .unionByName(d.filter(d("doc_id") % 10 === 0).select(
@@ -68,6 +68,81 @@ object LlmText extends QueryModule {
       UNION ALL
       SELECT doc_id + 100000, concat(text, ' graftdup'), source
       FROM documents WHERE doc_id % 10 = 0)"""
+
+  /** The q_llm_threshold_sweep pipeline over an arbitrary (doc_id,
+    * source, text) corpus — factored out so ScaleProbe can drive the
+    * same shape with injected hot tokens.  See the QueryDef comment for
+    * the filter-correctness argument.
+    */
+  private[graft] def thresholdSweep(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    val (sets, cand) = sweepCandidates(s, docs)
+    cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
+      .join(sets.as("db"), $"doc_b" === $"db.doc_id"
+        && $"da.source" === $"db.source")
+      .withColumn("inter", size(array_intersect($"da.hs", $"db.hs")))
+      .select(($"inter".cast("double")
+        / ($"da.nw" + $"db.nw" - $"inter")).as("jac"))
+      .agg(
+        sum(when($"jac" >= 0.5, 1L).otherwise(0L)).as("ge_50"),
+        sum(when($"jac" >= 0.7, 1L).otherwise(0L)).as("ge_70"),
+        sum(when($"jac" >= 0.8, 1L).otherwise(0L)).as("ge_80"),
+        sum(when($"jac" >= 0.9, 1L).otherwise(0L)).as("ge_90"))
+  }
+
+  /** Candidate-generation half of [[thresholdSweep]]: returns the
+    * hashed corpus `sets` (doc_id, source, hs, nw) and the pruned
+    * candidate pairs (doc_a, doc_b).  Split out so CorpusSpec can
+    * assert the prefix join actually prunes without re-deriving the
+    * pipeline.
+    */
+  private[graft] def sweepCandidates(s: SparkSession, docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val par = s.sparkContext.defaultParallelism * 2
+    // ONE corpus scan: `sets` is repartitioned by doc_id and every
+    // consumer (token explode, both verify sides) sits above that
+    // same exchange, so the planner emits a single scan + shuffle
+    // and ReusedExchange for the rest.  The pin to cluster
+    // parallelism also serves the CPU-dense prefix join (see
+    // q_llm_containment's rationale — AQE never coalesces a
+    // user-numbered repartition and the planner reuses it as the
+    // join's own exchange).
+    val sets = docs
+      .select($"doc_id", $"source",
+        array_distinct(transform(split($"text", " "),
+          t => xxhash64(t, $"source"))).as("hs"))
+      .withColumn("nw", size($"hs"))
+      .repartition(par, $"doc_id")
+    val tok = sets.select($"doc_id", $"nw", explode($"hs").as("wh"))
+    val dfreq = tok.groupBy($"wh").agg(count(lit(1)).as("df"))
+    // prefix = the (nw - ceil(0.5·nw) + 1) rarest tokens per doc
+    // with their 1-based rarity rank, global order = (df asc, hash).
+    // dfreq is vocabulary-sized (sublinear in corpus, Heaps' law)
+    // so AQE turns the df lookup into a broadcast join, and the
+    // collect_list grouping runs shuffle-free on the doc_id
+    // partitioning already in place.
+    val prefix = tok.join(dfreq, Seq("wh"))
+      .groupBy($"doc_id", $"nw")
+      .agg(collect_list(struct($"df", $"wh")).as("tw"))
+      .withColumn("plen",
+        ($"nw" - expr("(nw + 1) div 2") + 1).cast("int"))
+      .select($"doc_id", $"nw",
+        posexplode(slice(array_sort($"tw"), lit(1), $"plen")))
+      .select($"doc_id", $"nw", $"col.wh".as("wh"),
+        ($"pos" + 1).as("rk"))
+    val pp = prefix.repartition(par, $"wh")
+    val cand = pp.as("a")
+      .join(pp.as("b"),
+        $"a.wh" === $"b.wh" && $"a.doc_id" < $"b.doc_id"
+          && $"b.nw" <= $"a.nw" * 2 && $"a.nw" <= $"b.nw" * 2
+          && (least($"a.nw" - $"a.rk", $"b.nw" - $"b.rk") + 1) * 3
+               >= ($"a.nw" + $"b.nw"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    (sets, cand)
+  }
 
   private def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
@@ -580,74 +655,38 @@ object LlmText extends QueryModule {
     // cutoffs from ONE pass over the pair join — the tuning table an
     // operator reads before fixing the dedup threshold (re-running the
     // join per candidate cutoff at 100 TB is the naive alternative).
-    // Candidate generation is PREFIX-FILTERED at the sweep's own
-    // minimum cutoff θ=0.5 (same PPJoin machinery as
-    // q_llm_containment): jac(A,B) >= θ implies |A∩B| >= ceil(θ·|A|)
-    // (i(1+θ) >= θ(|A|+|B|) and |B| >= i), while A's non-prefix suffix
-    // holds only ceil(θ·|A|)-1 tokens — so a shared token must land in
-    // A's (|A| - ceil(θ·|A|) + 1)-token rarest prefix, and
-    // prefix(x) ⋈ full(y) with both sides taking a turn as x is
-    // lossless for every sweep cutoff >= 0.5 by pigeonhole. At 100 TB
-    // hot tokens land in nobody's prefix, so the quadratic posting
-    // blowup of the old full×full token self-join never forms.
-    // Exact per-pair jaccard is then recomputed on the FULL sets —
-    // the same value the dedup queries use.
+    // Candidate generation is PREFIX-PREFIX filtered at the sweep's own
+    // minimum cutoff θ=0.5 (the AllPairs/PPJoin self-join scheme):
+    // jac(A,B) >= θ implies |A∩B| >= α = ceil(θ/(1+θ)·(na+nb)), and if
+    // the rarest-first prefixes P(A), P(B) (each of length
+    // nw − ceil(θ·nw) + 1 in one global (df, token) order) were
+    // disjoint, then — taking wlog max P(A) < max P(B) — every common
+    // token would land in A's suffix of ceil(θ·na)−1 tokens, capping
+    // |A∩B| < α.  Since nb >= θ·na for any qualifying pair, α >=
+    // ceil(θ·na), so the code's per-doc prefix length is sufficient.
+    // Joining PREFIX against PREFIX (not prefix against full) keeps
+    // BOTH posting lists short: at 100 TB hot tokens land in nobody's
+    // prefix, so the quadratic posting blowup of a full×full token
+    // self-join cannot form on either side.  Three more cuts, all
+    // inside the join condition so junk pairs never materialize:
+    //  * θ-size filter (θ·na <= nb <= na/θ, implied by jac >= θ);
+    //  * POSITIONAL filter (AllPairs): the lemma's witness token sits
+    //    at rank pa <= na−α+1 in A and pb <= nb−α+1 in B, so a pair may
+    //    survive only via a token match with
+    //    min(na−pa, nb−pb)+1 >= α = ceil((na+nb)/3) — matches deep in
+    //    both prefixes cannot carry a qualifying pair;
+    //  * tokens ride as xxhash64(token, source): the 8-byte key makes
+    //    the posting shuffle narrow and the probes cheap, folds the
+    //    same-source predicate into key equality, and a (vanishingly
+    //    unlikely, ~2^-64/pair) collision can only ADD a candidate,
+    //    which the exact verify then rejects.
+    // Exact per-pair jaccard is then recomputed on the FULL (hashed)
+    // sets — the same value the dedup queries use.  That the prefix
+    // join actually prunes (candidate pairs < full-join pair volume) is
+    // asserted in CorpusSpec, not here: a degenerate corpus where every
+    // token is rare must produce a correct sweep, not an exception.
     "q_llm_threshold_sweep" -> QueryDef(
-      fn = (s, dir) => {
-        import s.implicits._
-        val d = withNearDups(s, dir)
-          .select($"doc_id", $"source",
-            array_distinct(split($"text", " ")).as("ws"))
-          .withColumn("nw", size($"ws"))
-        val tok = d.select($"doc_id", $"source", $"nw",
-          explode($"ws").as("w"))
-        val dfreq = tok.groupBy($"source", $"w").agg(count(lit(1)).as("df"))
-        // prefix = the (nw - ceil(0.5·nw) + 1) rarest tokens per doc,
-        // global order = (df asc, token) so posting lists stay short
-        val prefix = tok.join(dfreq, Seq("source", "w"))
-          .groupBy($"source", $"doc_id", $"nw")
-          .agg(collect_list(struct($"df", $"w")).as("tw"))
-          .withColumn("plen",
-            ($"nw" - expr("(nw + 1) div 2") + 1).cast("int"))
-          .select($"source", $"doc_id",
-            explode(slice(array_sort($"tw"), lit(1), $"plen")).as("p"))
-          .select($"source", $"doc_id", $"p.w".as("w"))
-        // CPU-dense, byte-light join: pin to cluster parallelism (see
-        // q_llm_containment's rationale — AQE never coalesces a
-        // user-numbered repartition and the planner reuses it as the
-        // join's own exchange)
-        val par = s.sparkContext.defaultParallelism * 2
-        val cand = prefix.repartition(par, $"source", $"w").as("p")
-          .join(tok.repartition(par, $"source", $"w").as("t"),
-            $"p.w" === $"t.w" && $"p.source" === $"t.source"
-              && $"p.doc_id" =!= $"t.doc_id")
-          .select(least($"p.doc_id", $"t.doc_id").as("doc_a"),
-            greatest($"p.doc_id", $"t.doc_id").as("doc_b"))
-          .groupBy($"doc_a", $"doc_b")
-          .agg(count(lit(1)).as("hits"))
-          .persist()
-        // The filter must actually FILTER: the candidate join's row
-        // volume (ordered co-token instances through a prefix) must be
-        // strictly below the full posting join's Σ df·(df−1), which is
-        // computable from token frequencies without running it.
-        val candInstances = cand.agg(sum($"hits")).first().getLong(0)
-        val naiveInstances =
-          dfreq.agg(sum($"df" * ($"df" - 1L))).first().getLong(0)
-        require(candInstances < naiveInstances,
-          s"prefix filter pruned nothing: $candInstances >= $naiveInstances")
-        val sets = d.select($"doc_id", $"ws", $"nw")
-        cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
-          .repartition(par, $"doc_b")
-          .join(sets.as("db"), $"doc_b" === $"db.doc_id")
-          .withColumn("inter", size(array_intersect($"da.ws", $"db.ws")))
-          .select(($"inter".cast("double")
-            / ($"da.nw" + $"db.nw" - $"inter")).as("jac"))
-          .agg(
-            sum(when($"jac" >= 0.5, 1L).otherwise(0L)).as("ge_50"),
-            sum(when($"jac" >= 0.7, 1L).otherwise(0L)).as("ge_70"),
-            sum(when($"jac" >= 0.8, 1L).otherwise(0L)).as("ge_80"),
-            sum(when($"jac" >= 0.9, 1L).otherwise(0L)).as("ge_90"))
-      },
+      fn = (s, dir) => thresholdSweep(s, withNearDups(s, dir)),
       oracle = Some(s"""
         WITH $nearDupSql,
         d AS (SELECT doc_id, source,

@@ -32,6 +32,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("threshold-sweep prefix join prunes below the full posting join") {
+    import org.apache.spark.sql.functions._
+    // Candidate pairs from the prefix-prefix join must undercut the
+    // pair volume the full token self-join would shuffle (sum over
+    // tokens of df·(df−1)/2, computable without running it). Asserted
+    // here, NOT in the query: a degenerate corpus where every token is
+    // rare must produce a correct sweep rather than an exception.
+    val docs = Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val (sets, cand) = queries.LlmText.sweepCandidates(spark, docs)
+    val candPairs = cand.count()
+    val fullJoinPairs = sets
+      .select(explode(col("hs")).as("wh"))
+      .groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1L) / 2)).head.getDouble(0)
+    assert(candPairs > 0, "sweep candidate generation found no pairs")
+    assert(candPairs < fullJoinPairs,
+      s"prefix filter pruned nothing: $candPairs >= $fullJoinPairs")
+  }
+
   test("builtin stddev/corr agree with decimal-expanded formulation") {
     import org.apache.spark.sql.functions._
     val li = Engine.table(spark, sf, "lineitem")

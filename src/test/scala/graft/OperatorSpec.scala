@@ -580,6 +580,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.txns(table) === Set("tx-1"))
   }
 
+  test("TxLog: a 'dv' log action is refused, never silently ignored") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    // This engine's deletes are copy-on-write; it never writes deletion
+    // vectors. A log containing one (foreign writer, newer format) must
+    // fail the read — ignoring it would resurrect the deleted rows.
+    val table = Engine.scratchDir("txlog_dv_spec")
+    TxLog.append(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x"), table)
+    TxLog.commit(table, expected = 0, actions = Seq("dv" -> "some.dv"))
+    val e = intercept[UnsupportedOperationException] {
+      TxLog.read(spark, table).count()
+    }
+    assert(e.getMessage.contains("deletion vector"))
+    // earlier versions (before the dv line) stay readable
+    assert(TxLog.read(spark, table, Some(0)).count() === 2)
+  }
+
+  test("TxLog: cloneShallow carries txn markers; a redirected mirror no-ops") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    // The mirror writes into dst with txn = source version. Redirecting
+    // the mirror (or any idempotent sink) at a CLONE of dst must no-op
+    // on batches the original dst already applied — the clone inherits
+    // the seen-txn set in its first commit.
+    val dst = Engine.scratchDir("txlog_clone_src_spec")
+    TxLog.appendIdempotent(
+      spark, Seq((1L, 1.0)).toDF("k", "x"), dst, txn = "src-v0")
+    TxLog.appendIdempotent(
+      spark, Seq((2L, 2.0)).toDF("k", "x"), dst, txn = "src-v1")
+    val clone = Engine.scratchDir("txlog_clone_dst_spec")
+    TxLog.cloneShallow(dst, clone)
+    assert(TxLog.txns(clone) === Set("src-v0", "src-v1"),
+      "clone did not inherit the source's seen-txn set")
+    // re-delivery of an already-applied batch: version unchanged, no rows
+    val v = TxLog.version(clone)
+    assert(TxLog.appendIdempotent(
+      spark, Seq((9L, 9.0)).toDF("k", "x"), clone, txn = "src-v1") === v)
+    assert(TxLog.read(spark, clone).count() === 2)
+    // a genuinely new batch still lands
+    assert(TxLog.appendIdempotent(
+      spark, Seq((3L, 3.0)).toDF("k", "x"), clone, txn = "src-v2") === v + 1)
+    assert(TxLog.read(spark, clone).count() === 3)
+  }
+
   test("TxLog: delete-recreate at the same path never replays stale state") {
     import graft.operators.TxLog
     import spark.implicits._
