@@ -1488,6 +1488,92 @@ object LlmText extends QueryModule {
           length(text) / 4.0 AS approx_bpe
         FROM documents""")),
 
+    // SUBWORD (BPE) token counting: the real token denomination a
+    // training pipeline budgets in — whitespace counts drift 1.3-2x
+    // from subword counts. Pure-Scala BPE (operators/Bpe.scala): merges
+    // trained deterministically on the corpus word-frequency dict,
+    // counts via the codegen BpeCount expression. Cross-engine gate:
+    // DuckDB cannot re-run the merge loop, so the oracle pins what IS
+    // recomputable exactly and asserts the provable invariants for the
+    // rest —
+    //  * chars_m0: BPE under ZERO merges = one token per character, so
+    //    the engine's kernel output must EQUAL DuckDB's non-space char
+    //    arithmetic, numerically, per doc (exercises the whole
+    //    splitting/encoding path);
+    //  * rank-prefix monotonicity: tok_200 <= tok_50 <= chars_m0 (the
+    //    50-merge model is a rank-prefix of the 200-merge one; greedy
+    //    lowest-rank encode replays the prefix's merges first, then
+    //    every extra merge strictly shrinks the count);
+    //  * word floor: tok_200 >= n_words (encoding never crosses a word
+    //    boundary);
+    //  * compressed: 200 merges actually merged something, corpus-wide.
+    // Exact per-word token counts are pinned in BpeSpec against
+    // hand-computed encodings.
+    "q_llm_tokens_bpe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val m200 = graft.operators.Bpe.modelFor(s, dir)
+        val m50 = m200.truncate(50)
+        val m0 = graft.operators.Bpe.Model(Map.empty)
+        val perDoc = Engine.table(s, dir, "documents").select(
+          $"doc_id", $"source",
+          size(split($"text", " ")).as("n_words"),
+          graft.plans.BpeCount($"text", m0).as("chars_m0"),
+          graft.plans.BpeCount($"text", m50).as("tok_50"),
+          graft.plans.BpeCount($"text", m200).as("tok_200"))
+        perDoc.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_words"),
+          sum($"chars_m0").as("chars_m0"),
+          (sum(when($"tok_200" <= $"tok_50" && $"tok_50" <= $"chars_m0"
+            && $"tok_200" >= $"n_words", 0L).otherwise(1L)) === 0L)
+            .as("bounds_ok"),
+          (sum($"tok_200") < sum($"chars_m0")).as("compressed"))
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+          CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) AS chars_m0,
+          true AS bounds_ok, true AS compressed
+        FROM documents GROUP BY source""")),
+
+    // Greedy sequence packing in BPE tokens (the q_llm_pack shape with
+    // the real token denomination): concatenate each source's docs in
+    // stable doc_id order, cut at a 512-BPE-token budget via the same
+    // exclusive-prefix-sum window. Bin boundaries depend on the learned
+    // merges, so the oracle asserts the packing INVARIANTS plus the
+    // exact doc count; bin-level content is pinned by BpeSpec's
+    // deterministic fixtures. The tight bound: docs in a bin all START
+    // inside the 512-token window, so the bin's tokens minus its
+    // largest doc (the only one allowed to spill past the cut) must
+    // stay under 512.
+    "q_llm_pack_bpe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val m200 = graft.operators.Bpe.modelFor(s, dir)
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bins = Engine.table(s, dir, "documents")
+          .select($"doc_id", $"source",
+            graft.plans.BpeCount($"text", m200).cast("long").as("n_tok"))
+          .withColumn("start_tok",
+            coalesce(sum($"n_tok").over(w), lit(0L)))
+          .withColumn("bin", expr("start_tok div 512"))
+          .groupBy($"source", $"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"),
+            max($"n_tok").as("max_tok"))
+        bins.groupBy($"source").agg(
+          sum($"n_docs").as("n_docs"),
+          (sum(when($"bin_tokens" - $"max_tok" >= 512, 1L)
+            .otherwise(0L)) === 0L).as("bins_bounded"),
+          (count(lit(1)).between(lit(1), sum($"n_docs"))).as("n_bins_sane"))
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs,
+          true AS bins_bounded, true AS n_bins_sane
+        FROM documents GROUP BY source""")),
+
     // Document fingerprint: left-to-right polynomial rolling hash mod 2^57
     // over word hashes (overflow-free in both engines) + md5 prefix.
     "q_llm_fingerprint" -> QueryDef(

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** BPE tokenizer: hand-computed fixtures, the invariants the oracle
+  * gate leans on, determinism, and codegen participation. */
+class BpeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("training learns the hand-computed merge sequence") {
+    // abab x10 + ab x5: round 0 pairs are (a,b)=25, (b,a)=10 -> merge
+    // (a,b); round 1 the only pair is (ab,ab)=10 -> merge (ab,ab)
+    val m = Bpe.train(Seq(("abab", 10L), ("ab", 5L)), numMerges = 4)
+    assert(m.ranks(("a", "b")) === 0)
+    assert(m.ranks(("ab", "ab")) === 1)
+    assert(Bpe.encode("abab", m) === Vector("abab"))
+    assert(Bpe.encode("ab", m) === Vector("ab"))
+    // merges are word-internal left-to-right: aba -> [ab, a]
+    assert(Bpe.encode("aba", m) === Vector("ab", "a"))
+    assert(Bpe.encode("ba", m) === Vector("b", "a"))
+    assert(Bpe.countTokens("abab ab aba ba", m) === 1 + 1 + 2 + 2)
+  }
+
+  test("frequency ties break to the lexicographically smallest pair") {
+    val m = Bpe.train(Seq(("dc", 1L), ("ba", 1L)), numMerges = 1)
+    assert(m.ranks === Map(("b", "a") -> 0))
+  }
+
+  test("training is deterministic and stops when pairs run out") {
+    val dict = Seq(("hash", 3L), ("join", 2L), ("scan", 7L))
+    val a = Bpe.train(dict, numMerges = 50)
+    val b = Bpe.train(dict, numMerges = 50)
+    assert(a.ranks === b.ranks)
+    // 3 word types x 3 adjacent pairs each = at most 9 learnable merges
+    assert(a.ranks.size < 50)
+  }
+
+  test("zero merges tokenizes to characters; empty and null safe") {
+    val m0 = Bpe.Model(Map.empty)
+    assert(Bpe.countTokens("hash join scan", m0) === 12)
+    assert(Bpe.countTokens("", m0) === 0)
+    assert(Bpe.countTokens("  double  space ", m0) === 11)
+    assert(Bpe.countTokens(null, m0) === 0)
+    assert(Bpe.encode("", m0) === Vector.empty)
+  }
+
+  test("rank-prefix monotonicity and word floor on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val m200 = Bpe.modelFor(spark, sf)
+    val m50 = m200.truncate(50)
+    val m0 = Bpe.Model(Map.empty)
+    val bad = Engine.table(spark, sf, "documents")
+      .select(col("text"),
+        size(split(col("text"), " ")).as("n_words"),
+        graft.plans.BpeCount(col("text"), m0).as("c0"),
+        graft.plans.BpeCount(col("text"), m50).as("c50"),
+        graft.plans.BpeCount(col("text"), m200).as("c200"))
+      .filter(col("c200") > col("c50") || col("c50") > col("c0")
+        || col("c200") < col("n_words"))
+      .count()
+    assert(bad === 0L)
+    // and the 200-merge model genuinely compresses this corpus
+    val Array(t200, t0) = Engine.table(spark, sf, "documents")
+      .agg(sum(graft.plans.BpeCount(col("text"), m200)),
+        sum(graft.plans.BpeCount(col("text"), m0)))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(t200 < t0)
+  }
+
+  test("truncate(k) is a rank prefix") {
+    val m = Bpe.modelFor(spark, sf)
+    val t = m.truncate(50)
+    assert(t.ranks.values.forall(_ < 50))
+    assert(t.ranks === m.ranks.filter(_._2 < 50))
+  }
+
+  test("BpeCount participates in whole-stage codegen") {
+    import spark.implicits._
+    val m = Bpe.Model(Map(("a", "b") -> 0))
+    val e = Engine.table(spark, sf, "documents")
+      .select(graft.plans.BpeCount($"text", m).as("n"))
+    e.collect() // finalize the adaptive plan first
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bpecount") && l.trim.startsWith("*(")), plan.take(500))
+  }
+}
