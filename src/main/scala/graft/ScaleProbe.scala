@@ -26,18 +26,77 @@ object ScaleProbe {
   private def recallProbe(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val nQ = args.lift(1).map(_.toInt).getOrElse(50)
+    // optional arg 3: "sweep" measures a (tables, planes, radius) grid
+    // with wall time per config instead of just the shipped config
+    val sweep = args.lift(2).contains("sweep")
     val spark = Engine.session("graft-recallprobe")
     def top3(df: DataFrame) = df.select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = top3(queries.LlmSim.bruteTopK(spark, sfDir, nQ))
-    val mt = top3(queries.LlmSim.annLshMtTopK(spark, sfDir, nQ))
     val n = Engine.table(spark, sfDir, "embeddings").count()
-    println(f"""{"sfDir":"$sfDir","nQueries":$nQ,"corpus":$n,""" +
-      f""""recall_at_3":${(mt & brute).size.toDouble / brute.size}%.4f}""")
+    if (!sweep) {
+      val mt = top3(queries.LlmSim.annLshMtTopK(spark, sfDir, nQ))
+      println(f"""{"sfDir":"$sfDir","nQueries":$nQ,"corpus":$n,""" +
+        f""""recall_at_3":${(mt & brute).size.toDouble / brute.size}%.4f}""")
+    } else {
+      val grid = Seq( // (tables, planes, radius)
+        (2, 10, 3), (3, 10, 3), (4, 10, 3),
+        (2, 10, 4), (3, 10, 4),
+        (2, 8, 3), (3, 8, 3), (2, 12, 4))
+      // warmup so config 1's JIT does not masquerade as cost
+      queries.LlmSim.annLshMtTopK(spark, sfDir, nQ, 2, 10, 3).collect()
+      val rows = grid.map { case (t0, p0, r0) =>
+        val t1 = System.nanoTime()
+        val got = top3(queries.LlmSim.annLshMtTopK(spark, sfDir, nQ, t0, p0, r0))
+        val sec = (System.nanoTime() - t1) / 1e9
+        val rec = (got & brute).size.toDouble / brute.size
+        f"""{"tables":$t0,"planes":$p0,"radius":$r0,""" +
+          f""""recall_at_3":$rec%.4f,"sec":$sec%.2f}"""
+      }
+      println(f"""{"sfDir":"$sfDir","nQueries":$nQ,"corpus":$n,"sweep":[""" +
+        rows.mkString(",") + "]}")
+    }
+  }
+
+  /** Checkpoint-parse growth probe: does folding a checkpoint (with
+    * inline per-file bloom stats) stay linear in live-file count? For
+    * each file count F the probe builds a table whose checkpoint holds
+    * F add-lines with bloom+minmax stats, then times fresh replays
+    * (each timed call commits a tiny delta first, so the memoized
+    * snapshot cannot serve it — the parse really runs).
+    * Usage: tools/run.sh graft.ScaleProbe ckpt [sfDir]
+    */
+  private def ckptProbe(args: Array[String]): Unit = {
+    import graft.operators.TxLog
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Engine.session("graft-ckptprobe")
+    import spark.implicits._
+    val li = Engine.table(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val tiny = li.limit(2).repartition(1)
+    val rows = Seq(32, 256, 2048).map { f =>
+      val t = Engine.scratchDir(s"sp_ckpt_$f")
+      TxLog.append(spark, li.repartition(f), t,
+        statsCols = Seq("bloom:l_orderkey"))
+      // 16 small commits so a checkpoint lands (CheckpointEvery = 16)
+      (1 to 16).foreach(_ => TxLog.append(spark, tiny, t,
+        statsCols = Seq("bloom:l_orderkey")))
+      val ts = (1 to 3).map { _ =>
+        TxLog.append(spark, tiny, t, statsCols = Seq("bloom:l_orderkey"))
+        val t0 = System.nanoTime()
+        val n = TxLog.filesWithStats(t).size
+        require(n > f, s"expected > $f live files, saw $n")
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      f"""{"files":$f,"parse_sec":${ts(1)}%.4f}"""
+    }
+    println(s"""{"probe":"ckpt_parse","rows":[${rows.mkString(",")}]}""")
+    spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("recall")) return recallProbe(args.drop(1))
+    if (args.headOption.contains("ckpt")) return ckptProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     // optional args 3+: probe only the named shapes (local fast loop)

@@ -22,6 +22,13 @@ object LlmSim extends QueryModule {
 
   private val Planes = 4 // LSH hyperplanes -> 16 buckets
 
+  // Shipped multi-table ANN config (q_llm_ann_lsh_mt). Chosen by the
+  // PLANS.md recall/latency sweep (ScaleProbe recall mode): the gated
+  // floor in OperatorSpec tracks this config's measured recall.
+  private[graft] val MtTables = 3
+  private[graft] val MtPlanes = 10
+  private[graft] val MtRadius = 4
+
   /** Sign-bit LSH bucket against 4 deterministic pseudo-random hyperplanes
     * (weights +-1 from the shared md5-based h60 hash of "p_dim") — shared
     * by q_llm_ann_lsh and q_llm_embed_neardup, mirrored bit-exactly by
@@ -275,39 +282,43 @@ object LlmSim extends QueryModule {
     // ~0.27; lsh2: radius 1, ~0.40) cannot reach. Knobs: T independent
     // hash tables (disjoint plane ranges => independent functions), P
     // planes per table (finer buckets), probe radius R (tolerated sign
-    // disagreements). Shipped config T=2, P=10, R=3 measures recall@3 =
-    // 0.67-0.73 vs brute force across sf0.001/0.01/0.1 at ~32% of the
-    // corpus scanned (sweep table in PLANS.md; floor asserted >= 0.6 in
+    // disagreements). Shipped config T=3, P=10, R=4 (the r8 sweep's
+    // dominant point: recall@3 = 0.96-0.97 vs brute force across
+    // sf0.001/0.01/0.1 at the same wall time the old 2x10xr3 spent for
+    // 0.72; full grid in PLANS.md; floor asserted >= 0.85 in
     // OperatorSpec). Plan shape at scale: the corpus side materializes T
-    // bucket ids per vector (explode -> 2n rows), the query side explodes
-    // T * sum(C(P,i), i<=R) = 352 probe buckets, and candidates arrive
+    // bucket ids per vector (explode -> Tn rows), the query side explodes
+    // T * sum(C(P,i), i<=R) = 1158 probe buckets, and candidates arrive
     // through one (table, bucket) equi-join — never an OR-join/BNLJ —
     // then dedup to (q_id, vec_id) before the cosine rerank, so each
     // candidate pair is scored exactly once.
     "q_llm_ann_lsh_mt" -> QueryDef(
       fn = (s, dir) => annLshMtTopK(s, dir, nQueries = 5),
       oracle = Some {
-        val P = 10; val R = 3
+        val T = MtTables; val P = MtPlanes; val R = MtRadius
         val masks =
           (0 until (1 << P)).filter(m => Integer.bitCount(m) <= R)
         def probeList(b: String) = masks.map(m =>
           s"xor($b, CAST($m AS BIGINT))").mkString(", ")
+        val bucketDefs = (0 until T).map(t0 =>
+          s"${bucketSqlT("v", t0 * P, P)} AS b$t0").mkString(",\n            ")
+        val elongArms = (0 until T).map(t0 =>
+          s"SELECT vec_id, $t0 AS t, b$t0 AS bucket FROM e")
+          .mkString("\n          UNION ALL ")
+        val probeArms = (0 until T).map(t0 =>
+          s"SELECT vec_id AS q_id, $t0 AS t, " +
+            s"unnest([${probeList(s"b$t0")}]) AS pb FROM e WHERE vec_id < 5")
+          .mkString("\n          UNION ALL ")
         s"""
         WITH e AS (
-          SELECT vec_id, v, ${bucketSqlT("v", 0, P)} AS b0,
-            ${bucketSqlT("v", P, P)} AS b1 FROM (
+          SELECT vec_id, v, $bucketDefs FROM (
             SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings)),
         elong AS (
-          SELECT vec_id, 0 AS t, b0 AS bucket FROM e
-          UNION ALL SELECT vec_id, 1, b1 FROM e),
+          $elongArms),
         probes AS (
-          SELECT vec_id AS q_id, 0 AS t, unnest([${probeList("b0")}]) AS pb
-          FROM e WHERE vec_id < 5
-          UNION ALL
-          SELECT vec_id, 1, unnest([${probeList("b1")}])
-          FROM e WHERE vec_id < 5),
+          $probeArms),
         cand AS (
           SELECT DISTINCT p.q_id, el.vec_id
           FROM probes p JOIN elong el
@@ -715,8 +726,8 @@ object LlmSim extends QueryModule {
                 FROM embeddings))"""))
   )
 
-  /** The q_llm_ann_lsh_mt pipeline — 2 tables x 10 planes x radius-3
-    * probes via a broadcast mask-table join (NOT a 352-child array
+  /** The q_llm_ann_lsh_mt pipeline — MtTables x MtPlanes x MtRadius
+    * probes via a broadcast mask-table join (NOT a giant-child array
     * literal: the giant expression costs more to codegen-compile than
     * the whole query), candidates dedup'd to (q_id, vec_id) before the
     * cosine rerank — over the first `nQueries` query vectors. The GATED
@@ -725,26 +736,30 @@ object LlmSim extends QueryModule {
     * estimate (15 relevant pairs) carries ~±0.2 sampling noise against
     * a 0.6 floor. */
   private[graft] def annLshMtTopK(s: SparkSession, dir: String,
-                                  nQueries: Int): DataFrame = {
+                                  nQueries: Int,
+                                  nTables: Int = MtTables,
+                                  nPlanes: Int = MtPlanes,
+                                  radius: Int = MtRadius): DataFrame = {
     import s.implicits._
-    val P = 10; val R = 3
+    val P = nPlanes; val R = radius
     val masks =
       (0 until (1 << P)).filter(m => Integer.bitCount(m) <= R)
-    val e = Engine.table(s, dir, "embeddings")
+    val e0 = Engine.table(s, dir, "embeddings")
       .select($"vec_id", V.toDouble($"embedding").as("v"))
-      .withColumn("b0", bucketColT($"v", 0, P))
-      .withColumn("b1", bucketColT($"v", P, P))
+    val e = (0 until nTables).foldLeft(e0)((d, t0) =>
+      d.withColumn(s"b$t0", bucketColT($"v", t0 * P, P)))
     val eLong = e.select($"vec_id", explode(array(
-        struct(lit(0).as("t"), $"b0".as("bucket")),
-        struct(lit(1).as("t"), $"b1".as("bucket")))).as("tb"))
+        (0 until nTables).map(t0 =>
+          struct(lit(t0).as("t"), col(s"b$t0").as("bucket"))): _*)).as("tb"))
       .select($"vec_id", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
     val maskDf = masks.map(_.toLong).toDF("mask")
     val probes = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("q_id"), $"b0", $"b1")
+      .select($"vec_id".as("q_id") +:
+        (0 until nTables).map(t0 => col(s"b$t0")): _*)
       .crossJoin(broadcast(maskDf))
       .select($"q_id", explode(array(
-        struct(lit(0).as("t"), $"b0".bitwiseXOR($"mask").as("pb")),
-        struct(lit(1).as("t"), $"b1".bitwiseXOR($"mask").as("pb"))))
+        (0 until nTables).map(t0 => struct(lit(t0).as("t"),
+          col(s"b$t0").bitwiseXOR($"mask").as("pb"))): _*))
         .as("p"))
       .select($"q_id", $"p.t".as("t"), $"p.pb".as("pb"))
     val cand = probes.as("p")
