@@ -26,10 +26,15 @@ object Bench {
     val spark: SparkSession = Engine.session("graft-bench")
 
     def runOnce(name: String): Double = {
-      val t = time {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      }
+      // job-group tag: when the driver box runs with event logs, every
+      // stage in the log carries the query name — an inflation window
+      // (see PLANS.md r8) becomes attributable without re-measurement
+      spark.sparkContext.setJobGroup(name, name)
+      val t =
+        try time {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        } finally spark.sparkContext.clearJobGroup()
       spark.catalog.clearCache() // streaming replays cache their sinks
       t
     }

@@ -114,7 +114,6 @@ object LlmText extends QueryModule {
         array_distinct(transform(split($"text", " "),
           t => xxhash64(t, $"source"))).as("hs"))
       .withColumn("nw", size($"hs"))
-      .repartition(par, $"doc_id")
     val tok = sets.select($"doc_id", $"nw", explode($"hs").as("wh"))
     val dfreq = tok.groupBy($"wh").agg(count(lit(1)).as("df"))
     // prefix = the (nw - ceil(0.5·nw) + 1) rarest tokens per doc
@@ -716,30 +715,23 @@ object LlmText extends QueryModule {
     // adapted to containment's asymmetry): if |A∩B| >= ceil(0.9·|A|),
     // at least one of A's (|A| - ceil(0.9·|A|) + 1) rarest tokens (in
     // global df order) lies in B's FULL set — so candidates come from
-    // prefix(x) ⋈ full(y), each side taking a turn as x, instead of the
-    // full×full posting join. Lossless by pigeonhole; verification on
-    // full sets computes both directions. At 100 TB hot tokens land in
-    // nobody's prefix, so the quadratic posting blowup never happens on
-    // the candidate side (the full side stays linear).
+    // prefix(x) ⋈ full(y), each side taking a turn as x IN THE SAME
+    // JOIN, instead of the full×full posting join. (Prefix-prefix, the
+    // symmetric sweep's cheaper scheme, is unsound here: a tiny doc's
+    // tokens need not reach a huge container's rarest decile.)
+    // Lossless by pigeonhole; verification on full sets computes both
+    // directions. Two r8 cuts carried over from the sweep rewrite:
+    // the per-direction size filter (containment-of-x needs
+    // |y| >= 0.9|x|, and a pair qualifying only the other way round is
+    // caught when the roles swap inside this same join) lands in the
+    // join condition, and tokens ride as xxhash64(token, source) —
+    // 8-byte keys, same-source folded into equality, collisions can
+    // only add candidates the exact verify rejects. At 100 TB hot
+    // tokens land in nobody's prefix, so the quadratic posting blowup
+    // never happens on the candidate side (the full side stays linear).
     "q_llm_containment" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        val d = withNearDups(s, dir)
-          .select($"doc_id", $"source",
-            array_distinct(split($"text", " ")).as("ws"))
-          .withColumn("nw", size($"ws"))
-        val tok = d.select($"doc_id", $"source", $"nw",
-          explode($"ws").as("w"))
-        val dfreq = tok.groupBy($"source", $"w").agg(count(lit(1)).as("df"))
-        // prefix = the (nw - ceil(0.9*nw) + 1) rarest tokens per doc
-        val prefix = tok.join(dfreq, Seq("source", "w"))
-          .groupBy($"source", $"doc_id", $"nw")
-          .agg(collect_list(struct($"df", $"w")).as("tw"))
-          .withColumn("plen",
-            ($"nw" - expr("(nw * 9 + 9) div 10") + 1).cast("int"))
-          .select($"source", $"doc_id",
-            explode(slice(array_sort($"tw"), lit(1), $"plen")).as("p"))
-          .select($"source", $"doc_id", $"p.w".as("w"))
         // The candidate join and the set-intersection rerank are CPU-
         // dense but byte-LIGHT (a few MB of shuffle driving seconds of
         // compute), so AQE's byte-based coalescing would strangle them
@@ -747,19 +739,38 @@ object LlmText extends QueryModule {
         // the join keys pin those stages to cluster parallelism — AQE
         // never coalesces a user-numbered repartition, and the planner
         // reuses it as the join's own exchange (no extra shuffle).
+        // (Unlike the sweep, NO doc_id repartition for scan sharing
+        // here: at θ=0.9 the prefix pipeline is light, so shuffling the
+        // hashed-set arrays once costs more than letting each consumer
+        // re-read the page-cached scan — measured +0.4 s.)
         val par = s.sparkContext.defaultParallelism * 2
-        val cand = prefix.repartition(par, $"source", $"w").as("p")
-          .join(tok.repartition(par, $"source", $"w").as("t"),
-            $"p.w" === $"t.w" && $"p.source" === $"t.source"
-              && $"p.doc_id" =!= $"t.doc_id")
+        val sets = withNearDups(s, dir)
+          .select($"doc_id", $"source",
+            array_distinct(transform(split($"text", " "),
+              t => xxhash64(t, $"source"))).as("hs"))
+          .withColumn("nw", size($"hs"))
+        val tok = sets.select($"doc_id", $"nw", explode($"hs").as("wh"))
+        val dfreq = tok.groupBy($"wh").agg(count(lit(1)).as("df"))
+        // prefix = the (nw - ceil(0.9*nw) + 1) rarest tokens per doc
+        val prefix = tok.join(dfreq, Seq("wh"))
+          .groupBy($"doc_id", $"nw")
+          .agg(collect_list(struct($"df", $"wh")).as("tw"))
+          .withColumn("plen",
+            ($"nw" - expr("(nw * 9 + 9) div 10") + 1).cast("int"))
+          .select($"doc_id", $"nw",
+            explode(slice(array_sort($"tw"), lit(1), $"plen")).as("p"))
+          .select($"doc_id", $"nw", $"p.wh".as("wh"))
+        val cand = prefix.repartition(par, $"wh").as("p")
+          .join(tok.repartition(par, $"wh").as("t"),
+            $"p.wh" === $"t.wh" && $"p.doc_id" =!= $"t.doc_id"
+              && $"t.nw" * 10L >= $"p.nw" * 9L)
           .select(least($"p.doc_id", $"t.doc_id").as("doc_a"),
             greatest($"p.doc_id", $"t.doc_id").as("doc_b"))
           .distinct()
-        val sets = d.select($"doc_id", $"ws", $"nw")
         cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
-          .repartition(par, $"doc_b")
-          .join(sets.as("db"), $"doc_b" === $"db.doc_id")
-          .withColumn("inter", size(array_intersect($"da.ws", $"db.ws")))
+          .join(sets.as("db"), $"doc_b" === $"db.doc_id"
+            && $"da.source" === $"db.source")
+          .withColumn("inter", size(array_intersect($"da.hs", $"db.hs")))
           .withColumn("cont_a", $"inter".cast("double") / $"da.nw")
           .withColumn("cont_b", $"inter".cast("double") / $"db.nw")
           .filter($"cont_a" >= 0.9 || $"cont_b" >= 0.9)
