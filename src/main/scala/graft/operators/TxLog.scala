@@ -119,13 +119,24 @@ object TxLog {
       s"""{"op":"add","path":"${jesc(path)}","stats":{$body}}"""
     }
 
+  private def dvLine(path: String, dv: String): String =
+    s"""{"op":"dv","path":"${jesc(path)}","dv":"${jesc(dv)}"}"""
+
   /** One folded log state: live files with their stats, txn ids seen,
-    * and whether the schema has additively evolved (reads then merge
-    * parquet footers; un-evolved tables skip that cost). */
+    * per-file deletion vectors, and whether the schema has additively
+    * evolved (reads then merge parquet footers; un-evolved tables skip
+    * that cost). */
   private final class State {
     val live = scala.collection.mutable.LinkedHashMap[String, Map[String, ColStats]]()
     val txns = scala.collection.mutable.LinkedHashSet[String]()
     val checks = scala.collection.mutable.LinkedHashMap[String, String]()
+    /** data file rel path -> deletion-vector dirs (rel paths) whose
+      * (path, pos) rows mask this file's deleted rows on every read
+      * path ([[readFiles]]). A remove (COW rewrite) materializes the
+      * deletes, so it drops the file's DVs; an add at the same path
+      * (only [[restore]] re-adds paths) starts mask-free and the
+      * restore commit re-emits the target version's dv lines. */
+    val dvs = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     var evolved = false
   }
 
@@ -160,18 +171,23 @@ object TxLog {
             }
           }
           st.live += path -> stats
+          st.dvs -= path // a (re-)added file starts mask-free
         case "remove" =>
-          st.live -= jstr(l, l.indexOf("\"path\":\"") + 7)._1
+          val p = jstr(l, l.indexOf("\"path\":\"") + 7)._1
+          st.live -= p
+          st.dvs -= p // a rewrite materializes the file's deletes
         case "dv" =>
-          // No writer in this engine emits deletion vectors (deletes
-          // are copy-on-write rewrites). A log that contains one was
-          // written by something newer/foreign: honoring the snapshot
-          // WITHOUT applying the DV would resurrect deleted rows, so
-          // refuse loudly instead of silently mis-reading.
-          throw new UnsupportedOperationException(
-            "unsupported log action 'dv' (deletion vector): this " +
-              "engine's deletes are copy-on-write; refusing to read a " +
-              "log whose snapshot depends on merge-on-read deletes")
+          val (p, _) = jstr(l, l.indexOf("\"path\":\"") + 7)
+          val (d, _) = jstr(l, l.indexOf("\"dv\":\"") + 5)
+          // a DV against a non-live file can never be applied — honoring
+          // the snapshot would resurrect deleted rows, so refuse loudly
+          // instead of silently mis-reading (never ignore a dv line)
+          if (!st.live.contains(p))
+            throw new IllegalStateException(
+              s"log action 'dv' references non-live file $p — corrupt " +
+                "or foreign log; refusing to read a snapshot whose " +
+                "deletes cannot be applied")
+          st.dvs += p -> (st.dvs.getOrElse(p, Vector.empty) :+ d)
         case "txn" =>
           st.txns += jstr(l, l.indexOf("\"path\":\"") + 7)._1
         case "check" =>
@@ -267,14 +283,104 @@ object TxLog {
     * with data (all graft uses do) — Spark cannot scan zero files.
     * Tables whose schema has evolved read with mergeSchema so
     * pre-evolution files surface NULL in the added columns; un-evolved
-    * tables keep the cheap single-footer path. */
+    * tables keep the cheap single-footer path. Files with recorded
+    * deletion vectors read through the DV mask ([[readFiles]]). */
   def read(spark: SparkSession, table: String,
            asOf: Option[Int] = None): DataFrame = {
     val st = stateAt(table, asOf)
-    val fs = st.live.keysIterator
-      .map(p => new File(table, p).getAbsolutePath).toSeq
-    if (st.evolved) spark.read.option("mergeSchema", "true").parquet(fs: _*)
-    else spark.read.parquet(fs: _*)
+    readFiles(spark, table, st, st.live.keysIterator.toSeq)
+  }
+
+  /** Per-row source-file BASENAME — the DV join key. Part-file names
+    * embed the write job's UUID, so basenames are unique across a
+    * table and its shallow clones, and they survive the `../`-style
+    * relative paths a clone's log records (a table-relative string
+    * match would not). */
+  private val srcBaseCol: org.apache.spark.sql.Column =
+    expr("regexp_extract(_metadata.file_path, '[^/]+$', 0)")
+
+  private def baseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** Map each row's canonical absolute file path back to the rel-path
+    * KEY the log records — robust for shallow clones, where live keys
+    * step outside the table dir (`../src/data-…`) and plain substring
+    * surgery fails. The lookup is file-count-sized metadata; the join
+    * broadcasts. */
+  private def withSrcKey(spark: SparkSession, table: String, st: State,
+                         df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val lookup = st.live.keysIterator.toSeq
+      .map(p => (new File(table, p).getCanonicalPath, p))
+      .toDF("__abs", "__src")
+    df.withColumn("__abs",
+        expr("regexp_replace(_metadata.file_path, '^file:/+', '/')"))
+      .join(broadcast(lookup), Seq("__abs")).drop("__abs")
+  }
+
+  /** Read a subset of a snapshot's live files with deletion vectors
+    * applied: plain files scan directly; masked files carry their
+    * physical (_metadata) row position through a left-anti join against
+    * the recorded DV rows. The DV side is a trickle (deleted-row ids),
+    * so the join broadcasts under AQE; at any scale the mask costs
+    * O(masked files + dv rows), never a table rewrite — the
+    * merge-on-read contract. */
+  private def readFiles(spark: SparkSession, table: String, st: State,
+                        paths: Seq[String],
+                        forceSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def rd(ps: Seq[String]): DataFrame = {
+      val abs = ps.map(p => new File(table, p).getAbsolutePath)
+      val r0 = forceSchema.fold(spark.read)(s0 => spark.read.schema(s0))
+      if (st.evolved && forceSchema.isEmpty)
+        r0.option("mergeSchema", "true").parquet(abs: _*)
+      else r0.parquet(abs: _*)
+    }
+    val (masked, plain) = paths.partition(st.dvs.contains)
+    if (masked.isEmpty) rd(paths)
+    else {
+      val m = rd(masked)
+        .withColumn("__base", srcBaseCol)
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dvRows(spark, table, st, masked), Seq("__base", "__pos"),
+          "left_anti")
+        .drop("__base", "__pos")
+      if (plain.isEmpty) m else rd(plain).unionByName(m)
+    }
+  }
+
+  /** The recorded DV rows masking `paths` — (__base, __pos) pairs. */
+  private def dvRows(spark: SparkSession, table: String, st: State,
+                     paths: Seq[String]): DataFrame = {
+    val dvDirs = paths.flatMap(st.dvs).distinct
+    val bases = paths.map(baseName)
+    spark.read.parquet(
+        dvDirs.map(d => new File(table, d).getAbsolutePath): _*)
+      .select(expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
+        col("pos").as("__pos"))
+      .filter(col("__base").isin(bases: _*))
+  }
+
+  /** Snapshot rows + per-row provenance: every data column plus `__src`
+    * (the rel-path key the log records for the source file) and `__pos`
+    * (physical row index in that file), DV masks applied. The discovery
+    * read behind [[deleteWhere]], [[merge]], and [[deleteWhereMor]] —
+    * post-join `input_file_name()` is unreliable, metadata columns are
+    * not. */
+  private def readWithMeta(spark: SparkSession, table: String,
+                           st: State): DataFrame = {
+    val paths = st.live.keysIterator.toSeq
+    val abs = paths.map(p => new File(table, p).getAbsolutePath)
+    val base = withSrcKey(spark, table, st,
+      (if (st.evolved) spark.read.option("mergeSchema", "true")
+       else spark.read).parquet(abs: _*)
+        .withColumn("__base", srcBaseCol)
+        .withColumn("__pos", col("_metadata.row_index")))
+    (if (st.dvs.isEmpty) base
+     else base.join(
+       dvRows(spark, table, st, paths.filter(st.dvs.contains)),
+       Seq("__base", "__pos"), "left_anti"))
+      .drop("__base")
   }
 
   /** Atomically publish version `expected + 1` containing `actions`
@@ -378,9 +484,11 @@ object TxLog {
     val cloneDir = new File(clone).toPath.toAbsolutePath
     val lines =
       (if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
-        st.live.toSeq.map { case (p, stats) =>
-          val abs = new File(source, p).toPath.toAbsolutePath
-          addLine(cloneDir.relativize(abs).toString, stats)
+        st.live.toSeq.flatMap { case (p, stats) =>
+          def rel(x: String) = cloneDir.relativize(
+            new File(source, x).toPath.toAbsolutePath).toString
+          addLine(rel(p), stats) +:
+            st.dvs.getOrElse(p, Vector.empty).map(d => dvLine(rel(p), rel(d)))
         } ++
         // Seen-txn markers carry over: an idempotent sink or mirror
         // redirected at the clone must NO-OP on batches the source
@@ -403,18 +511,33 @@ object TxLog {
     * size). Fails loudly if the target's files were vacuumed past
     * retention. Returns the new version. */
   def restore(table: String, toVersion: Int): Int = {
-    val target = replay(table, toVersion).live.toSeq
+    val targetSt = replay(table, toVersion)
+    val target = targetSt.live.toSeq
     target.foreach { case (p, _) =>
       require(new File(table, p).exists(),
         s"restore: file $p of v$toVersion was vacuumed; cannot restore")
     }
+    targetSt.dvs.valuesIterator.flatten.foreach { d =>
+      require(new File(table, d).exists(),
+        s"restore: deletion vector $d of v$toVersion was vacuumed")
+    }
     val tgt = target.map(_._1).toSet
     retryCommit(table) { base =>
-      val cur = replay(table, base).live.keySet
+      val curSt = replay(table, base)
+      val cur = curSt.live.keySet
+      // a carried file whose DV set drifted from the target's is
+      // re-ADDED (an add resets masks) and the target's dv lines are
+      // re-emitted — restore across MOR deletes restores the masks too
+      val addsAndDvs = target.flatMap { case (p, st) =>
+        val tgtDvs = targetSt.dvs.getOrElse(p, Vector.empty)
+        if (cur.contains(p) &&
+          curSt.dvs.getOrElse(p, Vector.empty) == tgtDvs) Nil
+        else addLine(p, st) +: tgtDvs.map(dvLine(p, _))
+      }
       val lines =
         cur.filterNot(tgt).toSeq.sorted
           .map(p => s"""{"op":"remove","path":"${jesc(p)}"}""") ++
-          target.collect { case (p, st) if !cur.contains(p) => addLine(p, st) }
+          addsAndDvs
       commitLines(table, base, lines)
     }
   }
@@ -618,10 +741,10 @@ object TxLog {
     * column are conservatively kept. */
   def readPoint(spark: SparkSession, table: String, col0: String,
                 value: Any): DataFrame = {
-    val fs = bloomKeptFiles(table, col0, value)
-      .map(p => new File(table, p).getAbsolutePath)
-    if (fs.isEmpty) emptyLike(spark, table)
-    else spark.read.parquet(fs: _*).filter(col(col0) === lit(value))
+    val kept = bloomKeptFiles(table, col0, value)
+    if (kept.isEmpty) emptyLike(spark, table)
+    else readFiles(spark, table, stateAt(table, None), kept)
+      .filter(col(col0) === lit(value))
   }
 
   /** Live files whose recorded bloom for `col0` may contain `value`
@@ -672,6 +795,7 @@ object TxLog {
       val st = replay(table, v)
       val body = ((if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
         st.live.toSeq.map { case (p, stats) => addLine(p, stats) } ++
+        st.dvs.toSeq.flatMap { case (p, ds) => ds.map(dvLine(p, _)) } ++
         st.txns.toSeq.map(t => s"""{"op":"txn","path":"${jesc(t)}"}""") ++
         st.checks.toSeq.map { case (n0, p0) =>
           s"""{"op":"check","path":"${jesc(n0)}","pred":"${jesc(p0)}"}"""
@@ -706,14 +830,14 @@ object TxLog {
         stats.get(c).forall(_.overlaps(t, lo, hi))
       } => p
     }
-    val fs = kept.map(p => new File(table, p).getAbsolutePath)
     val residual = bounds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     // every file pruned: a pathless scan can't infer a schema — return
     // the (correct) empty result under the table's own schema instead
-    if (fs.isEmpty) emptyLike(spark, table)
-    else spark.read.parquet(fs: _*).filter(residual)
+    if (kept.isEmpty) emptyLike(spark, table)
+    else readFiles(spark, table, stateAt(table, None), kept)
+      .filter(residual)
   }
 
   /** Empty frame under the table's schema, inferred from ONE live file
@@ -780,25 +904,56 @@ object TxLog {
   def deleteWhere(spark: SparkSession, table: String,
                   pred: org.apache.spark.sql.Column): Int = {
     val base = version(table)
+    val st = stateAt(table, Some(base))
     val snap = read(spark, table, Some(base))
-    val tablePath = new File(table).toPath.toAbsolutePath
-    val affected = snap.filter(pred)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)) // file METADATA, not data
-      .map(u => tablePath.relativize(
-        Paths.get(new java.net.URI(u)).toAbsolutePath).toString)
-      .toSeq
+    val affected = readWithMeta(spark, table, st).filter(pred)
+      .select(col("__src")).distinct()
+      .collect().map(_.getString(0)).toSeq // file METADATA, not data
     if (affected.isEmpty) return base
-    val affectedAbs = affected.map(p => new File(table, p).getAbsolutePath)
     // explicit snapshot schema: fills evolution-added columns with NULL
-    // even when every affected file predates the evolution
-    val survivors = spark.read.schema(snap.schema).parquet(affectedAbs: _*)
+    // even when every affected file predates the evolution. DV masks
+    // apply, so rows an earlier MOR delete removed stay removed in the
+    // rewrite (which then materializes them — the remove drops the DVs).
+    val survivors = readFiles(spark, table, st, affected,
+        forceSchema = Some(snap.schema))
       .filter(!coalesce(pred, lit(false)))
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     survivors.write.parquet(new File(table, sub).getAbsolutePath)
     val actions = affected.map(("remove", _)) ++
       newFiles(table, sub).map(("add", _))
     commit(table, base, actions) // conflict => caller retries from snapshot
+  }
+
+  /** MERGE-ON-READ delete: record the doomed rows as a DELETION VECTOR
+    * — (source file, physical row position) pairs written as one small
+    * parquet artifact and attached to the affected files in the log —
+    * instead of rewriting the files (the [[deleteWhere]] COW path).
+    * Every read path ([[read]], [[readPruned]]/[[readPrunedAll]],
+    * [[readPoint]], [[changes]], [[streamCdc]]) applies the mask via a
+    * left-anti join on (file, pos); a later COW rewrite/OPTIMIZE of a
+    * masked file materializes the deletes and drops its DVs. This is
+    * the delete a trickle-delete workload wants at 100 TB: commit cost
+    * is O(deleted rows), not O(affected files) of rewrite I/O — the
+    * read-side join is the price, which compaction amortizes away.
+    * MOR deletes COMPOSE: positions are physical, each visible row is
+    * masked by at most one DV, and re-deleting an already-masked row is
+    * a no-op because discovery reads through the existing masks.
+    * Read-modify-write: a concurrent commit surfaces as
+    * [[ConcurrentCommit]] (retry from the fresh snapshot). */
+  def deleteWhereMor(spark: SparkSession, table: String,
+                     pred: org.apache.spark.sql.Column): Int = {
+    val base = version(table)
+    val st = stateAt(table, Some(base))
+    val dvSub = s"dv-${java.util.UUID.randomUUID().toString.take(8)}"
+    readWithMeta(spark, table, st).filter(pred)
+      .select(col("__src").as("path"), col("__pos").as("pos"))
+      .write.parquet(new File(table, dvSub).getAbsolutePath)
+    val affected = spark.read
+      .parquet(new File(table, dvSub).getAbsolutePath)
+      .select("path").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // file METADATA
+    if (affected.isEmpty) return base // nothing matched; dv dir unreferenced
+    commitLines(table, base, affected.map(dvLine(_, dvSub)))
   }
 
   /** File-granular MERGE (upsert): matched keys take the update row's
@@ -814,24 +969,18 @@ object TxLog {
     enforceSchema(spark, updates, table)
     enforceChecks(spark, updates, table)
     val base = version(table)
+    val st = stateAt(table, Some(base))
     val snap = read(spark, table, Some(base))
-    val tablePath = new File(table).toPath.toAbsolutePath
-    // input_file_name must bind to the snapshot's scan BEFORE the join
-    // introduces a second file source (Spark rejects it as ambiguous
-    // otherwise)
-    val affected = snap.withColumn("__file", input_file_name())
+    val affected = readWithMeta(spark, table, st)
       .join(updates.select(col(key)), Seq(key), "left_semi")
-      .select(col("__file").as("f")).distinct()
-      .collect().map(_.getString(0)) // file METADATA, not data
-      .map(u => tablePath.relativize(
-        Paths.get(new java.net.URI(u)).toAbsolutePath).toString)
-      .toSeq
+      .select(col("__src")).distinct()
+      .collect().map(_.getString(0)).toSeq // file METADATA, not data
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     val newData =
       if (affected.isEmpty) updates // pure insert
       else {
-        val affectedAbs = affected.map(p => new File(table, p).getAbsolutePath)
-        spark.read.schema(snap.schema).parquet(affectedAbs: _*)
+        readFiles(spark, table, st, affected,
+            forceSchema = Some(snap.schema))
           .join(updates.select(col(key)), Seq(key), "left_anti")
           .select(snap.columns.toIndexedSeq.map(col): _*)
           .unionByName(updates.select(snap.columns.toIndexedSeq.map(col): _*))
@@ -859,19 +1008,55 @@ object TxLog {
   def changes(spark: SparkSession, table: String,
               fromV: Int, toV: Int): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
-    val before = files(table, Some(fromV)).toSet
-    val after = files(table, Some(toV)).toSet
+    val stB = stateAt(table, Some(fromV))
+    val stA = stateAt(table, Some(toV))
+    val before = stB.live.keySet.toSet
+    val after = stA.live.keySet.toSet
     val schema = read(spark, table, Some(toV)).schema
-    def rd(ps: Seq[String]): DataFrame =
-      if (ps.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      else spark.read.schema(schema).parquet(
-        ps.map(p => new File(table, p).getAbsolutePath): _*)
-    val added = rd((after -- before).toSeq)
-    val removed = rd((before -- after).toSeq)
-    added.exceptAll(removed).withColumn("_change", lit("insert"))
+    def empty0 =
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    // each side reads under ITS OWN version's DV masks: a row both
+    // inserted and dv-deleted inside the range nets out to no change
+    def rd(st: State, ps: Seq[String]): DataFrame =
+      if (ps.isEmpty) empty0
+      else readFiles(spark, table, st, ps, forceSchema = Some(schema))
+    val added = rd(stA, (after -- before).toSeq)
+    val removed = rd(stB, (before -- after).toSeq)
+    // DV delta on carried files: a position masked at toV but not at
+    // fromV is a pure delete; one masked at fromV but not toV (a
+    // RESTORE to a pre-delete version) resurrects — a pure insert.
+    // Only the affected carried files and their delta DV rows are ever
+    // read (delta-proportional).
+    val carried = (before & after).toSeq
+    def dvDelta(stFrom: State, stTo: State): DataFrame = {
+      val pairs = carried.flatMap { f =>
+        val b = stFrom.dvs.getOrElse(f, Vector.empty).toSet
+        stTo.dvs.getOrElse(f, Vector.empty).filterNot(b).map(d => (f, d))
+      }
+      if (pairs.isEmpty) empty0
+      else {
+        val dirs = pairs.map(_._2).distinct
+        val files0 = pairs.map(_._1).distinct
+        val dv = spark.read.parquet(
+            dirs.map(d => new File(table, d).getAbsolutePath): _*)
+          .select(expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
+            col("pos").as("__pos"))
+          .filter(col("__base").isin(files0.map(baseName): _*))
+        spark.read.schema(schema).parquet(
+            files0.map(p => new File(table, p).getAbsolutePath): _*)
+          .withColumn("__base", srcBaseCol)
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dv, Seq("__base", "__pos"), "left_semi")
+          .drop("__base", "__pos")
+      }
+    }
+    val dvDeleted = dvDelta(stB, stA)
+    val dvResurrected = dvDelta(stA, stB)
+    added.exceptAll(removed).unionByName(dvResurrected)
+      .withColumn("_change", lit("insert"))
       .unionByName(
-        removed.exceptAll(added).withColumn("_change", lit("delete")))
+        removed.exceptAll(added).unionByName(dvDeleted)
+          .withColumn("_change", lit("delete")))
   }
 
   private def opPath(l: String): (String, String) = {
@@ -914,14 +1099,15 @@ object TxLog {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = read(spark, table).schema
     streamLog(spark, table, checkpointDir, commitsPerTrigger, trigger) {
-      (adds, removes, v) =>
-        if (removes.nonEmpty && !ignoreChanges)
+      (adds, removes, dvs, v) =>
+        if ((removes.nonEmpty || dvs.nonEmpty) && !ignoreChanges)
           throw new IllegalStateException(
-            s"commit $v of $table removes files (COW rewrite/optimize); " +
-              "the streaming source is append-only — pass " +
-              "ignoreChanges=true to forward rewritten files " +
-              "(re-delivers carried-over rows), or use streamCdc for " +
-              "true insert/delete change events")
+            s"commit $v of $table removes rows (COW rewrite/optimize " +
+              "or MOR deletion vector); the streaming source is " +
+              "append-only — pass ignoreChanges=true to forward only " +
+              "the adds (re-delivers carried-over rows, skips " +
+              "deletes), or use streamCdc for true insert/delete " +
+              "change events")
         if (adds.nonEmpty) {
           val fs = adds.map(p => new File(table, p).getAbsolutePath)
           process(spark.read.schema(schema).parquet(fs: _*), v)
@@ -952,13 +1138,32 @@ object TxLog {
       else spark.read.schema(schema)
         .parquet(ps.map(p => new File(table, p).getAbsolutePath): _*)
     streamLog(spark, table, checkpointDir, commitsPerTrigger, trigger) {
-      (adds, removes, v) =>
-        if (adds.nonEmpty || removes.nonEmpty) {
+      (adds, removes, dvs, v) =>
+        if (adds.nonEmpty || removes.nonEmpty || dvs.nonEmpty) {
           val added = rd(adds)
           val removed = rd(removes)
+          // a MOR delete commit: its dv rows name exactly the deleted
+          // (file, pos) pairs — read those rows as the delete events
+          val dvDeleted =
+            if (dvs.isEmpty) rd(Nil)
+            else {
+              val dv = spark.read.parquet(dvs.map(_._2).distinct
+                  .map(d => new File(table, d).getAbsolutePath): _*)
+                .select(
+                  expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
+                  col("pos").as("__pos"))
+                .filter(col("__base").isin(
+                  dvs.map(x => baseName(x._1)).distinct: _*))
+              spark.read.schema(schema).parquet(dvs.map(_._1).distinct
+                  .map(p => new File(table, p).getAbsolutePath): _*)
+                .withColumn("__base", srcBaseCol)
+                .withColumn("__pos", col("_metadata.row_index"))
+                .join(dv, Seq("__base", "__pos"), "left_semi")
+                .drop("__base", "__pos")
+            }
           val cdc = added.exceptAll(removed)
             .withColumn("_change", lit("insert"))
-            .unionByName(removed.exceptAll(added)
+            .unionByName(removed.exceptAll(added).unionByName(dvDeleted)
               .withColumn("_change", lit("delete")))
           process(cdc, v)
         }
@@ -972,7 +1177,7 @@ object TxLog {
   private def streamLog(spark: SparkSession, table: String,
                         checkpointDir: String, commitsPerTrigger: Int,
                         trigger: org.apache.spark.sql.streaming.Trigger)
-                       (perCommit: (Seq[String], Seq[String], Int) => Unit)
+                       (perCommit: (Seq[String], Seq[String], Seq[(String, String)], Int) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(version(table) >= 0, s"stream source: no commits yet in $table")
     spark.readStream
@@ -988,10 +1193,15 @@ object TxLog {
             .stripSuffix(".json").toInt)
           .toSeq.sortBy(_._1)
           .foreach { case (v, ls) =>
-            val ops = ls.map(_.getString(0)).filter(_.trim.nonEmpty)
-              .map(opPath)
+            val lines0 = ls.map(_.getString(0)).filter(_.trim.nonEmpty)
+            val ops = lines0.map(opPath)
+            val dvs = lines0.filter(_.contains("\"op\":\"dv\"")).map { l =>
+              (jstr(l, l.indexOf("\"path\":\"") + 7)._1,
+                jstr(l, l.indexOf("\"dv\":\"") + 5)._1)
+            }
             perCommit(ops.collect { case ("add", p) => p }.toIndexedSeq,
-              ops.collect { case ("remove", p) => p }.toIndexedSeq, v)
+              ops.collect { case ("remove", p) => p }.toIndexedSeq,
+              dvs.toIndexedSeq, v)
           }
         ()
       }
@@ -1081,6 +1291,8 @@ object TxLog {
     val latest = version(table)
     val floor = math.max(0, latest - math.max(0, retainVersions - 1))
     val referenced = (floor to latest).flatMap(v => files(table, Some(v))).toSet
+    val dvDirs = (floor to latest)
+      .flatMap(v => replay(table, v).dvs.valuesIterator.flatten.toSeq).toSet
     val tableDir = new File(table).toPath.toAbsolutePath
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val onDisk = {
@@ -1092,7 +1304,8 @@ object TxLog {
       }
       out.toList
     }
-    val doomed = onDisk.filterNot(referenced)
+    val doomed = onDisk.filterNot(p =>
+      referenced(p) || dvDirs.exists(d => p.startsWith(d + "/")))
     doomed.foreach(p => Files.deleteIfExists(tableDir.resolve(p)))
     doomed
   }

@@ -495,6 +495,62 @@ object Sources extends QueryModule {
         FROM supplier WHERE s_suppkey BETWEEN 3 AND 7
         GROUP BY s_nationkey""")),
 
+    // MERGE-ON-READ DELETE through the transaction log: two
+    // deleteWhereMor commits record DELETION VECTORS — (file, physical
+    // row position) parquet artifacts attached to the affected files in
+    // the log — instead of rewriting any data file (the COW contrast is
+    // q_src_txlog_timetravel's v2). Reads apply the mask as a left-anti
+    // join on (file, pos); the two deletes COMPOSE (the second masks
+    // rows the first left visible); the change feed surfaces dv commits
+    // as exactly the deleted rows; the stats-pruned read masks too.
+    // At 100 TB this is the trickle-delete path: commit cost is
+    // O(deleted rows), not O(affected files) of rewrite I/O.
+    // No-rewrite at file grain is asserted in OperatorSpec.
+    "q_src_txlog_mor" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txmor", dir)
+        if (TxLog.version(table) < 0) {
+          val src = Engine.table(s, dir, "supplier")
+            .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+            .repartitionByRange(4, $"s_suppkey")
+          TxLog.append(s, src, table, statsCols = Seq("s_suppkey")) // v0
+          TxLog.deleteWhereMor(s, table, $"s_nationkey" % 4 === 1)  // v1
+          TxLog.deleteWhereMor(s, table, $"s_suppkey" % 10 === 0)   // v2
+        }
+        def agg0(df: org.apache.spark.sql.DataFrame, part: String) = df
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long")),
+              lit(0L)).as("sum_cents"))
+          .select(lit(part).as("part"), $"n", $"sum_cents")
+        agg0(TxLog.read(s, table), "snapshot")
+          .unionByName(agg0(TxLog.changes(s, table, 0, 2)
+            .filter($"_change" === "delete")
+            .drop("_change"), "cdc_deletes"))
+          .unionByName(agg0(TxLog.readPruned(s, table, "s_suppkey", 3L, 50L),
+            "pruned"))
+      },
+      oracle = Some("""
+        SELECT 'snapshot' AS part, count(*) AS n,
+          CAST(coalesce(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS sum_cents
+        FROM supplier
+        WHERE s_nationkey % 4 <> 1 AND s_suppkey % 10 <> 0
+        UNION ALL
+        SELECT 'cdc_deletes', count(*),
+          CAST(coalesce(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)), 0)
+            AS BIGINT)
+        FROM supplier
+        WHERE s_nationkey % 4 = 1 OR s_suppkey % 10 = 0
+        UNION ALL
+        SELECT 'pruned', count(*),
+          CAST(coalesce(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)), 0)
+            AS BIGINT)
+        FROM supplier
+        WHERE s_nationkey % 4 <> 1 AND s_suppkey % 10 <> 0
+          AND s_suppkey BETWEEN 3 AND 50""")),
+
     // FILE-GRANULAR MERGE through the transaction log: re-price every
     // 7th supplier and insert 20 fresh rows in ONE TxLog.merge — only
     // the files containing a matched key are rewritten (left-semi file

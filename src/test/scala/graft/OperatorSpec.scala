@@ -581,21 +581,79 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.txns(table) === Set("tx-1"))
   }
 
-  test("TxLog: a 'dv' log action is refused, never silently ignored") {
+  test("TxLog MOR delete: deletion vectors mask every read path, no rewrite") {
     import graft.operators.TxLog
     import spark.implicits._
-    // This engine's deletes are copy-on-write; it never writes deletion
-    // vectors. A log containing one (foreign writer, newer format) must
-    // fail the read — ignoring it would resurrect the deleted rows.
-    val table = Engine.scratchDir("txlog_dv_spec")
-    TxLog.append(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x"), table)
-    TxLog.commit(table, expected = 0, actions = Seq("dv" -> "some.dv"))
-    val e = intercept[UnsupportedOperationException] {
-      TxLog.read(spark, table).count()
+    val table = Engine.scratchDir("txlog_mor_spec")
+    val a = (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "x").repartition(2)
+    TxLog.append(spark, a, table, statsCols = Seq("k", "bloom:k"))
+    val filesBefore = TxLog.files(table).toSet
+    // MOR delete: rows vanish, files do NOT (no rewrite happened)
+    val v1 = TxLog.deleteWhereMor(spark, table, $"k" <= 3L)
+    assert(v1 === 1)
+    assert(TxLog.files(table).toSet === filesBefore,
+      "MOR delete must not rewrite or remove data files")
+    assert(TxLog.read(spark, table).as[(Long, Double)].collect().map(_._1)
+      .toSet === (4L to 10L).toSet)
+    // time travel to the pre-delete version still sees every row
+    assert(TxLog.read(spark, table, Some(0)).count() === 10)
+    // pruned + point reads apply the mask too
+    assert(TxLog.readPruned(spark, table, "k", 1L, 5L)
+      .as[(Long, Double)].collect().map(_._1).toSet === Set(4L, 5L))
+    assert(TxLog.readPoint(spark, table, "k", 2L).count() === 0)
+    assert(TxLog.readPoint(spark, table, "k", 7L).count() === 1)
+    // MOR deletes COMPOSE: a second dv masks more rows, not fewer
+    val v2 = TxLog.deleteWhereMor(spark, table, $"k" === 5L)
+    assert(v2 === 2)
+    assert(TxLog.read(spark, table).count() === 6)
+    // no-match MOR delete is a no-op version-wise
+    assert(TxLog.deleteWhereMor(spark, table, $"k" === 999L) === 2)
+    // CDC: the dv commit surfaces as exactly the deleted rows
+    val cdc = TxLog.changes(spark, table, 0, 1)
+    assert(cdc.filter($"_change" === "delete").as[(Long, Double, String)]
+      .collect().map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(cdc.filter($"_change" === "insert").count() === 0)
+    // a COW rewrite (optimize) materializes the masks and clears them:
+    // rows stay deleted, and a restore to the masked version still works
+    val v3 = TxLog.optimize(spark, table, targetFiles = 1)
+    assert(v3 === 3)
+    assert(TxLog.read(spark, table).as[(Long, Double)].collect().map(_._1)
+      .toSet === Set(4L, 6L, 7L, 8L, 9L, 10L))
+    // restore to v1 (one dv active): mask state restored exactly
+    TxLog.restore(table, 1)
+    assert(TxLog.read(spark, table).as[(Long, Double)].collect().map(_._1)
+      .toSet === (4L to 10L).toSet)
+  }
+
+  test("TxLog MOR: clones carry masks; COW delete respects them; vacuum keeps DVs") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val src = Engine.scratchDir("txlog_mor_clone_src")
+    TxLog.append(spark,
+      (1L to 8L).map(k => (k, k * 1.0)).toDF("k", "x").repartition(2), src)
+    TxLog.deleteWhereMor(spark, src, $"k" <= 2L)
+    // shallow clone of a masked table: the clone reads through the
+    // source's deletion vectors
+    val clone = Engine.scratchDir("txlog_mor_clone_dst")
+    TxLog.cloneShallow(src, clone)
+    assert(TxLog.read(spark, clone).as[(Long, Double)].collect().map(_._1)
+      .toSet === (3L to 8L).toSet)
+    // a COW delete on a table with DVs must not resurrect masked rows
+    TxLog.deleteWhere(spark, src, $"k" === 5L)
+    assert(TxLog.read(spark, src).as[(Long, Double)].collect().map(_._1)
+      .toSet === Set(3L, 4L, 6L, 7L, 8L))
+    // vacuum with full retention removes nothing a version references
+    // (deletion-vector parquet included)
+    assert(TxLog.vacuum(src) === Nil)
+    // a dv line referencing a non-live file is refused, never ignored
+    val bad = Engine.scratchDir("txlog_mor_bad")
+    TxLog.append(spark, Seq((1L, 1.0)).toDF("k", "x"), bad)
+    TxLog.commit(bad, expected = 0, actions = Seq("dv" -> "ghost.parquet"))
+    val e = intercept[IllegalStateException] {
+      TxLog.read(spark, bad).count()
     }
-    assert(e.getMessage.contains("deletion vector"))
-    // earlier versions (before the dv line) stay readable
-    assert(TxLog.read(spark, table, Some(0)).count() === 2)
+    assert(e.getMessage.contains("non-live"))
+    assert(TxLog.read(spark, bad, Some(0)).count() === 1)
   }
 
   test("TxLog: cloneShallow carries txn markers; a redirected mirror no-ops") {
