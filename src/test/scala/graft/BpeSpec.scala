@@ -76,6 +76,33 @@ class BpeSpec extends AnyFunSuite {
     assert(t.ranks === m.ranks.filter(_._2 < 50))
   }
 
+  test("property: tokens concatenate back to the word; bounds; monotone") {
+    val rnd = new scala.util.Random(17)
+    val alpha = "abcde" // small alphabet -> dense pair statistics
+    def word() = Seq.fill(1 + rnd.nextInt(12))(
+      alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 30) {
+      val dict = Seq.fill(1 + rnd.nextInt(20))((word(), 1L + rnd.nextInt(9)))
+      val m = Bpe.train(dict, numMerges = 1 + rnd.nextInt(40))
+      val mHalf = m.truncate(m.ranks.size / 2)
+      for (_ <- 1 to 40) {
+        val w = word()
+        val toks = Bpe.encode(w, m)
+        // lossless segmentation: the tokens ARE the word, in order
+        assert(toks.mkString === w, s"word $w -> $toks")
+        assert(toks.nonEmpty && toks.forall(_.nonEmpty))
+        // bounds + rank-prefix monotonicity on arbitrary words (seen
+        // and unseen alike)
+        val n = toks.length
+        assert(n >= 1 && n <= w.length)
+        assert(Bpe.encode(w, mHalf).length >= n,
+          s"truncated model produced FEWER tokens for $w")
+        // determinism
+        assert(Bpe.encode(w, m) === toks)
+      }
+    }
+  }
+
   test("BpeCount participates in whole-stage codegen") {
     import spark.implicits._
     val m = Bpe.Model(Map(("a", "b") -> 0))
