@@ -683,6 +683,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.read(spark, clone).count() === 3)
   }
 
+  test("TxLog MOR: streaming source refuses dv commits; CDC stream emits them") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val src = Engine.scratchDir("txmor_stream_src")
+    TxLog.append(spark,
+      (1L to 6L).map(k => (k, k * 1.0)).toDF("k", "x").repartition(1), src)
+    TxLog.deleteWhereMor(spark, src, $"k" <= 2L) // v1: dv commit
+    // append-only source: a dv commit deletes rows, so it must fail
+    // loudly without ignoreChanges...
+    val ex = intercept[Exception] {
+      TxLog.streamChanges(spark, src, Engine.scratchDir("txmor_ck1")) {
+        (_, _) => ()
+      }.awaitTermination()
+    }
+    assert(ex.toString.contains("append-only") ||
+      Option(ex.getCause).exists(_.toString.contains("append-only")))
+    // ...and with ignoreChanges the dv commit forwards nothing (deletes
+    // are skipped, the documented caveat)
+    val perV = scala.collection.mutable.Map[Int, Long]()
+    TxLog.streamChanges(spark, src, Engine.scratchDir("txmor_ck2"),
+      ignoreChanges = true) { (df, v) => perV(v) = df.count(); () }
+      .awaitTermination()
+    assert(perV.getOrElse(0, -1L) === 6L && !perV.contains(1))
+    // the CDC stream forwards the dv commit as exactly the deleted rows
+    val cdcByV = scala.collection.mutable.Map[Int, Set[(Long, String)]]()
+    TxLog.streamCdc(spark, src, Engine.scratchDir("txmor_ck3")) {
+      (df, v) =>
+        cdcByV(v) = df.select($"k", $"_change").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        ()
+    }.awaitTermination()
+    assert(cdcByV(1) === Set((1L, "delete"), (2L, "delete")))
+    assert(cdcByV(0).forall(_._2 == "insert") && cdcByV(0).size === 6)
+  }
+
   test("TxLog: delete-recreate at the same path never replays stale state") {
     import graft.operators.TxLog
     import spark.implicits._
