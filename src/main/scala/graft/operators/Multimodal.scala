@@ -6,14 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2B-10): media payloads are
   * opaque BINARY columns + typed metadata structs; decode / feature
   * extraction runs batched per partition (the Scala analog of
-  * mapInPandas batches — the decode kernel itself is a clearly-marked
-  * deterministic STUB because no image/audio codecs exist in this
-  * container, but the Spark-side schema, partitioning, and batch shape
-  * are real and oracle-checked).
+  * mapInPandas batches).
   *
-  * Scale: decode is a narrow mapPartitions over the binary column — no
-  * shuffle; executors stream batches; metadata-only predicates (format,
-  * size) prune before decode.
+  * Two decode tiers:
+  *  - IMAGES are REAL (r8): the JDK's own headless codec
+  *    (javax.imageio) encodes, decodes, and resizes PNGs — see
+  *    [[synthImages]]/[[decodeImages]], gated by q_llm_image_decode
+  *    with an exact pixel-sum oracle.
+  *  - audio/video remain a clearly-marked deterministic STUB
+  *    ([[decode]]) — those codecs genuinely do not exist in this
+  *    container; the Spark-side schema, partitioning, and batch shape
+  *    are real and oracle-checked.
+  *
+  * Scale: every kernel is a narrow mapPartitions over the binary
+  * column — no shuffle; executors stream batches; metadata-only
+  * predicates (format, size) prune before decode.
   */
 object Multimodal {
 
@@ -76,6 +83,111 @@ object Multimodal {
         MediaProcessed(f.media_id, f.n_bytes, f.head_sum,
           f.fake_width, f.fake_height, rw, rh,
           ((f.n_bytes + frameBytes - 1) / frameBytes).toInt, f.format)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // REAL image decode path (r8): the JDK ships a full headless image
+  // codec (javax.imageio — PNG/BMP/JPEG encode+decode, Graphics2D
+  // resize), so the decode stage needs no external library after all.
+  // The corpus has no real images, so payloads are SYNTHESIZED as
+  // actual PNGs whose geometry and pixels are deterministic integer
+  // functions of doc_id — PNG is lossless, so decoding the bytes back
+  // must reproduce the exact pixel sums a SQL oracle computes
+  // arithmetically. That makes the codec round-trip itself (not a
+  // stub) the thing the correctness gate checks.
+  // ---------------------------------------------------------------
+
+  /** A real PNG payload + its declared geometry. */
+  final case class ImageRecord(media_id: Long, png: Array[Byte],
+                               declared_w: Int, declared_h: Int)
+
+  /** Features decoded from the PNG bytes (not from the declaration):
+    * dimensions, exact per-channel pixel sums, and the real
+    * area-averaged resize's output geometry (`resize_ok` = the resized
+    * PNG re-decodes to exactly those dimensions). */
+  final case class ImageFeatures(
+      doc_id: Long, w: Int, h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      resized_w: Int, resized_h: Int, resize_ok: Boolean)
+
+  /** Deterministic pixel function — mirrored by the oracle's integer
+    * arithmetic. */
+  private def rgbAt(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 7 + x * 13 + y * 29) % 256).toInt
+    val g = ((x * 3 + y * 5 + id) % 256).toInt
+    val b = ((x + y * 2) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Synthesize one real PNG per doc_id: width 8 + id%24, height
+    * 6 + id%16, pixels from [[rgbAt]]. Narrow mapPartitions — the
+    * encode kernel runs where the data lives. */
+  def synthImages(df: DataFrame): Dataset[ImageRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { id =>
+        val w = (8 + id % 24).toInt
+        val h = (6 + id % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgbAt(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", bos),
+          "JDK PNG writer unavailable")
+        ImageRecord(id, bos.toByteArray, w, h)
+      }
+    }
+  }
+
+  /** Decode the PNG BYTES (never trusting the declared geometry),
+    * extract exact channel sums, and run a real Graphics2D
+    * area-averaging resize into a `box`-bounded frame. Narrow batched
+    * stage, no shuffle. */
+  def decodeImages(ds: Dataset[ImageRecord], box: Int = 16)
+      : Dataset[ImageFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"media ${r.media_id}: not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val (rw, rh) =
+          if (w >= h) (box, math.max(1, (h * box) / w))
+          else (math.max(1, (w * box) / h), box)
+        val scaled = img.getScaledInstance(
+          rw, rh, java.awt.Image.SCALE_AREA_AVERAGING)
+        val out = new java.awt.image.BufferedImage(
+          rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        out.getGraphics.drawImage(scaled, 0, 0, null)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        ImageFeatures(r.media_id, w, h, sr, sg, sb, rw, rh,
+          back != null && back.getWidth == rw && back.getHeight == rh)
       }
     }
   }

@@ -523,6 +523,52 @@ object LlmSim extends QueryModule {
           'text/plain' AS format
         FROM f""")),
 
+    // REAL IMAGE DECODE through the JDK's own headless codec
+    // (javax.imageio — no external library): one genuine PNG per doc is
+    // synthesized with geometry and pixels as deterministic integer
+    // functions of doc_id, then the DECODE stage reads the BYTES back
+    // (never the declaration) and extracts exact per-channel pixel
+    // sums, plus a real Graphics2D area-averaging resize whose output
+    // re-decodes to the computed frame. PNG is lossless, so the oracle
+    // can recompute every sum arithmetically — a wrong codec
+    // round-trip, a channel-order slip, or a geometry bug all
+    // hash-mismatch. Both stages are narrow mapPartitions kernels over
+    // the binary column: no shuffle, stream-friendly at any corpus
+    // size (this is the shape the audio/video stubs will adopt when
+    // their codecs exist).
+    "q_llm_image_decode" -> QueryDef(
+      fn = (s, dir) => {
+        Multimodal.decodeImages(
+          Multimodal.synthImages(Engine.table(s, dir, "documents")
+            .filter(col("doc_id") % 7 === 0))).toDF()
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS w,
+            CAST(6 + doc_id % 16 AS INT) AS h
+          FROM documents WHERE doc_id % 7 = 0
+        ), gx AS (
+          SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+          FROM g
+        ), gxy AS (
+          SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+          FROM gx
+        ), px AS (
+          SELECT doc_id, w, h,
+            CAST(sum((doc_id * 7 + x * 13 + y * 29) % 256) AS BIGINT)
+              AS sum_r,
+            CAST(sum((x * 3 + y * 5 + doc_id) % 256) AS BIGINT) AS sum_g,
+            CAST(sum((x + y * 2) % 256) AS BIGINT) AS sum_b
+          FROM gxy GROUP BY doc_id, w, h
+        )
+        SELECT doc_id, w, h, sum_r, sum_g, sum_b,
+          CAST(CASE WHEN w >= h THEN 16
+            ELSE greatest(1, (w * 16) // h) END AS INT) AS resized_w,
+          CAST(CASE WHEN w >= h THEN greatest(1, (h * 16) // w)
+            ELSE 16 END AS INT) AS resized_h,
+          true AS resize_ok
+        FROM px""")),
+
     // Typed UDAF: exact per-label embedding mean (quantized-integer sums).
     // Gate output explodes the mean vector to (label, dim, m) rows —
     // per-element doubles are bit-identical across engines, while a raw

@@ -206,6 +206,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("image decode: real PNG round-trip, resize geometry, corrupt bytes fail") {
+    import spark.implicits._
+    val docs = Engine.table(spark, sf, "documents").limit(40)
+    val imgs = Multimodal.synthImages(docs).collect()
+    assert(imgs.length === 40)
+    // payloads are REAL PNGs (magic bytes), geometry as declared
+    imgs.foreach { r =>
+      assert((r.png.take(4).map(_ & 0xff) sameElements
+        Array(0x89, 0x50, 0x4e, 0x47)), "not a PNG payload")
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.png))
+      assert(back.getWidth === r.declared_w && back.getHeight === r.declared_h)
+    }
+    val feats = Multimodal.decodeImages(Multimodal.synthImages(docs))
+      .collect()
+    feats.foreach { f =>
+      assert(f.w === (8 + f.doc_id % 24).toInt)
+      assert(f.h === (6 + f.doc_id % 16).toInt)
+      assert(f.resize_ok, s"resize of ${f.doc_id} did not re-decode")
+      assert(math.max(f.resized_w, f.resized_h) === 16)
+      // channel sums bounded by 255 * pixels (and strictly positive)
+      val px = f.w.toLong * f.h
+      Seq(f.sum_r, f.sum_g, f.sum_b).foreach(s0 =>
+        assert(s0 > 0 && s0 <= 255L * px))
+    }
+    // corrupt payload: decode must fail loudly, not return garbage
+    val bad = Seq(Multimodal.ImageRecord(99L, Array[Byte](1, 2, 3), 4, 4))
+      .toDS()
+    val ex = intercept[Exception] {
+      Multimodal.decodeImages(bad).collect()
+    }
+    assert(ex.toString.contains("decodable") ||
+      Option(ex.getCause).exists(_.toString.contains("decodable")))
+  }
+
   test("partitioned parquet scan prunes partitions") {
     import spark.implicits._
     val q = SparkEntry.queries("q_src_partitioned_parquet")(spark, sf)
