@@ -192,6 +192,98 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------
+  // REAL audio decode path (r8): javax.sound.sampled — also in the
+  // JDK — writes and parses WAV/PCM. Same contract as images: real
+  // WAV payloads synthesized from deterministic integer samples, the
+  // decode stage parses the BYTES (header + PCM frames), and the
+  // oracle recomputes the exact sample statistics arithmetically.
+  // ---------------------------------------------------------------
+
+  /** A real WAV payload (PCM16 mono) + its declared frame count. */
+  final case class AudioRecord(media_id: Long, wav: Array[Byte],
+                               declared_frames: Int)
+
+  /** Features decoded from the WAV bytes: the format actually parsed
+    * from the header, and exact integer sample statistics. */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, bits: Int, channels: Int,
+      n_samples: Long, sum_s: Long, min_s: Int, max_s: Int, sum_sq: Long,
+      duration_ms: Long)
+
+  private val AudioRate = 8000
+
+  /** Deterministic sample function — mirrored by the oracle. */
+  private def sampleAt(id: Long, i: Int): Short =
+    (((id * 31 + i * 17) % 4001) - 2000).toShort
+
+  /** Synthesize one real WAV per doc_id: 64 + id%400 PCM16 samples at
+    * 8 kHz mono from [[sampleAt]]. Narrow mapPartitions. */
+  def synthAudio(df: DataFrame): Dataset[AudioRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 400).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = sampleAt(id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          AudioRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioRecord(id, bos.toByteArray, n)
+      }
+    }
+  }
+
+  /** Parse the WAV BYTES (header gives the format, frames give the
+    * samples) and extract exact integer statistics. Narrow batched
+    * stage, no shuffle; undecodable payloads fail loudly. */
+  def decodeAudio(ds: Dataset[AudioRecord]): Dataset[AudioFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.wav))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"media ${r.media_id}: not decodable audio", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"media ${r.media_id}: expected PCM16 mono, got $fmt")
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        var (sum, sumSq) = (0L, 0L)
+        var (mn, mx) = (Int.MaxValue, Int.MinValue)
+        var i = 0
+        while (i < n) {
+          val s: Int =
+            ((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort
+          sum += s; sumSq += s.toLong * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        AudioFeatures(r.media_id, fmt.getSampleRate.toInt,
+          fmt.getSampleSizeInBits, fmt.getChannels, n.toLong, sum, mn, mx,
+          sumSq, n.toLong * 1000L / fmt.getSampleRate.toInt)
+      }
+    }
+  }
+
   /** Batched per-partition "decode" (stub kernel, real batch shape). */
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession

@@ -569,6 +569,40 @@ object LlmSim extends QueryModule {
           true AS resize_ok
         FROM px""")),
 
+    // REAL AUDIO DECODE through the JDK's WAV/PCM codec
+    // (javax.sound.sampled — no external library): genuine WAV payloads
+    // synthesized from deterministic integer samples; the decode stage
+    // parses the BYTES (format from the header, samples from the PCM
+    // frames) and the oracle recomputes the exact sample statistics
+    // arithmetically — header mis-parse, endianness slip, or sample
+    // truncation all hash-mismatch. Narrow mapPartitions kernel over
+    // the binary column, same shape as the image path. (Video stays a
+    // stub: the JDK ships no video codec.)
+    "q_llm_audio_decode" -> QueryDef(
+      fn = (s, dir) => {
+        Multimodal.decodeAudio(
+          Multimodal.synthAudio(Engine.table(s, dir, "documents")
+            .filter(col("doc_id") % 5 === 0))).toDF()
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT doc_id, CAST(64 + doc_id % 400 AS INT) AS n
+          FROM documents WHERE doc_id % 5 = 0
+        ), gi AS (
+          SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM g
+        ), sm AS (
+          SELECT doc_id, n,
+            (doc_id * 31 + i * 17) % 4001 - 2000 AS s
+          FROM gi
+        )
+        SELECT doc_id, 8000 AS sample_rate, 16 AS bits, 1 AS channels,
+          CAST(n AS BIGINT) AS n_samples,
+          CAST(sum(s) AS BIGINT) AS sum_s,
+          CAST(min(s) AS INT) AS min_s, CAST(max(s) AS INT) AS max_s,
+          CAST(sum(s * s) AS BIGINT) AS sum_sq,
+          CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms
+        FROM sm GROUP BY doc_id, n""")),
+
     // Typed UDAF: exact per-label embedding mean (quantized-integer sums).
     // Gate output explodes the mean vector to (label, dim, m) rows —
     // per-element doubles are bit-identical across engines, while a raw

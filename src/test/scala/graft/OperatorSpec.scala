@@ -241,6 +241,28 @@ class OperatorSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.toString.contains("decodable")))
   }
 
+  test("audio decode: real WAV round-trip, header-parsed format, corrupt fails") {
+    import spark.implicits._
+    val docs = Engine.table(spark, sf, "documents").limit(30)
+    val feats = Multimodal.decodeAudio(Multimodal.synthAudio(docs)).collect()
+    assert(feats.length === 30)
+    feats.foreach { f =>
+      assert(f.sample_rate === 8000 && f.bits === 16 && f.channels === 1)
+      assert(f.n_samples === 64 + f.doc_id % 400)
+      // exact integer round-trip vs the synthesis formula
+      val n = f.n_samples.toInt
+      val expSum = (0 until n)
+        .map(i => (f.doc_id * 31 + i * 17) % 4001 - 2000).sum
+      assert(f.sum_s === expSum, s"doc ${f.doc_id} sample-sum mismatch")
+      assert(f.min_s >= -2000 && f.max_s <= 2000 && f.min_s <= f.max_s)
+      assert(f.duration_ms === f.n_samples * 1000 / 8000)
+    }
+    val bad = Seq(Multimodal.AudioRecord(7L, Array[Byte](9, 9, 9), 1)).toDS()
+    val ex = intercept[Exception] { Multimodal.decodeAudio(bad).collect() }
+    assert(ex.toString.contains("not decodable") ||
+      Option(ex.getCause).exists(_.toString.contains("not decodable")))
+  }
+
   test("partitioned parquet scan prunes partitions") {
     import spark.implicits._
     val q = SparkEntry.queries("q_src_partitioned_parquet")(spark, sf)
