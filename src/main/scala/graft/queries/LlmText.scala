@@ -912,19 +912,21 @@ object LlmText extends QueryModule {
     "q_llm_dedup_clusters" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
+        // tokens ride as xxhash64(token, source) — 8-byte posting keys
+        // with the same-source predicate folded into key equality (r8,
+        // same policy as the sweep/containment/jaccard_pf family; a
+        // ~2^-64 collision can only nudge one pair's intersection count)
         val d = withNearDups(s, dir)
-          .select($"doc_id", $"source",
-            array_distinct(split($"text", " ")).as("ws"))
-          .withColumn("nw", size($"ws"))
-        val tok = d.select($"doc_id", $"source", $"nw",
-          explode($"ws").as("w"))
+          .select($"doc_id",
+            array_distinct(transform(split($"text", " "),
+              t => xxhash64(t, $"source"))).as("hs"))
+          .withColumn("nw", size($"hs"))
+        val tok = d.select($"doc_id", $"nw", explode($"hs").as("wh"))
           // CPU-dense byte-light self-join: pin to cluster parallelism
           // (see q_llm_containment's rationale on AQE coalescing)
-          .repartition(s.sparkContext.defaultParallelism * 2,
-            $"source", $"w")
+          .repartition(s.sparkContext.defaultParallelism * 2, $"wh")
         val pairs = tok.as("a").join(tok.as("b"),
-          $"a.w" === $"b.w" && $"a.source" === $"b.source"
-            && $"a.doc_id" < $"b.doc_id")
+          $"a.wh" === $"b.wh" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
             $"a.nw".as("na"), $"b.nw".as("nb"))
           .agg(count(lit(1)).as("inter"))
