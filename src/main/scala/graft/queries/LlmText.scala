@@ -2274,6 +2274,52 @@ object LlmText extends QueryModule {
     // — embarrassingly parallel, no shuffle at all. Empty documents
     // would need a sequence guard (none exist in the corpus; the n>=1
     // invariant is asserted by the oracle producing the same row count).
+    // BPE-BUDGET CHUNKING: cut each document into chunks whose BPE
+    // token cost stays under a 64-token budget — the context-window
+    // slicing a training pipeline does in the real token denomination
+    // (whitespace-window chunking is q_llm_chunk). Shape: explode
+    // words, price each with the codegen BpeCount, per-doc exclusive
+    // prefix sum -> bin = cumsum div budget (one window pass per doc,
+    // embarrassingly parallel across docs). Chunk boundaries depend on
+    // the learned merges, so the oracle pins the provable facts: word
+    // count conserved per doc (exact), every chunk's cost minus its
+    // largest word under the budget (words in a chunk all START inside
+    // the 64-token window — the same tight bound as q_llm_pack_bpe),
+    // and chunk counts within [1, n_words]. Chunk CONTENT is pinned by
+    // BpeSpec-style determinism (same model, same cuts, every run).
+    "q_llm_chunk_bpe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val m200 = graft.operators.Bpe.modelFor(s, dir)
+        val w = Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val words = Engine.table(s, dir, "documents")
+          .filter($"doc_id" % 3 === 0)
+          .select($"doc_id", posexplode(split($"text", " ")))
+          .withColumnRenamed("col", "word").withColumnRenamed("pos", "pos")
+          .withColumn("n_tok",
+            graft.plans.BpeCount($"word", m200).cast("long"))
+        val chunks = words
+          .withColumn("start_tok",
+            coalesce(sum($"n_tok").over(w), lit(0L)))
+          .withColumn("bin", expr("start_tok div 64"))
+          .groupBy($"doc_id", $"bin")
+          .agg(count(lit(1)).as("n_words"), sum($"n_tok").as("chunk_tok"),
+            max($"n_tok").as("max_word_tok"))
+        chunks.groupBy($"doc_id").agg(
+          sum($"n_words").as("n_words"),
+          (sum(when($"chunk_tok" - $"max_word_tok" >= 64, 1L)
+            .otherwise(0L)) === 0L).as("chunks_bounded"),
+          (count(lit(1)).between(lit(1), sum($"n_words")))
+            .as("n_chunks_sane"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          true AS chunks_bounded, true AS n_chunks_sane
+        FROM documents WHERE doc_id % 3 = 0""")),
+
     "q_llm_chunk" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
