@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   *    (javax.imageio) encodes, decodes, and resizes PNGs — see
   *    [[synthImages]]/[[decodeImages]], gated by q_llm_image_decode
   *    with an exact pixel-sum oracle.
-  *  - audio/video remain a clearly-marked deterministic STUB
-  *    ([[decode]]) — those codecs genuinely do not exist in this
-  *    container; the Spark-side schema, partitioning, and batch shape
-  *    are real and oracle-checked.
+  *  - AUDIO is REAL too (r8): javax.sound.sampled parses WAV/PCM —
+  *    see [[synthAudio]]/[[decodeAudio]], gated by q_llm_audio_decode
+  *    with an exact sample-statistics oracle.
+  *  - VIDEO remains the one clearly-marked deterministic STUB
+  *    ([[decode]]) — the JDK ships no video codec and none is
+  *    resolvable offline; the Spark-side schema, partitioning, and
+  *    batch shape are real and oracle-checked.
   *
   * Scale: every kernel is a narrow mapPartitions over the binary
   * column — no shuffle; executors stream batches; metadata-only

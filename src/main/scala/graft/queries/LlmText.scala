@@ -101,14 +101,13 @@ object LlmText extends QueryModule {
       : (DataFrame, DataFrame) = {
     import s.implicits._
     val par = s.sparkContext.defaultParallelism * 2
-    // ONE corpus scan: `sets` is repartitioned by doc_id and every
-    // consumer (token explode, both verify sides) sits above that
-    // same exchange, so the planner emits a single scan + shuffle
-    // and ReusedExchange for the rest.  The pin to cluster
-    // parallelism also serves the CPU-dense prefix join (see
-    // q_llm_containment's rationale — AQE never coalesces a
-    // user-numbered repartition and the planner reuses it as the
-    // join's own exchange).
+    // `sets` is NOT repartitioned: the doc-set side is re-scanned
+    // from the page cache by each consumer (measured cheaper than
+    // shuffling the token arrays — see q_llm_containment's note at
+    // the verify join).  The only pinned exchange is the prefix
+    // join's repartition(par, wh) below: AQE never coalesces a
+    // user-numbered repartition, so the CPU-dense prefix-prefix
+    // join keeps full cluster parallelism.
     val sets = docs
       .select($"doc_id", $"source",
         array_distinct(transform(split($"text", " "),
