@@ -310,12 +310,26 @@ object TxLog {
   private def withSrcKey(spark: SparkSession, table: String, st: State,
                          df: DataFrame): DataFrame = {
     import spark.implicits._
+    // Key the lookup by BOTH the canonical and the plain absolute path
+    // of every live file: on a symlinked table dir the two differ, and
+    // which one Spark reports in _metadata.file_path is its business,
+    // not ours. The join is LEFT + loud-fail on a miss — an inner join
+    // would silently drop every row of an unmatched file, turning
+    // deleteWhere into a no-op and merge into blind inserts.
     val lookup = st.live.keysIterator.toSeq
-      .map(p => (new File(table, p).getCanonicalPath, p))
-      .toDF("__abs", "__src")
+      .flatMap { p =>
+        val f = new File(table, p)
+        Seq(f.getCanonicalPath -> p, f.getAbsolutePath -> p)
+      }.distinct.toDF("__abs", "__src")
     df.withColumn("__abs",
         expr("regexp_replace(_metadata.file_path, '^file:/+', '/')"))
-      .join(broadcast(lookup), Seq("__abs")).drop("__abs")
+      .join(broadcast(lookup), Seq("__abs"), "left")
+      .withColumn("__src",
+        when(col("__src").isNull, raise_error(concat(
+          lit("TxLog: scanned file resolves to no live log key: "),
+          col("__abs"))))
+          .otherwise(col("__src")))
+      .drop("__abs")
   }
 
   /** Read a subset of a snapshot's live files with deletion vectors
@@ -329,14 +343,27 @@ object TxLog {
                         paths: Seq[String],
                         forceSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
+    val (masked, plain) = paths.partition(st.dvs.contains)
+    // An evolved snapshot that splits into masked + plain groups must
+    // NOT merge-read each group separately: if an evolution-added
+    // column lives in only one group's files the two mergeSchema
+    // results diverge and the union below would throw. Resolve the
+    // union schema over ALL requested paths once (parquet footers
+    // only, no data scan) and read both groups under it — missing
+    // columns surface NULL, exactly the evolution contract.
+    val schema0 = forceSchema.orElse {
+      if (st.evolved && masked.nonEmpty && plain.nonEmpty)
+        Some(spark.read.option("mergeSchema", "true").parquet(
+          paths.map(p => new File(table, p).getAbsolutePath): _*).schema)
+      else None
+    }
     def rd(ps: Seq[String]): DataFrame = {
       val abs = ps.map(p => new File(table, p).getAbsolutePath)
-      val r0 = forceSchema.fold(spark.read)(s0 => spark.read.schema(s0))
-      if (st.evolved && forceSchema.isEmpty)
+      val r0 = schema0.fold(spark.read)(s0 => spark.read.schema(s0))
+      if (st.evolved && schema0.isEmpty)
         r0.option("mergeSchema", "true").parquet(abs: _*)
       else r0.parquet(abs: _*)
     }
-    val (masked, plain) = paths.partition(st.dvs.contains)
     if (masked.isEmpty) rd(paths)
     else {
       val m = rd(masked)
@@ -348,6 +375,28 @@ object TxLog {
       if (plain.isEmpty) m else rd(plain).unionByName(m)
     }
   }
+
+  /** Anti-join `df` (a direct file scan — _metadata available) against
+    * the DV rows named by explicit (dataFile, dvDir) pairs. The
+    * commit-granular twin of the State-based mask in [[readFiles]],
+    * used by the log subscribers where the mask set is a commit's own
+    * or the prior version's dv lines rather than a snapshot's. */
+  private def maskByDvPairs(spark: SparkSession, table: String,
+                            df: DataFrame,
+                            pairs: Seq[(String, String)]): DataFrame =
+    if (pairs.isEmpty) df
+    else {
+      val dv = spark.read.parquet(pairs.map(_._2).distinct
+          .map(d => new File(table, d).getAbsolutePath): _*)
+        .select(expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
+          col("pos").as("__pos"))
+        .filter(col("__base").isin(
+          pairs.map(x => baseName(x._1)).distinct: _*))
+      df.withColumn("__base", srcBaseCol)
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dv, Seq("__base", "__pos"), "left_anti")
+        .drop("__base", "__pos")
+    }
 
   /** The recorded DV rows masking `paths` — (__base, __pos) pairs. */
   private def dvRows(spark: SparkSession, table: String, st: State,
@@ -1110,7 +1159,14 @@ object TxLog {
               "change events")
         if (adds.nonEmpty) {
           val fs = adds.map(p => new File(table, p).getAbsolutePath)
-          process(spark.read.schema(schema).parquet(fs: _*), v)
+          // dv lines on files added in the SAME commit are birth masks
+          // (a restore re-adds a file together with its target
+          // version's masks): those rows are not live at this version
+          // and must never be delivered as payload
+          val addSet = adds.toSet
+          val birthDvs = dvs.filter(x => addSet.contains(x._1))
+          process(maskByDvPairs(spark, table,
+            spark.read.schema(schema).parquet(fs: _*), birthDvs), v)
         }
     }
   }
@@ -1122,6 +1178,10 @@ object TxLog {
     * faithfully: a COW delete/merge surfaces as the per-commit file
     * diff under EXCEPT ALL multiset cancellation — rows merely carried
     * through a rewrite cancel out, an update is delete(old)+insert(new).
+    * Rows already dv-masked BEFORE a commit never resurface: the
+    * removed side reads under the prior version's masks, and a RESTORE
+    * commit (re-adds + re-emitted dv lines) nets out to exactly the
+    * resurrected / newly-masked rows.
     * Removed files must still be on disk (run [[vacuum]] with a horizon
     * above the subscriber's lag). Payload schema is fixed at start
     * time, as in [[streamChanges]]. */
@@ -1140,21 +1200,46 @@ object TxLog {
     streamLog(spark, table, checkpointDir, commitsPerTrigger, trigger) {
       (adds, removes, dvs, v) =>
         if (adds.nonEmpty || removes.nonEmpty || dvs.nonEmpty) {
-          val added = rd(adds)
-          val removed = rd(removes)
+          // Prior-version state (memoized log replay, metadata only):
+          // rows already dv-masked BEFORE this commit were deleted in
+          // an earlier commit and must not resurface here — neither as
+          // spurious deletes when a COW rewrite removes their file,
+          // nor as spurious inserts when a restore re-adds it.
+          val stP = if (v == 0) new State else replay(table, v - 1)
+          val addSet = adds.toSet
+          // dv lines on files (re-)added in the SAME commit are birth
+          // masks (a restore re-emits the target version's dv lines
+          // with its re-adds) — they shape the insert side, they are
+          // not delete events
+          val (birthDvs, freshDvs) = dvs.partition(x => addSet.contains(x._1))
+          def priorDvsFor(ps: Seq[String]): Seq[(String, String)] =
+            ps.flatMap(p =>
+              stP.dvs.getOrElse(p, Vector.empty).map(d => (p, d)))
+          // a re-add (restore) replaces the file's prior masked state:
+          // old state joins the removed side, new state the added side,
+          // and EXCEPT ALL cancellation yields exactly the net change
+          // (resurrected rows insert, newly-masked rows delete)
+          val reAdded = adds.filter(stP.live.contains)
+          val added = maskByDvPairs(spark, table, rd(adds), birthDvs)
+          val removed =
+            maskByDvPairs(spark, table, rd(removes), priorDvsFor(removes))
+              .unionByName(maskByDvPairs(spark, table, rd(reAdded),
+                priorDvsFor(reAdded)))
           // a MOR delete commit: its dv rows name exactly the deleted
           // (file, pos) pairs — read those rows as the delete events
+          // (fresh by the MOR compose contract: discovery reads
+          // through existing masks, so they never overlap prior dvs)
           val dvDeleted =
-            if (dvs.isEmpty) rd(Nil)
+            if (freshDvs.isEmpty) rd(Nil)
             else {
-              val dv = spark.read.parquet(dvs.map(_._2).distinct
+              val dv = spark.read.parquet(freshDvs.map(_._2).distinct
                   .map(d => new File(table, d).getAbsolutePath): _*)
                 .select(
                   expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
                   col("pos").as("__pos"))
                 .filter(col("__base").isin(
-                  dvs.map(x => baseName(x._1)).distinct: _*))
-              spark.read.schema(schema).parquet(dvs.map(_._1).distinct
+                  freshDvs.map(x => baseName(x._1)).distinct: _*))
+              spark.read.schema(schema).parquet(freshDvs.map(_._1).distinct
                   .map(p => new File(table, p).getAbsolutePath): _*)
                 .withColumn("__base", srcBaseCol)
                 .withColumn("__pos", col("_metadata.row_index"))

@@ -775,6 +775,119 @@ class OperatorSpec extends AnyFunSuite {
     assert(cdcByV(0).forall(_._2 == "insert") && cdcByV(0).size === 6)
   }
 
+  test("TxLog: evolved snapshot with DVs on one schema group still reads") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    // Evolution-added column `y` lives only in the post-evolve files.
+    // A MOR delete that masks ONLY those files used to split the read
+    // into a masked group (merge-read: has y) and a plain group
+    // (merge-read: lacks y) whose strict union threw. Both directions
+    // must read, with pre-evolution rows surfacing NULL y.
+    val t = Engine.scratchDir("txevo_dv_spec")
+    TxLog.append(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x").repartition(1), t)  // v0
+    TxLog.appendEvolve(spark,
+      Seq((3L, 30.0, "a"), (4L, 40.0, "b")).toDF("k", "x", "y")
+        .repartition(1), t)                                          // v1
+    TxLog.deleteWhereMor(spark, t, $"k" === 3L)                      // v2
+    val rows = TxLog.read(spark, t)
+      .select($"k", $"y").as[(Long, Option[String])].collect().toMap
+    assert(rows === Map(1L -> None, 2L -> None, 4L -> Some("b")))
+    // reverse split: mask only a PRE-evolution file
+    val t2 = Engine.scratchDir("txevo_dv_spec2")
+    TxLog.append(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x").repartition(1), t2)
+    TxLog.appendEvolve(spark,
+      Seq((3L, 30.0, "a")).toDF("k", "x", "y").repartition(1), t2)
+    TxLog.deleteWhereMor(spark, t2, $"k" === 1L)
+    val rows2 = TxLog.read(spark, t2)
+      .select($"k", $"y").as[(Long, Option[String])].collect().toMap
+    assert(rows2 === Map(2L -> None, 3L -> Some("a")))
+    // the COW paths that force the snapshot schema keep working too
+    TxLog.deleteWhere(spark, t, $"k" === 1L)
+    assert(TxLog.read(spark, t).select($"k").as[Long].collect().toSet
+      === Set(2L, 4L))
+  }
+
+  test("TxLog: deleteWhere/merge on a shallow clone; symlinked table path") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    // The withSrcKey helper exists exactly for clones (live keys step
+    // outside the table dir via ../) — exercise the write paths that
+    // ride it ON a clone, where a silent key mismatch would no-op the
+    // delete and double-insert the merge.
+    val src = Engine.scratchDir("txclone_write_src")
+    TxLog.append(spark,
+      (1L to 6L).map(k => (k, k * 1.0)).toDF("k", "x").repartition(2), src)
+    val clone = Engine.scratchDir("txclone_write_dst")
+    TxLog.cloneShallow(src, clone)
+    TxLog.deleteWhere(spark, clone, $"k" === 2L)
+    assert(TxLog.read(spark, clone).select($"k").as[Long].collect().toSet
+      === Set(1L, 3L, 4L, 5L, 6L))
+    TxLog.merge(spark, clone, Seq((3L, 99.0), (7L, 70.0)).toDF("k", "x"), "k")
+    assert(TxLog.read(spark, clone).as[(Long, Double)].collect().toMap
+      === Map(1L -> 1.0, 3L -> 99.0, 4L -> 4.0, 5L -> 5.0, 6L -> 6.0,
+        7L -> 70.0))
+    // the source never sees the clone's writes
+    assert(TxLog.read(spark, src).count() === 6)
+    // a table addressed THROUGH A SYMLINK: canonical and reported paths
+    // diverge; the dual-key lookup must still resolve every row (the
+    // old inner join dropped all rows here — deleteWhere no-opped)
+    val real = Engine.scratchDir("txsym_real")
+    TxLog.append(spark,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x").repartition(1), real)
+    val link = new java.io.File(new java.io.File(real).getParentFile,
+      "txsym_link").getAbsolutePath
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(link))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(link), java.nio.file.Paths.get(real))
+    TxLog.deleteWhere(spark, link, $"k" === 1L)
+    assert(TxLog.read(spark, real).select($"k").as[Long].collect().toSet
+      === Set(2L), "deleteWhere through a symlinked table path no-opped")
+  }
+
+  test("TxLog CDC stream: COW-after-MOR and restore commits net out") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val t = Engine.scratchDir("txcdc_restore_spec")
+    TxLog.append(spark,
+      (1L to 8L).map(k => (k, k * 1.0)).toDF("k", "x").repartition(1), t) // v0
+    TxLog.deleteWhereMor(spark, t, $"k" <= 2L)                            // v1
+    TxLog.deleteWhere(spark, t, $"k" === 5L)   // v2: COW rewrite of the masked file
+    TxLog.restore(t, 1)                        // v3: resurrect k=5 (masks return)
+    TxLog.restore(t, 0)                        // v4: resurrect k=1,2 (re-add, mask drift)
+    val got = scala.collection.mutable.Map[Int, Set[(String, Long)]]()
+    TxLog.streamCdc(spark, t, Engine.scratchDir("txcdc_restore_ck")) {
+      (df, v) =>
+        got(v) = df.select($"_change", $"k").as[(String, Long)]
+          .collect().toSet
+        ()
+    }.awaitTermination()
+    assert(got(0) === (1L to 8L).map(("insert", _)).toSet)
+    assert(got(1) === Set(("delete", 1L), ("delete", 2L)))
+    // v2 removes the masked file: rows 1,2 were ALREADY deleted at v1 —
+    // only k=5 is a net delete (the old feed emitted spurious 1,2)
+    assert(got(2) === Set(("delete", 5L)))
+    // v3 re-adds the masked file + re-emits its dv lines: net = k=5 back
+    assert(got(3) === Set(("insert", 5L)))
+    // v4 re-adds with the masks DROPPED: net = the masked rows resurrect
+    assert(got(4) === Set(("insert", 1L), ("insert", 2L)))
+    // the batch feed agrees end-to-end: the v0 and v4 snapshots are
+    // identical (everything restored), so changes(0, 4) must be EMPTY
+    assert(TxLog.read(spark, t).count() === 8)
+    assert(TxLog.changes(spark, t, 0, 4).count() === 0)
+    // append-only stream with ignoreChanges: the restore commits must
+    // not deliver rows that are dv-masked at their own version
+    val perV = scala.collection.mutable.Map[Int, Set[Long]]()
+    TxLog.streamChanges(spark, t, Engine.scratchDir("txcdc_restore_ck2"),
+      ignoreChanges = true) { (df, v) =>
+      perV(v) = df.select($"k").as[Long].collect().toSet; ()
+    }.awaitTermination()
+    assert(perV(3) === (3L to 8L).toSet,
+      "restore re-add delivered rows masked at its own version")
+    assert(perV(4) === (1L to 8L).toSet)
+  }
+
   test("TxLog: delete-recreate at the same path never replays stale state") {
     import graft.operators.TxLog
     import spark.implicits._
