@@ -1005,6 +1005,70 @@ object TxLog {
     commitLines(table, base, affected.map(dvLine(_, dvSub)))
   }
 
+  /** Per-file deletion-vector pressure for one live file: total rows,
+    * dv-masked rows, and the masked fraction the maintenance policy
+    * ([[optimizeDvCompact]]) thresholds on. */
+  final case class DvMetric(path: String, rows: Long, masked: Long) {
+    def fraction: Double = if (rows == 0L) 0.0 else masked.toDouble / rows
+  }
+
+  /** DV pressure per masked live file — the observability half of the
+    * maintenance policy. Cost is O(masked files + dv rows): the row
+    * totals come from an empty-projection count over ONLY the masked
+    * files (parquet answers it from row-group metadata) and the masked
+    * counts from the dv parquet itself (deleted-row-sized). Unmasked
+    * files never appear (their pressure is 0 by construction). */
+  def dvMetrics(spark: SparkSession, table: String): Seq[DvMetric] = {
+    val st = stateAt(table, None)
+    val maskedPaths = st.live.keysIterator.filter(st.dvs.contains).toSeq
+    if (maskedPaths.isEmpty) return Nil
+    val totals = spark.read.parquet(
+        maskedPaths.map(p => new File(table, p).getAbsolutePath): _*)
+      .groupBy(srcBaseCol.as("__base")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dvCounts = dvRows(spark, table, st, maskedPaths)
+      .groupBy(col("__base")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    maskedPaths.map { p =>
+      val b = baseName(p)
+      DvMetric(p, totals.getOrElse(b, 0L), dvCounts.getOrElse(b, 0L))
+    }
+  }
+
+  /** DV MAINTENANCE: materialize (rewrite) exactly the live files whose
+    * dv-masked fraction has reached `maxMaskedFraction`, leaving
+    * lightly-masked files — and their cheap merge-on-read masks —
+    * alone. This is the missing half of the MOR contract: deletion
+    * vectors keep DELETE cost O(deleted rows), and this policy keeps
+    * READ cost from degrading as masks accumulate, by folding only the
+    * files where the mask has grown from a trickle into a significant
+    * share of the file. A full [[optimize]] also materializes DVs but
+    * rewrites the whole table; at 100 TB the policy rewrite is
+    * O(heavily-masked files), which a trickle-delete workload keeps
+    * small and stable. Read-modify-write: a concurrent commit surfaces
+    * as [[ConcurrentCommit]] (retry from the fresh snapshot). Returns
+    * the unchanged version when no file crosses the threshold. */
+  def optimizeDvCompact(spark: SparkSession, table: String,
+                        maxMaskedFraction: Double): Int = {
+    require(maxMaskedFraction > 0.0 && maxMaskedFraction <= 1.0,
+      s"maxMaskedFraction must be in (0, 1], got $maxMaskedFraction")
+    val base = version(table)
+    val doomed = dvMetrics(spark, table)
+      .filter(_.fraction >= maxMaskedFraction).map(_.path)
+    if (doomed.isEmpty) return base
+    val st = stateAt(table, Some(base))
+    val snapSchema = read(spark, table, Some(base)).schema
+    val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    // survivors only (the mask applies in readFiles); one output file
+    // per input file keeps the table's file granularity stable
+    readFiles(spark, table, st, doomed, forceSchema = Some(snapSchema))
+      .repartition(doomed.size)
+      .write.parquet(new File(table, sub).getAbsolutePath)
+    val actions = doomed.map(("remove", _)) ++
+      newFiles(table, sub).map(("add", _))
+    commit(table, base, actions)
+  }
+
   /** File-granular MERGE (upsert): matched keys take the update row's
     * values, unmatched update keys insert — and ONLY the files that
     * contain a matched key are rewritten (discovered with a left-semi

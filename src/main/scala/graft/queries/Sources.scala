@@ -551,6 +551,68 @@ object Sources extends QueryModule {
         WHERE s_nationkey % 4 <> 1 AND s_suppkey % 10 <> 0
           AND s_suppkey BETWEEN 3 AND 50""")),
 
+    // DV MAINTENANCE POLICY (merge-on-read's second half): trickle MOR
+    // deletes mask files unevenly; optimizeDvCompact materializes ONLY
+    // the files whose masked fraction crossed the threshold, leaving
+    // light masks in place — read cost stays flat as deletes
+    // accumulate, rewrite cost stays O(heavily-masked files). The
+    // compact is content-neutral, proven in-query: the change feed
+    // across the compact commit must be EMPTY (exceptAll cancellation
+    // over the rewritten files), and every read path answers
+    // identically after it. File-level rewrite selectivity is asserted
+    // in OperatorSpec (exactly the past-threshold file rewritten).
+    "q_src_txlog_dv_compact" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        val table = tempFor("txdvc", dir)
+        if (TxLog.version(table) < 0) {
+          val src = Engine.table(s, dir, "supplier")
+            .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+            .repartitionByRange(4, $"s_suppkey")
+          TxLog.append(s, src, table, statsCols = Seq("s_suppkey")) // v0
+          // heavy deletes on the low half of the key range (75% of the
+          // low files at any sf), a trickle everywhere
+          val half = Engine.table(s, dir, "supplier")
+            .agg(max($"s_suppkey")).first().getLong(0) / 2 // scalar metadata
+          TxLog.deleteWhereMor(s, table,
+            $"s_suppkey" % 4 =!= 0 && $"s_suppkey" <= half)         // v1
+          TxLog.deleteWhereMor(s, table, $"s_suppkey" % 31 === 0)   // v2
+          val vPre = TxLog.version(table)
+          val vPost = TxLog.optimizeDvCompact(s, table, 0.5)
+          require(vPost > vPre, "expected at least one file past 0.5")
+        }
+        def agg0(df: org.apache.spark.sql.DataFrame, part: String) = df
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long")),
+              lit(0L)).as("sum_cents"))
+          .select(lit(part).as("part"), $"n", $"sum_cents")
+        val vPost = TxLog.version(table)
+        agg0(TxLog.read(s, table), "snapshot")
+          .unionByName(agg0(TxLog.changes(s, table, vPost - 1, vPost),
+            "compact_cdc"))
+          .unionByName(agg0(TxLog.readPruned(s, table, "s_suppkey", 3L, 60L),
+            "pruned"))
+      },
+      oracle = Some("""
+        SELECT 'snapshot' AS part, count(*) AS n,
+          CAST(coalesce(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS sum_cents
+        FROM supplier
+        WHERE NOT (s_suppkey % 4 <> 0 AND s_suppkey <=
+            (SELECT CAST(floor(max(s_suppkey) / 2) AS BIGINT) FROM supplier))
+          AND s_suppkey % 31 <> 0
+        UNION ALL
+        SELECT 'compact_cdc', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'pruned', count(*),
+          CAST(coalesce(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)), 0)
+            AS BIGINT)
+        FROM supplier
+        WHERE NOT (s_suppkey % 4 <> 0 AND s_suppkey <=
+            (SELECT CAST(floor(max(s_suppkey) / 2) AS BIGINT) FROM supplier))
+          AND s_suppkey % 31 <> 0 AND s_suppkey BETWEEN 3 AND 60""")),
+
     // FILE-GRANULAR MERGE through the transaction log: re-price every
     // 7th supplier and insert 20 fresh rows in ONE TxLog.merge — only
     // the files containing a matched key are rewritten (left-semi file

@@ -775,6 +775,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(cdcByV(0).forall(_._2 == "insert") && cdcByV(0).size === 6)
   }
 
+  test("TxLog DV maintenance: compact only files past the masked-fraction threshold") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val t = Engine.scratchDir("txdv_maint_spec")
+    // two appends -> two files with known contents
+    TxLog.append(spark,
+      (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "x").repartition(1), t)
+    TxLog.append(spark,
+      (11L to 20L).map(k => (k, k * 1.0)).toDF("k", "x").repartition(1), t)
+    val fileA = TxLog.files(t, Some(0)).head
+    val fileB = (TxLog.files(t).toSet - fileA).head
+    TxLog.deleteWhereMor(spark, t, $"k" <= 6L)   // 60% of file A
+    TxLog.deleteWhereMor(spark, t, $"k" === 11L) // 10% of file B
+    val m = TxLog.dvMetrics(spark, t).map(x => x.path -> x).toMap
+    assert(m(fileA).rows === 10L && m(fileA).masked === 6L)
+    assert(m(fileB).rows === 10L && m(fileB).masked === 1L)
+    // below every file's fraction: nothing rewritten, version unchanged
+    val vPre = TxLog.version(t)
+    assert(TxLog.optimizeDvCompact(spark, t, 0.95) === vPre)
+    assert(TxLog.files(t).toSet === Set(fileA, fileB))
+    // threshold 0.5: exactly file A (0.6) materializes; B (0.1) keeps
+    // its cheap mask
+    val vPost = TxLog.optimizeDvCompact(spark, t, 0.5)
+    assert(vPost === vPre + 1)
+    val after = TxLog.files(t).toSet
+    assert(!after.contains(fileA), "heavily-masked file not rewritten")
+    assert(after.contains(fileB), "lightly-masked file was rewritten")
+    assert(after.size === 2)
+    assert(TxLog.read(spark, t).select($"k").as[Long].collect().toSet
+      === ((7L to 10L) ++ (12L to 20L)).toSet)
+    val mAfter = TxLog.dvMetrics(spark, t)
+    assert(mAfter.map(_.path) === Seq(fileB) && mAfter.head.masked === 1L)
+    // the compact is content-neutral: the change feed across it is empty
+    assert(TxLog.changes(spark, t, vPre, vPost).count() === 0)
+    // idempotent: nothing left above the threshold
+    assert(TxLog.optimizeDvCompact(spark, t, 0.5) === vPost)
+  }
+
   test("TxLog: evolved snapshot with DVs on one schema group still reads") {
     import graft.operators.TxLog
     import spark.implicits._
