@@ -94,9 +94,49 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** BPE trainer timing probe: the incremental (pair-delta + heap)
+    * trainer vs the naive full-rescan reference on the corpus word
+    * dict at increasing merge budgets — the evidence row for the
+    * "32k-merge production vocab is tractable" claim.
+    * Usage: tools/run.sh graft.ScaleProbe bpe [sfDir] */
+  private def bpeProbe(args: Array[String]): Unit = {
+    import graft.operators.Bpe
+    // The test corpus's vocabulary is tiny (~31 types — it exhausts its
+    // pair inventory under 100 merges), so the trainer-scaling evidence
+    // uses a SEEDED synthetic dictionary at web-dict shape: `types`
+    // word types, Zipf counts, 4-14 lowercase chars (LCG-generated,
+    // fully deterministic). Both trainers consume the identical dict.
+    val types = args.headOption.map(_.toInt).getOrElse(30000)
+    var s0 = 0x9E3779B97F4A7C15L
+    def nextLong(): Long = { // splitmix64 — deterministic, seedable
+      s0 += 0x9E3779B97F4A7C15L
+      var z = s0
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val wc = (0 until types).map { i =>
+      val len = 4 + (nextLong() & 0x7FFFFFFF).toInt % 11
+      val w = Array.fill(len)(('a' + (nextLong() & 0x7FFFFFFF).toInt % 26)
+        .toChar).mkString
+      (w, (1000000L / (i + 1) + 1)) // Zipf-ish counts
+    }.toMap.toSeq // dedup collisions
+    Bpe.train(wc, 50); Bpe.trainNaive(wc, 50) // JIT warmup
+    val rows = Seq(200, 1000, 4000).map { m =>
+      val ti = Seq.fill(3)(time { Bpe.train(wc, m); () }).sorted.apply(1)
+      val tn = time { Bpe.trainNaive(wc, m); () } // once; it is the slow one
+      val learned = Bpe.train(wc, m).ranks.size
+      f"""{"merges":$m,"learned":$learned,"incremental_sec":$ti%.3f,""" +
+        f""""naive_sec":$tn%.3f,"speedup":${tn / ti}%.1f}"""
+    }
+    println(s"""{"probe":"bpe_train","word_types":${wc.size},""" +
+      s""""rows":[${rows.mkString(",")}]}""")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("recall")) return recallProbe(args.drop(1))
     if (args.headOption.contains("ckpt")) return ckptProbe(args.drop(1))
+    if (args.headOption.contains("bpe")) return bpeProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     // optional args 3+: probe only the named shapes (local fast loop)

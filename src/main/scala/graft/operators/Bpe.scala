@@ -57,9 +57,110 @@ object Bpe {
 
   /** Learn `numMerges` merges from a (word, count) dictionary.
     * Stops early when no adjacent pair remains (tiny vocabularies
-    * exhaust their pair inventory before the budget). */
+    * exhaust their pair inventory before the budget).
+    *
+    * INCREMENTAL trainer (the standard fast-BPE structure): pair
+    * frequencies are maintained as running deltas — each merge
+    * re-examines ONLY the word types that contain the merged pair —
+    * and the round maximum comes from a lazily-invalidated max-heap.
+    * Per-round cost is O(affected words + heap churn) instead of the
+    * naive O(total symbols) full rescan, which is what makes a
+    * production 32k-merge vocabulary tractable (the naive loop is
+    * merges x corpus-dict rescans — hours at web scale). Identity
+    * with the naive trainer (same merge table, same ranks, same
+    * tie-breaks) is property-tested in BpeSpec against
+    * [[trainNaive]]. */
   def train(wordCounts: Seq[(String, Long)], numMerges: Int): Model = {
     // working state: each word type as its current symbol sequence
+    val words = wordCounts.iterator
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (w.toCharArray.map(_.toString).toVector, c) }
+      .toArray
+    type P = (String, String)
+    val counts = scala.collection.mutable.HashMap[P, Long]()
+    val occ = scala.collection.mutable.HashMap[P, scala.collection.mutable.Set[Int]]()
+    def pairsOf(syms: Vector[String]): Iterator[P] =
+      if (syms.length < 2) Iterator.empty
+      else syms.iterator.zip(syms.iterator.drop(1))
+    // dequeue order: highest count first, ties to the lexicographically
+    // smallest (left, right) — the naive trainer's exact pick
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2)
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def bump(p: P, delta: Long): Unit = {
+      val n = counts.getOrElse(p, 0L) + delta
+      if (n <= 0L) { counts -= p; () }
+      else {
+        counts(p) = n
+        heap.enqueue((n, p._1, p._2))
+      }
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val (syms, c) = words(wi)
+      pairsOf(syms).foreach { p =>
+        bump(p, c)
+        occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+      }
+      wi += 1
+    }
+    val ranks = scala.collection.mutable.LinkedHashMap[P, Int]()
+    var it = 0
+    var done = false
+    while (it < numMerges && !done) {
+      // pop to the first LIVE entry (count still current, not stale)
+      var best: P = null
+      while (best == null && heap.nonEmpty) {
+        val (n, l, r) = heap.dequeue()
+        if (counts.getOrElse((l, r), 0L) == n) best = (l, r)
+      }
+      if (best == null) done = true
+      else {
+        ranks += best -> it
+        // re-derive pair contributions for ONLY the words containing
+        // the merged pair; every other word's pairs are untouched
+        val affected = occ.getOrElse(best, scala.collection.mutable.Set.empty)
+          .toArray
+        java.util.Arrays.sort(affected)
+        affected.foreach { j =>
+          val (oldSyms, c) = words(j)
+          val newSyms = mergePair(oldSyms, best)
+          words(j) = (newSyms, c)
+          val oldPairs = pairsOf(oldSyms).toArray
+          val newPairs = pairsOf(newSyms).toArray
+          oldPairs.foreach { p =>
+            bump(p, -c)
+            // occ is an index of word MEMBERSHIP; drop j only for pairs
+            // the word no longer contains at all
+          }
+          newPairs.foreach(bump(_, c))
+          val newSet = newPairs.toSet
+          oldPairs.iterator.filterNot(newSet).foreach { p =>
+            occ.get(p).foreach { s => s -= j; if (s.isEmpty) occ -= p }
+          }
+          newPairs.foreach { p =>
+            occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += j
+          }
+        }
+        it += 1
+      }
+    }
+    Model(ranks.toMap)
+  }
+
+  /** The reference O(merges x total-symbols) full-rescan trainer —
+    * kept as the oracle the incremental [[train]] is property-tested
+    * against (identical Model on any dictionary). */
+  private[graft] def trainNaive(wordCounts: Seq[(String, Long)],
+                                numMerges: Int): Model = {
     val words = wordCounts.iterator
       .filter(_._1.nonEmpty)
       .map { case (w, c) => (w.toCharArray.map(_.toString).toVector, c) }

@@ -103,6 +103,52 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("property: incremental trainer is identical to the naive rescan trainer") {
+    // the incremental trainer (pair-count deltas + lazy max-heap) must
+    // produce the EXACT merge table of the full-rescan reference —
+    // same pairs, same ranks, same tie-breaks — on arbitrary seeded
+    // dictionaries, including heavy-tie regimes (small alphabets,
+    // repeated runs like "aaaa" where overlap handling bites)
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = if (seed % 3 == 0) "ab" else "abcd" // dense ties 1/3 of runs
+      def word() = Seq.fill(1 + rnd.nextInt(14))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val dict = Seq.fill(1 + rnd.nextInt(30))((word(), 1L + rnd.nextInt(9)))
+      val budget = 1 + rnd.nextInt(60)
+      val inc = Bpe.train(dict, budget)
+      val ref = Bpe.trainNaive(dict, budget)
+      assert(inc.ranks === ref.ranks,
+        s"seed=$seed budget=$budget dict=$dict")
+    }
+    // degenerate shapes
+    assert(Bpe.train(Nil, 10).ranks === Bpe.trainNaive(Nil, 10).ranks)
+    assert(Bpe.train(Seq(("x", 5L)), 10).ranks
+      === Bpe.trainNaive(Seq(("x", 5L)), 10).ranks)
+    assert(Bpe.train(Seq(("aaaaaaa", 3L), ("aa", 9L)), 20).ranks
+      === Bpe.trainNaive(Seq(("aaaaaaa", 3L), ("aa", 9L)), 20).ranks)
+  }
+
+  test("incremental trainer handles a production-scale merge budget") {
+    // the corpus dict at test scale exhausts its pairs well before 2k
+    // merges; what this pins is that a big budget TERMINATES fast and
+    // agrees with the reference — the wall-time ratio vs naive is the
+    // PLANS.md timing row, not a test assertion (box-speed dependent)
+    val wc = Engine.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val big = Bpe.train(wc, 2000)
+    val ref = Bpe.trainNaive(wc, 2000)
+    assert(big.ranks === ref.ranks)
+    // and the 200-prefix is exactly the gated queries' model
+    assert(big.truncate(200).ranks === Bpe.modelFor(spark, sf).ranks)
+  }
+
   test("BpeCount participates in whole-stage codegen") {
     import spark.implicits._
     val m = Bpe.Model(Map(("a", "b") -> 0))
