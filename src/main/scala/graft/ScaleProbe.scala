@@ -29,11 +29,34 @@ object ScaleProbe {
     // optional arg 3: "sweep" measures a (tables, planes, radius) grid
     // with wall time per config instead of just the shipped config
     val sweep = args.lift(2).contains("sweep")
+    val ivfSweep = args.lift(2).contains("ivf")
     val spark = Engine.session("graft-recallprobe")
     def top3(df: DataFrame) = df.select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = top3(queries.LlmSim.bruteTopK(spark, sfDir, nQ))
     val n = Engine.table(spark, sfDir, "embeddings").count()
+    if (ivfSweep) {
+      // (nlist, nprobe) grid for the k-means IVF path, wall time per
+      // config; label-cell q_llm_ann_ivf timed alongside as the
+      // latency reference the r9 floor is allowed <= 2x of
+      queries.LlmSim.annIvfTopK(spark, sfDir, nQ, 8, 1).collect() // JIT warmup
+      val t1r = System.nanoTime()
+      SparkEntry.queries("q_llm_ann_ivf")(spark, sfDir).collect()
+      val refSec = (System.nanoTime() - t1r) / 1e9
+      val grid = Seq((8, 1), (8, 2), (16, 1), (16, 2), (16, 4),
+        (32, 1), (32, 2), (32, 4), (32, 8), (64, 4), (64, 8),
+        (64, 16), (128, 8), (128, 16))
+      val rows = grid.map { case (nl, np) =>
+        val t1 = System.nanoTime()
+        val got = top3(queries.LlmSim.annIvfTopK(spark, sfDir, nQ, nl, np))
+        val sec = (System.nanoTime() - t1) / 1e9
+        val rec = (got & brute).size.toDouble / brute.size
+        f"""{"nlist":$nl,"nprobe":$np,"recall_at_3":$rec%.4f,"sec":$sec%.2f}"""
+      }
+      println(f"""{"sfDir":"$sfDir","nQueries":$nQ,"corpus":$n,"label_ivf_ref_sec":$refSec%.3f,"ivf_sweep":[""" +
+        rows.mkString(",") + "]}")
+      return
+    }
     if (!sweep) {
       val mt = top3(queries.LlmSim.annLshMtTopK(spark, sfDir, nQ))
       println(f"""{"sfDir":"$sfDir","nQueries":$nQ,"corpus":$n,""" +

@@ -857,6 +857,70 @@ object LlmSim extends QueryModule {
       .select($"q_id", $"rank", $"vec_id", $"cos")
   }
 
+  /** Parametric IVF ANN: coarse cells from `iters` deterministic Lloyd
+    * iterations (seeded with the first `nlist` corpus vectors), each
+    * query probes its `nprobe` nearest cells, cosine rerank top-3.
+    * This is the (nlist, nprobe) sweep surface ScaleProbe's recall
+    * probe measures and OperatorSpec floors — the gated
+    * q_llm_ann_ivf/ivf2 keep the label-cell variant whose centroid
+    * build is exactly SQL-expressible for the DuckDB oracle. Scale
+    * shape: centroids broadcast (nlist x dims, KBs), assignment is
+    * per-row codegen dot products + one window per iteration; a
+    * production index builds the cell assignment ONCE and persists it
+    * bucketed by cell — the per-query cost here is nprobe cell scans,
+    * never the corpus.
+    *
+    * Shipped config 64 x 8 (the r9 sweep's dominant point: recall@3 =
+    * 0.90/0.91/0.94 at sf0.001/0.01/0.1 over 50 query vectors, at
+    * ~1x the label-IVF latency and a 12.5% cell-scan fraction; finer
+    * 128-cell grids LOSE recall at these corpus sizes — cells go
+    * degenerate — and nprobe=16 buys +0.02-0.05 recall for 2x the
+    * scan share; full grid in PLANS.md). Floor 0.80 =
+    * measured-minus-margin, gated in OperatorSpec over 50 vectors. */
+  private[graft] val IvfNlist = 64
+  private[graft] val IvfNprobe = 8
+  private[graft] def annIvfTopK(s: SparkSession, dir: String,
+                                nQueries: Int, nlist: Int = IvfNlist,
+                                nprobe: Int = IvfNprobe,
+                                iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val e = Engine.table(s, dir, "embeddings")
+      .select($"vec_id", V.toDouble($"embedding").as("v"))
+    def d2(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      V.dot(v, v) - lit(2.0) * V.dot(v, c) + V.dot(c, c)
+    var cent = e.filter($"vec_id" < nlist)
+      .select($"vec_id".cast("int").as("cid"), $"v".as("cv"))
+    for (_ <- 0 until iters) {
+      val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+      cent = e.crossJoin(broadcast(cent))
+        .withColumn("d2", d2($"v", $"cv"))
+        .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
+        .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cid", $"dim").agg(avg($"x").as("m"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+          s0 => s0.getField("m")).as("cv"))
+    }
+    val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+    val cells = e.crossJoin(broadcast(cent))
+      .withColumn("d2", d2($"v", $"cv"))
+      .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid")
+    val wP = Window.partitionBy($"q_id").orderBy($"d2", $"cid")
+    val probes = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", d2($"qv", $"cv"))
+      .withColumn("rn", row_number().over(wP)).filter($"rn" <= nprobe)
+      .select($"q_id", $"qv", $"cid")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    probes.join(cells, Seq("cid")).filter($"q_id" =!= $"vec_id")
+      .withColumn("cos", V.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
   /** Exact brute-force cosine top-3 over the first `nQueries` query
     * vectors — the recall denominator for the OperatorSpec ANN gate
     * (broadcast queries x one corpus scan, same shape as
