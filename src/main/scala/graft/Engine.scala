@@ -102,8 +102,9 @@ object Engine {
 
   def session(
       appName: String = "graft",
-      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
-    val spark = SparkSession.builder()
+      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val builder0 = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
@@ -122,7 +123,9 @@ object Engine {
       // locations instead.
       .config("spark.local.dir",
         new java.io.File(spillRoot, "local").getAbsolutePath)
-      .getOrCreate()
+    val spark = extraConfs.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
