@@ -44,9 +44,19 @@ import org.apache.spark.sql.types._
   *      [[readPruned]] drops files whose recorded range cannot
   *      intersect the query's BEFORE Spark ever lists them.
   *
+  *   7. SCHEMA EVOLUTION, additive ([[appendEvolve]]: new nullable
+  *      columns via parquet schema merge) and NON-ADDITIVE
+  *      ([[renameColumn]] / [[dropColumn]] / [[widenColumn]] /
+  *      [[addColumn]]): the non-additive ops are metadata-only commits
+  *      backed by a FIELD-ID MAPPING (`schema` log actions + per-add
+  *      write-schema epochs) — files written under any earlier schema
+  *      resolve by id on every batch read path, so a rename at 100 TB
+  *      rewrites nothing.
+  *
   * Deliberately out of scope (documented, not faked): multi-table
-  * transactions, and schema evolution beyond additive nullable columns
-  * (see [[appendEvolve]]).
+  * transactions, and streaming subscriptions over schema-MAPPED tables
+  * (the log subscribers refuse loudly; batch [[changes]] supports
+  * mapping).
   */
 object TxLog {
 
@@ -110,14 +120,37 @@ object TxLog {
     (sb.toString, j + 1)
   }
 
-  private def addLine(path: String, stats: Map[String, ColStats]): String =
-    if (stats.isEmpty) s"""{"op":"add","path":"${jesc(path)}"}"""
+  /** `ep` (write-schema index, -1 = pre-mapping) is emitted only by
+    * checkpoint/clone/restore lines of schema-MAPPED tables — folding a
+    * log loses the add's position relative to schema actions, so the
+    * index must ride the line explicitly there. It sits directly after
+    * the op so the parser can anchor on the literal line prefix (stats
+    * values are user data and could contain a fake `"ep":`). */
+  private def addLine(path: String, stats: Map[String, ColStats],
+                      ep: Int = Int.MinValue): String = {
+    val epPart = if (ep == Int.MinValue) "" else s""""ep":$ep,"""
+    if (stats.isEmpty) s"""{"op":"add",$epPart"path":"${jesc(path)}"}"""
     else {
       val body = stats.toSeq.sortBy(_._1).map { case (c, st) =>
         s""""${jesc(c)}":["${st.typ}","${jesc(st.lo)}","${jesc(st.hi)}"]"""
       }.mkString(",")
-      s"""{"op":"add","path":"${jesc(path)}","stats":{$body}}"""
+      s"""{"op":"add",$epPart"path":"${jesc(path)}","stats":{$body}}"""
     }
+  }
+
+  /** One field of a mapped logical schema: (stable field id, current
+    * name, DDL type string). Field IDS are the identity — names and
+    * types are per-version presentation, which is what makes
+    * rename/drop/widen safe across files written under older schemas
+    * (the published field-id-mapping idea behind every production
+    * format's non-additive evolution). */
+  private type Field = (Int, String, String)
+
+  private def schemaLine(fields: Seq[Field]): String =
+    s"""{"op":"schema","path":"","fields":[""" +
+      fields.map { case (i, n, t) =>
+        s"""[$i,"${jesc(n)}","${jesc(t)}"]"""
+      }.mkString(",") + "]}"
 
   private def dvLine(path: String, dv: String): String =
     s"""{"op":"dv","path":"${jesc(path)}","dv":"${jesc(dv)}"}"""
@@ -138,6 +171,16 @@ object TxLog {
       * restore commit re-emits the target version's dv lines. */
     val dvs = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     var evolved = false
+    /** Mapped-evolution schema history: every `schema` action's full
+      * field list, in order. Index 0 is always the BASELINE (the
+      * pre-mutation schema with ids first assigned); the last entry is
+      * the current logical schema. Empty = table never schema-mapped. */
+    val schemas = scala.collection.mutable.ArrayBuffer[Vector[(Int, String, String)]]()
+    /** data file rel path -> index into [[schemas]] of the schema the
+      * file was WRITTEN under (-1 = written before any mapping). */
+    val fileEpoch = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def mapped: Boolean = schemas.nonEmpty
+    def curFields: Vector[(Int, String, String)] = schemas.last
   }
 
   private def applyLines(lines: java.util.List[String], st: State): Unit =
@@ -172,10 +215,22 @@ object TxLog {
           }
           st.live += path -> stats
           st.dvs -= path // a (re-)added file starts mask-free
+          // write-schema index: explicit "ep" (checkpoint/clone/restore
+          // lines — anchored on the literal prefix, never user data),
+          // else the latest schema action seen so far
+          st.fileEpoch += path -> {
+            val epPrefix = "{\"op\":\"add\",\"ep\":"
+            if (l.startsWith(epPrefix)) {
+              var j = epPrefix.length
+              while (l.charAt(j) != ',') j += 1
+              l.substring(epPrefix.length, j).toInt
+            } else st.schemas.length - 1
+          }
         case "remove" =>
           val p = jstr(l, l.indexOf("\"path\":\"") + 7)._1
           st.live -= p
           st.dvs -= p // a rewrite materializes the file's deletes
+          st.fileEpoch -= p
         case "dv" =>
           val (p, _) = jstr(l, l.indexOf("\"path\":\"") + 7)
           val (d, _) = jstr(l, l.indexOf("\"dv\":\"") + 5)
@@ -195,6 +250,20 @@ object TxLog {
           val (pred, _) = jstr(l, l.indexOf("\"pred\":\"") + 7)
           st.checks += name -> pred
         case "evolve" => st.evolved = true
+        case "schema" =>
+          val fs = Vector.newBuilder[(Int, String, String)]
+          var i = l.indexOf("\"fields\":[") + "\"fields\":[".length
+          while (l.charAt(i) == '[') {
+            var j = i + 1
+            while (l.charAt(j) != ',') j += 1
+            val id = l.substring(i + 1, j).toInt
+            val (n, j1) = jstr(l, j + 1)
+            val (t, j2) = jstr(l, j1 + 1)
+            fs += ((id, n, t))
+            i = j2 + 1 // past ']'
+            if (i < l.length && l.charAt(i) == ',') i += 1
+          }
+          st.schemas += fs.result()
         case _        => ()
       }
     }
@@ -339,7 +408,62 @@ object TxLog {
     * so the join broadcasts under AQE; at any scale the mask costs
     * O(masked files + dv rows), never a table rewrite — the
     * merge-on-read contract. */
+  /** Mapped-schema projection: render `raw` (a scan of files written
+    * under `writeFields`) as the `target` logical schema, resolving
+    * columns BY FIELD ID — a renamed column aliases, a widened column
+    * casts, a dropped id is omitted, an id the file predates (or that a
+    * later drop+re-add gave a fresh id) null-fills. `keep` columns
+    * (__base/__pos/__src bookkeeping) pass through untouched. */
+  private def projectMapped(raw: DataFrame, writeFields: Seq[Field],
+                            target: Seq[Field],
+                            keep: Seq[String] = Nil): DataFrame = {
+    val physById = writeFields.map(f => f._1 -> f._2).toMap
+    val have = raw.columns.toSet
+    raw.select(target.map { case (id, n, t) =>
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+      physById.get(id).filter(have) match {
+        case Some(pn) => col(pn).cast(dt).as(n)
+        case None     => lit(null).cast(dt).as(n)
+      }
+    } ++ keep.map(col): _*)
+  }
+
+  /** Group `paths` by write-schema index and pair each group with its
+    * write-time field list. `st` owns the paths; `mapSt` (a later or
+    * equal state of the same table) owns the schema history — pre-
+    * mapping files (epoch -1, or any file of an unmapped `st`) resolve
+    * against the BASELINE (index 0), whose names ARE their physical
+    * names by construction. */
+  private def epochGroups(st: State, mapSt: State,
+                          paths: Seq[String]): Seq[(Vector[Field], Seq[String])] = {
+    val hist = if (st.mapped) st.schemas else mapSt.schemas
+    paths.groupBy(p =>
+        if (st.mapped) st.fileEpoch.getOrElse(p, -1) else -1)
+      .toSeq.sortBy(_._1)
+      .map { case (e, ps) => (if (e < 0) hist.head else hist(e), ps) }
+  }
+
+  /** Read a subset of a snapshot's live files under the current LOGICAL
+    * schema: DV masks apply ([[readFilesRaw]]), and on a schema-mapped
+    * table each write-schema epoch's files are read raw and projected
+    * by field id to `mapTo`'s (default: `st`'s) current field list —
+    * so files written before a rename/drop/widen read correctly under
+    * the new names and types. `forceSchema` only concerns the unmapped
+    * path (mapped output IS the snapshot schema by construction). */
   private def readFiles(spark: SparkSession, table: String, st: State,
+                        paths: Seq[String],
+                        forceSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                        mapTo: Option[State] = None): DataFrame = {
+    val mapSt = mapTo.getOrElse(st)
+    if (!mapSt.mapped)
+      readFilesRaw(spark, table, st, paths, forceSchema)
+    else epochGroups(st, mapSt, paths).map { case (fields, ps) =>
+      projectMapped(readFilesRaw(spark, table, st, ps, None),
+        fields, mapSt.curFields)
+    }.reduce(_ unionByName _)
+  }
+
+  private def readFilesRaw(spark: SparkSession, table: String, st: State,
                         paths: Seq[String],
                         forceSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
@@ -419,12 +543,21 @@ object TxLog {
   private def readWithMeta(spark: SparkSession, table: String,
                            st: State): DataFrame = {
     val paths = st.live.keysIterator.toSeq
-    val abs = paths.map(p => new File(table, p).getAbsolutePath)
-    val base = withSrcKey(spark, table, st,
+    def metaScan(ps: Seq[String]): DataFrame = withSrcKey(spark, table, st,
       (if (st.evolved) spark.read.option("mergeSchema", "true")
-       else spark.read).parquet(abs: _*)
+       else spark.read)
+        .parquet(ps.map(p => new File(table, p).getAbsolutePath): _*)
         .withColumn("__base", srcBaseCol)
         .withColumn("__pos", col("_metadata.row_index")))
+    // mapped tables: scan+project per write-schema epoch (the mapping
+    // must happen while _metadata is still in scope — metadata columns
+    // do not survive a select)
+    val base =
+      if (!st.mapped) metaScan(paths)
+      else epochGroups(st, st, paths).map { case (fields, ps) =>
+        projectMapped(metaScan(ps), fields, st.curFields,
+          keep = Seq("__src", "__base", "__pos"))
+      }.reduce(_ unionByName _)
     (if (st.dvs.isEmpty) base
      else base.join(
        dvRows(spark, table, st, paths.filter(st.dvs.contains)),
@@ -533,10 +666,15 @@ object TxLog {
     val cloneDir = new File(clone).toPath.toAbsolutePath
     val lines =
       (if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
+        // schema-mapping posture carries over: full history + per-add
+        // write epochs, so the clone resolves old-epoch files by id
+        st.schemas.toSeq.map(schemaLine) ++
         st.live.toSeq.flatMap { case (p, stats) =>
           def rel(x: String) = cloneDir.relativize(
             new File(source, x).toPath.toAbsolutePath).toString
-          addLine(rel(p), stats) +:
+          addLine(rel(p), stats,
+            ep = if (st.mapped) st.fileEpoch.getOrElse(p, -1)
+                 else Int.MinValue) +:
             st.dvs.getOrElse(p, Vector.empty).map(d => dvLine(rel(p), rel(d)))
         } ++
         // Seen-txn markers carry over: an idempotent sink or mirror
@@ -581,12 +719,26 @@ object TxLog {
         val tgtDvs = targetSt.dvs.getOrElse(p, Vector.empty)
         if (cur.contains(p) &&
           curSt.dvs.getOrElse(p, Vector.empty) == tgtDvs) Nil
-        else addLine(p, st) +: tgtDvs.map(dvLine(p, _))
+        else addLine(p, st,
+          ep = if (curSt.mapped) targetSt.fileEpoch.getOrElse(p, -1)
+               else Int.MinValue) +: tgtDvs.map(dvLine(p, _))
       }
+      // restore the target's LOGICAL SCHEMA too: a restore across a
+      // rename/drop/widen re-emits the target's field list (or the
+      // baseline, for a pre-mapping target) as a fresh schema epoch —
+      // carried and re-added files keep their original write epochs,
+      // so id resolution is unchanged
+      val schemaLines =
+        if (!curSt.mapped) Nil
+        else {
+          val restored =
+            if (targetSt.mapped) targetSt.curFields else curSt.schemas.head
+          if (restored == curSt.curFields) Nil else Seq(schemaLine(restored))
+        }
       val lines =
         cur.filterNot(tgt).toSeq.sorted
           .map(p => s"""{"op":"remove","path":"${jesc(p)}"}""") ++
-          addsAndDvs
+          schemaLines ++ addsAndDvs
       commitLines(table, base, lines)
     }
   }
@@ -653,6 +805,10 @@ object TxLog {
                    statsCols: Seq[String] = Nil): Int = {
     val v = version(table)
     if (v < 0) return append(spark, df, table, statsCols)
+    require(!stateAt(table, Some(v)).mapped,
+      "appendEvolve on a schema-MAPPED table: column additions must go " +
+        "through addColumn (so the new column gets a field id), then a " +
+        "plain append")
     val existing = read(spark, table).schema
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     val (oldShape, newShape) = (shape(existing), shape(df.schema))
@@ -669,6 +825,108 @@ object TxLog {
     val adds = evolveMark ++ addActions(spark, table, sub, subAbs, statsCols)
     retryCommit(table)(commitLines(table, _, adds))
   }
+
+  // ---------------------------------------------------------------------
+  // NON-ADDITIVE schema evolution: rename / drop / type-widen / add,
+  // backed by the field-id mapping ("schema" log actions + per-add
+  // write-schema epochs). Metadata-only commits: NO data file is ever
+  // rewritten by a schema change at any table size — old files keep
+  // their physical layout and every read path resolves them by id.
+  // A later COW rewrite (deleteWhere/merge/OPTIMIZE) materializes the
+  // current schema for the files it touches, exactly as it materializes
+  // deletion vectors.
+  // ---------------------------------------------------------------------
+
+  /** Current logical fields: the mapped field list, or (for a not-yet-
+    * mapped table) a baseline assigning ids 1..n to the current schema
+    * in order. */
+  private def currentFields(spark: SparkSession, table: String,
+                            st: State): Vector[Field] =
+    if (st.mapped) st.curFields
+    else read(spark, table).schema.fields.zipWithIndex.map {
+      case (f, i) => (i + 1, f.name, f.dataType.sql)
+    }.toVector
+
+  /** Commit a schema mutation: the first mutation also records the
+    * BASELINE schema (ids assigned to the pre-mutation columns) so
+    * existing files resolve; every mutation appends the full new field
+    * list as one metadata-only commit. */
+  private def schemaMutate(spark: SparkSession, table: String)
+                          (f: (Vector[Field], Int) => Vector[Field]): Int = {
+    require(version(table) >= 0, s"no table at $table")
+    retryCommit(table) { base =>
+      val st = replay(table, base)
+      val cur = currentFields(spark, table, st)
+      // fresh ids mint above every id EVER used (full schema history,
+      // not just the current fields): re-using a DROPPED field's id
+      // would resurrect its values out of old files
+      val mintId = (st.schemas.flatten.map(_._1) ++ cur.map(_._1)).max + 1
+      val next = f(cur, mintId)
+      require(next.nonEmpty, "schema mutation would drop every column")
+      val lines =
+        (if (st.mapped) Nil else Seq(schemaLine(cur))) :+ schemaLine(next)
+      commitLines(table, base, lines)
+    }
+  }
+
+  /** RENAME a column (metadata-only; old files read under the new name
+    * via their field id). CHECK constraints and recorded stats keep the
+    * old name: stats still prune (the read side translates the query
+    * column back to each file's write-time name), but a CHECK predicate
+    * naming the old column will fail loudly on the next write — re-add
+    * the constraint under the new name. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Int =
+    schemaMutate(spark, table) { (cur, _) =>
+      require(cur.exists(_._2 == from), s"renameColumn: no column '$from'")
+      require(!cur.exists(_._2 == to),
+        s"renameColumn: column '$to' already exists")
+      cur.map { case f @ (i, n, t) => if (n == from) (i, to, t) else f }
+    }
+
+  /** DROP a column (metadata-only). The data stays in old files but no
+    * read path surfaces it; re-adding the same NAME later mints a fresh
+    * field id, so old values never resurrect under it — the core
+    * field-id guarantee. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int =
+    schemaMutate(spark, table) { (cur, _) =>
+      require(cur.exists(_._2 == name), s"dropColumn: no column '$name'")
+      cur.filterNot(_._2 == name)
+    }
+
+  /** WIDEN a column's type (metadata-only; old files cast on read —
+    * every allowed widening is value-exact). Allowed: integral upcasts
+    * (byte/short/int toward long) and float->double. */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+                  to: DataType): Int =
+    schemaMutate(spark, table) { (cur, _) =>
+      val f = cur.find(_._2 == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"widenColumn: no column '$name'"))
+      val from = org.apache.spark.sql.types.DataType.fromDDL(f._3)
+      val ok = (from, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType)            => true
+        case (IntegerType, LongType)                        => true
+        case (FloatType, DoubleType)                        => true
+        case _                                              => false
+      }
+      require(ok, s"widenColumn: ${from.simpleString} -> " +
+        s"${to.simpleString} is not a lossless widening")
+      cur.map { case g @ (i, n, _) =>
+        if (n == name) (i, n, to.sql) else g }
+    }
+
+  /** ADD a column with a fresh field id (the mapped-table counterpart
+    * of [[appendEvolve]]): existing files null-fill it; subsequent
+    * appends must carry it. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+                to: DataType): Int =
+    schemaMutate(spark, table) { (cur, mintId) =>
+      require(!cur.exists(_._2 == name),
+        s"addColumn: column '$name' already exists")
+      cur :+ ((mintId, name, to.sql))
+    }
 
   private def addActions(spark: SparkSession, table: String, sub: String,
                          subAbs: String, statsCols: Seq[String]): Seq[String] = {
@@ -801,14 +1059,31 @@ object TxLog {
     * [[readPoint]] acts on, exposed for assertions. */
   def bloomKeptFiles(table: String, col0: String, value: Any): Seq[String] = {
     val h = h60OfString(String.valueOf(value))
-    filesWithStats(table).collect {
-      case (p, stats) if stats.get(s"bloom:$col0").forall { cs =>
-        val words = cs.bloomWords
-        val pos = bloomPositions(h, words.length.toLong * 64)
-        pos.forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
-      } => p
+    val st = stateAt(table, None)
+    st.live.toSeq.collect {
+      case (p, stats) if statKeyFor(st, p, col0)
+        .map(k => s"bloom:$k").flatMap(stats.get).forall { cs =>
+          val words = cs.bloomWords
+          val pos = bloomPositions(h, words.length.toLong * 64)
+          pos.forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
+        } => p
     }
   }
+
+  /** The stats-map key for query column `c` on file `p`: stats are
+    * recorded under the column's WRITE-TIME name, so on a mapped table
+    * the current name translates through the field id to the name the
+    * file's write schema used — data skipping survives renames. None =
+    * the file's write schema has no such field (conservatively kept:
+    * its rows are all-NULL there and the residual filter drops them).
+    */
+  private def statKeyFor(st: State, p: String, c: String): Option[String] =
+    if (!st.mapped) Some(c)
+    else st.curFields.find(_._2 == c).flatMap { case (id, _, _) =>
+      val e = st.fileEpoch.getOrElse(p, -1)
+      val fields = if (e < 0) st.schemas.head else st.schemas(e)
+      fields.find(_._1 == id).map(_._2)
+    }
 
   /** Optimistic-concurrency retry loop: re-read the latest version and
     * re-attempt the commit until it lands (bounded — 64 lost races in a
@@ -843,7 +1118,15 @@ object TxLog {
     if (v > 0 && v % CheckpointEvery == 0) {
       val st = replay(table, v)
       val body = ((if (st.evolved) Seq("""{"op":"evolve","path":""}""") else Nil) ++
-        st.live.toSeq.map { case (p, stats) => addLine(p, stats) } ++
+        // full schema history first (indices preserved), then adds with
+        // explicit write-schema epochs — folding loses line order
+        // relative to schema actions, so the epoch rides each add
+        st.schemas.toSeq.map(schemaLine) ++
+        st.live.toSeq.map { case (p, stats) =>
+          addLine(p, stats,
+            ep = if (st.mapped) st.fileEpoch.getOrElse(p, -1)
+                 else Int.MinValue)
+        } ++
         st.dvs.toSeq.flatMap { case (p, ds) => ds.map(dvLine(p, _)) } ++
         st.txns.toSeq.map(t => s"""{"op":"txn","path":"${jesc(t)}"}""") ++
         st.checks.toSeq.map { case (n0, p0) =>
@@ -874,9 +1157,11 @@ object TxLog {
       require(tLo == tHi, s"bound type mismatch on $c: $lo vs $hi")
       (c, tLo, sLo, sHi)
     }
-    val kept = filesWithStats(table).collect {
+    val stPr = stateAt(table, None)
+    val kept = stPr.live.toSeq.collect {
       case (p, stats) if enc.forall { case (c, t, lo, hi) =>
-        stats.get(c).forall(_.overlaps(t, lo, hi))
+        statKeyFor(stPr, p, c).flatMap(stats.get)
+          .forall(_.overlaps(t, lo, hi))
       } => p
     }
     val residual = bounds.map { case (c, lo, hi) =>
@@ -895,7 +1180,10 @@ object TxLog {
   private def emptyLike(spark: SparkSession, table: String): DataFrame = {
     val st = stateAt(table, None)
     val schema =
-      if (st.evolved) read(spark, table).schema // rare: needs the merge
+      if (st.mapped) StructType(st.curFields.map { case (_, n, t) =>
+        StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t))
+      })
+      else if (st.evolved) read(spark, table).schema // rare: needs the merge
       else spark.read.parquet(
         new File(table, st.live.keysIterator.next()).getAbsolutePath).schema
     spark.createDataFrame(
@@ -1129,10 +1417,14 @@ object TxLog {
     def empty0 =
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     // each side reads under ITS OWN version's DV masks: a row both
-    // inserted and dv-deleted inside the range nets out to no change
+    // inserted and dv-deleted inside the range nets out to no change.
+    // mapTo = the toV state: across a schema mutation both sides render
+    // under toV's field list (ids bridge the rename/widen), so the feed
+    // stays well-typed and union-compatible
     def rd(st: State, ps: Seq[String]): DataFrame =
       if (ps.isEmpty) empty0
-      else readFiles(spark, table, st, ps, forceSchema = Some(schema))
+      else readFiles(spark, table, st, ps, forceSchema = Some(schema),
+        mapTo = Some(stA))
     val added = rd(stA, (after -- before).toSeq)
     val removed = rd(stB, (before -- after).toSeq)
     // DV delta on carried files: a position masked at toV but not at
@@ -1155,10 +1447,23 @@ object TxLog {
           .select(expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
             col("pos").as("__pos"))
           .filter(col("__base").isin(files0.map(baseName): _*))
-        spark.read.schema(schema).parquet(
-            files0.map(p => new File(table, p).getAbsolutePath): _*)
-          .withColumn("__base", srcBaseCol)
-          .withColumn("__pos", col("_metadata.row_index"))
+        // mapped tables: semi-join against the dv rows on the RAW scan
+        // (where _metadata is still in scope), then project each write
+        // epoch to toV's field list by id
+        def scanPos(ps: Seq[String]): DataFrame =
+          if (!stA.mapped) spark.read.schema(schema).parquet(
+              ps.map(p => new File(table, p).getAbsolutePath): _*)
+            .withColumn("__base", srcBaseCol)
+            .withColumn("__pos", col("_metadata.row_index"))
+          else epochGroups(stA, stA, ps).map { case (fields, g) =>
+            projectMapped(
+              spark.read.parquet(
+                  g.map(p => new File(table, p).getAbsolutePath): _*)
+                .withColumn("__base", srcBaseCol)
+                .withColumn("__pos", col("_metadata.row_index")),
+              fields, stA.curFields, keep = Seq("__base", "__pos"))
+          }.reduce(_ unionByName _)
+        scanPos(files0)
           .join(dv, Seq("__base", "__pos"), "left_semi")
           .drop("__base", "__pos")
       }
@@ -1329,6 +1634,17 @@ object TxLog {
                        (perCommit: (Seq[String], Seq[String], Seq[(String, String)], Int) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(version(table) >= 0, s"stream source: no commits yet in $table")
+    // Streaming subscribers fix their payload schema at start; a
+    // schema-MAPPED table's files need per-epoch id resolution the
+    // fixed-schema scan below cannot do — a forced scan would silently
+    // null-fill every renamed column. Refuse loudly (batch `changes`
+    // fully supports mapped tables); a schema action arriving
+    // MID-stream throws from the commit handler below for the same
+    // reason.
+    require(!stateAt(table, None).mapped,
+      s"streaming over schema-mapped table $table is not supported: " +
+        "its files need per-epoch field-id resolution; use the batch " +
+        "changes() feed, or subscribe before the first schema mutation")
     spark.readStream
       .option("maxFilesPerTrigger", commitsPerTrigger)
       .text(new File(logDir(table), "*.json").getAbsolutePath) // commits only, never checkpoints
@@ -1344,6 +1660,12 @@ object TxLog {
           .foreach { case (v, ls) =>
             val lines0 = ls.map(_.getString(0)).filter(_.trim.nonEmpty)
             val ops = lines0.map(opPath)
+            if (ops.exists(_._1 == "schema"))
+              throw new IllegalStateException(
+                s"commit $v of $table mutates the schema (rename/drop/" +
+                  "widen/add): this stream's payload schema is fixed at " +
+                  "start and cannot resolve post-mutation files — " +
+                  "restart the subscription against the new schema")
             val dvs = lines0.filter(_.contains("\"op\":\"dv\"")).map { l =>
               (jstr(l, l.indexOf("\"path\":\"") + 7)._1,
                 jstr(l, l.indexOf("\"dv\":\"") + 5)._1)

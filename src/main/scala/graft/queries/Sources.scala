@@ -613,6 +613,71 @@ object Sources extends QueryModule {
             (SELECT CAST(floor(max(s_suppkey) / 2) AS BIGINT) FROM supplier))
           AND s_suppkey % 31 <> 0 AND s_suppkey BETWEEN 3 AND 60""")),
 
+    // NON-ADDITIVE SCHEMA EVOLUTION via field-id mapping: rename the
+    // key, widen an int to long, drop a column and re-add its NAME
+    // (fresh id — old values must NOT resurrect), then append under the
+    // new schema. Every mutation is a metadata-only commit (no data
+    // rewrite at any table size); pre-mutation files resolve by id on
+    // read, time travel renders each version under its own schema, and
+    // data skipping survives the rename (the pruned part translates
+    // the current name back to each file's write-time stats key). The
+    // oracle reconstructs all three parts relationally from supplier.
+    "q_src_txlog_schema_map" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val table = tempFor("txschema", dir)
+        val src = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey".cast("int").as("nation"),
+            $"s_acctbal")
+        val maxKey = src.agg(max($"s_suppkey")).first().getLong(0) // scalar
+        val half = maxKey / 2
+        if (TxLog.version(table) < 0) {
+          TxLog.append(s, src.repartitionByRange(4, $"s_suppkey"), table,
+            statsCols = Seq("s_suppkey"))                          // v0
+          TxLog.renameColumn(s, table, "s_suppkey", "supp_id")     // v1
+          TxLog.widenColumn(s, table, "nation", LongType)          // v2
+          TxLog.dropColumn(s, table, "s_acctbal")                  // v3
+          TxLog.addColumn(s, table, "s_acctbal", DoubleType)       // v4
+          TxLog.append(s, s.range(1, 11).select(
+            ($"id" + maxKey).as("supp_id"),
+            ($"id" % 5).cast("long").as("nation"),
+            ($"id" * 10.0).as("s_acctbal")).repartition(1), table) // v5
+        }
+        def agg0(df: org.apache.spark.sql.DataFrame, part: String) = df
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum($"nation"), lit(0L)).cast("long").as("sum_nation"),
+            count($"s_acctbal").as("cnt_bal"),
+            coalesce(sum(floor($"s_acctbal" * 100.0 + 0.5).cast("long")),
+              lit(0L)).as("sum_cents"))
+          .select(lit(part).as("part"), $"n", $"sum_nation", $"cnt_bal",
+            $"sum_cents")
+        agg0(TxLog.read(s, table), "snapshot")
+          .unionByName(agg0(
+            TxLog.readPruned(s, table, "supp_id", 3L, half), "pruned"))
+          .unionByName(agg0(TxLog.read(s, table, Some(0)), "time_travel"))
+      },
+      oracle = Some("""
+        WITH nn AS (SELECT s_suppkey,
+            CAST(CAST(s_nationkey AS INTEGER) AS BIGINT) AS nat, s_acctbal
+          FROM supplier)
+        SELECT 'snapshot' AS part,
+          (SELECT count(*) FROM nn) + 10 AS n,
+          (SELECT CAST(sum(nat) AS BIGINT) FROM nn) + 20 AS sum_nation,
+          CAST(10 AS BIGINT) AS cnt_bal,
+          CAST(55000 AS BIGINT) AS sum_cents
+        UNION ALL
+        SELECT 'pruned', count(*), CAST(sum(nat) AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM nn
+        WHERE s_suppkey BETWEEN 3 AND
+          (SELECT CAST(floor(max(s_suppkey) / 2) AS BIGINT) FROM supplier)
+        UNION ALL
+        SELECT 'time_travel', count(*), CAST(sum(nat) AS BIGINT), count(*),
+          CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        FROM nn""")),
+
     // FILE-GRANULAR MERGE through the transaction log: re-price every
     // 7th supplier and insert 20 fresh rows in ONE TxLog.merge — only
     // the files containing a matched key are rewritten (left-semi file

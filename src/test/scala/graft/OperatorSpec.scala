@@ -607,6 +607,154 @@ class OperatorSpec extends AnyFunSuite {
       s"got $origScans")
   }
 
+  test("TxLog mapped schema evolution: rename/widen/drop/add by field id") {
+    import graft.operators.TxLog
+    import org.apache.spark.sql.types.{LongType, IntegerType}
+    import spark.implicits._
+    val table = Engine.scratchDir("txlog_schema_map")
+    val a = Seq((1L, 1, 1.5), (2L, 2, 2.5)).toDF("k", "n", "q")
+      .repartition(1)
+    TxLog.append(spark, a, table, statsCols = Seq("k")) // v0
+
+    // RENAME is metadata-only: same files, new logical name, old file's
+    // values visible under it
+    val filesBefore = TxLog.files(table).toSet
+    TxLog.renameColumn(spark, table, "q", "qty") // v1
+    assert(TxLog.files(table).toSet === filesBefore, "rename rewrote data")
+    val r1 = TxLog.read(spark, table)
+    assert(r1.columns.toSeq === Seq("k", "n", "qty"))
+    assert(r1.where($"qty" === 2.5).count() === 1)
+
+    // WIDEN int -> long: values exact, type changed, still no rewrite
+    TxLog.widenColumn(spark, table, "n", LongType) // v2
+    val r2 = TxLog.read(spark, table)
+    assert(r2.schema("n").dataType === LongType)
+    assert(r2.select(sum($"n")).first().getLong(0) === 3L)
+    assert(TxLog.files(table).toSet === filesBefore)
+    // narrowing / non-lossless retype is refused
+    intercept[IllegalArgumentException] {
+      TxLog.widenColumn(spark, table, "k", IntegerType)
+    }
+
+    // append under the NEW schema works; the OLD shape is now schema
+    // drift and is rejected (write-path enforcement)
+    TxLog.append(spark,
+      Seq((3L, 3L, 3.5)).toDF("k", "n", "qty").repartition(1), table) // v3
+    assert(TxLog.read(spark, table).count() === 3)
+    intercept[IllegalArgumentException] { TxLog.append(spark, a, table) }
+    // additive evolution must go through addColumn on a mapped table
+    intercept[IllegalArgumentException] {
+      TxLog.appendEvolve(spark,
+        Seq((9L, 9L, 9.0, "x")).toDF("k", "n", "qty", "extra"), table)
+    }
+
+    // DROP then re-ADD the same name: fresh field id, so the dropped
+    // column's old values must NOT resurrect — the core field-id test
+    TxLog.dropColumn(spark, table, "n") // v4
+    assert(TxLog.read(spark, table).columns.toSeq === Seq("k", "qty"))
+    TxLog.addColumn(spark, table, "n", LongType) // v5
+    val r5 = TxLog.read(spark, table)
+    assert(r5.columns.toSeq === Seq("k", "qty", "n"))
+    assert(r5.where($"n".isNotNull).count() === 0,
+      "dropped column's values resurrected under a re-added name")
+    TxLog.append(spark,
+      Seq((4L, 4.5, 44L)).toDF("k", "qty", "n").repartition(1), table) // v6
+    val r6 = TxLog.read(spark, table)
+    assert(r6.where($"n" === 44L).count() === 1)
+    assert(r6.where($"n".isNull).count() === 3)
+
+    // drop the column holding the HIGHEST field id, then re-add the
+    // name: the fresh id must mint above every id EVER used — minting
+    // above only the current ids would re-use the dropped id and
+    // resurrect 44L out of the old file (caught live by the gated
+    // query's oracle; pinned here)
+    TxLog.dropColumn(spark, table, "n") // v7
+    TxLog.addColumn(spark, table, "n", LongType) // v8
+    assert(TxLog.read(spark, table).where($"n".isNotNull).count() === 0,
+      "max-id drop + re-add resurrected the dropped column's values")
+    TxLog.append(spark,
+      Seq((5L, 5.5, 77L)).toDF("k", "qty", "n").repartition(1), table) // v9
+    assert(TxLog.read(spark, table).where($"n" === 77L).count() === 1)
+    assert(TxLog.read(spark, table).where($"n" === 44L).count() === 0)
+
+    // TIME TRAVEL renders each version under ITS OWN schema
+    assert(TxLog.read(spark, table, Some(0)).columns.toSeq
+      === Seq("k", "n", "q"))
+    assert(TxLog.read(spark, table, Some(4)).columns.toSeq
+      === Seq("k", "qty"))
+
+    // RESTORE to the pre-rename version restores the old logical schema
+    // as a new commit (history intact)
+    TxLog.restore(table, 0)
+    assert(TxLog.read(spark, table).columns.toSeq === Seq("k", "n", "q"))
+    assert(TxLog.read(spark, table).count() === 2)
+  }
+
+  test("TxLog mapped schema: pruning, COW/MOR, changes, clone, checkpoint") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txlog_schema_map2")
+    // two files with disjoint k ranges + bloom stats, recorded under
+    // the ORIGINAL name
+    val lo = spark.range(0, 5).select($"id".as("k"),
+      ($"id" * 10).cast("double").as("v")).repartition(1)
+    val hi = spark.range(100, 105).select($"id".as("k"),
+      ($"id" * 10).cast("double").as("v")).repartition(1)
+    TxLog.append(spark, lo, table, statsCols = Seq("k", "bloom:k")) // v0
+    TxLog.append(spark, hi, table, statsCols = Seq("k", "bloom:k")) // v1
+    TxLog.renameColumn(spark, table, "k", "id") // v2
+
+    // data skipping survives the rename: the query column translates
+    // back to each file's write-time stats key
+    assert(TxLog.bloomKeptFiles(table, "id", 101L).size === 1,
+      "bloom skipping lost after rename")
+    assert(TxLog.readPruned(spark, table, "id", 100L, 104L).count() === 5)
+    assert(TxLog.readPruned(spark, table, "id", 500L, 600L).count() === 0)
+    assert(TxLog.readPoint(spark, table, "id", 3L).count() === 1)
+
+    // COW delete under the new name rewrites only the affected file;
+    // the rewrite materializes the current schema for that file
+    val before = TxLog.files(table).toSet
+    TxLog.deleteWhere(spark, table, $"id" === 102L) // v3
+    val after = TxLog.files(table).toSet
+    assert((before -- after).size === 1, "COW rewrote more than one file")
+    assert(TxLog.read(spark, table).count() === 9)
+    // MOR delete under the new name; masks apply on the mapped read
+    TxLog.deleteWhereMor(spark, table, $"id" === 1L) // v4
+    assert(TxLog.read(spark, table).where($"id" === 1L).count() === 0)
+    assert(TxLog.read(spark, table).count() === 8)
+
+    // CDC across the schema change: both sides render under toV's
+    // field list (ids bridge the rename)
+    val feed = TxLog.changes(spark, table, 1, 4)
+    assert(feed.columns.toSet === Set("id", "v", "_change"))
+    val deleted = feed.filter($"_change" === "delete")
+      .select($"id").as[Long].collect().sorted
+    assert(deleted.toSeq === Seq(1L, 102L))
+
+    // SHALLOW CLONE carries the mapping (schema history + epochs)
+    val clone = Engine.scratchDir("txlog_schema_map2_clone")
+    TxLog.cloneShallow(table, clone)
+    assert(TxLog.read(spark, clone).columns.toSeq === Seq("id", "v"))
+    assert(TxLog.read(spark, clone).count() === 8)
+
+    // CHECKPOINT fold preserves the mapping and per-file write epochs
+    val tiny = Seq((9000L, 0.0)).toDF("id", "v").repartition(1)
+    (1 to 16).foreach(_ => TxLog.append(spark, tiny, table))
+    assert(TxLog.version(table) >= 16, "expected a checkpointed version")
+    val r = TxLog.read(spark, table)
+    assert(r.columns.toSeq === Seq("id", "v"))
+    assert(r.count() === 24)
+    assert(r.where($"id" === 4L).select(sum($"v")).first().getDouble(0)
+      === 40.0, "pre-mapping file misread after checkpoint fold")
+
+    // streaming subscribers refuse mapped tables loudly
+    intercept[IllegalArgumentException] {
+      TxLog.streamChanges(spark, table,
+        Engine.scratchDir("txmap_ck")) { (_, _) => () }
+    }
+  }
+
   test("TxLog: optimistic concurrency, time travel, file-granular COW") {
     import graft.operators.TxLog
     import spark.implicits._
