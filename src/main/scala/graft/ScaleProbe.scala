@@ -343,6 +343,16 @@ object ScaleProbe {
             concat($"text", lit(" grafthotx grafthoty"))))
         .write.format("noop").mode("overwrite").save()
 
+    // The θ=0.7 prefix-filtered jaccard join (q_llm_dedup_jaccard_pf's
+    // exact plan) under the same two corpus-wide hot tokens — the
+    // second member of the prefix-filter family whose skew curve the
+    // 100 TB story leans on.
+    def jaccardPfHot(d0: DataFrame): Unit =
+      queries.LlmText.jaccardPf(spark,
+          d0.withColumn("text",
+            concat($"text", lit(" grafthotx grafthoty"))))
+        .write.format("noop").mode("overwrite").save()
+
     // Log-backed-table maintenance shape (r6): the two reads that must
     // stay DELTA-proportional as the table grows — a stats-pruned
     // key-range read (the kept file count is constant: same range, same
@@ -408,6 +418,7 @@ object ScaleProbe {
       "q21_fast_shape" -> (() => q21fast(li1, orders1)),
       "pair_join_pinned_shape" -> (() => pairJoin(docs1)),
       "sweep_prefix_hot_shape" -> (() => sweepHot(docs1)),
+      "jaccard_pf_hot_shape" -> (() => jaccardPfHot(docs1)),
       "txlog_delta_shape" -> (() => txProbe(tx1)),
       "txlog_bloom_point_shape" -> (() => bloomProbe(txb1)),
       "skew_join_aqe_shape" -> (() => skewAqe(li1, orders1)),
@@ -424,6 +435,8 @@ object ScaleProbe {
         pairJoin(if (l eq li1) docs1 else docsN)),
       "sweep_prefix_hot_shape" -> ((l, _) =>
         sweepHot(if (l eq li1) docs1 else docsN)),
+      "jaccard_pf_hot_shape" -> ((l, _) =>
+        jaccardPfHot(if (l eq li1) docs1 else docsN)),
       "txlog_delta_shape" -> ((l, _) =>
         txProbe(if (l eq li1) tx1 else txN)),
       "txlog_bloom_point_shape" -> ((l, _) =>

@@ -62,6 +62,65 @@ object LlmText extends QueryModule {
         d("source")))
   }
 
+  /** The q_llm_dedup_jaccard_pf pipeline over an arbitrary (doc_id,
+    * source, text) corpus — r8: the sweep rewrite's cuts applied at
+    * θ=0.7. Tokens as xxhash64(token, source) (8-byte posting keys,
+    * same-source in key equality), θ-size filter and the AllPairs
+    * positional filter (a pair survives only via a match with
+    * min(na−pa, nb−pb)+1 >= α = ceil(7(na+nb)/17); the witness token of
+    * the shortened-prefix lemma always passes) inside the join
+    * condition. See q_llm_threshold_sweep for the lemma. Factored out
+    * so ScaleProbe can drive the identical plan at 8x/64x corpus. */
+  private[graft] def jaccardPf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sets = docs
+      .select($"doc_id", $"source",
+        array_distinct(transform(split($"text", " "),
+          t => xxhash64(t, $"source"))).as("hs"))
+      .withColumn("nw", size($"hs"))
+    val tok = sets.select($"doc_id", $"nw", explode($"hs").as("wh"))
+    val dfreq = tok.groupBy($"wh").agg(count(lit(1)).as("df"))
+    // Per-doc prefix = the (nw - ceil(0.7*nw) + 1) rarest tokens in
+    // (df, hash) order with their rarity rank, selected by regrouping
+    // each doc's (df, hash) structs and slicing the sorted array — a
+    // per-row sort of one doc's bounded token set. (The earlier
+    // row_number() window sorted the WHOLE exploded posting list per
+    // partition: correct, but the SortExec made this query the
+    // driver-run variance outlier — 2.5x its local cost while every
+    // other query tracked ~1.3x.)
+    val prefix = tok.join(dfreq, Seq("wh"))
+      .groupBy($"doc_id", $"nw")
+      .agg(collect_list(struct($"df", $"wh")).as("tw"))
+      .withColumn("plen",
+        ($"nw" - expr("(nw * 7 + 9) div 10") + 1).cast("int"))
+      .select($"doc_id", $"nw",
+        posexplode(slice(array_sort($"tw"), lit(1), $"plen")))
+      .select($"doc_id", $"nw", $"col.wh".as("wh"),
+        ($"pos" + 1).as("rk"))
+    // CPU-dense, byte-light stages (see q_llm_containment): pin the
+    // prefix self-join to cluster parallelism with a user-numbered
+    // repartition on the join key so AQE's byte-based coalescing can't
+    // shrink it to 1-5 tasks.
+    val par = s.sparkContext.defaultParallelism * 2
+    val prefixR = prefix.repartition(par, $"wh")
+    val cand = prefixR.as("a").join(prefixR.as("b"),
+      $"a.wh" === $"b.wh" && $"a.doc_id" < $"b.doc_id"
+        && $"b.nw" * 10L >= $"a.nw" * 7L
+        && $"a.nw" * 10L >= $"b.nw" * 7L
+        && (least($"a.nw" - $"a.rk", $"b.nw" - $"b.rk") + 1) * 17L
+             >= ($"a.nw" + $"b.nw") * 7L)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
+      .join(sets.as("db"), $"doc_b" === $"db.doc_id"
+        && $"da.source" === $"db.source")
+      .withColumn("inter", size(array_intersect($"da.hs", $"db.hs")))
+      .withColumn("jaccard", $"inter".cast("double")
+        / ($"da.nw" + $"db.nw" - $"inter"))
+      .filter($"jaccard" >= 0.7)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
   private val nearDupSql =
     """base AS (
       SELECT doc_id, text, source FROM documents
@@ -1225,62 +1284,7 @@ object LlmText extends QueryModule {
     // vocab the df-skew is mild — the operator, not the demo, is the
     // deliverable.)
     "q_llm_dedup_jaccard_pf" -> QueryDef(
-      fn = (s, dir) => {
-        import s.implicits._
-        // r8: the sweep rewrite's cuts applied at θ=0.7 — tokens as
-        // xxhash64(token, source) (8-byte posting keys, same-source in
-        // key equality), θ-size filter and the AllPairs positional
-        // filter (a pair survives only via a match with
-        // min(na−pa, nb−pb)+1 >= α = ceil(7(na+nb)/17); the witness
-        // token of the shortened-prefix lemma always passes) inside the
-        // join condition. See q_llm_threshold_sweep for the lemma.
-        val sets = withNearDups(s, dir)
-          .select($"doc_id", $"source",
-            array_distinct(transform(split($"text", " "),
-              t => xxhash64(t, $"source"))).as("hs"))
-          .withColumn("nw", size($"hs"))
-        val tok = sets.select($"doc_id", $"nw", explode($"hs").as("wh"))
-        val dfreq = tok.groupBy($"wh").agg(count(lit(1)).as("df"))
-        // Per-doc prefix = the (nw - ceil(0.7*nw) + 1) rarest tokens in
-        // (df, hash) order with their rarity rank, selected by
-        // regrouping each doc's (df, hash) structs and slicing the
-        // sorted array — a per-row sort of one doc's bounded token set.
-        // (The earlier row_number() window sorted the WHOLE exploded
-        // posting list per partition: correct, but the SortExec made
-        // this query the driver-run variance outlier — 2.5x its local
-        // cost while every other query tracked ~1.3x.)
-        val prefix = tok.join(dfreq, Seq("wh"))
-          .groupBy($"doc_id", $"nw")
-          .agg(collect_list(struct($"df", $"wh")).as("tw"))
-          .withColumn("plen",
-            ($"nw" - expr("(nw * 7 + 9) div 10") + 1).cast("int"))
-          .select($"doc_id", $"nw",
-            posexplode(slice(array_sort($"tw"), lit(1), $"plen")))
-          .select($"doc_id", $"nw", $"col.wh".as("wh"),
-            ($"pos" + 1).as("rk"))
-        // CPU-dense, byte-light stages (see q_llm_containment): pin the
-        // prefix self-join to cluster parallelism with a user-numbered
-        // repartition on the join key so AQE's byte-based coalescing
-        // can't shrink it to 1-5 tasks.
-        val par = s.sparkContext.defaultParallelism * 2
-        val prefixR = prefix.repartition(par, $"wh")
-        val cand = prefixR.as("a").join(prefixR.as("b"),
-          $"a.wh" === $"b.wh" && $"a.doc_id" < $"b.doc_id"
-            && $"b.nw" * 10L >= $"a.nw" * 7L
-            && $"a.nw" * 10L >= $"b.nw" * 7L
-            && (least($"a.nw" - $"a.rk", $"b.nw" - $"b.rk") + 1) * 17L
-                 >= ($"a.nw" + $"b.nw") * 7L)
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .distinct()
-        cand.join(sets.as("da"), $"doc_a" === $"da.doc_id")
-          .join(sets.as("db"), $"doc_b" === $"db.doc_id"
-            && $"da.source" === $"db.source")
-          .withColumn("inter", size(array_intersect($"da.hs", $"db.hs")))
-          .withColumn("jaccard", $"inter".cast("double")
-            / ($"da.nw" + $"db.nw" - $"inter"))
-          .filter($"jaccard" >= 0.7)
-          .select($"doc_a", $"doc_b", $"jaccard")
-      },
+      fn = (s, dir) => jaccardPf(s, withNearDups(s, dir)),
       // lossless optimization -> the oracle IS the plain jaccard join
       oracle = Some(s"""
         WITH $nearDupSql,
