@@ -454,8 +454,12 @@ object ScaleProbe {
     }
     // introspection: did AQE actually split the hot partition at 8x?
     // (interpretability guard — a "mitigated" timing without the split
-    // marker would be measuring the unmitigated plan)
-    val skewSplit = noBroadcast {
+    // marker would be measuring the unmitigated plan). Gated on the
+    // skew shape being probed: running it unconditionally would drag
+    // the full Nx skew join into every shape-filtered run (ruinous at
+    // 64x).
+    val skewProbed = onlyShapes.isEmpty || onlyShapes("skew_join_aqe_shape")
+    val skewSplit = skewProbed && noBroadcast {
       val confs = Seq(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
@@ -473,7 +477,9 @@ object ScaleProbe {
         q.queryExecution.executedPlan.toString.contains("skew=true")
       } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
     }
-    println(s"""{"rows_1x":$rows1,"scale":$n,"aqe_skew_split":$skewSplit,${report.mkString(",")}}""")
+    println(s"""{"rows_1x":$rows1,"scale":$n,""" +
+      (if (skewProbed) s""""aqe_skew_split":$skewSplit,""" else "") +
+      report.mkString(",") + "}")
     spark.stop()
   }
 }
