@@ -32,17 +32,25 @@ object Bfs {
     val par = edges.sparkSession.sparkContext.defaultParallelism
     val e = edges.select(col("src"), col("dst"))
       .repartition(par * 2, col("src")).localCheckpoint()
+    // LAZY checkpoints + count(): one action per round both
+    // materializes the frontier's cache AND measures it, where the
+    // eager checkpoint + isEmpty pair submitted two jobs per round —
+    // at 8 rounds x (warmup + 3 timed runs) the per-round job-submit
+    // overhead was a measured 23% scheduler-delay share of a
+    // scheduling-bound query (bench_stages r9).
     var dist = sources.select(col("node")).distinct()
-      .withColumn("d", lit(0)).localCheckpoint()
+      .withColumn("d", lit(0)).localCheckpoint(false)
     var frontier = dist
+    var frontierRows = dist.count() // materializes the lazy checkpoint
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierRows > 0L) {
       hop += 1
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("d", lit(hop))
-        .localCheckpoint()
+        .localCheckpoint(false)
+      frontierRows = next.count() // one job: materialize + measure
       // `dist` stays a plain union of the checkpointed rounds: the
       // union is metadata-only over materialized blocks, so each node's
       // row is cached exactly once across the whole run (one
