@@ -672,7 +672,14 @@ object TxLog {
         st.live.toSeq.flatMap { case (p, stats) =>
           def rel(x: String) = cloneDir.relativize(
             new File(source, x).toPath.toAbsolutePath).toString
-          addLine(rel(p), stats,
+          // bloom sidecar paths are table-relative: re-anchor them to
+          // the clone like the data paths, or the clone's point
+          // lookups would read a non-existent sidecar
+          val stats2 = stats.map {
+            case (k, cs) if cs.typ == "BS" => k -> cs.copy(lo = rel(cs.lo))
+            case kv                        => kv
+          }
+          addLine(rel(p), stats2,
             ep = if (st.mapped) st.fileEpoch.getOrElse(p, -1)
                  else Int.MinValue) +:
             st.dvs.getOrElse(p, Vector.empty).map(d => dvLine(rel(p), rel(d)))
@@ -992,9 +999,25 @@ object TxLog {
           .map { r =>
             val words = new Array[Long]((r.getLong(1) / 64).toInt)
             r.getSeq[Int](2).foreach(b => words(b >> 6) |= 1L << (b & 63))
-            val hex = words.map(w => f"$w%016x").mkString
-            new File(new java.net.URI(r.getString(0))).getName ->
-              (s"bloom:$c" -> ColStats("B", hex, ""))
+            val name = new File(new java.net.URI(r.getString(0))).getName
+            // big filters leave the log: above the threshold the words
+            // go to a binary SIDECAR next to the data files (the log
+            // line carries only its relative path) — inline hex on a
+            // 1e9-NDV file would put ~1 MiB into EVERY add line and
+            // checkpoint; the sidecar keeps log lines O(path) at any
+            // NDV while the read side lazy-loads + memoizes the words
+            val stat =
+              if (words.length * 64L >= BloomSidecarMinBits) {
+                val fn = s"$sub/bloom-" +
+                  s"${name.stripSuffix(".parquet")}-" +
+                  s"${c.replaceAll("[^A-Za-z0-9_]", "_")}.bin"
+                val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+                bb.asLongBuffer().put(words)
+                Files.write(new File(table, fn).toPath, bb.array())
+                ColStats("BS", fn, "")
+              } else
+                ColStats("B", words.map(w => f"$w%016x").mkString, "")
+            name -> (s"bloom:$c" -> stat)
           }.toMap
       }.foldLeft(Map.empty[String, Map[String, ColStats]]) { (acc, m) =>
         m.foldLeft(acc) { case (a, (f, kv)) =>
@@ -1063,12 +1086,36 @@ object TxLog {
     st.live.toSeq.collect {
       case (p, stats) if statKeyFor(st, p, col0)
         .map(k => s"bloom:$k").flatMap(stats.get).forall { cs =>
-          val words = cs.bloomWords
+          val words = bloomWordsOf(table, cs)
           val pos = bloomPositions(h, words.length.toLong * 64)
           pos.forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
         } => p
     }
   }
+
+  /** Inline blooms above this bit count move to a binary sidecar file
+    * (64 KiB of filter = ~52k NDV at 10 bits/key); below it the hex
+    * stays in the add line (cheap, rides checkpoints verbatim). */
+  private val BloomSidecarMinBits = 1L << 19
+
+  // Sidecar word cache: sidecars live in immutable UUID-named data
+  // subdirs, so an absolute path's content never changes — load once
+  // per JVM. Bounded like the replay cache.
+  private val sidecarCache =
+    scala.collection.concurrent.TrieMap[String, Array[Long]]()
+
+  /** Filter words for a bloom stats entry: inline hex ("B") or
+    * sidecar-backed ("BS", lazy-loaded + memoized). */
+  private def bloomWordsOf(table: String, cs: ColStats): Array[Long] =
+    if (cs.typ != "BS") cs.bloomWords
+    else sidecarCache.getOrElseUpdate(
+      new File(table, cs.lo).getAbsolutePath, {
+        if (sidecarCache.size > 1024) sidecarCache.clear()
+        val bytes = Files.readAllBytes(new File(table, cs.lo).toPath)
+        val words = new Array[Long](bytes.length / 8)
+        java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
+        words
+      })
 
   /** The stats-map key for query column `c` on file `p`: stats are
     * recorded under the column's WRITE-TIME name, so on a mapped table
@@ -1764,19 +1811,26 @@ object TxLog {
     val referenced = (floor to latest).flatMap(v => files(table, Some(v))).toSet
     val dvDirs = (floor to latest)
       .flatMap(v => replay(table, v).dvs.valuesIterator.flatten.toSeq).toSet
+    // bloom sidecars referenced by any RETAINED version's stats stay;
+    // ones only below the horizon are orphans like their data files
+    val sidecars = (floor to latest).flatMap(v =>
+      filesWithStats(table, Some(v)).flatMap(_._2.valuesIterator)
+        .collect { case cs if cs.typ == "BS" => cs.lo }).toSet
     val tableDir = new File(table).toPath.toAbsolutePath
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val onDisk = {
       val out = scala.collection.mutable.ListBuffer[String]()
       Files.walk(tableDir).forEach { p =>
         val rel = tableDir.relativize(p).toString
-        if (rel.endsWith(".parquet") && !rel.startsWith("_txlog") &&
+        if ((rel.endsWith(".parquet") || rel.endsWith(".bin")) &&
+          !rel.startsWith("_txlog") &&
           p.toFile.lastModified() <= cutoff) out += rel
       }
       out.toList
     }
     val doomed = onDisk.filterNot(p =>
-      referenced(p) || dvDirs.exists(d => p.startsWith(d + "/")))
+      referenced(p) || sidecars(p) ||
+        dvDirs.exists(d => p.startsWith(d + "/")))
     doomed.foreach(p => Files.deleteIfExists(tableDir.resolve(p)))
     doomed
   }

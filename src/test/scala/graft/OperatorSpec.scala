@@ -755,6 +755,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("TxLog bloom sidecars: big filters leave the log, skipping intact") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val table = Engine.scratchDir("txlog_bloom_sidecar")
+    // 80k distinct keys in ONE file -> ~800k filter bits -> past the
+    // 2^19 sidecar threshold; a small second file stays inline
+    TxLog.append(spark, spark.range(0, 80000)
+      .select($"id".as("k"), ($"id" % 7).cast("double").as("v"))
+      .repartition(1), table, statsCols = Seq("bloom:k"))
+    TxLog.append(spark, spark.range(200000, 200100)
+      .select($"id".as("k"), lit(0.0).as("v"))
+      .repartition(1), table, statsCols = Seq("bloom:k"))
+    val stats = TxLog.filesWithStats(table).toMap
+    val typs = stats.values.map(_("bloom:k").typ).toSeq.sorted
+    assert(typs === Seq("B", "BS"), s"expected one inline + one sidecar: $typs")
+    // the sidecar exists on disk and the log line stayed O(path)
+    val sidecarRel = stats.values.map(_("bloom:k")).find(_.typ == "BS").get.lo
+    assert(new java.io.File(table, sidecarRel).isFile)
+    assert(sidecarRel.length < 200)
+    // skipping works through the sidecar exactly as inline: a present
+    // key keeps only its file, an absent key keeps nothing
+    assert(TxLog.bloomKeptFiles(table, "k", 41234L).size === 1)
+    assert(TxLog.bloomKeptFiles(table, "k", 200050L).size === 1)
+    assert(TxLog.bloomKeptFiles(table, "k", -9L).isEmpty)
+    assert(TxLog.readPoint(spark, table, "k", 41234L).count() === 1)
+    // shallow clone re-anchors the sidecar path; lookups work there
+    val clone = Engine.scratchDir("txlog_bloom_sidecar_clone")
+    TxLog.cloneShallow(table, clone)
+    assert(TxLog.bloomKeptFiles(clone, "k", 41234L).size === 1)
+    assert(TxLog.readPoint(spark, clone, "k", 41234L).count() === 1)
+    // a compaction drops the bloom-bearing files; vacuum past them
+    // removes the orphaned sidecar but keeps referenced ones
+    TxLog.optimize(spark, table, 1)
+    assert(new java.io.File(table, sidecarRel).isFile) // still time-travelable
+    val gone = TxLog.vacuum(table, retainVersions = 1)
+    assert(gone.contains(sidecarRel), s"sidecar not vacuumed: $gone")
+    assert(!new java.io.File(table, sidecarRel).exists())
+  }
+
   test("TxLog: optimistic concurrency, time travel, file-granular COW") {
     import graft.operators.TxLog
     import spark.implicits._
