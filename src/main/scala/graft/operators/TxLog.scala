@@ -54,9 +54,12 @@ import org.apache.spark.sql.types._
   *      rewrites nothing.
   *
   * Deliberately out of scope (documented, not faked): multi-table
-  * transactions, and streaming subscriptions over schema-MAPPED tables
-  * (the log subscribers refuse loudly; batch [[changes]] supports
-  * mapping).
+  * transactions. One streaming caveat: a subscription started on a
+  * table BEFORE its first schema mutation throws when the mutation
+  * commit arrives (its fixed physical schema cannot resolve
+  * post-mutation files) — restart the subscription; a mapped-start
+  * stream resolves every epoch by field id and survives further
+  * mutations.
   */
 object TxLog {
 
@@ -509,18 +512,50 @@ object TxLog {
                             df: DataFrame,
                             pairs: Seq[(String, String)]): DataFrame =
     if (pairs.isEmpty) df
-    else {
-      val dv = spark.read.parquet(pairs.map(_._2).distinct
-          .map(d => new File(table, d).getAbsolutePath): _*)
-        .select(expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
-          col("pos").as("__pos"))
-        .filter(col("__base").isin(
-          pairs.map(x => baseName(x._1)).distinct: _*))
-      df.withColumn("__base", srcBaseCol)
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(dv, Seq("__base", "__pos"), "left_anti")
-        .drop("__base", "__pos")
-    }
+    else joinByDvPairs(spark, table, df, pairs, "left_anti")
+
+  private def joinByDvPairs(spark: SparkSession, table: String,
+                            df: DataFrame, pairs: Seq[(String, String)],
+                            joinType: String): DataFrame = {
+    val dv = spark.read.parquet(pairs.map(_._2).distinct
+        .map(d => new File(table, d).getAbsolutePath): _*)
+      .select(expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
+        col("pos").as("__pos"))
+      .filter(col("__base").isin(
+        pairs.map(x => baseName(x._1)).distinct: _*))
+    df.withColumn("__base", srcBaseCol)
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dv, Seq("__base", "__pos"), joinType)
+      .drop("__base", "__pos")
+  }
+
+  /** Scan a commit's files for a streaming subscriber under the
+    * stream's FIXED start-time schema: a direct forced-schema scan for
+    * unmapped streams, per-epoch mask-then-project for mapped ones —
+    * the DV mask join needs `_metadata`, which dies at the first
+    * select, so masking must precede the field-id projection within
+    * each epoch group. `st` is the state that owns the files (the
+    * commit's version for adds, the prior version for removes);
+    * `semi = true` selects the dv-named rows instead of masking them
+    * (the CDC delete-event read). */
+  private def scanCommitFiles(spark: SparkSession, table: String,
+                              st: State, ps: Seq[String],
+                              pairs: Seq[(String, String)], semi: Boolean,
+                              schema: StructType,
+                              startSt: State): DataFrame = {
+    def abs(g: Seq[String]) = g.map(p => new File(table, p).getAbsolutePath)
+    def dvJoin(raw: DataFrame): DataFrame =
+      if (semi) {
+        if (pairs.isEmpty) raw.filter(lit(false))
+        else joinByDvPairs(spark, table, raw, pairs, "left_semi")
+      } else maskByDvPairs(spark, table, raw, pairs)
+    if (!startSt.mapped)
+      dvJoin(spark.read.schema(schema).parquet(abs(ps): _*))
+    else epochGroups(st, startSt, ps).map { case (fields, g) =>
+      projectMapped(dvJoin(spark.read.parquet(abs(g): _*)),
+        fields, startSt.curFields)
+    }.reduce(_ unionByName _)
+  }
 
   /** The recorded DV rows masking `paths` — (__base, __pos) pairs. */
   private def dvRows(spark: SparkSession, table: String, st: State,
@@ -1548,7 +1583,13 @@ object TxLog {
     * documented `ignoreChanges` caveat). The payload schema is fixed at
     * start time; restart the stream to surface columns added by
     * [[appendEvolve]] mid-stream (pre-restart payloads project the old
-    * columns from evolved files).
+    * columns from evolved files). Schema-MAPPED tables stream fully:
+    * every commit's files resolve by field id against the start-time
+    * field list (per-epoch mask-then-project), so files written before
+    * a rename/drop/widen deliver correctly under the subscribed names;
+    * only a table's FIRST mutation arriving mid-stream on an
+    * unmapped-start subscription throws (restart, then mapped-start
+    * resolution takes over).
     *
     * `process(df, v)` runs once per commit, in version order within a
     * batch; Spark may re-deliver a batch after failure, so `process`
@@ -1563,6 +1604,7 @@ object TxLog {
                    (process: (DataFrame, Int) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = read(spark, table).schema
+    val startSt = stateAt(table, None)
     streamLog(spark, table, checkpointDir, commitsPerTrigger, trigger) {
       (adds, removes, dvs, v) =>
         if ((removes.nonEmpty || dvs.nonEmpty) && !ignoreChanges)
@@ -1574,15 +1616,14 @@ object TxLog {
               "deletes), or use streamCdc for true insert/delete " +
               "change events")
         if (adds.nonEmpty) {
-          val fs = adds.map(p => new File(table, p).getAbsolutePath)
           // dv lines on files added in the SAME commit are birth masks
           // (a restore re-adds a file together with its target
           // version's masks): those rows are not live at this version
           // and must never be delivered as payload
           val addSet = adds.toSet
           val birthDvs = dvs.filter(x => addSet.contains(x._1))
-          process(maskByDvPairs(spark, table,
-            spark.read.schema(schema).parquet(fs: _*), birthDvs), v)
+          process(scanCommitFiles(spark, table, replay(table, v), adds,
+            birthDvs, semi = false, schema, startSt), v)
         }
     }
   }
@@ -1608,11 +1649,9 @@ object TxLog {
                (process: (DataFrame, Int) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = read(spark, table).schema
-    def rd(ps: Seq[String]): DataFrame =
-      if (ps.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      else spark.read.schema(schema)
-        .parquet(ps.map(p => new File(table, p).getAbsolutePath): _*)
+    val startSt = stateAt(table, None)
+    def empty0 =
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     streamLog(spark, table, checkpointDir, commitsPerTrigger, trigger) {
       (adds, removes, dvs, v) =>
         if (adds.nonEmpty || removes.nonEmpty || dvs.nonEmpty) {
@@ -1621,6 +1660,7 @@ object TxLog {
           // an earlier commit and must not resurface here — neither as
           // spurious deletes when a COW rewrite removes their file,
           // nor as spurious inserts when a restore re-adds it.
+          val stV = replay(table, v)
           val stP = if (v == 0) new State else replay(table, v - 1)
           val addSet = adds.toSet
           // dv lines on files (re-)added in the SAME commit are birth
@@ -1631,37 +1671,31 @@ object TxLog {
           def priorDvsFor(ps: Seq[String]): Seq[(String, String)] =
             ps.flatMap(p =>
               stP.dvs.getOrElse(p, Vector.empty).map(d => (p, d)))
+          // all sides read via scanCommitFiles: the stream's fixed
+          // start-time schema, per-epoch field-id projection on mapped
+          // tables (removed/re-added files resolve epochs under the
+          // PRIOR version's state — they may be gone from v's)
+          def rd(st0: State, ps: Seq[String],
+                 pairs: Seq[(String, String)], semi: Boolean): DataFrame =
+            if (ps.isEmpty) empty0
+            else scanCommitFiles(spark, table, st0, ps, pairs, semi,
+              schema, startSt)
           // a re-add (restore) replaces the file's prior masked state:
           // old state joins the removed side, new state the added side,
           // and EXCEPT ALL cancellation yields exactly the net change
           // (resurrected rows insert, newly-masked rows delete)
           val reAdded = adds.filter(stP.live.contains)
-          val added = maskByDvPairs(spark, table, rd(adds), birthDvs)
+          val added = rd(stV, adds, birthDvs, semi = false)
           val removed =
-            maskByDvPairs(spark, table, rd(removes), priorDvsFor(removes))
-              .unionByName(maskByDvPairs(spark, table, rd(reAdded),
-                priorDvsFor(reAdded)))
+            rd(stP, removes, priorDvsFor(removes), semi = false)
+              .unionByName(
+                rd(stP, reAdded, priorDvsFor(reAdded), semi = false))
           // a MOR delete commit: its dv rows name exactly the deleted
           // (file, pos) pairs — read those rows as the delete events
           // (fresh by the MOR compose contract: discovery reads
           // through existing masks, so they never overlap prior dvs)
           val dvDeleted =
-            if (freshDvs.isEmpty) rd(Nil)
-            else {
-              val dv = spark.read.parquet(freshDvs.map(_._2).distinct
-                  .map(d => new File(table, d).getAbsolutePath): _*)
-                .select(
-                  expr("regexp_extract(path, '[^/]+$', 0)").as("__base"),
-                  col("pos").as("__pos"))
-                .filter(col("__base").isin(
-                  freshDvs.map(x => baseName(x._1)).distinct: _*))
-              spark.read.schema(schema).parquet(freshDvs.map(_._1).distinct
-                  .map(p => new File(table, p).getAbsolutePath): _*)
-                .withColumn("__base", srcBaseCol)
-                .withColumn("__pos", col("_metadata.row_index"))
-                .join(dv, Seq("__base", "__pos"), "left_semi")
-                .drop("__base", "__pos")
-            }
+            rd(stV, freshDvs.map(_._1).distinct, freshDvs, semi = true)
           val cdc = added.exceptAll(removed)
             .withColumn("_change", lit("insert"))
             .unionByName(removed.exceptAll(added).unionByName(dvDeleted)
@@ -1681,17 +1715,15 @@ object TxLog {
                        (perCommit: (Seq[String], Seq[String], Seq[(String, String)], Int) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(version(table) >= 0, s"stream source: no commits yet in $table")
-    // Streaming subscribers fix their payload schema at start; a
-    // schema-MAPPED table's files need per-epoch id resolution the
-    // fixed-schema scan below cannot do — a forced scan would silently
-    // null-fill every renamed column. Refuse loudly (batch `changes`
-    // fully supports mapped tables); a schema action arriving
-    // MID-stream throws from the commit handler below for the same
-    // reason.
-    require(!stateAt(table, None).mapped,
-      s"streaming over schema-mapped table $table is not supported: " +
-        "its files need per-epoch field-id resolution; use the batch " +
-        "changes() feed, or subscribe before the first schema mutation")
+    // Payload schema is fixed at stream start. A MAPPED start state
+    // handles schema-mutation commits fine (files resolve by field id
+    // against the start-time field list, so even a mid-stream rename
+    // keeps delivering under the names the subscriber signed up for);
+    // an UNMAPPED start cannot survive its table's FIRST mutation —
+    // the fixed forced-schema scan would silently null-fill renamed
+    // columns — so that case throws from the commit handler below
+    // (restart the subscription; it then starts mapped).
+    val startMapped = stateAt(table, None).mapped
     spark.readStream
       .option("maxFilesPerTrigger", commitsPerTrigger)
       .text(new File(logDir(table), "*.json").getAbsolutePath) // commits only, never checkpoints
@@ -1707,12 +1739,14 @@ object TxLog {
           .foreach { case (v, ls) =>
             val lines0 = ls.map(_.getString(0)).filter(_.trim.nonEmpty)
             val ops = lines0.map(opPath)
-            if (ops.exists(_._1 == "schema"))
+            if (!startMapped && ops.exists(_._1 == "schema"))
               throw new IllegalStateException(
                 s"commit $v of $table mutates the schema (rename/drop/" +
-                  "widen/add): this stream's payload schema is fixed at " +
-                  "start and cannot resolve post-mutation files — " +
-                  "restart the subscription against the new schema")
+                  "widen/add) but this stream started on the un-mapped " +
+                  "table, so its fixed payload schema cannot resolve " +
+                  "post-mutation files — restart the subscription (a " +
+                  "restart starts MAPPED and then resolves every epoch " +
+                  "by field id)")
             val dvs = lines0.filter(_.contains("\"op\":\"dv\"")).map { l =>
               (jstr(l, l.indexOf("\"path\":\"") + 7)._1,
                 jstr(l, l.indexOf("\"dv\":\"") + 5)._1)

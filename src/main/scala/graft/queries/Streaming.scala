@@ -484,6 +484,62 @@ object Streaming extends QueryModule {
         FROM events WHERE event_type <> 'click'
         GROUP BY event_type""")),
 
+    // CDC streaming ACROSS a schema mutation (field-id mapping): the
+    // subscribed table renames its value column and widens its key
+    // mid-history, then MOR-deletes and appends under the new schema.
+    // The mapped-start stream must deliver EVERY commit's rows under
+    // the start-time (current) names — pre-mutation files resolve by
+    // field id per epoch — and the feed must reconstruct the head
+    // snapshot exactly. The oracle replays the history relationally.
+    "q_stream_txlog_schema_cdc" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.operators.TxLog
+        import org.apache.spark.sql.types.LongType
+        val root = tempFor("txscdc", dir)
+        val srcTable = s"$root/src"
+        val sink = s"$root/changelog"
+        Seq("src", "changelog", "ckpt")
+          .foreach(d => rmTree(new java.io.File(s"$root/$d")))
+        val sup = Engine.table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey".cast("int").as("nation"),
+            $"s_acctbal")
+        val maxKey = sup.agg(max($"s_suppkey")).first().getLong(0) // scalar
+        TxLog.append(s, sup.repartitionByRange(4, $"s_suppkey"),
+          srcTable)                                            // v0
+        TxLog.renameColumn(s, srcTable, "s_acctbal", "bal")    // v1
+        TxLog.widenColumn(s, srcTable, "nation", LongType)     // v2
+        TxLog.deleteWhereMor(s, srcTable, $"nation" % 4 === 1) // v3
+        TxLog.append(s, s.range(1, 11).select(
+          ($"id" + maxKey).as("s_suppkey"),
+          ($"id" % 5).cast("long").as("nation"),
+          ($"id" * 10.0).as("bal")).repartition(1), srcTable)  // v4
+        TxLog.streamCdc(s, srcTable, s"$root/ckpt") { (cdc, v) =>
+          cdc.withColumn("_v", lit(v)).write.mode("append").parquet(sink)
+          ()
+        }.awaitTermination()
+        val log = s.read.parquet(sink)
+        log.filter($"_change" === "insert").drop("_change", "_v")
+          .exceptAll(log.filter($"_change" === "delete")
+            .drop("_change", "_v"))
+          .groupBy($"nation")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"bal" * 100.0 + 0.5).cast("long")).as("sum_cents"))
+      },
+      oracle = Some("""
+        WITH mx AS (SELECT max(s_suppkey) AS m FROM supplier),
+        head AS (
+          SELECT CAST(CAST(s_nationkey AS INTEGER) AS BIGINT) AS nation,
+            s_acctbal AS bal
+          FROM supplier WHERE CAST(s_nationkey AS INTEGER) % 4 <> 1
+          UNION ALL
+          SELECT CAST(r.range % 5 AS BIGINT), r.range * 10.0
+          FROM range(1, 11) r)
+        SELECT nation, count(*) AS n,
+          CAST(sum(CAST(floor(bal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+            AS sum_cents
+        FROM head GROUP BY nation""")),
+
     // Stateful dedup bounded by watermark (state TTL variant of
     // dropDuplicates): the input stream carries exact duplicates; a
     // single AvailableNow batch keeps every duplicate inside the

@@ -748,11 +748,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.where($"id" === 4L).select(sum($"v")).first().getDouble(0)
       === 40.0, "pre-mapping file misread after checkpoint fold")
 
-    // streaming subscribers refuse mapped tables loudly
-    intercept[IllegalArgumentException] {
-      TxLog.streamChanges(spark, table,
-        Engine.scratchDir("txmap_ck")) { (_, _) => () }
+    // streaming CDC over the mapped table: every commit — including
+    // the pre-mapping epoch-(-1) files and the MOR dv commit — must
+    // deliver under the START-TIME (current) names via field-id
+    // resolution. Reconstruct the head table purely from the feed and
+    // compare against the batch read.
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+    val q = TxLog.streamCdc(spark, table,
+      Engine.scratchDir("txmap_cdc_ck")) { (df, v0) =>
+      df.select($"_change", $"id", $"v").collect()
+        .foreach(r => got.synchronized {
+          got += ((r.getString(0), r.getLong(1), r.getDouble(2)))
+        })
     }
+    q.awaitTermination()
+    val net = scala.collection.mutable.Map[(Long, Double), Int]()
+    got.foreach { case (c, id, v) =>
+      val k = (id, v)
+      net(k) = net.getOrElse(k, 0) + (if (c == "insert") 1 else -1)
+    }
+    val fromFeed = net.toSeq.filter(_._2 > 0).flatMap { case (k, n) =>
+      Seq.fill(n)(k) // toSeq first: Map.flatMap over pairs would dedup
+    }.sorted
+    val batch = TxLog.read(spark, table)
+      .select($"id", $"v").as[(Long, Double)].collect().toSeq.sorted
+    assert(fromFeed === batch,
+      "mapped-table CDC stream does not reconstruct the snapshot")
   }
 
   test("TxLog bloom sidecars: big filters leave the log, skipping intact") {
