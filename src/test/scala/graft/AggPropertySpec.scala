@@ -137,6 +137,142 @@ class AggPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TxLog model check: random schema-mutation sequences") {
+    import graft.operators.TxLog
+    import org.apache.spark.sql.types.DoubleType
+    import spark.implicits._
+    // The field-id mapping as one executable property: seeded-random
+    // interleavings of rename / add-drop-readd / append / COW delete /
+    // merge / restore / optimize against an in-memory model that
+    // tracks (names, extra-column presence, rows). After every op the
+    // head must equal the model UNDER THE MODEL'S NAMES, dropped
+    // `extra` values must never resurrect through a later re-add
+    // (the model clears them on drop), restore must bring back the
+    // target's SCHEMA as well as its rows, and at the end every
+    // version must time-travel to its recorded (names, rows) snapshot.
+    final case class S(nameK: String, nameX: String, hasExtra: Boolean,
+                       rows: Map[Long, (Double, Option[Double])]) {
+      def cols: Seq[String] =
+        Seq(nameK, nameX) ++ (if (hasExtra) Seq("extra") else Nil)
+    }
+    val rnd = new scala.util.Random(2027)
+    (0 until 2).foreach { run =>
+      val table = Engine.scratchDir(s"txmodel_schema_$run")
+      var nextKey = 0L
+      var renames = 0
+      def freshRows(st: S): Seq[(Long, Double, Option[Double])] = {
+        val n = 1 + rnd.nextInt(3)
+        val b = (0 until n).map { i =>
+          val k = nextKey + i
+          (k, k * 1.5, if (st.hasExtra) Some(k * 2.0) else None)
+        }
+        nextKey += n
+        b
+      }
+      def toDf(st: S, rs: Seq[(Long, Double, Option[Double])]) = {
+        val base = rs.toDF("k", "x", "e")
+        if (st.hasExtra)
+          base.select($"k".as(st.nameK), $"x".as(st.nameX),
+            $"e".as("extra"))
+        else base.select($"k".as(st.nameK), $"x".as(st.nameX))
+      }
+      var st = S("k", "x", hasExtra = false, Map.empty)
+      val b0 = freshRows(st)
+      TxLog.append(spark, toDf(st, b0), table)
+      st = st.copy(rows = b0.map(r => r._1 -> (r._2, r._3)).toMap)
+      var history = Vector(st)
+      def check(tag: String): Unit = {
+        val df = TxLog.read(spark, table)
+        assert(df.columns.toSeq === st.cols, s"$tag cols in run $run")
+        val got = df.collect().map { r =>
+          (r.getLong(0), r.getDouble(1),
+            if (st.hasExtra) Option(r.get(2)).map(_.asInstanceOf[Double])
+            else None)
+        }.toSet
+        val want = st.rows.map { case (k, (x, e)) => (k, x, e) }.toSet
+        assert(got === want, s"$tag content in run $run")
+      }
+      (0 until 16).foreach { step =>
+        val before = TxLog.version(table)
+        rnd.nextInt(8) match {
+          case 0 => // append under the CURRENT schema
+            val b = freshRows(st)
+            TxLog.append(spark, toDf(st, b), table)
+            st = st.copy(rows = st.rows ++ b.map(r => r._1 -> (r._2, r._3)))
+          case 1 => // COW delete on the current key name
+            val m = 2 + rnd.nextInt(3)
+            val r0 = rnd.nextInt(m)
+            val next = st.rows.filterNot { case (k, _) => k % m == r0 }
+            if (next.nonEmpty) {
+              TxLog.deleteWhere(spark, table, col(st.nameK) % m === r0)
+              st = st.copy(rows = next)
+            }
+          case 2 => // merge keyed on the current key name
+            val upd = st.rows.keys.toSeq.sorted.lastOption.map { k =>
+              (k, -1.0, if (st.hasExtra) Some(-2.0) else None)
+            }.toSeq
+            val ins = Seq((nextKey, nextKey * 1.5,
+              if (st.hasExtra) Some(nextKey * 2.0) else None))
+            nextKey += 1
+            TxLog.merge(spark, table, toDf(st, upd ++ ins), st.nameK)
+            st = st.copy(rows =
+              st.rows ++ (upd ++ ins).map(r => r._1 -> (r._2, r._3)))
+          case 3 => // restore: rows AND schema revert to the target's
+            val v = rnd.nextInt(history.size)
+            if (history(v).rows.nonEmpty) {
+              TxLog.restore(table, v)
+              st = history(v)
+            }
+          case 4 => // layout-only
+            TxLog.optimize(spark, table, 1 + rnd.nextInt(2))
+          case 5 => // rename one base column to a fresh name
+            renames += 1
+            val fresh = s"c$renames"
+            if (rnd.nextBoolean()) {
+              TxLog.renameColumn(spark, table, st.nameK, fresh)
+              st = st.copy(nameK = fresh)
+            } else {
+              TxLog.renameColumn(spark, table, st.nameX, fresh)
+              st = st.copy(nameX = fresh)
+            }
+          case 6 => // add `extra` (fresh field id: old values stay gone)
+            if (!st.hasExtra) {
+              TxLog.addColumn(spark, table, "extra", DoubleType)
+              st = st.copy(hasExtra = true)
+            }
+          case 7 => // drop `extra`: its values leave the model for good
+            if (st.hasExtra) {
+              TxLog.dropColumn(spark, table, "extra")
+              st = st.copy(hasExtra = false,
+                rows = st.rows.map { case (k, (x, _)) => k -> (x, None) })
+            }
+        }
+        val v = TxLog.version(table)
+        if (v > before) history = history :+ st
+        else assert(history.last === st,
+          s"uncommitted op changed state at v$v in run $run")
+        assert(history.size === v + 1)
+        check(s"step $step")
+      }
+      // every version time-travels to its (names, rows) snapshot
+      history.zipWithIndex.foreach { case (snap, v) =>
+        if (snap.rows.nonEmpty) {
+          val df = TxLog.read(spark, table, Some(v))
+          assert(df.columns.toSeq === snap.cols,
+            s"time-travel cols at v$v in run $run")
+          val got = df.collect().map { r =>
+            (r.getLong(0), r.getDouble(1),
+              if (snap.hasExtra) Option(r.get(2)).map(_.asInstanceOf[Double])
+              else None)
+          }.toSet
+          assert(got ===
+            snap.rows.map { case (k, (x, e)) => (k, x, e) }.toSet,
+            s"time-travel content at v$v in run $run")
+        }
+      }
+    }
+  }
+
   test("VecMeanAgg over many partitions equals naive quantized mean") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
