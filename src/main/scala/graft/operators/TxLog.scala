@@ -1300,6 +1300,11 @@ object TxLog {
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
                        txn: String): Int = {
     if (txns(table).contains(txn)) return version(table)
+    // same write-side contract as append: a drifted-schema batch must
+    // fail at commit time, not poison reads — on a schema-MAPPED table
+    // a physical-name drift would otherwise silently null-fill on
+    // every mapped read of the file
+    enforceSchema(spark, df, table)
     enforceChecks(spark, df, table)
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, sub).getAbsolutePath)
