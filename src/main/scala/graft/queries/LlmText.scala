@@ -2191,10 +2191,16 @@ object LlmText extends QueryModule {
             trim(regexp_replace(
               regexp_replace(lower($"text"), "[^a-z0-9 ]", " "),
               " +", " ")).as("norm"))
+        // one-pass native token stats (packed long) instead of
+        // split + size + array_distinct: saves the distinct-array
+        // materialization (honest A/B: ~3% end-to-end — the gate is
+        // pipelined with the scan, so the isolated stage cost did not
+        // translate; kept for the allocation win at wider rows)
         val gated = norm
-          .withColumn("ws", split($"norm", " "))
-          .withColumn("n_words", size($"ws"))
-          .withColumn("n_distinct", size(array_distinct($"ws")))
+          .withColumn("nwd", graft.plans.TokenStats($"norm"))
+          .withColumn("n_words", shiftright($"nwd", 32).cast("int"))
+          .withColumn("n_distinct",
+            $"nwd".bitwiseAND(0xFFFFFFFFL).cast("int"))
           .filter(length($"norm") >= 100 &&
             $"n_distinct".cast("double") / $"n_words" >= 0.3 &&
             $"n_words" >= 20)

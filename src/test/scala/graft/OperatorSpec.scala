@@ -24,6 +24,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("native TokenStats equals split+size+array_distinct bit-for-bit") {
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "a a", "a b a", "  x  y ", "√ ± √",
+      "tab\tin token", "a " * 500 + "b").toDF("s")
+    val corpus = Engine.table(spark, sf, "documents")
+      .select(lower($"text").as("s")).limit(200).unionByName(edge)
+    val rows = corpus
+      .withColumn("nwd", graft.plans.TokenStats($"s"))
+      .select(
+        shiftright($"nwd", 32).cast("int").as("native_words"),
+        $"nwd".bitwiseAND(0xFFFFFFFFL).cast("int").as("native_distinct"),
+        size(split($"s", " ")).as("composed_words"),
+        size(array_distinct(split($"s", " "))).as("composed_distinct"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(2), s"words: $r")
+      assert(r.getInt(1) === r.getInt(3), s"distinct: $r")
+    }
+  }
+
   test("native H60 equals the composed md5/conv form and stays in codegen") {
     import spark.implicits._
     val d = Engine.table(spark, sf, "documents")
