@@ -151,54 +151,68 @@ class AggPropertySpec extends AnyFunSuite {
     // target's SCHEMA as well as its rows, and at the end every
     // version must time-travel to its recorded (names, rows) snapshot.
     final case class S(nameK: String, nameX: String, hasExtra: Boolean,
-                       rows: Map[Long, (Double, Option[Double])]) {
+                       nWide: Boolean,
+                       rows: Map[Long, (Int, Double, Option[Double])]) {
       def cols: Seq[String] =
-        Seq(nameK, nameX) ++ (if (hasExtra) Seq("extra") else Nil)
+        Seq(nameK, "n", nameX) ++ (if (hasExtra) Seq("extra") else Nil)
     }
     val rnd = new scala.util.Random(2027)
     (0 until 2).foreach { run =>
       val table = Engine.scratchDir(s"txmodel_schema_$run")
       var nextKey = 0L
       var renames = 0
-      def freshRows(st: S): Seq[(Long, Double, Option[Double])] = {
+      def freshRows(st: S): Seq[(Long, Int, Double, Option[Double])] = {
         val n = 1 + rnd.nextInt(3)
         val b = (0 until n).map { i =>
           val k = nextKey + i
-          (k, k * 1.5, if (st.hasExtra) Some(k * 2.0) else None)
+          (k, (k % 97).toInt, k * 1.5,
+            if (st.hasExtra) Some(k * 2.0) else None)
         }
         nextKey += n
         b
       }
-      def toDf(st: S, rs: Seq[(Long, Double, Option[Double])]) = {
-        val base = rs.toDF("k", "x", "e")
+      def toDf(st: S, rs: Seq[(Long, Int, Double, Option[Double])]) = {
+        val base = rs.toDF("k", "n", "x", "e")
+        val nCol = if (st.nWide) $"n".cast("long") else $"n"
         if (st.hasExtra)
-          base.select($"k".as(st.nameK), $"x".as(st.nameX),
+          base.select($"k".as(st.nameK), nCol.as("n"), $"x".as(st.nameX),
             $"e".as("extra"))
-        else base.select($"k".as(st.nameK), $"x".as(st.nameX))
+        else base.select($"k".as(st.nameK), nCol.as("n"),
+          $"x".as(st.nameX))
       }
-      var st = S("k", "x", hasExtra = false, Map.empty)
+      var st = S("k", "x", hasExtra = false, nWide = false, Map.empty)
       val b0 = freshRows(st)
       TxLog.append(spark, toDf(st, b0), table)
-      st = st.copy(rows = b0.map(r => r._1 -> (r._2, r._3)).toMap)
+      st = st.copy(rows = b0.map(r => r._1 -> (r._2, r._3, r._4)).toMap)
       var history = Vector(st)
+      def collectRows(df: org.apache.spark.sql.DataFrame, wide: Boolean,
+                      extra: Boolean) =
+        df.collect().map { r =>
+          (r.getLong(0),
+            if (wide) r.getLong(1).toInt else r.getInt(1),
+            r.getDouble(2),
+            if (extra) Option(r.get(3)).map(_.asInstanceOf[Double])
+            else None)
+        }.toSet
       def check(tag: String): Unit = {
         val df = TxLog.read(spark, table)
         assert(df.columns.toSeq === st.cols, s"$tag cols in run $run")
-        val got = df.collect().map { r =>
-          (r.getLong(0), r.getDouble(1),
-            if (st.hasExtra) Option(r.get(2)).map(_.asInstanceOf[Double])
-            else None)
-        }.toSet
-        val want = st.rows.map { case (k, (x, e)) => (k, x, e) }.toSet
+        assert(df.schema("n").dataType ===
+          (if (st.nWide) org.apache.spark.sql.types.LongType
+           else org.apache.spark.sql.types.IntegerType),
+          s"$tag n type in run $run")
+        val got = collectRows(df, st.nWide, st.hasExtra)
+        val want = st.rows.map { case (k, (n, x, e)) => (k, n, x, e) }.toSet
         assert(got === want, s"$tag content in run $run")
       }
       (0 until 16).foreach { step =>
         val before = TxLog.version(table)
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // append under the CURRENT schema
             val b = freshRows(st)
             TxLog.append(spark, toDf(st, b), table)
-            st = st.copy(rows = st.rows ++ b.map(r => r._1 -> (r._2, r._3)))
+            st = st.copy(rows =
+              st.rows ++ b.map(r => r._1 -> (r._2, r._3, r._4)))
           case 1 => // COW delete on the current key name
             val m = 2 + rnd.nextInt(3)
             val r0 = rnd.nextInt(m)
@@ -209,14 +223,14 @@ class AggPropertySpec extends AnyFunSuite {
             }
           case 2 => // merge keyed on the current key name
             val upd = st.rows.keys.toSeq.sorted.lastOption.map { k =>
-              (k, -1.0, if (st.hasExtra) Some(-2.0) else None)
+              (k, -7, -1.0, if (st.hasExtra) Some(-2.0) else None)
             }.toSeq
-            val ins = Seq((nextKey, nextKey * 1.5,
+            val ins = Seq((nextKey, (nextKey % 97).toInt, nextKey * 1.5,
               if (st.hasExtra) Some(nextKey * 2.0) else None))
             nextKey += 1
             TxLog.merge(spark, table, toDf(st, upd ++ ins), st.nameK)
-            st = st.copy(rows =
-              st.rows ++ (upd ++ ins).map(r => r._1 -> (r._2, r._3)))
+            st = st.copy(rows = st.rows ++
+              (upd ++ ins).map(r => r._1 -> (r._2, r._3, r._4)))
           case 3 => // restore: rows AND schema revert to the target's
             val v = rnd.nextInt(history.size)
             if (history(v).rows.nonEmpty) {
@@ -244,7 +258,16 @@ class AggPropertySpec extends AnyFunSuite {
             if (st.hasExtra) {
               TxLog.dropColumn(spark, table, "extra")
               st = st.copy(hasExtra = false,
-                rows = st.rows.map { case (k, (x, _)) => k -> (x, None) })
+                rows = st.rows.map { case (k, (n, x, _)) =>
+                  k -> (n, x, None) })
+            }
+          case 8 => // widen n int -> long (values exact; restore to a
+            // pre-widen version narrows the logical type back and the
+            // post-widen files' values must round-trip through the cast)
+            if (!st.nWide) {
+              TxLog.widenColumn(spark, table, "n",
+                org.apache.spark.sql.types.LongType)
+              st = st.copy(nWide = true)
             }
         }
         val v = TxLog.version(table)
@@ -260,13 +283,9 @@ class AggPropertySpec extends AnyFunSuite {
           val df = TxLog.read(spark, table, Some(v))
           assert(df.columns.toSeq === snap.cols,
             s"time-travel cols at v$v in run $run")
-          val got = df.collect().map { r =>
-            (r.getLong(0), r.getDouble(1),
-              if (snap.hasExtra) Option(r.get(2)).map(_.asInstanceOf[Double])
-              else None)
-          }.toSet
+          val got = collectRows(df, snap.nWide, snap.hasExtra)
           assert(got ===
-            snap.rows.map { case (k, (x, e)) => (k, x, e) }.toSet,
+            snap.rows.map { case (k, (n, x, e)) => (k, n, x, e) }.toSet,
             s"time-travel content at v$v in run $run")
         }
       }
