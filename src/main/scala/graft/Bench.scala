@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * evidence):
   *   - Box calibration: three fixed probes (pure codegen CPU, a real
   *     exchange, a parquet scan) run at record START and END, each
-  *     median-of-3, with ratios against pinned reference values from a
+  *     median-of-5 after two discarded warmups (the protocol the pinned
+  *     CalibRef values were measured under), with ratios against pinned
+  *     reference values from a
   *     healthy dev-box sitting. Every record now carries its own
   *     box-state marker, so record-vs-record comparisons can divide out
   *     environment drift (r8's five same-code runs spanned 102.6-163.2 s

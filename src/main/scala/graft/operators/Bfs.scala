@@ -38,29 +38,56 @@ object Bfs {
     // at 8 rounds x (warmup + 3 timed runs) the per-round job-submit
     // overhead was a measured 23% scheduler-delay share of a
     // scheduling-bound query (bench_stages r9).
+    //
+    // r10: TWO hops per materialization round. Each iteration chains
+    // hop i+1 and hop i+2 as ONE lazy plan and materializes both with
+    // a single count over their (metadata-only) union — distances stay
+    // integer-exact because hop-(i+2) candidates anti-join BOTH the
+    // settled set and the hop-(i+1) frame, so every node still settles
+    // at its minimum hop. Action count (and with it the per-round
+    // job-submit latency that dominates this scheduling-bound shape)
+    // halves at fixed diameter; the only tail cost is at most one
+    // empty-expansion round when the frontier dies on an odd hop.
     var dist = sources.select(col("node")).distinct()
       .withColumn("d", lit(0)).localCheckpoint(false)
     var frontier = dist
     var frontierRows = dist.count() // materializes the lazy checkpoint
     var hop = 0
-    while (hop < maxHops && frontierRows > 0L) {
-      hop += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
+    // hop-(d) candidates: frontier's out-neighbors not yet settled
+    // (minus `extra`, the in-flight sibling round, when given)
+    def expand(fr: DataFrame, settled: DataFrame, d: Int,
+               extra: Option[DataFrame]): DataFrame = {
+      val base = fr.join(e, fr("node") === e("src"))
         .select(e("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .withColumn("d", lit(hop))
+        .join(settled, Seq("node"), "left_anti")
+      extra.fold(base)(x => base.join(x, Seq("node"), "left_anti"))
+        .withColumn("d", lit(d))
         .localCheckpoint(false)
-      frontierRows = next.count() // one job: materialize + measure
+    }
+    while (hop < maxHops && frontierRows > 0L) {
       // `dist` stays a plain union of the checkpointed rounds: the
       // union is metadata-only over materialized blocks, so each node's
       // row is cached exactly once across the whole run (one
-      // materialization job per round, not two, and no per-round
-      // re-caching of the full settled set). The round frames are live
-      // pieces of `dist` — nothing can be released until the result is
-      // consumed, and total cached bytes equal the old design's single
-      // settled frame.
-      dist = dist.unionByName(next)
-      frontier = next
+      // materialization job per 1-2 hops, and no per-round re-caching
+      // of the full settled set). The round frames are live pieces of
+      // `dist` — nothing can be released until the result is consumed,
+      // and total cached bytes equal the old design's single settled
+      // frame.
+      if (maxHops - hop >= 2) {
+        val n1 = expand(frontier, dist, hop + 1, None)
+        val n2 = expand(n1, dist, hop + 2, Some(n1))
+        val both = n1.unionByName(n2)
+        frontierRows = both.count() // ONE job settles two hops
+        dist = dist.unionByName(both)
+        frontier = n2
+        hop += 2
+      } else {
+        val next = expand(frontier, dist, hop + 1, None)
+        frontierRows = next.count()
+        dist = dist.unionByName(next)
+        frontier = next
+        hop += 1
+      }
     }
     release(e)
     dist

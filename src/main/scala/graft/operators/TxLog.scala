@@ -63,7 +63,18 @@ import org.apache.spark.sql.types._
   */
 object TxLog {
 
-  final class ConcurrentCommit(msg: String) extends RuntimeException(msg)
+  class ConcurrentCommit(msg: String) extends RuntimeException(msg)
+
+  /** A SCHEMA action (first field-id mapping) landed between a write's
+    * validation and its commit. Unlike a plain lost CAS race, the
+    * write's precomputed add lines would replay under the wrong schema
+    * epoch if blindly re-committed, so [[retryCommit]] never absorbs
+    * this — it surfaces to the caller, who revalidates against the new
+    * schema and re-appends. (Appends to an ALREADY-mapped table don't
+    * need this: their add lines carry an explicit write-epoch stamp and
+    * stay correct under any raced mutation — see [[append]].) */
+  final class ConcurrentSchemaChange(msg: String)
+      extends ConcurrentCommit(msg)
 
   /** Per-file, per-column min/max with a type tag so comparisons happen
     * in the value's own domain (never via stringly-compared numbers):
@@ -814,7 +825,12 @@ object TxLog {
 
   /** Write `df` as new parquet files under the table and commit them as
     * an APPEND. Returns the new version. Retries on a lost race
-    * (append never conflicts logically — the file set is additive).
+    * (append never conflicts logically — the file set is additive) —
+    * EXCEPT a raced first schema mapping, which changes what the
+    * precomputed add lines would mean and surfaces as
+    * [[ConcurrentSchemaChange]]; on an already-mapped table raced
+    * schema mutations are harmless (the adds carry an explicit
+    * write-epoch and resolve by field id).
     *
     * `statsCols`: record per-file min/max of these columns in the add
     * actions (computed in ONE distributed pass, grouped by
@@ -826,13 +842,30 @@ object TxLog {
     */
   def append(spark: SparkSession, df: DataFrame, table: String,
              statsCols: Seq[String] = Nil): Int = {
-    enforceSchema(spark, df, table)
+    // Pin ONE version and both validate and epoch-stamp against it. On
+    // a mapped table the add lines then carry the write epoch
+    // EXPLICITLY, so a schema mutation racing the commit retry can
+    // never re-epoch these files: replay resolves them by field id
+    // under the schema they were validated (and physically written)
+    // against. On a not-yet-mapped table there is no epoch to stamp
+    // (plain adds keep the compact line format); instead the retry
+    // closure detects a first mapping landing mid-flight and surfaces
+    // ConcurrentSchemaChange rather than committing lines that would
+    // replay under the wrong epoch.
+    val v0 = version(table)
+    enforceSchema(spark, df, table, Some(v0))
     enforceChecks(spark, df, table)
+    val schemasLen0 =
+      if (v0 < 0) 0 else stateAt(table, Some(v0)).schemas.length
+    val ep0 = if (schemasLen0 > 0) schemasLen0 - 1 else Int.MinValue
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     val subAbs = new File(table, sub).getAbsolutePath
     df.write.parquet(subAbs)
-    val adds = addActions(spark, table, sub, subAbs, statsCols)
-    retryCommit(table)(commitLines(table, _, adds))
+    val adds = addActions(spark, table, sub, subAbs, statsCols, ep0)
+    retryCommit(table) { base =>
+      if (schemasLen0 == 0) guardSchemaUnchanged(table, base, schemasLen0)
+      commitLines(table, base, adds)
+    }
   }
 
   /** Schema-EVOLUTION append: the additive path every production log
@@ -851,7 +884,7 @@ object TxLog {
       "appendEvolve on a schema-MAPPED table: column additions must go " +
         "through addColumn (so the new column gets a field id), then a " +
         "plain append")
-    val existing = read(spark, table).schema
+    val existing = read(spark, table, Some(v)).schema
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     val (oldShape, newShape) = (shape(existing), shape(df.schema))
     require(newShape.take(oldShape.size) == oldShape,
@@ -865,7 +898,13 @@ object TxLog {
       if (newShape.size > oldShape.size) Seq("""{"op":"evolve","path":""}""")
       else Nil
     val adds = evolveMark ++ addActions(spark, table, sub, subAbs, statsCols)
-    retryCommit(table)(commitLines(table, _, adds))
+    retryCommit(table) { base =>
+      // a first field-id mapping racing this evolve-append would give
+      // these files (and the additive `evolve` mark) a post-mapping
+      // epoch they were never validated under — surface, don't absorb
+      guardSchemaUnchanged(table, base, schemasLen0 = 0)
+      commitLines(table, base, adds)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -971,9 +1010,10 @@ object TxLog {
     }
 
   private def addActions(spark: SparkSession, table: String, sub: String,
-                         subAbs: String, statsCols: Seq[String]): Seq[String] = {
+                         subAbs: String, statsCols: Seq[String],
+                         ep: Int = Int.MinValue): Seq[String] = {
     if (statsCols.isEmpty)
-      return newFiles(table, sub).map(p => addLine(p, Map.empty))
+      return newFiles(table, sub).map(p => addLine(p, Map.empty, ep))
     // "bloom:c" requests a per-file Bloom filter on c (point-lookup
     // skipping); bare names request min/max range stats
     val (bloomSpecs, plainCols) = statsCols.partition(_.startsWith("bloom:"))
@@ -1006,9 +1046,13 @@ object TxLog {
       }
     // two passes per bloom column: (A) per-file NDV to SIZE each
     // file's filter (~10 bits/key, the production knob), then (B) the
-    // set-bit positions of each filter as a distinct-position set —
-    // the driver holds the FILTER, never the data; a production
-    // writer folds both into the file write itself
+    // filter itself, built EXECUTOR-SIDE by the BloomBuildAgg
+    // TypedImperativeAggregate (OR-mergeable word-array state, the
+    // DistinctSetAgg/HllRegistersAgg pattern) — the driver receives
+    // one row per file holding the FINISHED filter bytes (m/8 bytes,
+    // bounded by the sizing clamp at ANY NDV), never a set-bit
+    // position list; a production writer folds both passes into the
+    // file write itself
     val byFileBloom: Map[String, Map[String, ColStats]] =
       bloomCols.map { c =>
         val hed = written.withColumn("__h", graft.functions.Fns.h60(col(c)))
@@ -1020,20 +1064,15 @@ object TxLog {
           .toMap
         val mMap = map(bitsByUri.toSeq.flatMap { case (u, b) =>
           Seq(lit(u), lit(b)) }: _*)
-        // Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m
-        // works for ANY per-file m from the same two hash halves
-        val posExprs = (0 until 4).map(i =>
-          expr(s"cast(((__h & 1073741823) + $i * (shiftright(__h, 30) | 1))" +
-            s" % __m as int)"))
         hed
           .withColumn("__m", element_at(mMap, input_file_name()))
-          .select(input_file_name().as("f"), col("__m"),
-            explode(array(posExprs: _*)).as("pos"))
-          .groupBy(col("f"), col("__m")).agg(collect_set(col("pos")).as("ps"))
-          .collect()
+          .groupBy(input_file_name().as("f"))
+          .agg(graft.plans.BloomBuildAgg(col("__h"), col("__m")).as("fw"))
+          .collect() // one finished FILTER per file, never positions
           .map { r =>
-            val words = new Array[Long]((r.getLong(1) / 64).toInt)
-            r.getSeq[Int](2).foreach(b => words(b >> 6) |= 1L << (b & 63))
+            val bytes = r.getAs[Array[Byte]](1)
+            val words = new Array[Long](bytes.length / 8)
+            java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
             val name = new File(new java.net.URI(r.getString(0))).getName
             // big filters leave the log: above the threshold the words
             // go to a binary SIDECAR next to the data files (the log
@@ -1046,9 +1085,9 @@ object TxLog {
                 val fn = s"$sub/bloom-" +
                   s"${name.stripSuffix(".parquet")}-" +
                   s"${c.replaceAll("[^A-Za-z0-9_]", "_")}.bin"
-                val bb = java.nio.ByteBuffer.allocate(words.length * 8)
-                bb.asLongBuffer().put(words)
-                Files.write(new File(table, fn).toPath, bb.array())
+                // the aggregate's output IS the sidecar encoding
+                // (big-endian long words) — write it verbatim
+                Files.write(new File(table, fn).toPath, bytes)
                 ColStats("BS", fn, "")
               } else
                 ColStats("B", words.map(w => f"$w%016x").mkString, "")
@@ -1062,7 +1101,7 @@ object TxLog {
     newFiles(table, sub).map { p =>
       val name = new File(p).getName
       addLine(p, byFileRange.getOrElse(name, Map.empty) ++
-        byFileBloom.getOrElse(name, Map.empty))
+        byFileBloom.getOrElse(name, Map.empty), ep)
     }
   }
 
@@ -1178,9 +1217,32 @@ object TxLog {
     var lastErr: ConcurrentCommit = null
     for (_ <- 0 until 64) {
       try return attempt(version(table))
-      catch { case e: ConcurrentCommit => lastErr = e }
+      catch {
+        // a raced schema action is NOT fixable by re-CAS'ing the same
+        // lines — surface it (the caller must revalidate)
+        case e: ConcurrentSchemaChange => throw e
+        case e: ConcurrentCommit       => lastErr = e
+      }
     }
     throw lastErr
+  }
+
+  /** Guard used inside [[retryCommit]] closures whose add lines carry NO
+    * explicit write-epoch: if the table acquired a field-id mapping
+    * after the write was validated (schemas appeared or grew), the
+    * precomputed lines would silently replay under the post-mutation
+    * epoch — physical names pre-mutation, logical schema post — and
+    * every mapped read would null-fill the renamed columns. Throw
+    * instead; the caller revalidates. `schemasLen0` = schema-history
+    * length observed at validation time. */
+  private def guardSchemaUnchanged(table: String, base: Int,
+                                   schemasLen0: Int): Unit = {
+    val len = if (base < 0) 0 else replay(table, base).schemas.length
+    if (len != schemasLen0)
+      throw new ConcurrentSchemaChange(
+        s"schema mutation committed concurrently with this append " +
+          s"(schema history $schemasLen0 -> $len); revalidate the frame " +
+          "against the new schema and retry the write")
   }
 
   /** Commit interval at which a checkpoint of the full live state is
@@ -1303,15 +1365,25 @@ object TxLog {
     // same write-side contract as append: a drifted-schema batch must
     // fail at commit time, not poison reads — on a schema-MAPPED table
     // a physical-name drift would otherwise silently null-fill on
-    // every mapped read of the file
-    enforceSchema(spark, df, table)
+    // every mapped read of the file. Same write-epoch discipline too
+    // (pin one version; stamp the epoch on mapped tables, guard the
+    // unmapped->mapped transition otherwise) — see [[append]].
+    val v0 = version(table)
+    enforceSchema(spark, df, table, Some(v0))
     enforceChecks(spark, df, table)
+    val schemasLen0 =
+      if (v0 < 0) 0 else stateAt(table, Some(v0)).schemas.length
+    val ep0 = if (schemasLen0 > 0) schemasLen0 - 1 else Int.MinValue
     val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, sub).getAbsolutePath)
-    val actions = ("txn" -> txn) +: newFiles(table, sub).map(("add", _))
+    val lines = s"""{"op":"txn","path":"${jesc(txn)}"}""" +:
+      newFiles(table, sub).map(p => addLine(p, Map.empty, ep0))
     retryCommit(table) { base =>
       if (txns(table).contains(txn)) base // a racing delivery won: no-op
-      else commit(table, base, actions)
+      else {
+        if (schemasLen0 == 0) guardSchemaUnchanged(table, base, schemasLen0)
+        commitLines(table, base, lines)
+      }
     }
   }
 
@@ -1392,9 +1464,16 @@ object TxLog {
     * totals come from an empty-projection count over ONLY the masked
     * files (parquet answers it from row-group metadata) and the masked
     * counts from the dv parquet itself (deleted-row-sized). Unmasked
-    * files never appear (their pressure is 0 by construction). */
-  def dvMetrics(spark: SparkSession, table: String): Seq[DvMetric] = {
-    val st = stateAt(table, None)
+    * files never appear (their pressure is 0 by construction).
+    *
+    * `asOf` pins the snapshot: [[optimizeDvCompact]] passes its commit
+    * base so the doomed-file list and the CAS base are the SAME
+    * version — a commit landing mid-call can then never make the
+    * metrics describe a different snapshot than the one the rewrite
+    * compare-and-swaps against. */
+  def dvMetrics(spark: SparkSession, table: String,
+                asOf: Option[Int] = None): Seq[DvMetric] = {
+    val st = stateAt(table, asOf)
     val maskedPaths = st.live.keysIterator.filter(st.dvs.contains).toSeq
     if (maskedPaths.isEmpty) return Nil
     val totals = spark.read.parquet(
@@ -1428,7 +1507,7 @@ object TxLog {
     require(maxMaskedFraction > 0.0 && maxMaskedFraction <= 1.0,
       s"maxMaskedFraction must be in (0, 1], got $maxMaskedFraction")
     val base = version(table)
-    val doomed = dvMetrics(spark, table)
+    val doomed = dvMetrics(spark, table, Some(base))
       .filter(_.fraction >= maxMaskedFraction).map(_.path)
     if (doomed.isEmpty) return base
     val st = stateAt(table, Some(base))
@@ -1820,9 +1899,10 @@ object TxLog {
     * for. Evolution is an explicit, separate entry point
     * ([[appendEvolve]]), never an accident. */
   private def enforceSchema(spark: SparkSession, df: DataFrame,
-                            table: String): Unit = {
-    if (version(table) < 0) return
-    val existing = read(spark, table).schema
+                            table: String,
+                            asOf: Option[Int] = None): Unit = {
+    if (asOf.getOrElse(version(table)) < 0) return
+    val existing = read(spark, table, asOf).schema
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     require(shape(existing) == shape(df.schema),
       s"schema drift rejected: table has ${existing.simpleString}, " +

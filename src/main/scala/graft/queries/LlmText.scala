@@ -290,7 +290,7 @@ object LlmText extends QueryModule {
     * outlives the JVM while the in-memory catalog does not, so a stale
     * location from a previous run is dropped before the write.
     */
-  private def writeOnceTable(
+  private[queries] def writeOnceTable(
       s: SparkSession, tbl: String, keys: Seq[String],
       df: => DataFrame): DataFrame = {
     if (!s.catalog.tableExists(tbl)) {

@@ -542,6 +542,58 @@ class OperatorSpec extends AnyFunSuite {
       f"ivf_kmeans(64x8, ${nQ}q) $rIvf%.3f")
   }
 
+  test("IVF assignment is map-only: one Window, broadcast-argmin, no corpus explode") {
+    // r10: every Lloyd pass and the final cell labeling run as the
+    // per-row codegen NearestCell over ONE broadcast centroid-array
+    // row. The pre-r10 plan exploded corpus×nlist rows through a
+    // row_number window per pass (5 Windows total); the only Window
+    // left is the final per-query cosine rerank.
+    val q = graft.queries.LlmSim.annIvfTopK(spark, sf, 5)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows === 1, s"$windows Window nodes:\n" + plan.take(2000))
+    // the centroid operand arrives as a one-row broadcast (BNLJ), so
+    // the corpus side of the assignment never exchanges
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("persisted IVF probe reads bucketed cells with no exchange on the index side") {
+    import graft.queries.LlmSim
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = LlmSim.ivfPersistedProbe(spark, sf, 0L, 5L)
+      q.write.format("noop").mode("overwrite").save()
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    // legitimate exchanges: the tiny probe side into the bucket layout
+    // + the final rerank window; the corpus-sized cells artifact must
+    // consume its bucket clustering and move NOTHING
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(2000))
+    // and the artifact matches a fresh assignment computation: every
+    // vector goes to the cell the broadcast-argmin picks
+    val fresh = {
+      import org.apache.spark.sql.functions.{broadcast, collect_list, struct}
+      import spark.implicits._
+      val cent = LlmSim.persistedIvfCent(spark, sf)
+      val cArr = broadcast(cent.agg(
+        collect_list(struct($"cid", $"cv")).as("cents")))
+      Engine.table(spark, sf, "embeddings")
+        .select($"vec_id", graft.operators.VectorOps.toDouble($"embedding").as("v"))
+        .crossJoin(cArr)
+        .select($"vec_id", graft.plans.NearestCell($"v", $"cents").as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val persisted = LlmSim.persistedIvfCells(spark, sf)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(persisted === fresh)
+  }
+
   test("labelStar keeps self-loop-only nodes and works on string ids") {
     import graft.operators.ConnectedComponents
     import spark.implicits._
@@ -1089,6 +1141,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(TxLog.changes(spark, t, vPre, vPost).count() === 0)
     // idempotent: nothing left above the threshold
     assert(TxLog.optimizeDvCompact(spark, t, 0.5) === vPost)
+    // dvMetrics snapshot pinning (the optimizeDvCompact read-modify-
+    // write contract): metrics at a PINNED version stay stable while
+    // interleaved commits land, so the doomed-file list and the CAS
+    // base can never describe different snapshots
+    val pinned = TxLog.version(t)
+    val mPinned = TxLog.dvMetrics(spark, t, Some(pinned))
+      .map(x => x.path -> (x.rows, x.masked)).toMap
+    TxLog.append(spark,
+      (21L to 30L).map(k => (k, k * 1.0)).toDF("k", "x").repartition(1), t)
+    TxLog.deleteWhereMor(spark, t, $"k" >= 21L && $"k" <= 28L)
+    assert(TxLog.dvMetrics(spark, t, Some(pinned))
+      .map(x => x.path -> (x.rows, x.masked)).toMap === mPinned,
+      "pinned dvMetrics drifted under interleaved commits")
+    assert(TxLog.dvMetrics(spark, t).exists(_.masked === 8L))
   }
 
   test("TxLog: evolved snapshot with DVs on one schema group still reads") {
@@ -1554,6 +1620,13 @@ class OperatorSpec extends AnyFunSuite {
     val multi = Bfs.hopDistance(edges, Seq(0L, 100L).toDF("node"), 8)
       .as[(Long, Int)].collect().toMap
     assert(multi(100L) === 0 && multi(101L) === 1 && multi(4L) === 2)
+    // odd cap on a directed chain: exercises the r10 two-hop rounds
+    // plus the single-hop tail (hop 3) — node 4 must stay unsettled
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val d3 = Bfs.hopDistance(chain, Seq(0L).toDF("node"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(d3 === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
   }
 
   test("TxLog restore is a metadata-only rollback; history intact; stats carried") {
@@ -1835,6 +1908,89 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("TxLog: append racing a schema mutation — stamp on mapped, surface on unmapped") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    // A schema action committed between an append's validation and its
+    // commit must never silently re-epoch the appended files (mapped
+    // reads would null-fill their columns). The interleave is forced
+    // deterministically: a poison UDF inside the appended frame blocks
+    // the append's data write until a driver-side mutation thread has
+    // committed its schema action, so the append's commit ALWAYS lands
+    // after the mutation.
+    // The poison UDF must reference the gate STATICALLY (latches are
+    // not serializable, so capturing them in the closure would fail
+    // task serialization before the race even starts) — local[*]
+    // executors share the JVM, so the static object IS the channel.
+    def appendRacing(gateKey: String, table: String, mutate: () => Unit,
+                     colName: String): Either[Throwable, Int] = {
+      SchemaRaceGate.init(gateKey)
+      @volatile var mutErr: Throwable = null
+      val mut = new Thread(() => {
+        SchemaRaceGate.started(gateKey).await()
+        try mutate() catch { case e: Throwable => mutErr = e }
+        SchemaRaceGate.done(gateKey).countDown()
+      })
+      mut.start()
+      val poison = udf { (x: Long, key: String) =>
+        if (x == 0L) {
+          SchemaRaceGate.started(key).countDown()
+          SchemaRaceGate.done(key).await()
+        }
+        x
+      }
+      val df = spark.range(0, 3).repartition(1)
+        .select(poison($"id", lit(gateKey)).as(colName),
+          ($"id" * 1.0).as("x"))
+      val r = try Right(TxLog.append(spark, df, table))
+              catch { case e: Throwable => Left(e) }
+      // unblock the mutation thread even if the append failed before
+      // ever evaluating the poison row, then surface its error
+      SchemaRaceGate.started(gateKey).countDown()
+      mut.join()
+      assert(mutErr == null, s"mutation thread failed: $mutErr")
+      r
+    }
+    // --- mapped table: the stamped write-epoch makes the raced commit
+    // land AND resolve correctly by field id
+    val tM = Engine.scratchDir("txrace_mapped")
+    TxLog.append(spark,
+      Seq((100L, 0.5)).toDF("k", "x").repartition(1), tM)     // v0
+    TxLog.renameColumn(spark, tM, "k", "id")                  // v1: mapped
+    val res = appendRacing("mapped", tM,
+      () => TxLog.renameColumn(spark, tM, "id", "id2"), colName = "id")
+    assert(res.isRight, s"mapped-table append must survive the race: $res")
+    // the raced add lines carry their validation-time epoch explicitly
+    val logTxt = java.nio.file.Files.readString(
+      new java.io.File(tM, f"_txlog/${res.toOption.get}%08d.json").toPath)
+    assert(logTxt.contains("\"op\":\"add\",\"ep\":1"), logTxt)
+    // and the rows surface under the POST-mutation name with their
+    // values intact (field-id resolution through the stamped epoch),
+    // never null-filled
+    val out = TxLog.read(spark, tM)
+    assert(out.columns.toSeq === Seq("id2", "x"))
+    assert(out.count() === 4)
+    assert(out.filter($"id2".isNull).count() === 0,
+      "raced append was re-epoched: columns null-filled")
+    assert(out.agg(sum($"id2")).first().getLong(0) === 100L + 0L + 1L + 2L)
+    // --- unmapped table: a first mapping racing the append cannot be
+    // absorbed by re-CAS (the precomputed lines would replay under the
+    // wrong epoch) — it surfaces as ConcurrentSchemaChange
+    val tU = Engine.scratchDir("txrace_unmapped")
+    TxLog.append(spark,
+      Seq((200L, 0.5)).toDF("k", "x").repartition(1), tU)     // v0
+    val resU = appendRacing("unmapped", tU,
+      () => TxLog.renameColumn(spark, tU, "k", "kk"), colName = "k")
+    assert(resU.isLeft && resU.swap.toOption.get
+        .isInstanceOf[TxLog.ConcurrentSchemaChange],
+      s"expected ConcurrentSchemaChange, got $resU")
+    // the table is unpoisoned: only the original row, under the new
+    // name, and the loser's orphaned files stay invisible
+    val outU = TxLog.read(spark, tU)
+    assert(outU.columns.toSeq === Seq("kk", "x"))
+    assert(outU.as[(Long, Double)].collect().toSeq === Seq((200L, 0.5)))
+  }
+
   test("q13 outer-join distribution: agg reuses the join's partitioning") {
     val q = SparkEntry.queries("q13_order_distribution")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
@@ -1845,4 +2001,22 @@ class OperatorSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 3, s"$shuffles shuffles:\n" + plan.take(1500))
   }
+}
+
+/** Static rendezvous for the append-vs-schema-mutation race test:
+  * the poison UDF running inside a task and the driver-side mutation
+  * thread synchronize through these latches BY KEY — referenced
+  * statically so the UDF closure captures nothing unserializable
+  * (local[*] shares the JVM, so the object is one memory). */
+object SchemaRaceGate {
+  import java.util.concurrent.{ConcurrentHashMap, CountDownLatch}
+  private val startedM = new ConcurrentHashMap[String, CountDownLatch]()
+  private val doneM = new ConcurrentHashMap[String, CountDownLatch]()
+  def init(key: String): Unit = {
+    startedM.put(key, new CountDownLatch(1))
+    doneM.put(key, new CountDownLatch(1))
+    ()
+  }
+  def started(key: String): CountDownLatch = startedM.get(key)
+  def done(key: String): CountDownLatch = doneM.get(key)
 }
