@@ -29,6 +29,28 @@ object Bfs {
     * empties. */
   def hopDistance(edges: DataFrame, sources: DataFrame,
                   maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    // AQE OFF for the round loop: adaptive execution materializes every
+    // exchange as its own job to re-plan at runtime — worth it on one
+    // big unknown-stats query, pure job-submit amplification on an
+    // iterative loop of small bounded rounds (the r10 stage table
+    // measured ~16 jobs per settled hop with AQE on; with it off each
+    // round's count action is ONE job). The expensive shuffle — the
+    // edge relation onto its join key — is an explicit repartition AQE
+    // would not override anyway. A cluster deployment expecting
+    // SKEWED frontiers can re-enable around the call; the conf is
+    // restored on exit.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try hopDistance0(edges, sources, maxHops)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  // private[graft] so the job-count test can run the loop under the
+  // caller's AQE setting and measure the submission gap the wrapper
+  // above exists to close
+  private[graft] def hopDistance0(edges: DataFrame, sources: DataFrame,
+                                  maxHops: Int): DataFrame = {
     val par = edges.sparkSession.sparkContext.defaultParallelism
     val e = edges.select(col("src"), col("dst"))
       .repartition(par * 2, col("src")).localCheckpoint()

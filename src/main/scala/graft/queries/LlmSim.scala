@@ -696,15 +696,19 @@ object LlmSim extends QueryModule {
         val e = Engine.table(s, dir, "embeddings")
           .select($"vec_id", $"embedding",
             V.toDouble($"embedding").as("v"))
+        // r10: assignment is the map-only NearestCell argmin over the
+        // one-row broadcast centroid array (bit-identical d2 arithmetic
+        // and (d2, cid) tiebreak to the row_number formulation the
+        // oracle below still spells out — the hash is unchanged); cid
+        // casts back to the seeds' BIGINT domain for the oracle schema
         val c = e.filter($"vec_id" <= 3)
-          .select($"vec_id".as("cid"), $"v".as("cv"))
-        val d = e.crossJoin(broadcast(c))
-          .withColumn("d2",
-            V.dot($"v", $"v") - lit(2.0) * V.dot($"v", $"cv")
-              + V.dot($"cv", $"cv"))
-        val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+          .select($"vec_id".cast("int").as("cid"), $"v".as("cv"))
+        val cArr = broadcast(c.agg(
+          collect_list(struct($"cid", $"cv")).as("cents")))
         val vecMean = udaf(VecMeanAgg)
-        d.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        e.crossJoin(cArr)
+          .select(graft.plans.NearestCell($"v", $"cents")
+            .cast("long").as("cid"), $"embedding")
           .groupBy($"cid")
           .agg(vecMean($"embedding").as("mean_vec"),
             count(lit(1)).as("n"))

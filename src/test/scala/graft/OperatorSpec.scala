@@ -1629,6 +1629,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(d3 === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
   }
 
+  test("Bfs submits O(rounds) jobs, not O(exchange stages)") {
+    import graft.operators.Bfs
+    import spark.implicits._
+    // The r10 stage table measured ~16 job submissions per settled hop
+    // with AQE re-planning every exchange inside the round loop; with
+    // the loop running AQE-off each materialization action is ONE job.
+    // Structural pin (box-independent): a 6-node chain at maxHops=8
+    // (4 two-hop rounds + terminal empty round) must stay under a
+    // budget only the one-job-per-action shape can meet.
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val want = Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5)
+    def countJobs(f: () => Map[Long, Int]): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(f() === want)
+        // listener delivery is async: wait for the count to go quiet
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 20) {
+          last = jobs.get(); Thread.sleep(150); spins += 1
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def run(f: (org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.DataFrame, Int)
+              => org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      f(chain, Seq(0L).toDF("node"), 8).as[(Long, Int)].collect().toMap
+    // baseline: the same loop with AQE re-planning every exchange
+    val aqeOn = countJobs(() => run(Bfs.hopDistance0))
+    // shipped path: loop runs AQE-off, one job per materialization
+    // action (plus one per broadcast build)
+    val aqeOff = countJobs(() => run(Bfs.hopDistance))
+    info(s"job submissions: AQE-on loop $aqeOn, AQE-off loop $aqeOff")
+    assert(aqeOff * 2 <= aqeOn,
+      s"AQE-off loop must at least halve job submissions: $aqeOff vs $aqeOn")
+    assert(aqeOff <= 24, s"$aqeOff jobs submitted")
+  }
+
   test("TxLog restore is a metadata-only rollback; history intact; stats carried") {
     import graft.operators.TxLog
     import spark.implicits._
