@@ -488,44 +488,15 @@ object LlmSim extends QueryModule {
             ivfPersistedProbe(s, dir, 5L, 10L).withColumn("probe", lit(2)))
       },
       oracle = Some {
-        def d2(v: String, c: String) =
-          s"${V.dotSql(v, v)} - 2.0 * ${V.dotSql(v, c)} + ${V.dotSql(c, c)}"
         s"""
-        WITH e AS (SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-        seed AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
-          FROM e WHERE vec_id < $IvfPNlist),
-        a0 AS (
-          SELECT cid, v FROM (
-            SELECT s.cid, e.v,
-              row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                ${d2("e.v", "s.cv")}, s.cid) AS rn
-            FROM e CROSS JOIN seed s)
-          WHERE rn = 1),
-        cent AS (
-          SELECT cid, list(m ORDER BY dim) AS cv FROM (
-            SELECT cid, dim,
-              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
-                / 10000000 / count(*) AS m
-            FROM (SELECT cid, unnest(v) AS x,
-                    generate_subscripts(v, 1) - 1 AS dim FROM a0)
-            GROUP BY cid, dim)
-          GROUP BY cid),
-        cells AS (
-          SELECT vec_id, v, cid FROM (
-            SELECT e.vec_id, e.v, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                ${d2("e.v", "c.cv")}, c.cid) AS rn
-            FROM e CROSS JOIN cent c)
-          WHERE rn = 1),
+        WITH $ivfCellsSql,
         probes AS (
           SELECT q_id, probe, qv, cid FROM (
             SELECT e.vec_id AS q_id,
               CASE WHEN e.vec_id < 5 THEN 1 ELSE 2 END AS probe,
               e.v AS qv, c.cid,
               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                ${d2("e.v", "c.cv")}, c.cid) AS rn
+                ${d2Sql("e.v", "c.cv")}, c.cid) AS rn
             FROM e CROSS JOIN cent c WHERE e.vec_id < 10)
           WHERE rn <= 2),
         scored AS (
@@ -539,6 +510,94 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3"""
       }),
+
+    // SEMDEDUP-style embedding dedup: cluster the corpus into coarse
+    // cells (the persisted IVF assignment — the SemDeDup paper's
+    // k-means step), then compare pairs ONLY within a cell and drop
+    // every vector that has a SMALLER-id cell-mate with cosine >= θ.
+    // The deterministic keep-smallest rule replaces the paper's
+    // order-dependent greedy pass (same dedup effect, exact oracle).
+    // Scale story: the quadratic term is bounded per cell — pairs =
+    // Σ|cell|², and nlist grows with the corpus so |cell| stays
+    // bounded → linear total work, never an all-pairs join; the cells
+    // artifact arrives bucketed on `cid`, so the self-join consumes
+    // its clustering. Output: one verdict row per vector.
+    "q_llm_semdedup" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = persistedIvfCells(s, dir)
+        val dropped = cells.as("a").join(cells.as("b"),
+            $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
+          .withColumn("cos", V.cosine($"a.v", $"b.v"))
+          .filter($"cos" >= 0.30)
+          .select($"a.vec_id".as("vec_id")).distinct()
+          .withColumn("hit", lit(true))
+        cells.select($"vec_id", $"cid")
+          .join(dropped, Seq("vec_id"), "left")
+          .select($"vec_id", $"cid", coalesce(!$"hit", lit(true)).as("kept"))
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        drops AS (
+          SELECT DISTINCT a.vec_id
+          FROM cells a JOIN cells b
+            ON a.cid = b.cid AND b.vec_id < a.vec_id
+          WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30)
+        SELECT c.vec_id, c.cid, d.vec_id IS NULL AS kept
+        FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id""")),
+
+    // INCREMENTAL ANN: a NEW batch of query vectors (deterministic
+    // perturbations of every 7th corpus vector — "near-arrival"
+    // embeddings an ingest pipeline must route) probes the PERSISTED
+    // IVF index: nprobe=2 nearest cells from the broadcast centroids,
+    // candidates read out of the bucketed cells artifact (only the
+    // new-batch side moves), cosine top-3 per arrival. The ANN twin of
+    // q_llm_dedup_incremental: index once, screen every delta — the
+    // steady-state shape of a 100 TB embedding store.
+    "q_llm_ann_incremental" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = persistedIvfCells(s, dir)
+        val cent = persistedIvfCent(s, dir)
+        val cArr = broadcast(cent.agg(
+          collect_list(struct($"cid", $"cv")).as("cents")))
+        val nb = embDoubles(s, dir).filter($"vec_id" % 7 === 3)
+          .select(($"vec_id" + 500000L).as("q_id"),
+            transform($"v", x => x * lit(0.9) + lit(0.01)).as("qv"))
+        val probes = nb.crossJoin(cArr)
+          .select($"q_id", $"qv",
+            explode(slice(array_sort(transform($"cents",
+              c => struct(sqDist($"qv", c.getField("cv")).as("d2"),
+                c.getField("cid").as("cid")))), 1, 2)).as("pc"))
+          .select($"q_id", $"qv", $"pc.cid".as("cid"))
+        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+        probes.join(cells, Seq("cid"))
+          .withColumn("cos", V.cosine($"qv", $"v"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"rank", $"vec_id", $"cos")
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        nb AS (
+          SELECT vec_id + 500000 AS q_id,
+            list_transform(v, x -> x * 0.9 + 0.01) AS qv
+          FROM e WHERE vec_id % 7 = 3),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT nb.q_id, nb.qv, c.cid,
+              row_number() OVER (PARTITION BY nb.q_id ORDER BY
+                ${d2Sql("nb.qv", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
+          FROM probes p JOIN cells cl ON p.cid = cl.cid)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
 
     // L2 NORMALIZATION of the embedding column — the prep step before
     // cosine ANN (normalized vectors turn cosine into dot product).
@@ -1031,6 +1090,44 @@ object LlmSim extends QueryModule {
     * build is cheap to oracle in DuckDB at sf0.01; the ungated
     * [[annIvfTopK]] sweep surface keeps the measured 64×8 config). */
   private[graft] val IvfPNlist = 16
+
+  /** DuckDB mirror of [[sqDist]] — same left-assoc arithmetic. */
+  private def d2Sql(v: String, c: String): String =
+    s"${V.dotSql(v, v)} - 2.0 * ${V.dotSql(v, c)} + ${V.dotSql(c, c)}"
+
+  /** The WITH-clause chain reproducing [[persistedIvfCent]] +
+    * [[persistedIvfCells]] in DuckDB (seed -> one quantized-Lloyd
+    * iteration -> argmin cells), shared by every oracle that consumes
+    * the persisted IVF artifacts. Defines CTEs: e, seed, a0, cent,
+    * cells. */
+  private def ivfCellsSql: String = s"""e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        seed AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+          FROM e WHERE vec_id < $IvfPNlist),
+        a0 AS (
+          SELECT cid, v FROM (
+            SELECT s.cid, e.v,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${d2Sql("e.v", "s.cv")}, s.cid) AS rn
+            FROM e CROSS JOIN seed s)
+          WHERE rn = 1),
+        cent AS (
+          SELECT cid, list(m ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS m
+            FROM (SELECT cid, unnest(v) AS x,
+                    generate_subscripts(v, 1) - 1 AS dim FROM a0)
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        cells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${d2Sql("e.v", "c.cv")}, c.cid) AS rn
+            FROM e CROSS JOIN cent c)
+          WHERE rn = 1)"""
 
   /** Centroids of the persisted IVF: `IvfPNlist` seeds (vec_id 0..n-1)
     * refined by ONE Lloyd iteration with EXACT quantized-integer means

@@ -594,6 +594,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(persisted === fresh)
   }
 
+  test("semdedup within-cell self-join consumes the bucketed cells clustering") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SparkEntry.queries("q_llm_semdedup")(spark, sf)
+      q.write.format("noop").mode("overwrite").save()
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    // the within-cell pair join reads BOTH sides out of the bucketed
+    // artifact (no exchange under it); the only hash exchanges serve
+    // the drop-list distinct + the verdict left-join on vec_id. A
+    // bucket-blind cells join would add two corpus-sized exchanges.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 4, s"$shuffles shuffles:\n" + plan.take(2000))
+  }
+
   test("labelStar keeps self-loop-only nodes and works on string ids") {
     import graft.operators.ConnectedComponents
     import spark.implicits._
