@@ -599,6 +599,67 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // STREAMING incremental ANN — the online form of
+    // q_llm_ann_incremental: the new-arrival vectors land as a STREAM,
+    // probe the persisted IVF index via stateless per-row cell routing
+    // (broadcast centroids) + a stream-static join against the bucketed
+    // cells artifact, and the per-arrival top-3 emerges from a
+    // complete-mode aggregate (collect → sort by (-cos, vec_id) → take
+    // 3; deterministic because (cos, vec_id) pairs are unique). Same
+    // oracle as the batch query — the stream must converge to the
+    // identical routing table. This is the ingest-time shape of a
+    // 100 TB embedding store: index once, route every arriving shard.
+    "q_stream_ann_incremental" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = persistedIvfCells(s, dir)
+        val cent = persistedIvfCent(s, dir)
+        val cArr = broadcast(cent.agg(
+          collect_list(struct($"cid", $"cv")).as("cents")))
+        val nb = embDoubles(s, dir).filter($"vec_id" % 7 === 3)
+          .select(($"vec_id" + 500000L).as("q_id"),
+            transform($"v", x => x * lit(0.9) + lit(0.01)).as("qv"))
+        graft.streaming.Replay.run(s, nb, mode = "complete",
+          cacheKey = s"annstream:$dir") { st =>
+          st.crossJoin(cArr)
+            .select($"q_id", $"qv",
+              explode(slice(array_sort(transform($"cents",
+                c => struct(sqDist($"qv", c.getField("cv")).as("d2"),
+                  c.getField("cid").as("cid")))), 1, 2)).as("pc"))
+            .select($"q_id", $"qv", $"pc.cid".as("cid"))
+            .join(cells, Seq("cid"))
+            .withColumn("cos", V.cosine($"qv", $"v"))
+            .groupBy($"q_id")
+            .agg(slice(array_sort(collect_list(
+              struct((-$"cos").as("nc"), $"vec_id", $"cos"))), 1, 3)
+              .as("top"))
+            .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+            .select($"q_id", ($"pos" + 1).cast("int").as("rank"),
+              $"t.vec_id".as("vec_id"), $"t.cos".as("cos"))
+        }
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        nb AS (
+          SELECT vec_id + 500000 AS q_id,
+            list_transform(v, x -> x * 0.9 + 0.01) AS qv
+          FROM e WHERE vec_id % 7 = 3),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT nb.q_id, nb.qv, c.cid,
+              row_number() OVER (PARTITION BY nb.q_id ORDER BY
+                ${d2Sql("nb.qv", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
+          FROM probes p JOIN cells cl ON p.cid = cl.cid)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
     // L2 NORMALIZATION of the embedding column — the prep step before
     // cosine ANN (normalized vectors turn cosine into dot product).
     // Pure per-row math: norm = sqrt(native dot) (sqrt and divide are
