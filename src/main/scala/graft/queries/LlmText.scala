@@ -204,6 +204,18 @@ object LlmText extends QueryModule {
   private def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Oracle CTE `sh$sfx`: word-trigram shingle arrays of a (doc_id,
+    * text) base CTE named `base$sfx` — the DuckDB mirror of the native
+    * [[graft.plans.Shingles]] expression (short docs fall back to the
+    * whole text, same as the expression). */
+  private def shingleCteSql(sfx: String): String = s"""sh$sfx AS (
+          SELECT doc_id,
+            CASE WHEN len(words) >= 3
+              THEN [concat_ws(' ', words[i+1], words[i+2], words[i+3])
+                    FOR i IN generate_series(0, len(words)-3)]
+              ELSE [text] END AS shingles
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM base$sfx))"""
+
   /** Oracle CTE chain `sh$sfx, sig$sfx, bands$sfx` producing the (doc_id,
     * band, bh) banding rows from a base CTE named `base$sfx` — the
     * DuckDB mirror of [[bandFrameOf]] (identical signature math on both
@@ -218,13 +230,7 @@ object LlmText extends QueryModule {
       s"""SELECT doc_id, $b AS band, ${h60Sql(
         s"concat(CAST(s${2 * b} AS VARCHAR), ',', CAST(s${2 * b + 1} AS VARCHAR))")} AS bh FROM sig$sfx""")
       .mkString("\n          UNION ALL ")
-    s"""sh$sfx AS (
-          SELECT doc_id,
-            CASE WHEN len(words) >= 3
-              THEN [concat_ws(' ', words[i+1], words[i+2], words[i+3])
-                    FOR i IN generate_series(0, len(words)-3)]
-              ELSE [text] END AS shingles
-          FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM base$sfx)),
+    s"""${shingleCteSql(sfx)},
         sig$sfx AS (
           SELECT doc_id, shingles,
             $sigExprs
@@ -1140,6 +1146,85 @@ object LlmText extends QueryModule {
         FROM bands_n n LEFT JOIN bands_o o
           ON n.band = o.band AND n.bh = o.bh
         GROUP BY n.doc_id""")),
+
+    // BLOOM-SCREEN dedup (the fixed-memory corpus membership screen a
+    // web-scale pipeline runs before anything exact — the published
+    // "Bloom-filter dedup" pattern): the ENTIRE corpus's span
+    // (word-trigram shingle) set folds into ONE NDV-independent Bloom
+    // filter built EXECUTOR-SIDE by BloomBuildAgg (OR-mergeable
+    // partials; only the finished 16 KiB filter crosses to the
+    // driver — that bounded transfer IS the operator's design), and
+    // the new batch is screened span-by-span against the broadcast
+    // filter: a doc with >= half its distinct spans already present is
+    // flagged. Versus q_llm_decontaminate's exact broadcast set, the
+    // filter's memory is FIXED at any corpus size — the trade is a
+    // bounded false-positive rate, which the oracle models EXACTLY
+    // (membership = all 4 double-hashed probe bits in the corpus's
+    // set-bit set, collisions included), so the gate is deterministic,
+    // not tolerance-based.
+    "q_llm_dedup_bloom_screen" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val bits = 131072L // 2^17 = 16 KiB filter, fixed by design
+        val bytes = Engine.table(s, dir, "documents")
+          .select(explode(array_distinct(
+            graft.plans.Shingles($"text", 3))).as("span"))
+          .agg(graft.plans.BloomBuildAgg(
+            Fns.h60($"span"), lit(bits)).as("fw"))
+          .head().getAs[Array[Byte]](0) // ONE 16 KiB row by design
+        val words = new Array[Long](bytes.length / 8)
+        java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
+        val probed = newBatch(s, dir)
+          .select($"doc_id", explode(array_distinct(
+            graft.plans.Shingles($"text", 3))).as("span"))
+          .withColumn("__w", typedLit(words.toSeq))
+          .withColumn("h", Fns.h60($"span"))
+          .withColumn("h1", $"h".bitwiseAND(lit(1073741823L)))
+          .withColumn("h2", shiftrightunsigned($"h", 30).bitwiseOR(lit(1L)))
+        val withPos = (0 until 4).foldLeft(probed) { (df, i) =>
+          df.withColumn(s"p$i", ($"h1" + lit(i.toLong) * $"h2") % lit(bits))
+        }
+        val hit = (0 until 4).map(i => expr(
+          s"(element_at(__w, cast(shiftright(p$i, 6) as int) + 1) & " +
+            s"shiftleft(1L, cast(p$i % 64 as int))) != 0"))
+          .reduce(_ && _)
+        withPos
+          .withColumn("hit", hit)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when($"hit", 1L).otherwise(0L)).as("n_hits"))
+          .withColumn("flagged", $"n_hits" * 2 >= $"n_spans")
+      },
+      oracle = Some(s"""
+        WITH base_c AS (SELECT doc_id, text FROM documents),
+        ${shingleCteSql("_c")},
+        cpos AS (
+          SELECT DISTINCT
+            ((h & 1073741823) + i * ((h >> 30) | 1)) % 131072 AS pos
+          FROM (SELECT DISTINCT ${h60Sql("x")} AS h
+                FROM (SELECT unnest(list_distinct(shingles)) AS x
+                      FROM sh_c)),
+               (SELECT unnest([0, 1, 2, 3]) AS i)),
+        $newBatchSql,
+        ${shingleCteSql("_n")},
+        ppos AS (
+          SELECT doc_id, x,
+            ((h & 1073741823) + i * ((h >> 30) | 1)) % 131072 AS pos
+          FROM (SELECT doc_id, x, ${h60Sql("x")} AS h
+                FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS x
+                      FROM sh_n)),
+               (SELECT unnest([0, 1, 2, 3]) AS i)),
+        pspan AS (
+          SELECT doc_id, x,
+            count(DISTINCT pp.pos) AS need, count(DISTINCT c.pos) AS got
+          FROM ppos pp LEFT JOIN cpos c ON pp.pos = c.pos
+          GROUP BY doc_id, x)
+        SELECT doc_id, count(*) AS n_spans,
+          CAST(sum(CASE WHEN need = got THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hits,
+          sum(CASE WHEN need = got THEN 1 ELSE 0 END) * 2 >= count(*)
+            AS flagged
+        FROM pspan GROUP BY doc_id""")),
 
     // STREAMING incremental dedup — the online form of
     // q_llm_dedup_incremental: the new batch arrives as a STREAM, is
