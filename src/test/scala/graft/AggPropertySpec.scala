@@ -66,6 +66,77 @@ class AggPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCell equals the explode+window argmin bit-for-bit, ties to smaller cid") {
+    import graft.operators.{VectorOps => V}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    def vec() = Seq.fill(dims)(rnd.nextDouble() * 2 - 1)
+    val cents0 = (0 until 10).map(c => (c, vec()))
+    // cid 10 DUPLICATES cid 0's centroid: every vector nearest c0 is an
+    // exact d2 tie with c10 and must resolve to the SMALLER cid
+    val cents = cents0 :+ ((10, cents0.head._2))
+    // plant one vector exactly AT the duplicated centroid (d2 = 0 twice)
+    val vecs = ((300L, cents0.head._2) +:
+      (0 until 300).map(i => (i.toLong, vec()))).toDF("vec_id", "v")
+    val cdf = cents.toDF("cid", "cv")
+    val cArr = broadcast(cdf.agg(
+      collect_list(struct($"cid", $"cv")).as("cents")))
+    val fast = vecs.crossJoin(cArr)
+      .select($"vec_id", graft.plans.NearestCell($"v", $"cents").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+    val slow = vecs.crossJoin(broadcast(cdf))
+      .withColumn("d2", V.dot($"v", $"v") - lit(2.0) * V.dot($"v", $"cv")
+        + V.dot($"cv", $"cv"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fast === slow)
+    assert(fast(300L) === 0, "exact tie must resolve to the smaller cid")
+  }
+
+  test("BloomBuildAgg: partition-merged filter equals single-pass, no false negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    (0 until 3).foreach { trial =>
+      val bits = 1L << (13 + trial)
+      val keys = Seq.fill(500)(rnd.nextLong())
+      val df = keys.toDF("k")
+        .withColumn("h", graft.functions.Fns.h60($"k".cast("string")))
+      def filt(d: org.apache.spark.sql.DataFrame): Array[Byte] = d
+        .agg(graft.plans.BloomBuildAgg($"h", lit(bits)).as("fw"))
+        .head().getAs[Array[Byte]](0)
+      val one = filt(df.coalesce(1))
+      val many = filt(df.repartition(13))
+      // OR-merge across arbitrary partials = the single-pass filter
+      assert(java.util.Arrays.equals(one, many), s"trial $trial")
+      assert(one.length * 8L === bits)
+      val words = new Array[Long](one.length / 8)
+      java.nio.ByteBuffer.wrap(one).asLongBuffer().get(words)
+      def member(h: Long): Boolean = {
+        val h1 = h & ((1L << 30) - 1)
+        val h2 = (h >>> 30) | 1L
+        (0 until 4).forall { i =>
+          val p = ((h1 + i * h2) % bits).toInt
+          (words(p >> 6) & (1L << (p & 63))) != 0L
+        }
+      }
+      val hs = df.select($"h").collect().map(_.getLong(0))
+      // no false negatives, ever
+      hs.foreach(h => assert(member(h), s"trial $trial: inserted key missing"))
+      // and the filter discriminates: fresh keys overwhelmingly miss
+      val fresh = Seq.fill(500)(rnd.nextLong()).filterNot(keys.contains)
+        .toDF("k")
+        .withColumn("h", graft.functions.Fns.h60($"k".cast("string")))
+        .select($"h").collect().map(_.getLong(0))
+      val fp = fresh.count(member)
+      assert(fp <= fresh.length / 10,
+        s"trial $trial: $fp/${fresh.length} false positives")
+    }
+  }
+
   test("TxLog model check: random append/delete/merge/restore/optimize sequences") {
     import graft.operators.TxLog
     import spark.implicits._
