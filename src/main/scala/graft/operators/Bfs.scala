@@ -76,10 +76,22 @@ object Bfs {
     var frontierRows = dist.count() // materializes the lazy checkpoint
     var hop = 0
     // hop-(d) candidates: frontier's out-neighbors not yet settled
-    // (minus `extra`, the in-flight sibling round, when given)
+    // (minus `extra`, the in-flight sibling round, when given).
+    // The FRONTIER side of the edge join carries an explicit broadcast
+    // hint: a frontier is one level of the graph (node-sized, measured
+    // by the round's own count), so the edge relation — the only
+    // edge-SIZED operand — is streamed over its cached partitioned
+    // blocks with no per-round exchange and, crucially, no per-round
+    // SORT. Without the hint the AQE-off loop planned sort-merge joins
+    // whose every round re-sorted the full edge list (measured 8x
+    // task-seconds in the r10 stage table); with AQE on the runtime
+    // stats reached the same broadcast decision, at one job per
+    // exchange stage. The settled-set anti-joins stay shuffle joins:
+    // `dist` grows toward the full node set, which is the side you
+    // never broadcast.
     def expand(fr: DataFrame, settled: DataFrame, d: Int,
                extra: Option[DataFrame]): DataFrame = {
-      val base = fr.join(e, fr("node") === e("src"))
+      val base = e.join(broadcast(fr), fr("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
       extra.fold(base)(x => base.join(x, Seq("node"), "left_anti"))
