@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{DotProduct, H60}
+import graft.plans.{DotProduct, H60, NearestCell}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
@@ -41,6 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(
           Cast(exprs(0), ArrayType(DoubleType)),
           Cast(exprs(1), ArrayType(DoubleType)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"nearest_cell requires exactly 2 arguments, got ${exprs.length}")
+        // cast the vector side (float embeddings welcome); the centroid
+        // array's struct shape is validated by the expression itself
+        NearestCell(Cast(exprs(0), ArrayType(DoubleType)), exprs(1))
       }))
     ext.injectOptimizerRule(_ => RewriteComposedH60)
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)

@@ -27,24 +27,25 @@ object Bfs {
     * undirected graph. Returns `(node, d)` for every node reachable
     * within `maxHops` (sources at d=0). Stops early when the frontier
     * empties. */
+  /** `adaptive = true` (default) keeps AQE on inside the round loop —
+    * the r10 A/B at bench volume (stage tables, same HEAD): AQE-off
+    * halves job submissions (63 vs 129) but forfeits runtime partition
+    * coalescing on every per-round exchange, and the loop's many small
+    * static-partition stages cost ~6× the task-seconds — a bad trade
+    * whenever rounds carry real data. `adaptive = false` is the
+    * measured micro-graph posture (one job per materialization action,
+    * 20 vs 37 submissions on the unit-test graph) for workloads where
+    * job-submit latency dominates and rounds are tiny. */
   def hopDistance(edges: DataFrame, sources: DataFrame,
-                  maxHops: Int): DataFrame = {
-    val spark = edges.sparkSession
-    // AQE OFF for the round loop: adaptive execution materializes every
-    // exchange as its own job to re-plan at runtime — worth it on one
-    // big unknown-stats query, pure job-submit amplification on an
-    // iterative loop of small bounded rounds (the r10 stage table
-    // measured ~16 jobs per settled hop with AQE on; with it off each
-    // round's count action is ONE job). The expensive shuffle — the
-    // edge relation onto its join key — is an explicit repartition AQE
-    // would not override anyway. A cluster deployment expecting
-    // SKEWED frontiers can re-enable around the call; the conf is
-    // restored on exit.
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try hopDistance0(edges, sources, maxHops)
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-  }
+                  maxHops: Int, adaptive: Boolean = true): DataFrame =
+    if (adaptive) hopDistance0(edges, sources, maxHops)
+    else {
+      val spark = edges.sparkSession
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try hopDistance0(edges, sources, maxHops)
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
 
   // private[graft] so the job-count test can run the loop under the
   // caller's AQE setting and measure the submission gap the wrapper

@@ -49,6 +49,21 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .head.getDouble(0)
       assert(d === 11.0)
+      // nearest_cell: (0.9, 0) is closest to centroid 1 at (1, 0);
+      // an exact tie (origin vs two equidistant centroids) goes to the
+      // smaller cid
+      val c = s.sql("""
+        SELECT nearest_cell(array(0.9D, 0.0D), array(
+          named_struct('cid', 0, 'cv', array(-1.0D, 0.0D)),
+          named_struct('cid', 1, 'cv', array(1.0D, 0.0D)))) AS c""")
+        .head.getInt(0)
+      assert(c === 1)
+      val tie = s.sql("""
+        SELECT nearest_cell(array(0.0D, 0.0D), array(
+          named_struct('cid', 7, 'cv', array(0.0D, 2.0D)),
+          named_struct('cid', 3, 'cv', array(0.0D, -2.0D)))) AS c""")
+        .head.getInt(0)
+      assert(tie === 3)
     }
   }
 

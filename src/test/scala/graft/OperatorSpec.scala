@@ -1682,11 +1682,13 @@ class OperatorSpec extends AnyFunSuite {
                 org.apache.spark.sql.DataFrame, Int)
               => org.apache.spark.sql.DataFrame): Map[Long, Int] =
       f(chain, Seq(0L).toDF("node"), 8).as[(Long, Int)].collect().toMap
-    // baseline: the same loop with AQE re-planning every exchange
-    val aqeOn = countJobs(() => run(Bfs.hopDistance0))
-    // shipped path: loop runs AQE-off, one job per materialization
-    // action (plus one per broadcast build)
-    val aqeOff = countJobs(() => run(Bfs.hopDistance))
+    // default path: AQE re-plans (and re-jobs) every exchange — the
+    // right trade once rounds carry real data (see hopDistance doc)
+    val aqeOn = countJobs(() => run(Bfs.hopDistance(_, _, _)))
+    // micro-graph posture: loop runs AQE-off, one job per
+    // materialization action (plus one per broadcast build)
+    val aqeOff = countJobs(() =>
+      run(Bfs.hopDistance(_, _, _, adaptive = false)))
     info(s"job submissions: AQE-on loop $aqeOn, AQE-off loop $aqeOff")
     // measured 20 vs 37 on this graph (the broadcast-hinted frontier
     // join removed some of the AQE baseline's stages too); the bench
