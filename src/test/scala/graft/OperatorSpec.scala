@@ -1637,13 +1637,18 @@ class OperatorSpec extends AnyFunSuite {
     val multi = Bfs.hopDistance(edges, Seq(0L, 100L).toDF("node"), 8)
       .as[(Long, Int)].collect().toMap
     assert(multi(100L) === 0 && multi(101L) === 1 && multi(4L) === 2)
-    // odd cap on a directed chain: exercises the r10 two-hop rounds
-    // plus the single-hop tail (hop 3) — node 4 must stay unsettled
+    // odd cap on a directed chain, BOTH postures: the micro path's
+    // two-hop rounds + single-hop tail (hop 3) must agree with the
+    // default single-hop loop — node 4 stays unsettled in each
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")
-    val d3 = Bfs.hopDistance(chain, Seq(0L).toDF("node"), maxHops = 3)
-      .as[(Long, Int)].collect().toMap
-    assert(d3 === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    Seq(true, false).foreach { ad =>
+      val d3 = Bfs.hopDistance(chain, Seq(0L).toDF("node"), maxHops = 3,
+          adaptive = ad)
+        .as[(Long, Int)].collect().toMap
+      assert(d3 === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3),
+        s"adaptive=$ad")
+    }
   }
 
   test("Bfs submits O(rounds) jobs, not O(exchange stages)") {
