@@ -50,11 +50,20 @@ object Bfs {
                   maxHops: Int, adaptive: Boolean = true): DataFrame =
     if (adaptive) hopDistance0(edges, sources, maxHops, micro = false)
     else {
+      // The AQE flip is a SESSION conf (the same save/restore idiom
+      // Replay.run uses for shuffle.partitions): concurrent
+      // adaptive=false calls on one session are serialized on the
+      // session object so interleaved restores cannot strand the conf,
+      // but UNRELATED queries planned on this session during the call
+      // still see AQE off — run micro-BFS batches on their own session
+      // (`spark.newSession()`) when that matters.
       val spark = edges.sparkSession
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try hopDistance0(edges, sources, maxHops, micro = true)
-      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.synchronized {
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try hopDistance0(edges, sources, maxHops, micro = true)
+        finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
     }
 
   // private[graft] so the job-count test can run both postures and

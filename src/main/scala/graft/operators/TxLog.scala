@@ -134,10 +134,13 @@ object TxLog {
     (sb.toString, j + 1)
   }
 
-  /** `ep` (write-schema index, -1 = pre-mapping) is emitted only by
-    * checkpoint/clone/restore lines of schema-MAPPED tables — folding a
-    * log loses the add's position relative to schema actions, so the
-    * index must ride the line explicitly there. It sits directly after
+  /** `ep` (write-schema index, -1 = pre-mapping) is emitted for every
+    * add line of a schema-MAPPED table: live appends stamp their
+    * validation-time epoch (r10 — so a schema mutation racing the
+    * commit retry can never re-epoch the files), and
+    * checkpoint/clone/restore lines carry it because folding a log
+    * loses the add's position relative to schema actions. Un-mapped
+    * tables keep the compact ep-less format. It sits directly after
     * the op so the parser can anchor on the literal line prefix (stats
     * values are user data and could contain a fake `"ep":`). */
   private def addLine(path: String, stats: Map[String, ColStats],
@@ -229,9 +232,9 @@ object TxLog {
           }
           st.live += path -> stats
           st.dvs -= path // a (re-)added file starts mask-free
-          // write-schema index: explicit "ep" (checkpoint/clone/restore
-          // lines — anchored on the literal prefix, never user data),
-          // else the latest schema action seen so far
+          // write-schema index: explicit "ep" (mapped-table appends,
+          // checkpoint/clone/restore — anchored on the literal prefix,
+          // never user data), else the latest schema action seen so far
           st.fileEpoch += path -> {
             val epPrefix = "{\"op\":\"add\",\"ep\":"
             if (l.startsWith(epPrefix)) {

@@ -30,10 +30,11 @@ import org.apache.spark.sql.types._
   * difference between 3 corpus×64 shuffles and zero. Centroid-count ×
   * dims stays KBs, so the one-row broadcast is free.
   *
-  * Entries whose vector length differs from the row's are skipped
-  * (the composed form yields NULL d2 there — a state no caller
-  * produces, since centroids are averages of corpus vectors); an empty
-  * or all-mismatched centroid array yields NULL.
+  * Entries whose vector length differs from the row's — and entries
+  * with a NULL cid or cv field, which only hand-written SQL against
+  * the registered function can produce — are skipped (the composed
+  * form yields NULL d2 there; no engine caller produces either); an
+  * empty or all-skipped centroid array yields NULL.
   */
 case class NearestCell(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -73,8 +74,14 @@ case class NearestCell(left: Expression, right: Expression)
     val n = cents.numElements()
     var c = 0
     while (c < n) {
+      // skip null entries AND entries with a null cid/cv field (the
+      // registered SQL function accepts arbitrary struct literals, so
+      // the fields are nullable even though no engine caller produces
+      // them — reading a null field would NPE interpreted and yield
+      // garbage under codegen)
       if (!cents.isNullAt(c)) {
         val row = cents.getStruct(c, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
         val cv = row.getArray(1)
         if (cv.numElements() == vn) {
           val cid = row.getInt(0)
@@ -91,6 +98,7 @@ case class NearestCell(left: Expression, right: Expression)
           if (!found || d2 < bestD || (d2 == bestD && cid < best)) {
             found = true; bestD = d2; best = cid
           }
+        }
         }
       }
       c += 1
@@ -130,6 +138,7 @@ case class NearestCell(left: Expression, right: Expression)
         for (int $c = 0; $c < $n; $c++) {
           if ($b.isNullAt($c)) continue;
           org.apache.spark.sql.catalyst.InternalRow $row = $b.getStruct($c, 2);
+          if ($row.isNullAt(0) || $row.isNullAt(1)) continue;
           org.apache.spark.sql.catalyst.util.ArrayData $cv = $row.getArray(1);
           if ($cv.numElements() != $vn) continue;
           int $cid = $row.getInt(0);

@@ -558,20 +558,12 @@ object LlmSim extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         val cells = persistedIvfCells(s, dir)
-        val cent = persistedIvfCent(s, dir)
-        val cArr = broadcast(cent.agg(
-          collect_list(struct($"cid", $"cv")).as("cents")))
+        val cArr = centArrOf(persistedIvfCent(s, dir))
         val nb = embDoubles(s, dir).filter($"vec_id" % 7 === 3)
           .select(($"vec_id" + 500000L).as("q_id"),
             transform($"v", x => x * lit(0.9) + lit(0.01)).as("qv"))
-        val probes = nb.crossJoin(cArr)
-          .select($"q_id", $"qv",
-            explode(slice(array_sort(transform($"cents",
-              c => struct(sqDist($"qv", c.getField("cv")).as("d2"),
-                c.getField("cid").as("cid")))), 1, 2)).as("pc"))
-          .select($"q_id", $"qv", $"pc.cid".as("cid"))
         val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-        probes.join(cells, Seq("cid"))
+        probeCells(nb, cArr, nprobe = 2).join(cells, Seq("cid"))
           .withColumn("cos", V.cosine($"qv", $"v"))
           .withColumn("rank", row_number().over(w))
           .filter($"rank" <= 3)
@@ -613,20 +605,13 @@ object LlmSim extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         val cells = persistedIvfCells(s, dir)
-        val cent = persistedIvfCent(s, dir)
-        val cArr = broadcast(cent.agg(
-          collect_list(struct($"cid", $"cv")).as("cents")))
+        val cArr = centArrOf(persistedIvfCent(s, dir))
         val nb = embDoubles(s, dir).filter($"vec_id" % 7 === 3)
           .select(($"vec_id" + 500000L).as("q_id"),
             transform($"v", x => x * lit(0.9) + lit(0.01)).as("qv"))
         graft.streaming.Replay.run(s, nb, mode = "complete",
           cacheKey = s"annstream:$dir") { st =>
-          st.crossJoin(cArr)
-            .select($"q_id", $"qv",
-              explode(slice(array_sort(transform($"cents",
-                c => struct(sqDist($"qv", c.getField("cv")).as("d2"),
-                  c.getField("cid").as("cid")))), 1, 2)).as("pc"))
-            .select($"q_id", $"qv", $"pc.cid".as("cid"))
+          probeCells(st, cArr, nprobe = 2)
             .join(cells, Seq("cid"))
             .withColumn("cos", V.cosine($"qv", $"v"))
             .groupBy($"q_id")
@@ -823,8 +808,7 @@ object LlmSim extends QueryModule {
         // casts back to the seeds' BIGINT domain for the oracle schema
         val c = e.filter($"vec_id" <= 3)
           .select($"vec_id".cast("int").as("cid"), $"v".as("cv"))
-        val cArr = broadcast(c.agg(
-          collect_list(struct($"cid", $"cv")).as("cents")))
+        val cArr = centArrOf(c)
         val vecMean = udaf(VecMeanAgg)
         e.crossJoin(cArr)
           .select(graft.plans.NearestCell($"v", $"cents")
@@ -1095,6 +1079,31 @@ object LlmSim extends QueryModule {
   private def sqDist(v: Column, c: Column): Column =
     V.dot(v, v) - lit(2.0) * V.dot(v, c) + V.dot(c, c)
 
+  /** A (cid, cv) centroid table collapsed to ONE broadcast array row
+    * of `struct(cid, cv)` — the operand [[graft.plans.NearestCell]]
+    * and [[probeCells]] fold over per data row (a one-row broadcast
+    * cross join multiplies nothing). Shared by every IVF/k-means
+    * consumer so the struct shape exists in exactly one place. */
+  private def centArrOf(cent: DataFrame): DataFrame =
+    broadcast(cent.agg(
+      collect_list(struct(col("cid"), col("cv"))).as("cents")))
+
+  /** Route each (q_id, qv) row of `q` to its `nprobe` nearest cells:
+    * per-row transform → array_sort → slice over the broadcast
+    * centroid array, exchange-free, with the SAME strict (d2, cid)
+    * ordering the assignment argmin and every DuckDB oracle use —
+    * this helper is the single home of that tiebreak contract. */
+  private def probeCells(q: DataFrame, cArr: DataFrame,
+                         nprobe: Int): DataFrame = {
+    import q.sparkSession.implicits._
+    q.crossJoin(cArr)
+      .select($"q_id", $"qv",
+        explode(slice(array_sort(transform($"cents",
+          c => struct(sqDist($"qv", c.getField("cv")).as("d2"),
+            c.getField("cid").as("cid")))), 1, nprobe)).as("pc"))
+      .select($"q_id", $"qv", $"pc.cid".as("cid"))
+  }
+
   private def embDoubles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Engine.table(s, dir, "embeddings")
@@ -1107,15 +1116,10 @@ object LlmSim extends QueryModule {
                                 iters: Int = 2): DataFrame = {
     import s.implicits._
     val e = embDoubles(s, dir)
-    def d2(v: Column, c: Column) = sqDist(v, c)
-    // the centroid table collapsed to ONE broadcast array row — the
-    // operand NearestCell folds over per corpus row, map-only
-    def centArr(cent: DataFrame) =
-      broadcast(cent.agg(collect_list(struct($"cid", $"cv")).as("cents")))
     var cent = e.filter($"vec_id" < nlist)
       .select($"vec_id".cast("int").as("cid"), $"v".as("cv"))
     for (_ <- 0 until iters) {
-      cent = e.crossJoin(centArr(cent))
+      cent = e.crossJoin(centArrOf(cent))
         .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
           posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cid", $"dim").agg(avg($"x").as("m"))
@@ -1123,20 +1127,15 @@ object LlmSim extends QueryModule {
         .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
           s0 => s0.getField("m")).as("cv"))
     }
-    val cells = e.crossJoin(centArr(cent))
+    val cells = e.crossJoin(centArrOf(cent))
       .select($"vec_id", $"v",
         graft.plans.NearestCell($"v", $"cents").as("cid"))
-    // nprobe nearest cells per query: sort the broadcast array by
-    // (d2, cid) per row and take the prefix — same ordering semantics
-    // as the old row_number window, no exchange
-    val probes = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
-      .crossJoin(centArr(cent))
-      .select($"q_id", $"qv",
-        explode(slice(array_sort(transform($"cents",
-          c => struct(d2($"qv", c.getField("cv")).as("d2"),
-            c.getField("cid").as("cid")))), 1, nprobe)).as("pc"))
-      .select($"q_id", $"qv", $"pc.cid".as("cid"))
+    // nprobe nearest cells per query — probeCells' (d2, cid) ordering
+    // matches the old row_number window exactly, no exchange
+    val probes = probeCells(
+      e.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv")),
+      centArrOf(cent), nprobe)
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     probes.join(cells, Seq("cid")).filter($"q_id" =!= $"vec_id")
       .withColumn("cos", V.cosine($"qv", $"v"))
@@ -1204,9 +1203,7 @@ object LlmSim extends QueryModule {
         val e = embDoubles(s, dir)
         val seed = e.filter($"vec_id" < IvfPNlist)
           .select($"vec_id".cast("int").as("cid"), $"v".as("cv"))
-        val sArr = broadcast(seed.agg(
-          collect_list(struct($"cid", $"cv")).as("cents")))
-        e.crossJoin(sArr)
+        e.crossJoin(centArrOf(seed))
           .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
             posexplode($"v").as(Seq("dim", "x")))
           .groupBy($"cid", $"dim")
@@ -1227,10 +1224,7 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s, s"graft_ivf_cells_${math.abs(dir.hashCode)}",
       Seq("cid"), {
         import s.implicits._
-        val cent = persistedIvfCent(s, dir)
-        val cArr = broadcast(cent.agg(
-          collect_list(struct($"cid", $"cv")).as("cents")))
-        embDoubles(s, dir).crossJoin(cArr)
+        embDoubles(s, dir).crossJoin(centArrOf(persistedIvfCent(s, dir)))
           .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
             $"vec_id", $"v")
       })
@@ -1242,18 +1236,11 @@ object LlmSim extends QueryModule {
                                        lo: Long, hi: Long): DataFrame = {
     import s.implicits._
     val cells = persistedIvfCells(s, dir)
-    val cent = persistedIvfCent(s, dir)
-    val cArr = broadcast(cent.agg(
-      collect_list(struct($"cid", $"cv")).as("cents")))
-    val probes = embDoubles(s, dir)
-      .filter($"vec_id" >= lo && $"vec_id" < hi)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
-      .crossJoin(cArr)
-      .select($"q_id", $"qv",
-        explode(slice(array_sort(transform($"cents",
-          c => struct(sqDist($"qv", c.getField("cv")).as("d2"),
-            c.getField("cid").as("cid")))), 1, 2)).as("pc"))
-      .select($"q_id", $"qv", $"pc.cid".as("cid"))
+    val probes = probeCells(
+      embDoubles(s, dir)
+        .filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id".as("q_id"), $"v".as("qv")),
+      centArrOf(persistedIvfCent(s, dir)), nprobe = 2)
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     probes.join(cells, Seq("cid")).filter($"q_id" =!= $"vec_id")
       .withColumn("cos", V.cosine($"qv", $"v"))

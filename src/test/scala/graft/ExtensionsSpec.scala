@@ -64,6 +64,20 @@ class ExtensionsSpec extends AnyFunSuite {
           named_struct('cid', 3, 'cv', array(0.0D, -2.0D)))) AS c""")
         .head.getInt(0)
       assert(tie === 3)
+      // hand-written SQL can hand the function null struct fields —
+      // those entries are SKIPPED (never an NPE, never garbage), and
+      // an all-null centroid array yields NULL
+      val nulls = s.sql("""
+        SELECT nearest_cell(array(1.0D), array(
+          named_struct('cid', 1, 'cv', CAST(NULL AS ARRAY<DOUBLE>)),
+          named_struct('cid', CAST(NULL AS INT), 'cv', array(9.0D)),
+          named_struct('cid', 5, 'cv', array(2.0D)))) AS c""")
+        .head.getInt(0)
+      assert(nulls === 5)
+      assert(s.sql("""
+        SELECT nearest_cell(array(1.0D), array(
+          named_struct('cid', 1, 'cv', CAST(NULL AS ARRAY<DOUBLE>))))
+        IS NULL AS n""").head.getBoolean(0))
     }
   }
 

@@ -1694,12 +1694,13 @@ class OperatorSpec extends AnyFunSuite {
     // materialization action (plus one per broadcast build)
     val aqeOff = countJobs(() =>
       run(Bfs.hopDistance(_, _, _, adaptive = false)))
-    info(s"job submissions: AQE-on loop $aqeOn, AQE-off loop $aqeOff")
-    // measured 20 vs 37 on this graph (the broadcast-hinted frontier
-    // join removed some of the AQE baseline's stages too); the bench
-    // stage table carries the full-size evidence (63 vs 129 jobs)
-    assert(aqeOff * 3 <= aqeOn * 2,
-      s"AQE-off loop must cut job submissions >=1.5x: $aqeOff vs $aqeOn")
+    info(s"job submissions: default loop $aqeOn, micro loop $aqeOff")
+    // measured 20 vs ~40 on this graph/box; AQE's exact job count
+    // varies with parallelism and Spark version, so the gate is the
+    // DIRECTION plus a loose absolute lid, not the measured ratio —
+    // the full-size evidence lives in the bench stage table
+    assert(aqeOff < aqeOn,
+      s"micro posture must submit fewer jobs: $aqeOff vs $aqeOn")
     assert(aqeOff <= 24, s"$aqeOff jobs submitted")
   }
 
