@@ -559,9 +559,7 @@ object LlmSim extends QueryModule {
         import s.implicits._
         val cells = persistedIvfCells(s, dir)
         val cArr = centArrOf(persistedIvfCent(s, dir))
-        val nb = embDoubles(s, dir).filter($"vec_id" % 7 === 3)
-          .select(($"vec_id" + 500000L).as("q_id"),
-            transform($"v", x => x * lit(0.9) + lit(0.01)).as("qv"))
+        val nb = ivfArrivals(s, dir)
         val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
         probeCells(nb, cArr, nprobe = 2).join(cells, Seq("cid"))
           .withColumn("cos", V.cosine($"qv", $"v"))
@@ -606,9 +604,7 @@ object LlmSim extends QueryModule {
         import s.implicits._
         val cells = persistedIvfCells(s, dir)
         val cArr = centArrOf(persistedIvfCent(s, dir))
-        val nb = embDoubles(s, dir).filter($"vec_id" % 7 === 3)
-          .select(($"vec_id" + 500000L).as("q_id"),
-            transform($"v", x => x * lit(0.9) + lit(0.01)).as("qv"))
+        val nb = ivfArrivals(s, dir)
         graft.streaming.Replay.run(s, nb, mode = "complete",
           cacheKey = s"annstream:$dir") { st =>
           probeCells(st, cArr, nprobe = 2)
@@ -639,6 +635,62 @@ object LlmSim extends QueryModule {
         scored AS (
           SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
           FROM probes p JOIN cells cl ON p.cid = cl.cid)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
+    // IVF INDEX UPSERT — the maintenance half of the index lifecycle:
+    // the arrival batch is ASSIGNED with the same broadcast centroids
+    // and APPENDED into the bucketed cells table as new bucket files
+    // (O(delta) bytes, no rebuild, probes keep consuming the bucket
+    // clustering). A fresh query set then probes the UPSERTED index;
+    // arrival vectors surface among the top-3 where they truly are
+    // nearest (query 10's own perturbed twin, id 500010, must beat the
+    // rest of the corpus) — content-level proof the delta landed in
+    // the index, hash-gated against an oracle that unions base and
+    // arrival assignments.
+    "q_llm_ann_index_upsert" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = persistedIvfCellsUpserted(s, dir)
+        val probes = probeCells(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 10 && $"vec_id" < 15)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          centArrOf(persistedIvfCent(s, dir)), nprobe = 2)
+        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+        probes.join(cells, Seq("cid")).filter($"q_id" =!= $"vec_id")
+          .withColumn("cos", V.cosine($"qv", $"v"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"rank", $"vec_id", $"cos")
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $ivfArrivalsSql,
+        nbcells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT nb.vec_id, nb.v, c.cid,
+              row_number() OVER (PARTITION BY nb.vec_id ORDER BY
+                ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn = 1),
+        allcells AS (
+          SELECT * FROM cells UNION ALL SELECT * FROM nbcells),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${d2Sql("e.v", "c.cv")}, c.cid) AS rn
+            FROM e CROSS JOIN cent c
+            WHERE e.vec_id >= 10 AND e.vec_id < 15)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT p.q_id, a.vec_id, ${V.cosineSql("p.qv", "a.v")} AS cos
+          FROM probes p JOIN allcells a
+            ON p.cid = a.cid AND p.q_id <> a.vec_id)
         SELECT q_id, rank, vec_id, cos FROM (
           SELECT q_id, vec_id, cos, CAST(row_number() OVER (
             PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
@@ -1228,6 +1280,58 @@ object LlmSim extends QueryModule {
           .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
             $"vec_id", $"v")
       })
+
+  /** The deterministic "new arrival" batch the incremental-ANN surface
+    * routes: every 7th corpus vector, id-shifted and perturbed by the
+    * SQL-mirrored affine map (x·0.9 + 0.01) — near its source but not
+    * identical, the shape an ingest delta has. */
+  private def ivfArrivals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embDoubles(s, dir).filter($"vec_id" % 7 === 3)
+      .select(($"vec_id" + 500000L).as("q_id"),
+        transform($"v", x => x * lit(0.9) + lit(0.01)).as("qv"))
+  }
+
+  /** Oracle CTE for [[ivfArrivals]] as INDEX rows (vec_id, v). */
+  private def ivfArrivalsSql: String = """nb AS (
+          SELECT vec_id + 500000 AS vec_id,
+            list_transform(v, x -> x * 0.9 + 0.01) AS v
+          FROM e WHERE vec_id % 7 = 3)"""
+
+  // one-time-per-(JVM, table) guard for the incremental index APPEND —
+  // the upserted table must hold base + exactly one arrival batch no
+  // matter how many queries touch it
+  private val ivfUpsertDone =
+    scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  /** The UPSERTED cell index: the corpus cells table plus the arrival
+    * batch appended as additional bucket files — `saveAsTable` with a
+    * matching bucket spec extends the managed table in place, and
+    * probes keep reading buckets with no exchange on the index side.
+    * This is the index-maintenance half of the IVF lifecycle: assign
+    * the delta with the SAME broadcast centroids (cells stay
+    * consistent), append O(delta) bytes, never rebuild. */
+  private[graft] def persistedIvfCellsUpserted(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_ivf_cells_up_${math.abs(dir.hashCode)}"
+    LlmText.writeOnceTable(s, tbl, Seq("cid"), {
+      val cArr = centArrOf(persistedIvfCent(s, dir))
+      embDoubles(s, dir).crossJoin(cArr)
+        .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
+          $"vec_id", $"v")
+    })
+    ivfUpsertDone.getOrElseUpdate(tbl, {
+      val cArr = centArrOf(persistedIvfCent(s, dir))
+      ivfArrivals(s, dir).crossJoin(cArr)
+        .select(graft.plans.NearestCell($"qv", $"cents").as("cid"),
+          $"q_id".as("vec_id"), $"qv".as("v"))
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "cid").sortBy("cid").saveAsTable(tbl)
+      true
+    })
+    s.table(tbl)
+  }
 
   /** One probe pass against the persisted IVF: queries in
     * [lo, hi) × their 2 nearest cells, candidates from the bucketed

@@ -594,6 +594,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(persisted === fresh)
   }
 
+  test("upserted IVF index keeps its bucket clustering through the append") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SparkEntry.queries("q_llm_ann_index_upsert")(spark, sf)
+      q.write.format("noop").mode("overwrite").save()
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the appended arrival bucket files must NOT demote the table to a
+    // plain scan: probes still read buckets, only the tiny query side
+    // (+ final rerank window) exchanges
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(2000))
+  }
+
   test("semdedup within-cell self-join consumes the bucketed cells clustering") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val plan = try {
