@@ -406,6 +406,23 @@ object ScaleProbe {
             concat($"text", lit(" grafthotx grafthoty"))))
         .write.format("noop").mode("overwrite").save()
 
+    // Bloom-screen build shape (r10): the corpus span set folded into
+    // ONE fixed-size filter by the executor-side BloomBuildAgg — the
+    // q_llm_dedup_bloom_screen cost model is "build linear in corpus,
+    // probe flat", and this probes the build half: Nx spans through
+    // the OR-merged word-array aggregate into the SAME 128 KiB filter
+    // (the whole point: the artifact size never moves with the data).
+    def bloomScreen(d0: DataFrame): Unit = {
+      val bits = 1L << 20
+      val bytes = d0
+        .select(explode(array_distinct(
+          graft.plans.Shingles($"text", 3))).as("span"))
+        .agg(graft.plans.BloomBuildAgg(
+          graft.functions.Fns.h60($"span"), lit(bits)).as("fw"))
+        .head().getAs[Array[Byte]](0)
+      require(bytes.length * 8L == bits, s"filter size ${bytes.length}")
+    }
+
     // Log-backed-table maintenance shape (r6): the two reads that must
     // stay DELTA-proportional as the table grows — a stats-pruned
     // key-range read (the kept file count is constant: same range, same
@@ -473,6 +490,7 @@ object ScaleProbe {
       "pair_join_pinned_shape" -> (() => pairJoin(docs1)),
       "sweep_prefix_hot_shape" -> (() => sweepHot(docs1)),
       "jaccard_pf_hot_shape" -> (() => jaccardPfHot(docs1)),
+      "bloom_screen_shape" -> (() => bloomScreen(docs1)),
       "txlog_delta_shape" -> (() => txProbe(tx1)),
       "txlog_bloom_point_shape" -> (() => bloomProbe(txb1)),
       "skew_join_aqe_shape" -> (() => skewAqe(li1, orders1)),
@@ -492,6 +510,8 @@ object ScaleProbe {
         sweepHot(if (l eq li1) docs1 else docsN)),
       "jaccard_pf_hot_shape" -> ((l, _) =>
         jaccardPfHot(if (l eq li1) docs1 else docsN)),
+      "bloom_screen_shape" -> ((l, _) =>
+        bloomScreen(if (l eq li1) docs1 else docsN)),
       "txlog_delta_shape" -> ((l, _) =>
         txProbe(if (l eq li1) tx1 else txN)),
       "txlog_bloom_point_shape" -> ((l, _) =>
