@@ -50,20 +50,21 @@ object Bfs {
                   maxHops: Int, adaptive: Boolean = true): DataFrame =
     if (adaptive) hopDistance0(edges, sources, maxHops, micro = false)
     else {
-      // The AQE flip is a SESSION conf (the same save/restore idiom
-      // Replay.run uses for shuffle.partitions): concurrent
-      // adaptive=false calls on one session are serialized on the
-      // session object so interleaved restores cannot strand the conf,
-      // but UNRELATED queries planned on this session during the call
-      // still see AQE off — run micro-BFS batches on their own session
-      // (`spark.newSession()`) when that matters.
-      val spark = edges.sparkSession
-      spark.synchronized {
-        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try hopDistance0(edges, sources, maxHops, micro = true)
-        finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
+      // The AQE flip runs on a CLONED session (shared SparkContext,
+      // copied conf + catalog; the input frames re-bound by logical
+      // plan): the toggle is visible only to the loop's own queries,
+      // never to unrelated queries planned concurrently on the
+      // caller's session — and concurrent micro-BFS calls each get
+      // their own clone, so no serialization or save/restore at all.
+      // The result frame stays bound to the clone; collecting it is
+      // session-independent.
+      import org.apache.spark.sql.graftbridge.SqlBridge
+      val s2 = SqlBridge.cloneSession(edges.sparkSession)
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      hopDistance0(
+        SqlBridge.ofRows(s2, edges.queryExecution.logical),
+        SqlBridge.ofRows(s2, sources.queryExecution.logical),
+        maxHops, micro = true)
     }
 
   // private[graft] so the job-count test can run both postures and

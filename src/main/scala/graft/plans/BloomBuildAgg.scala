@@ -34,7 +34,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * pos_i = ((h & 2^30-1) + i*((h >>> 30) | 1)) mod bits, i in 0..3 —
   * the filter bytes are bit-identical to the old explode build.
   * Output: the filter as BIG-ENDIAN long words serialized to bytes —
-  * exactly the sidecar file encoding.
+  * exactly the sidecar file encoding; NULL for a group whose every
+  * row had a null `bits` (no size ever arrived, so there is no
+  * well-formed empty filter to return).
   */
 case class BloomBuildAgg(
     hash: Expression,
@@ -44,7 +46,12 @@ case class BloomBuildAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(hash, bits)
-  override def nullable: Boolean = false
+  // a group that never saw a non-null `bits` row has no filter SIZE,
+  // so its result is NULL — not a zero-length byte array a reader
+  // would take for a malformed filter (callers asserting
+  // bytes.length*8 == bits crash on empty input either way, but a
+  // null surfaces the "empty group" cause instead of a length lie)
+  override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -100,7 +107,8 @@ case class BloomBuildAgg(
       a
     }
 
-  override def eval(buf: Array[Long]): Any = wordsToBytes(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf.isEmpty) null else wordsToBytes(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = wordsToBytes(buf)
 

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types._
   * the `row_number() over (order by d2, cid) = 1` semantics of the
   * explode-then-window formulation it replaces, with bit-identical
   * arithmetic: d2 = (v·v - 2.0·(v·c)) + c·c, each dot accumulated
-  * strictly left-to-right like [[DotProduct]].
+  * strictly left-to-right like [[DotProduct]]. Distances compare via
+  * `java.lang.Double.compare`, so a NaN distance (NaN vector
+  * components) sorts LAST — the window's sort order — rather than
+  * freezing the first NaN candidate as IEEE `<` would; among all-NaN
+  * candidates the cid tiebreak applies, again like the window.
   *
   * Why it exists: the old Lloyd-assignment plan
   * (corpus.crossJoin(broadcast(centroids)) → window(vec_id) → rn=1)
@@ -95,7 +99,14 @@ case class NearestCell(left: Expression, right: Expression)
             j += 1
           }
           val d2 = (dvv - 2.0 * dvc) + dcc
-          if (!found || d2 < bestD || (d2 == bestD && cid < best)) {
+          // Double.compare, not <: a NaN distance (NaN vector
+          // components) must rank LAST — Spark's sort order for the
+          // row_number-over-(d2, cid) window this argmin replaces —
+          // where IEEE < would freeze the first NaN candidate in
+          // (every later comparison false). All-NaN ties fall through
+          // to the cid tiebreak, again matching the window sort.
+          val cmp = java.lang.Double.compare(d2, bestD)
+          if (!found || cmp < 0 || (cmp == 0 && cid < best)) {
             found = true; bestD = d2; best = cid
           }
         }
@@ -124,6 +135,7 @@ case class NearestCell(left: Expression, right: Expression)
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       val found = ctx.freshName("found")
+      val cmp = ctx.freshName("cmp")
       s"""
         int $vn = $a.numElements();
         double $dvv = 0.0;
@@ -150,7 +162,10 @@ case class NearestCell(left: Expression, right: Expression)
             $dcc += $y * $y;
           }
           double $d2 = ($dvv - 2.0 * $dvc) + $dcc;
-          if (!$found || $d2 < $bestD || ($d2 == $bestD && $cid < $best)) {
+          // Double.compare ranks NaN last, matching the window sort
+          // this argmin replaces (see nullSafeEval)
+          int $cmp = java.lang.Double.compare($d2, $bestD);
+          if (!$found || $cmp < 0 || ($cmp == 0 && $cid < $best)) {
             $found = true; $bestD = $d2; $best = $cid;
           }
         }

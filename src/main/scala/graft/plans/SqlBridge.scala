@@ -26,6 +26,16 @@ object SqlBridge {
   def pageSizeBytes: Long =
     org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 
+  /** Fork of `s` sharing its SparkContext with a COPY of its session
+    * state (conf, catalog, registered functions) — the isolation tool
+    * for operators that must flip a session conf (Bfs's AQE toggle)
+    * without the flip leaking to unrelated queries planned
+    * concurrently on the caller's session. `SparkSession.cloneSession`
+    * is private[sql] in Spark 4.
+    */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** The RDD backing a localCheckpoint()'d frame. Needed for explicit
     * release in iterative fixpoints: Dataset.unpersist only clears
     * cacheManager entries (.cache/.persist) and does NOT touch the

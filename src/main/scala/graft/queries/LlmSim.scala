@@ -467,19 +467,24 @@ object LlmSim extends QueryModule {
         WHERE rank <= 3""")),
 
     // PERSISTED k-means IVF index — the build-once / probe-many ANN
-    // lifecycle (the IVF counterpart of q_llm_index_persisted): 16 seed
-    // centroids refined by ONE Lloyd iteration with EXACT quantized-
+    // lifecycle (the IVF counterpart of q_llm_index_persisted): a
+    // CORPUS-DERIVED nlist = clamp(N/64, 8, 4096) of seed centroids
+    // (the ivfNlistFor policy — cells split as the corpus grows, so
+    // the scale claims are enforced by code, not by a compile-time
+    // constant) refined by ONE Lloyd iteration with EXACT quantized-
     // integer means (the q_llm_kmeans_iter arithmetic, so DuckDB
-    // mirrors it bit-for-bit), every corpus vector assigned to its
-    // nearest cell by the codegen NearestCell argmin, and the
-    // assignment WRITTEN ONCE as a managed table bucketed on `cid`.
-    // The query then probes the artifact TWICE (two disjoint query
-    // sets, nprobe=2 nearest cells each) — each probe joins the
-    // bucketed cells on `cid`, so only the tiny query side moves; the
+    // mirrors it bit-for-bit — the oracle derives the SAME nlist from
+    // the same count), every corpus vector assigned to its nearest
+    // cell by the codegen NearestCell argmin, and the assignment
+    // WRITTEN ONCE as a managed table bucketed on `cid`. The query
+    // then probes the artifact TWICE (two disjoint query sets,
+    // nprobe=2 nearest cells each) — each probe joins the bucketed
+    // cells on `cid`, so only the tiny query side moves; the
     // corpus-sized index reads its buckets with no exchange
     // (plan-asserted in OperatorSpec). At 100 TB this is the whole
     // point of IVF: the O(corpus) assignment cost is paid by one build
-    // job, and every later query scans nprobe/nlist of the data.
+    // job, and every later query scans nprobe·IvfPCellRows candidate
+    // rows — an O(1) fraction that shrinks as the corpus grows.
     "q_llm_ann_ivf_persisted" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -517,11 +522,16 @@ object LlmSim extends QueryModule {
     // every vector that has a SMALLER-id cell-mate with cosine >= θ.
     // The deterministic keep-smallest rule replaces the paper's
     // order-dependent greedy pass (same dedup effect, exact oracle).
-    // Scale story: the quadratic term is bounded per cell — pairs =
-    // Σ|cell|², and nlist grows with the corpus so |cell| stays
-    // bounded → linear total work, never an all-pairs join; the cells
-    // artifact arrives bucketed on `cid`, so the self-join consumes
-    // its clustering. Output: one verdict row per vector.
+    // Scale story — POLICY-BY-CODE since r11: the quadratic term is
+    // bounded per cell — pairs = Σ|cell|² — and ivfNlistFor derives
+    // nlist = clamp(N/IvfPCellRows, 8, 4096) from the corpus count,
+    // so |cell| ≈ IvfPCellRows stays constant and total pair work
+    // grows LINEARLY in N (cells split; measured 1×/8×/64× with pair
+    // counts reported in ScaleProbe `semdedup_shape` — no silent
+    // caps), never an all-pairs join; the cells artifact arrives
+    // bucketed on `cid`, so the self-join consumes its clustering.
+    // θ = 0.30 is the gate's similarity threshold. Output: one
+    // verdict row per vector.
     "q_llm_semdedup" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -599,6 +609,15 @@ object LlmSim extends QueryModule {
     // oracle as the batch query — the stream must converge to the
     // identical routing table. This is the ingest-time shape of a
     // 100 TB embedding store: index once, route every arriving shard.
+    // CONTRACT: complete-mode state here is one top-3 buffer per
+    // ARRIVAL key — the query routes a BOUNDED delta (the ingest
+    // batch between index upserts), not an unbounded stream; state is
+    // O(|delta| · 3), never O(corpus). An open-ended arrival stream
+    // would instead run Update mode with a watermark-evicted
+    // per-key heap (the GroupTopK formulation), trading the exact
+    // convergence oracle for bounded state — the bounded-delta form
+    // is the one the lifecycle queries exercise because every batch
+    // in this pipeline IS delimited by its upsert txn.
     "q_stream_ann_incremental" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -1198,10 +1217,43 @@ object LlmSim extends QueryModule {
 
   // ---- Persisted IVF index (q_llm_ann_ivf_persisted) -----------------
 
-  /** Cell count of the PERSISTED IVF (small enough that its centroid
-    * build is cheap to oracle in DuckDB at sf0.01; the ungated
-    * [[annIvfTopK]] sweep surface keeps the measured 64×8 config). */
-  private[graft] val IvfPNlist = 16
+  /** Target cell population of the persisted IVF — the corpus rows a
+    * single cell should hold. Small here so the toy corpora exercise
+    * real cell SPLITTING (500 rows → 8 cells, 64× that → hundreds); a
+    * production store tunes it to its batch size (thousands). */
+  private[graft] val IvfPCellRows = 64L
+
+  /** Cell-count POLICY of the persisted IVF, derived from the corpus
+    * size instead of pinned at a compile-time constant:
+    * nlist = clamp(N / [[IvfPCellRows]], 8, 4096). Deriving nlist from
+    * N is what makes the index's two scale claims POLICY-BY-CODE:
+    * (a) expected |cell| ≈ IvfPCellRows stays CONSTANT as the corpus
+    * grows — cells split — so the semdedup within-cell pair work
+    * Σ|cell|² ≈ nlist·IvfPCellRows² grows LINEARLY in N (measured at
+    * 1×/8×/64× in ScaleProbe `semdedup_shape`), and (b) a probe's
+    * candidate set (nprobe cells ≈ nprobe·IvfPCellRows rows) is O(1)
+    * per query at any corpus size — the nprobe/nlist scan fraction
+    * shrinks as 1/N instead of freezing at a toy-corpus constant.
+    * The clamp floor keeps micro corpora probeable; the 4096 ceiling
+    * bounds the broadcast centroid array (nlist × dims doubles) to
+    * KBs here, low MBs at real dims — past N = 4096·IvfPCellRows rows
+    * cells grow linearly again, and a production deployment raises
+    * the ceiling with its executor memory (ScaleProbe logs when the
+    * ceiling binds — no silent caps). The DuckDB oracles derive the
+    * SAME value from the same count (the `nl` CTE in [[ivfCellsSql]]),
+    * so the gate stays hash-exact at every scale. The ungated
+    * [[annIvfTopK]] sweep surface keeps its measured 64×8 config. */
+  private[graft] def ivfNlistFor(n: Long): Int =
+    math.max(8L, math.min(4096L, n / IvfPCellRows)).toInt
+
+  // one count per (JVM, sfDir): the policy input is the corpus row
+  // count (a parquet metadata read), cached like the artifacts it sizes
+  private val ivfNlistCache =
+    scala.collection.concurrent.TrieMap[String, Int]()
+
+  private[graft] def ivfPNlist(s: SparkSession, dir: String): Int =
+    ivfNlistCache.getOrElseUpdate(dir,
+      ivfNlistFor(Engine.table(s, dir, "embeddings").count()))
 
   /** DuckDB mirror of [[sqDist]] — same left-assoc arithmetic. */
   private def d2Sql(v: String, c: String): String =
@@ -1210,13 +1262,19 @@ object LlmSim extends QueryModule {
   /** The WITH-clause chain reproducing [[persistedIvfCent]] +
     * [[persistedIvfCells]] in DuckDB (seed -> one quantized-Lloyd
     * iteration -> argmin cells), shared by every oracle that consumes
-    * the persisted IVF artifacts. Defines CTEs: e, seed, a0, cent,
-    * cells. */
-  private def ivfCellsSql: String = s"""e AS (SELECT vec_id,
+    * the persisted IVF artifacts. Defines CTEs: nl, e, seed, a0, cent,
+    * cells. The `nl` CTE derives nlist from the SAME corpus count and
+    * clamp the engine's [[ivfNlistFor]] policy uses (BIGINT floor
+    * division both sides), so engine and oracle agree on the cell
+    * count at every scale with no constant to drift. */
+  private def ivfCellsSql: String = s"""nl AS (
+          SELECT GREATEST(8, LEAST(4096, count(*) // $IvfPCellRows)) AS n
+          FROM embeddings),
+        e AS (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
         seed AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
-          FROM e WHERE vec_id < $IvfPNlist),
+          FROM e WHERE vec_id < (SELECT n FROM nl)),
         a0 AS (
           SELECT cid, v FROM (
             SELECT s.cid, e.v,
@@ -1241,30 +1299,45 @@ object LlmSim extends QueryModule {
             FROM e CROSS JOIN cent c)
           WHERE rn = 1)"""
 
-  /** Centroids of the persisted IVF: `IvfPNlist` seeds (vec_id 0..n-1)
-    * refined by ONE Lloyd iteration with EXACT quantized-integer means
-    * (the q_llm_kmeans_iter arithmetic — SQL-mirrorable, unlike a
-    * plain double avg), assignment via the codegen NearestCell argmin.
-    * Written once per (JVM, sfDir); nlist×dims KBs, broadcast by every
-    * consumer. */
+  /** IVF centroid BUILD over an arbitrary (vec_id, v) corpus frame:
+    * `nlist` seeds (vec_id 0..nlist-1) refined by ONE Lloyd iteration
+    * with EXACT quantized-integer means (the q_llm_kmeans_iter
+    * arithmetic — SQL-mirrorable, unlike a plain double avg),
+    * assignment via the codegen NearestCell argmin. Parameterized so
+    * ScaleProbe can build indexes over scaled corpora with the same
+    * derived-nlist policy the gated artifacts use. */
+  private[graft] def ivfCentOf(e: DataFrame, nlist: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val seed = e.filter($"vec_id" < nlist)
+      .select($"vec_id".cast("int").as("cid"), $"v".as("cv"))
+    e.crossJoin(centArrOf(seed))
+      .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
+        posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"cid", $"dim")
+      .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
+        / 1e7 / count(lit(1))).as("m"))
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        s0 => s0.getField("m")).as("cv"))
+  }
+
+  /** Cell labeling of a corpus frame against finished centroids — the
+    * map-only NearestCell pass every persisted-cells artifact runs. */
+  private[graft] def ivfCellsOf(e: DataFrame, cent: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.crossJoin(centArrOf(cent))
+      .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
+        $"vec_id", $"v")
+  }
+
+  /** Centroids of the persisted IVF: the [[ivfCentOf]] build at the
+    * corpus-derived [[ivfNlistFor]] cell count. Written once per
+    * (JVM, sfDir); nlist×dims KBs, broadcast by every consumer. */
   private[graft] def persistedIvfCent(
       s: SparkSession, dir: String): DataFrame =
     LlmText.writeOnceTable(s, s"graft_ivf_cent_${math.abs(dir.hashCode)}",
-      Seq("cid"), {
-        import s.implicits._
-        val e = embDoubles(s, dir)
-        val seed = e.filter($"vec_id" < IvfPNlist)
-          .select($"vec_id".cast("int").as("cid"), $"v".as("cv"))
-        e.crossJoin(centArrOf(seed))
-          .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
-            posexplode($"v").as(Seq("dim", "x")))
-          .groupBy($"cid", $"dim")
-          .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
-            / 1e7 / count(lit(1))).as("m"))
-          .groupBy($"cid")
-          .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
-            s0 => s0.getField("m")).as("cv"))
-      })
+      Seq("cid"),
+      ivfCentOf(embDoubles(s, dir), ivfPNlist(s, dir)))
 
   /** The IVF cell-assignment ARTIFACT: every corpus vector labeled
     * with its nearest centroid (map-only NearestCell pass over the
@@ -1274,12 +1347,8 @@ object LlmSim extends QueryModule {
   private[graft] def persistedIvfCells(
       s: SparkSession, dir: String): DataFrame =
     LlmText.writeOnceTable(s, s"graft_ivf_cells_${math.abs(dir.hashCode)}",
-      Seq("cid"), {
-        import s.implicits._
-        embDoubles(s, dir).crossJoin(centArrOf(persistedIvfCent(s, dir)))
-          .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
-            $"vec_id", $"v")
-      })
+      Seq("cid"),
+      ivfCellsOf(embDoubles(s, dir), persistedIvfCent(s, dir)))
 
   /** The deterministic "new arrival" batch the incremental-ANN surface
     * routes: every 7th corpus vector, id-shifted and perturbed by the
@@ -1298,38 +1367,36 @@ object LlmSim extends QueryModule {
             list_transform(v, x -> x * 0.9 + 0.01) AS v
           FROM e WHERE vec_id % 7 = 3)"""
 
-  // one-time-per-(JVM, table) guard for the incremental index APPEND —
-  // the upserted table must hold base + exactly one arrival batch no
-  // matter how many queries touch it
-  private val ivfUpsertDone =
-    scala.collection.concurrent.TrieMap[String, Boolean]()
-
   /** The UPSERTED cell index: the corpus cells table plus the arrival
     * batch appended as additional bucket files — `saveAsTable` with a
     * matching bucket spec extends the managed table in place, and
     * probes keep reading buckets with no exchange on the index side.
     * This is the index-maintenance half of the IVF lifecycle: assign
     * the delta with the SAME broadcast centroids (cells stay
-    * consistent), append O(delta) bytes, never rebuild. */
+    * consistent), append O(delta) bytes, never rebuild. The append
+    * itself goes through [[graft.operators.TxnMarker.appendOnce]] —
+    * the repo's exactly-once commit discipline (TxLog's txn tagging,
+    * re-expressed as an atomic marker protocol on the managed table)
+    * — so a delivery repeated from ANY JVM, concurrently or after a
+    * crash, lands the arrival batch exactly once (double-delivery
+    * unit test in OperatorSpec). */
   private[graft] def persistedIvfCellsUpserted(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tbl = s"graft_ivf_cells_up_${math.abs(dir.hashCode)}"
-    LlmText.writeOnceTable(s, tbl, Seq("cid"), {
-      val cArr = centArrOf(persistedIvfCent(s, dir))
-      embDoubles(s, dir).crossJoin(cArr)
-        .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
-          $"vec_id", $"v")
-    })
-    ivfUpsertDone.getOrElseUpdate(tbl, {
-      val cArr = centArrOf(persistedIvfCent(s, dir))
-      ivfArrivals(s, dir).crossJoin(cArr)
-        .select(graft.plans.NearestCell($"qv", $"cents").as("cid"),
-          $"q_id".as("vec_id"), $"qv".as("v"))
+    LlmText.writeOnceTable(s, tbl, Seq("cid"),
+      ivfCellsOf(embDoubles(s, dir), persistedIvfCent(s, dir)))
+    graft.operators.TxnMarker.appendOnce(
+      graft.operators.TxnMarker.managedTableDir(s, tbl),
+      txn = "ivf-arrivals-1",
+      doAppend = () => ivfCellsOf(
+        ivfArrivals(s, dir).select($"q_id".as("vec_id"), $"qv".as("v")),
+        persistedIvfCent(s, dir))
         .write.mode("append").format("parquet")
-        .bucketBy(8, "cid").sortBy("cid").saveAsTable(tbl)
-      true
-    })
+        .bucketBy(8, "cid").sortBy("cid").saveAsTable(tbl),
+      presentRows = () =>
+        s.table(tbl).filter($"vec_id" >= 500000L).count(),
+      expectedRows = () => ivfArrivals(s, dir).count())
     s.table(tbl)
   }
 

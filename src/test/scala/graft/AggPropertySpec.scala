@@ -97,6 +97,54 @@ class AggPropertySpec extends AnyFunSuite {
     assert(fast(300L) === 0, "exact tie must resolve to the smaller cid")
   }
 
+  test("NearestCell ranks NaN distances last, like the window sort it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // cid 0 carries a NaN centroid (NaN d2 against everything); cid 1
+    // and 2 are finite. A NaN-vector row makes EVERY d2 NaN. The
+    // window formulation sorts NaN last (and all-NaN ties by cid);
+    // IEEE < would instead freeze the first NaN candidate.
+    val cents = Seq(
+      (0, Seq(Double.NaN, 1.0)), (1, Seq(5.0, 5.0)), (2, Seq(0.0, 0.0)))
+    val vecs = Seq(
+      (10L, Seq(0.1, 0.2)),            // finite: must skip NaN cid 0
+      (11L, Seq(Double.NaN, 3.0)))     // all-NaN: cid tiebreak -> 0
+      .toDF("vec_id", "v")
+    val cdf = cents.toDF("cid", "cv")
+    val cArr = broadcast(cdf.agg(
+      collect_list(struct($"cid", $"cv")).as("cents")))
+    val fast = vecs.crossJoin(cArr)
+      .select($"vec_id", graft.plans.NearestCell($"v", $"cents").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+    val slow = vecs.crossJoin(broadcast(cdf))
+      .withColumn("d2",
+        graft.operators.VectorOps.dot($"v", $"v")
+          - lit(2.0) * graft.operators.VectorOps.dot($"v", $"cv")
+          + graft.operators.VectorOps.dot($"cv", $"cv"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fast === slow)
+    assert(fast(10L) === 2, "finite row must pick a finite-distance cell")
+    assert(fast(11L) === 0, "all-NaN row falls to the cid tiebreak")
+  }
+
+  test("BloomBuildAgg yields NULL (not a zero-length filter) when no bits row arrives") {
+    import spark.implicits._
+    // all-null bits: the group never learns a filter size
+    val r = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("h", "bits")
+      .agg(graft.plans.BloomBuildAgg($"h", $"bits").as("fw"))
+      .head()
+    assert(r.isNullAt(0), "empty buffer must eval to NULL")
+    // null hashes still size the filter from their bits column
+    val ok = Seq((Option.empty[Long], 1024L)).toDF("h", "bits")
+      .agg(graft.plans.BloomBuildAgg($"h", $"bits").as("fw"))
+      .head().getAs[Array[Byte]](0)
+    assert(ok.length * 8L === 1024L && ok.forall(_ == 0))
+  }
+
   test("BloomBuildAgg: partition-merged filter equals single-pass, no false negatives") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
