@@ -155,29 +155,44 @@ object Bench {
 
     val calibEnd = calibrate(spark, sfDir, "end")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qsJson(rs: Seq[(String, Double)], round: Boolean = false): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + (if (round) math.rint(v * 1e4) / 1e4 else v) }
+        .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // A query that threw is recorded as -1 in `queries`; surface it
     // explicitly so a failure can't silently shrink the headline total.
     val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
-    val line =
+    def lineFor(qs: String, extra: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        extra +
         s""""failed":${failed.mkString("[", ",", "]")},""" +
         s""""n_failed":${failed.size},"ok":${failed.isEmpty},""" +
         s""""calib":{"start":${calibJson(calibStart)},""" +
         s""""end":${calibJson(calibEnd)}},""" +
         s""""app_id":"$appId","sf":"$sfDir"}"""
+    // The driver's BENCH_rN.json keeps only the LAST 2000 chars of
+    // stdout and parses what fits — a 244-query map (~8 KB) made every
+    // driver record tail-only and unparseable (r10 judge item #8). So
+    // stdout carries a line that FITS: headline queries + the top
+    // most-expensive queries (the ones any regression triage reads
+    // first), total/failed/calib intact. The COMPLETE per-query map
+    // goes to the bench_full.json sidecar, committed per round.
+    val top = results.filter(_._2 >= 0).sortBy(-_._2)
+      .take(24).map(_._1).toSet
+    val compact = results.filter { case (n, v) =>
+      headlines(n) || top(n) || v < 0 }
+    val line = lineFor(qsJson(compact, round = true),
+      s""""n_queries":${results.size},"queries_full":"bench_full.json",""")
     println(line)
-    // Sidecar with ALL per-query times: the driver's BENCH_rN.json stores
-    // stdout as a truncated string, which silently drops most of the
-    // corpus from the auditable record. Full-corpus runs (no arg filter)
-    // also persist the complete JSON to a committable file.
+    // Sidecar with ALL per-query times: full-corpus runs (no arg
+    // filter) persist the complete JSON to a committable file.
     if (only.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        lineFor(qsJson(results), "")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
     // Distill the event log into the per-group stage table, then delete

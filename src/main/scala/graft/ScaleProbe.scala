@@ -479,7 +479,66 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Persisted-IVF lifecycle shapes (r11): measure the two claims the
+    // corpus-DERIVED nlist policy (LlmSim.ivfNlistFor: clamp(N/64, 8,
+    // 4096)) makes enforceable — (a) semdedup's within-cell pair work
+    // grows ~LINEARLY because cells split as the corpus grows (pairs
+    // per cell stay ~IvfPCellRows²/2), and (b) a probe's cost stays
+    // ~FLAT because its candidate set (nprobe cells × ~IvfPCellRows
+    // rows) is O(1) in corpus size. Each scale builds its own index
+    // artifact (cent + bucketed cells, OUTSIDE the timed region — the
+    // build is the once-per-corpus cost the lifecycle amortizes) with
+    // nlist derived from ITS corpus count; the `ivf_meta` line reports
+    // corpus/nlist/exact pair counts per scale — no silent caps: the
+    // 4096 nlist ceiling logs loudly when it binds.
+    val emb1 = Engine.table(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        graft.operators.VectorOps.toDouble($"embedding").as("v"))
+    val embN = (0 until n).map(i => emb1
+        .withColumn("vec_id", $"vec_id" + lit(i * 100000000L))
+        .withColumn("v", transform($"v", x => x + lit(i * 1e-3))))
+      .reduce(_ unionByName _)
+    def mkIvf(tag: String, e: DataFrame): (String, String, Int, Long) = {
+      val rows = e.count()
+      val nlist = queries.LlmSim.ivfNlistFor(rows)
+      if (nlist == 4096) System.err.println(
+        s"[scaleprobe] ivf $tag: nlist CEILING binds (corpus $rows rows)" +
+          " — cells grow linearly past here; raise the clamp at scale")
+      val centT = s"sp_ivf_cent_$tag"
+      val cellT = s"sp_ivf_cells_$tag"
+      def write(tbl: String, df: => DataFrame): Unit =
+        if (!spark.catalog.tableExists(tbl)) {
+          val wh = new java.io.File(new java.net.URI(
+            spark.conf.get("spark.sql.warehouse.dir")).getPath)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(wh, tbl))
+          df.write.mode("overwrite")
+            .bucketBy(8, "cid").sortBy("cid").saveAsTable(tbl)
+        }
+      write(centT, queries.LlmSim.ivfCentOf(e, nlist))
+      write(cellT, queries.LlmSim.ivfCellsOf(e, spark.table(centT)))
+      (centT, cellT, nlist, rows)
+    }
+    lazy val ivf1 = mkIvf("1", emb1)
+    lazy val ivfN = mkIvf(s"n$n", embN)
+    def semdedupShape(art: (String, String, Int, Long)): Unit =
+      queries.LlmSim.semdedupOf(spark.table(art._2), 0.30)
+        .write.format("noop").mode("overwrite").save()
+    // the SAME 50 query vectors probe every scale: flat cost as the
+    // index under them grows 64x is exactly the claim
+    def ivfProbeShape(art: (String, String, Int, Long)): Unit =
+      queries.LlmSim.ivfProbeOf(
+        emb1.filter($"vec_id" < 50)
+          .select($"vec_id".as("q_id"), $"v".as("qv")),
+        spark.table(art._1), spark.table(art._2), nprobe = 2)
+        .write.format("noop").mode("overwrite").save()
+
     val warmups = Seq[(String, () => Unit)](
+      "semdedup_shape" -> (() => semdedupShape(ivf1)),
+      "ivf_probe_shape" -> (() => ivfProbeShape(ivf1)),
       "q1_agg_shape" -> (() => q1(li1)),
       "join_agg_shape" -> (() => join(li1, orders1)),
       "group_topk_shape" -> (() => topk(li1)),
@@ -498,6 +557,10 @@ object ScaleProbe {
     warmups.foreach { case (name, f) =>
       if (onlyShapes.isEmpty || onlyShapes(name)) f() }
     val shapes = Seq[(String, (DataFrame, DataFrame) => Unit)](
+      "semdedup_shape" -> ((l, _) =>
+        semdedupShape(if (l eq li1) ivf1 else ivfN)),
+      "ivf_probe_shape" -> ((l, _) =>
+        ivfProbeShape(if (l eq li1) ivf1 else ivfN)),
       "q1_agg_shape" -> ((l, _) => q1(l)),
       "join_agg_shape" -> ((l, o) => join(l, o)),
       "q21_fast_shape" -> ((l, o) => q21fast(l, o)),
@@ -551,6 +614,24 @@ object ScaleProbe {
         q.collect()
         q.queryExecution.executedPlan.toString.contains("skew=true")
       } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+    // exact per-scale index facts for the IVF shapes (pair counts are
+    // the semdedup WORK measure; scan fraction is the probe's share of
+    // the corpus) — printed as its own line so the shape report stays
+    // the last-line contract
+    if (onlyShapes.isEmpty || onlyShapes("semdedup_shape") ||
+        onlyShapes("ivf_probe_shape")) {
+      def pairsOf(cellT: String): Long = spark.table(cellT)
+        .groupBy($"cid").count()
+        .agg(sum($"count" * ($"count" - 1)))
+        .head().getLong(0) / 2
+      println(s"""{"ivf_meta":{""" +
+        s""""corpus_1x":${ivf1._4},"nlist_1x":${ivf1._3},""" +
+        s""""pairs_1x":${pairsOf(ivf1._2)},""" +
+        s""""corpus_Nx":${ivfN._4},"nlist_Nx":${ivfN._3},""" +
+        s""""pairs_Nx":${pairsOf(ivfN._2)},""" +
+        f""""cell_scan_frac_1x":${2.0 / ivf1._3}%.4f,""" +
+        f""""cell_scan_frac_Nx":${2.0 / ivfN._3}%.4f}}""")
     }
     println(s"""{"rows_1x":$rows1,"scale":$n,""" +
       (if (skewProbed) s""""aqe_skew_split":$skewSplit,""" else "") +

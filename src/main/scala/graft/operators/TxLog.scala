@@ -1021,86 +1021,84 @@ object TxLog {
     // skipping); bare names request min/max range stats
     val (bloomSpecs, plainCols) = statsCols.partition(_.startsWith("bloom:"))
     val bloomCols = bloomSpecs.map(_.stripPrefix("bloom:"))
-    val written = spark.read.parquet(subAbs)
+    val written0 = spark.read.parquet(subAbs)
     val tagged = plainCols.map { c =>
-      val f = written.schema(c)
+      val f = written0.schema(c)
       val t = tagOf(f.dataType).getOrElse(throw new IllegalArgumentException(
         s"stats unsupported for column $c: ${f.dataType.simpleString}"))
       (c, t)
     }
+    // ONE readback per commit, whatever the column mix (pre-r11 this
+    // cost 1 range pass + 2 passes PER bloom column — at 100 TB of
+    // freshly written files, multiple extra full scans): a single
+    // groupBy(file) computes every range column's min/max, every
+    // bloom column's HLL NDV, AND every bloom column's filter — built
+    // executor-side by BloomBuildAgg at the sizing CLAMP, then folded
+    // down to the NDV-derived target on the driver. The fold is
+    // bit-exact, not approximate: filter sizes are powers of two and
+    // probe positions are `h mod m`, so position(m) = position(M) mod
+    // m whenever m | M — OR-ing the clamp filter's m-bit blocks
+    // yields EXACTLY the filter a direct m-bit build would produce.
+    // The trade is executor memory (each in-flight group buffers
+    // clamp/8 = 512 KiB until merged) for a full scan less — at scale
+    // the scan dominates; a production writer folds even this single
+    // pass into the file write itself.
+    val written = bloomCols.zipWithIndex.foldLeft(written0) {
+      case (df, (c, j)) =>
+        df.withColumn(s"__h$j", graft.functions.Fns.h60(col(c)))
+    }
+    val rangeAggs = tagged.zipWithIndex.flatMap { case ((c, _), i) =>
+      Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
+    }
+    val bloomAggs = bloomCols.indices.flatMap { j =>
+      Seq(approx_count_distinct(col(s"__h$j")).as(s"ndv$j"),
+        graft.plans.BloomBuildAgg(col(s"__h$j"), lit(BloomClampBits))
+          .as(s"fw$j"))
+    }
+    val aggs = rangeAggs ++ bloomAggs
+    val statRows = written.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per FILE: min/max scalars + finished filters
     val byFileRange: Map[String, Map[String, ColStats]] =
-      if (tagged.isEmpty) Map.empty
-      else {
-        val aggs = tagged.zipWithIndex.flatMap { case ((c, _), i) =>
-          Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
-        }
-        written.groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect() // file METADATA (one row per file), not data
-          .map { r =>
-            val stats = tagged.zipWithIndex.flatMap { case ((c, t), i) =>
-              val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
-              if (r.isNullAt(loI) || r.isNullAt(hiI)) None // all-null file
-              else Some(c ->
-                ColStats(t, fmt(t, r.get(loI)), fmt(t, r.get(hiI))))
-            }.toMap
-            new File(new java.net.URI(r.getString(0))).getName -> stats
-          }.toMap
-      }
-    // two passes per bloom column: (A) per-file NDV to SIZE each
-    // file's filter (~10 bits/key, the production knob), then (B) the
-    // filter itself, built EXECUTOR-SIDE by the BloomBuildAgg
-    // TypedImperativeAggregate (OR-mergeable word-array state, the
-    // DistinctSetAgg/HllRegistersAgg pattern) — the driver receives
-    // one row per file holding the FINISHED filter bytes (m/8 bytes,
-    // bounded by the sizing clamp at ANY NDV), never a set-bit
-    // position list; a production writer folds both passes into the
-    // file write itself
+      statRows.map { r =>
+        val stats = tagged.zipWithIndex.flatMap { case ((c, t), i) =>
+          val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
+          if (r.isNullAt(loI) || r.isNullAt(hiI)) None // all-null file
+          else Some(c ->
+            ColStats(t, fmt(t, r.get(loI)), fmt(t, r.get(hiI))))
+        }.toMap
+        new File(new java.net.URI(r.getString(0))).getName -> stats
+      }.toMap
     val byFileBloom: Map[String, Map[String, ColStats]] =
-      bloomCols.map { c =>
-        val hed = written.withColumn("__h", graft.functions.Fns.h60(col(c)))
-        val bitsByUri = hed
-          .groupBy(input_file_name().as("f"))
-          .agg(approx_count_distinct(col("__h")).as("ndv"))
-          .collect()
-          .map(r => r.getString(0) -> bloomBitsFor(r.getLong(1)))
-          .toMap
-        val mMap = map(bitsByUri.toSeq.flatMap { case (u, b) =>
-          Seq(lit(u), lit(b)) }: _*)
-        hed
-          .withColumn("__m", element_at(mMap, input_file_name()))
-          .groupBy(input_file_name().as("f"))
-          .agg(graft.plans.BloomBuildAgg(col("__h"), col("__m")).as("fw"))
-          .collect() // one finished FILTER per file, never positions
-          .map { r =>
-            val bytes = r.getAs[Array[Byte]](1)
-            val words = new Array[Long](bytes.length / 8)
-            java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
-            val name = new File(new java.net.URI(r.getString(0))).getName
-            // big filters leave the log: above the threshold the words
-            // go to a binary SIDECAR next to the data files (the log
-            // line carries only its relative path) — inline hex on a
-            // 1e9-NDV file would put ~1 MiB into EVERY add line and
-            // checkpoint; the sidecar keeps log lines O(path) at any
-            // NDV while the read side lazy-loads + memoizes the words
-            val stat =
-              if (words.length * 64L >= BloomSidecarMinBits) {
-                val fn = s"$sub/bloom-" +
-                  s"${name.stripSuffix(".parquet")}-" +
-                  s"${c.replaceAll("[^A-Za-z0-9_]", "_")}.bin"
-                // the aggregate's output IS the sidecar encoding
-                // (big-endian long words) — write it verbatim
-                Files.write(new File(table, fn).toPath, bytes)
-                ColStats("BS", fn, "")
-              } else
-                ColStats("B", words.map(w => f"$w%016x").mkString, "")
-            name -> (s"bloom:$c" -> stat)
-          }.toMap
-      }.foldLeft(Map.empty[String, Map[String, ColStats]]) { (acc, m) =>
-        m.foldLeft(acc) { case (a, (f, kv)) =>
-          a.updated(f, a.getOrElse(f, Map.empty) + kv)
-        }
-      }
+      statRows.map { r =>
+        val name = new File(new java.net.URI(r.getString(0))).getName
+        val kvs = bloomCols.zipWithIndex.map { case (c, j) =>
+          val base = 1 + 2 * tagged.length
+          val ndv = r.getLong(base + 2 * j)
+          val clampBytes = r.getAs[Array[Byte]](base + 2 * j + 1)
+          val words = foldBloom(clampBytes, bloomBitsFor(ndv))
+          // big filters leave the log: above the threshold the words
+          // go to a binary SIDECAR next to the data files (the log
+          // line carries only its relative path) — inline hex on a
+          // 1e9-NDV file would put ~1 MiB into EVERY add line and
+          // checkpoint; the sidecar keeps log lines O(path) at any
+          // NDV while the read side lazy-loads + memoizes the words
+          val stat =
+            if (words.length * 64L >= BloomSidecarMinBits) {
+              val fn = s"$sub/bloom-" +
+                s"${name.stripSuffix(".parquet")}-" +
+                s"${c.replaceAll("[^A-Za-z0-9_]", "_")}.bin"
+              // sidecar encoding = big-endian long words
+              val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+              bb.asLongBuffer().put(words)
+              Files.write(new File(table, fn).toPath, bb.array())
+              ColStats("BS", fn, "")
+            } else
+              ColStats("B", words.map(w => f"$w%016x").mkString, "")
+          s"bloom:$c" -> stat
+        }.toMap
+        name -> kvs
+      }.toMap
     newFiles(table, sub).map { p =>
       val name = new File(p).getName
       addLine(p, byFileRange.getOrElse(name, Map.empty) ++
@@ -1108,14 +1106,38 @@ object TxLog {
     }
   }
 
+  /** Sizing-clamp ceiling: the largest filter a file may carry, and
+    * therefore the size every in-flight build buffer allocates in the
+    * fused stats pass (see [[addActions]] — built once at the clamp,
+    * folded down to the NDV target on the driver). */
+  private val BloomClampBits = 1L << 22
+
   /** Filter size for a file: next power of two >= ~10 bits per
     * distinct key (FP ~1e-2 per probe^4 ≈ 1e-4 per file), clamped to
-    * [1 KiB, 512 KiB] of bits. Power-of-two so the read side derives
-    * the modulus from the stored hex length alone. */
+    * [1 KiB, [[BloomClampBits]]] of bits. Power-of-two so the read
+    * side derives the modulus from the stored hex length alone. */
   private def bloomBitsFor(ndv: Long): Long = {
     var b = 1024L
-    while (b < ndv * 10 && b < (1L << 22)) b <<= 1
+    while (b < ndv * 10 && b < BloomClampBits) b <<= 1
     b
+  }
+
+  /** Fold a clamp-size filter down to `targetBits`: out[i mod w] |=
+    * in[i]. Bit-exact because sizes are powers of two and probe
+    * positions are `h mod m` — position(m) = position(M) mod m when
+    * m | M, and m | M holds by construction, so every set clamp bit
+    * lands on exactly the bit a direct m-bit build would set. */
+  private def foldBloom(bytes: Array[Byte], targetBits: Long): Array[Long] = {
+    val big = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(big)
+    val w = (targetBits / 64).toInt
+    if (big.length <= w) big
+    else {
+      val out = new Array[Long](w)
+      var i = 0
+      while (i < big.length) { out(i % w) |= big(i); i += 1 }
+      out
+    }
   }
 
   /** Driver-side mirror of [[graft.functions.Fns.h60]]: first 15 hex

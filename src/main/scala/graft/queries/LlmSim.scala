@@ -533,19 +533,7 @@ object LlmSim extends QueryModule {
     // θ = 0.30 is the gate's similarity threshold. Output: one
     // verdict row per vector.
     "q_llm_semdedup" -> QueryDef(
-      fn = (s, dir) => {
-        import s.implicits._
-        val cells = persistedIvfCells(s, dir)
-        val dropped = cells.as("a").join(cells.as("b"),
-            $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
-          .withColumn("cos", V.cosine($"a.v", $"b.v"))
-          .filter($"cos" >= 0.30)
-          .select($"a.vec_id".as("vec_id")).distinct()
-          .withColumn("hit", lit(true))
-        cells.select($"vec_id", $"cid")
-          .join(dropped, Seq("vec_id"), "left")
-          .select($"vec_id", $"cid", coalesce(!$"hit", lit(true)).as("kept"))
-      },
+      fn = (s, dir) => semdedupOf(persistedIvfCells(s, dir), 0.30),
       oracle = Some(s"""
         WITH $ivfCellsSql,
         drops AS (
@@ -1321,6 +1309,23 @@ object LlmSim extends QueryModule {
         s0 => s0.getField("m")).as("cv"))
   }
 
+  /** The SemDeDup verdict over a (cid, vec_id, v) cells frame: drop
+    * every vector with a smaller-id cell-mate at cosine >= `theta`.
+    * Parameterized over the artifact so ScaleProbe can time the
+    * within-cell pair join on scaled indexes with the gated plan. */
+  private[graft] def semdedupOf(cells: DataFrame, theta: Double): DataFrame = {
+    import cells.sparkSession.implicits._
+    val dropped = cells.as("a").join(cells.as("b"),
+        $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
+      .withColumn("cos", V.cosine($"a.v", $"b.v"))
+      .filter($"cos" >= theta)
+      .select($"a.vec_id".as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    cells.select($"vec_id", $"cid")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", coalesce(!$"hit", lit(true)).as("kept"))
+  }
+
   /** Cell labeling of a corpus frame against finished centroids — the
     * map-only NearestCell pass every persisted-cells artifact runs. */
   private[graft] def ivfCellsOf(e: DataFrame, cent: DataFrame): DataFrame = {
@@ -1400,24 +1405,35 @@ object LlmSim extends QueryModule {
     s.table(tbl)
   }
 
+  /** One probe pass against an IVF artifact pair: route each (q_id,
+    * qv) row of `q` to its `nprobe` nearest cells (broadcast
+    * centroids), read candidates out of the bucketed `cells` frame,
+    * cosine-rerank top-3. Parameterized over the artifacts so
+    * ScaleProbe can probe scaled indexes with the exact gated plan. */
+  private[graft] def ivfProbeOf(q: DataFrame, cent: DataFrame,
+                                cells: DataFrame,
+                                nprobe: Int): DataFrame = {
+    import q.sparkSession.implicits._
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    probeCells(q, centArrOf(cent), nprobe)
+      .join(cells, Seq("cid")).filter($"q_id" =!= $"vec_id")
+      .withColumn("cos", V.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
   /** One probe pass against the persisted IVF: queries in
     * [lo, hi) × their 2 nearest cells, candidates from the bucketed
     * cells artifact, cosine rerank top-3. */
   private[graft] def ivfPersistedProbe(s: SparkSession, dir: String,
                                        lo: Long, hi: Long): DataFrame = {
     import s.implicits._
-    val cells = persistedIvfCells(s, dir)
-    val probes = probeCells(
+    ivfProbeOf(
       embDoubles(s, dir)
         .filter($"vec_id" >= lo && $"vec_id" < hi)
         .select($"vec_id".as("q_id"), $"v".as("qv")),
-      centArrOf(persistedIvfCent(s, dir)), nprobe = 2)
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    probes.join(cells, Seq("cid")).filter($"q_id" =!= $"vec_id")
-      .withColumn("cos", V.cosine($"qv", $"v"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"rank", $"vec_id", $"cos")
+      persistedIvfCent(s, dir), persistedIvfCells(s, dir), nprobe = 2)
   }
 
   /** Exact brute-force cosine top-3 over the first `nQueries` query

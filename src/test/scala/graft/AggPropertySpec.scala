@@ -130,6 +130,32 @@ class AggPropertySpec extends AnyFunSuite {
     assert(fast(11L) === 0, "all-NaN row falls to the cid tiebreak")
   }
 
+  test("clamp-built Bloom filter folds down bit-identically to a direct build") {
+    import spark.implicits._
+    // the fused TxLog stats pass builds every file's filter at the
+    // sizing clamp and folds it to the NDV target on the driver; the
+    // fold (out[i mod w] |= in[i]) must reproduce a direct target-size
+    // build EXACTLY — powers of two + mod positions make it so
+    val rnd = new scala.util.Random(43)
+    val df = Seq.fill(800)(rnd.nextLong()).toDF("k")
+      .withColumn("h", graft.functions.Fns.h60($"k".cast("string")))
+    def filt(bits: Long): Array[Long] = {
+      val bytes = df.agg(graft.plans.BloomBuildAgg($"h", lit(bits)).as("fw"))
+        .head().getAs[Array[Byte]](0)
+      val words = new Array[Long](bytes.length / 8)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
+      words
+    }
+    Seq(1L << 10, 1L << 13, 1L << 16).foreach { target =>
+      val direct = filt(target)
+      val big = filt(1L << 18)
+      val w = (target / 64).toInt
+      val folded = new Array[Long](w)
+      big.indices.foreach(i => folded(i % w) |= big(i))
+      assert(java.util.Arrays.equals(direct, folded), s"target=$target")
+    }
+  }
+
   test("BloomBuildAgg yields NULL (not a zero-length filter) when no bits row arrives") {
     import spark.implicits._
     // all-null bits: the group never learns a filter size
