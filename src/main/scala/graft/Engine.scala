@@ -100,6 +100,13 @@ object Engine {
     d.toFile.getAbsolutePath
   }
 
+  /** Sessions whose observed-metrics listener is already registered
+    * (weak keys: a retired session must not be pinned by the guard). */
+  private val observedHooked: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def session(
       appName: String = "graft",
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
@@ -127,6 +134,26 @@ object Engine {
       case (b, (k, v)) => b.config(k, v)
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // No-silent-caps surfacing: any query that declares an `observe`
+    // metric (semdedup's within-cell pair count, q_agg_observe, …)
+    // gets it printed to stderr after each successful action, so the
+    // volumes a scale claim rests on ride every Bench/Verify/
+    // ScaleProbe record instead of living in comments. Stderr only —
+    // stdout stays reserved for the one parseable record line.
+    // (getOrCreate may hand back an existing session — register once.)
+    if (observedHooked.add(spark)) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val m = qe.observedMetrics
+          if (m.nonEmpty) System.err.println("[observed] " +
+            m.map { case (k, r) => s"$k=$r" }.mkString(" "))
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     spark
   }
 

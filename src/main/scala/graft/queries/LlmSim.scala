@@ -553,18 +553,11 @@ object LlmSim extends QueryModule {
     // q_llm_dedup_incremental: index once, screen every delta — the
     // steady-state shape of a 100 TB embedding store.
     "q_llm_ann_incremental" -> QueryDef(
-      fn = (s, dir) => {
-        import s.implicits._
-        val cells = persistedIvfCells(s, dir)
-        val cArr = centArrOf(persistedIvfCent(s, dir))
-        val nb = ivfArrivals(s, dir)
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-        probeCells(nb, cArr, nprobe = 2).join(cells, Seq("cid"))
-          .withColumn("cos", V.cosine($"qv", $"v"))
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 3)
-          .select($"q_id", $"rank", $"vec_id", $"cos")
-      },
+      // arrival ids are disjoint from the index, so the probe's
+      // self-match guard is a no-op; the shared ivfProbeOf adds
+      // literal-cid index pruning (see its scaladoc)
+      fn = (s, dir) => ivfProbeOf(ivfArrivals(s, dir),
+        persistedIvfCent(s, dir), persistedIvfCells(s, dir), nprobe = 2),
       oracle = Some(s"""
         WITH $ivfCellsSql,
         nb AS (
@@ -612,10 +605,20 @@ object LlmSim extends QueryModule {
         val cells = persistedIvfCells(s, dir)
         val cArr = centArrOf(persistedIvfCent(s, dir))
         val nb = ivfArrivals(s, dir)
+        // the delta is BOUNDED and known up front (delimited by its
+        // upsert txn — see CONTRACT above), so its routed cid set can
+        // be computed batch-side and pushed as a literal filter on the
+        // static index side: every micro-batch routes a subset of nb,
+        // so the pruned static frame is a superset of what any batch
+        // joins — semantics-free, and the stream-static join scans
+        // only routed bucket files instead of the whole artifact
+        val cids = probeCells(nb, cArr, nprobe = 2)
+          .select($"cid").distinct().as[Int].collect().sorted
+        val prunedCells = cells.filter($"cid".isin(cids: _*))
         graft.streaming.Replay.run(s, nb, mode = "complete",
           cacheKey = s"annstream:$dir") { st =>
           probeCells(st, cArr, nprobe = 2)
-            .join(cells, Seq("cid"))
+            .join(prunedCells, Seq("cid"))
             .withColumn("cos", V.cosine($"qv", $"v"))
             .groupBy($"q_id")
             .agg(slice(array_sort(collect_list(
@@ -662,17 +665,11 @@ object LlmSim extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         val cells = persistedIvfCellsUpserted(s, dir)
-        val probes = probeCells(
+        ivfProbeOf(
           embDoubles(s, dir)
             .filter($"vec_id" >= 10 && $"vec_id" < 15)
             .select($"vec_id".as("q_id"), $"v".as("qv")),
-          centArrOf(persistedIvfCent(s, dir)), nprobe = 2)
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-        probes.join(cells, Seq("cid")).filter($"q_id" =!= $"vec_id")
-          .withColumn("cos", V.cosine($"qv", $"v"))
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 3)
-          .select($"q_id", $"rank", $"vec_id", $"cos")
+          persistedIvfCent(s, dir), cells, nprobe = 2)
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
@@ -698,6 +695,99 @@ object LlmSim extends QueryModule {
           SELECT p.q_id, a.vec_id, ${V.cosineSql("p.qv", "a.v")} AS cos
           FROM probes p JOIN allcells a
             ON p.cid = a.cid AND p.q_id <> a.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
+    // PQ ENCODE — the compression half of IVF-PQ (see the PQ helper
+    // block's scaladoc): the corpus coded as PqM=8 codebook ids per
+    // vector (8 B vs 512 B — the representation a 100 TB ANN index
+    // actually holds in memory), gated on the exact codes AND the
+    // exact reconstruction error (the Σ-subspace d2 between each
+    // vector and its codebook reconstruction — the quantization-loss
+    // number a curation pipeline monitors). Training, encoding, and
+    // the error fold are all deterministic quantized-Lloyd + strict-
+    // order arithmetic, so DuckDB reproduces every byte.
+    "q_llm_pq_codes" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val idx = persistedPqIdx(s, dir)
+        val cbs = pqCbArr(s, dir)
+        idx.join(persistedIvfCells(s, dir).select($"vec_id", $"v"),
+            Seq("vec_id"))
+          .select($"vec_id", $"cid",
+            // driver-safe gate surface: the code array as a joined
+            // string (the artifact itself stays array<int>)
+            array_join($"codes", ",").as("codes_s"),
+            pqAdc($"v", $"codes", cbs).as("recon_d2"))
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql, $pqSql,
+        rterms AS (
+          SELECT p.vec_id, p.m, ${d2Sql("u.sv", "c.cv")} AS t
+          FROM pcodes p
+            JOIN pcb c ON p.m = c.m AND p.code = c.code
+            JOIN subs u ON u.vec_id = p.vec_id AND u.m = p.m),
+        recon AS (
+          SELECT vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS recon_d2
+          FROM rterms GROUP BY vec_id)
+        SELECT i.vec_id, cl.cid,
+          array_to_string(i.codes, ',') AS codes_s, r.recon_d2
+        FROM pidx i
+          JOIN cells cl ON cl.vec_id = i.vec_id
+          JOIN recon r ON r.vec_id = i.vec_id""")),
+
+    // IVF-PQ PROBE — ADC search over the coded index: route queries
+    // to nprobe=2 cells, score routed CODES sub-space-wise against
+    // the broadcast codebooks (the scan touches 8 B/vector, never the
+    // embedding column), rerank only the ADC top-10 against true
+    // vectors (R·|q| rows through a second literal-cid-pruned bucket
+    // read). The exact-cosine top-3 of the reranked set is gated —
+    // DuckDB mirrors ADC bit-for-bit, so the candidate set (and hence
+    // the output) is hash-exact, not tolerance-based.
+    "q_llm_ann_ivfpq" -> QueryDef(
+      fn = (s, dir) => ivfPqProbe(s, dir, 0L, 5L),
+      oracle = Some(s"""
+        WITH $ivfCellsSql, $pqSql,
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= 2),
+        cand AS (
+          SELECT p.q_id, p.qv, cl.vec_id, cl.cid, i.codes
+          FROM probes p
+            JOIN cells cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id
+            JOIN pidx i ON i.vec_id = cl.vec_id),
+        aterms AS (
+          SELECT c.q_id, c.vec_id, t.m,
+            ${d2Sql(
+              s"c.qv[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
+              "pb.cv")} AS t
+          FROM cand c
+            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
+            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
+        adc AS (
+          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS adc
+          FROM aterms GROUP BY q_id, vec_id),
+        topr AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= $PqTopR),
+        scored AS (
+          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
+          FROM topr t
+            JOIN q ON q.q_id = t.q_id
+            JOIN cells cl ON cl.vec_id = t.vec_id)
         SELECT q_id, rank, vec_id, cos FROM (
           SELECT q_id, vec_id, cos, CAST(row_number() OVER (
             PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
@@ -1287,6 +1377,53 @@ object LlmSim extends QueryModule {
             FROM e CROSS JOIN cent c)
           WHERE rn = 1)"""
 
+  /** The WITH-clause chain reproducing [[pqCodebooksOf]] +
+    * [[pqEncodeOf]] in DuckDB, appended after [[ivfCellsSql]] (uses
+    * its `e`). Defines: subs, pseed, pa0, pcb, pidx. Same quantized-
+    * mean and (d2, id)-argmin recipes as the IVF chain, per
+    * (vec_id, m) sub-vector; DuckDB list slicing is 1-based inclusive
+    * so `v[m·d+1 : m·d+d]` mirrors the engine's `slice(v, m·d+1, d)`. */
+  private def pqSql: String = {
+    // one Lloyd refinement: assign `subs` to codebook `prev`, then
+    // exact quantized means -> codebook `out`
+    def refine(prev: String, out: String): String = s"""$out AS (
+          SELECT m, code, list(mn ORDER BY dim) AS cv FROM (
+            SELECT m, code, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT m, code, unnest(sv) AS x,
+                    generate_subscripts(sv, 1) - 1 AS dim FROM (
+              SELECT m, code, sv FROM (
+                SELECT u.vec_id, u.m, c.code, u.sv,
+                  row_number() OVER (PARTITION BY u.vec_id, u.m ORDER BY
+                    ${d2Sql("u.sv", "c.cv")}, c.code) AS rn
+                FROM subs u JOIN $prev c ON u.m = c.m)
+              WHERE rn = 1))
+            GROUP BY m, code, dim)
+          GROUP BY m, code)"""
+    val chain = (0 until PqTrainIters).map { i =>
+      refine(if (i == 0) "pseed" else s"pcb$i",
+        if (i == PqTrainIters - 1) "pcb" else s"pcb${i + 1}")
+    }.mkString(",\n        ")
+    s"""subs AS (
+          SELECT vec_id,  m,
+            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM e CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        pseed AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv
+          FROM subs WHERE vec_id < $PqKs),
+        $chain,
+        pcodes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT u.vec_id, u.m, c.code,
+              row_number() OVER (PARTITION BY u.vec_id, u.m ORDER BY
+                ${d2Sql("u.sv", "c.cv")}, c.code) AS rn
+            FROM subs u JOIN pcb c ON u.m = c.m)
+          WHERE rn = 1),
+        pidx AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes
+          FROM pcodes GROUP BY vec_id)"""
+  }
+
   /** IVF centroid BUILD over an arbitrary (vec_id, v) corpus frame:
     * `nlist` seeds (vec_id 0..nlist-1) refined by ONE Lloyd iteration
     * with EXACT quantized-integer means (the q_llm_kmeans_iter
@@ -1315,8 +1452,15 @@ object LlmSim extends QueryModule {
     * within-cell pair join on scaled indexes with the gated plan. */
   private[graft] def semdedupOf(cells: DataFrame, theta: Double): DataFrame = {
     import cells.sparkSession.implicits._
+    // No-silent-caps: the quadratic term this operator's linearity
+    // claim rests on (Σ|cell|² within-cell pairs at the stated θ) is
+    // observed into every run's record — Bench/Verify print any
+    // query's observed metrics after its action, so the pair volume
+    // and threshold ride the measurement, not a comment
     val dropped = cells.as("a").join(cells.as("b"),
         $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
+      .observe(s"semdedup[theta=$theta]",
+        count(lit(1)).as("within_cell_pairs"))
       .withColumn("cos", V.cosine($"a.v", $"b.v"))
       .filter($"cos" >= theta)
       .select($"a.vec_id".as("vec_id")).distinct()
@@ -1333,6 +1477,182 @@ object LlmSim extends QueryModule {
     e.crossJoin(centArrOf(cent))
       .select(graft.plans.NearestCell($"v", $"cents").as("cid"),
         $"vec_id", $"v")
+  }
+
+  // ---- Product quantization (IVF-PQ) ------------------------------
+  // The memory half of the 100 TB ANN story: the IVF bounds how much
+  // of the corpus a probe SCANS; PQ bounds how many bytes per vector
+  // the scanned index HOLDS. Each 64-dim double vector (512 B) is
+  // coded as PqM=8 sub-space codebook ids (8 B at PqKs=16 codes —
+  // 64x smaller), distances against a query are approximated sub-
+  // space-wise from the codebooks (ADC), and only the ADC top-R
+  // survivors are reranked against true vectors — so the full-width
+  // embedding column is read for R·|q| rows per probe, never for the
+  // corpus. Codebook training is the same deterministic quantized-
+  // Lloyd arithmetic as the IVF build (exact integer means, (d2, id)
+  // argmin tiebreak), so every stage is DuckDB-oracle-able bit-for-
+  // bit.
+
+  /** Sub-spaces per vector (64 dims / PqM = PqSubDim dims each). */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  /** Codes per sub-space codebook (5-bit codes at 32; the ks=16 first
+    * cut lost ~25% more of the routed candidates at the same topR —
+    * measured in PLANS.md r11). */
+  private[graft] val PqKs = 32
+  /** Lloyd refinements per codebook (assign → exact quantized means,
+    * run twice; the oracle SQL mirrors the SAME fixed chain). */
+  private[graft] val PqTrainIters = 2
+  /** ADC survivors reranked exactly per query. R bounds the rerank's
+    * full-width vector reads at R·|q| rows — raising it buys recall
+    * against the routing ceiling at a cost INDEPENDENT of corpus size
+    * (the candidate pool itself is ~nprobe·IvfPCellRows ≈ 128 rows at
+    * any N under the derived-nlist policy). The r11 sweep (PLANS.md):
+    * R=10 keeps 0.57-0.61 of the routed ceiling, R=30 0.84-0.89,
+    * R=50 0.92-0.97 — shipped 50. */
+  private[graft] val PqTopR = 50
+
+  /** (vec_id, m, sv): every corpus vector split into its PqM
+    * sub-vectors — a narrow map-side explode, no shuffle. */
+  private def pqSubsOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"vec_id", $"v",
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select($"vec_id", $"m",
+        slice($"v", $"m" * lit(PqSubDim) + lit(1), lit(PqSubDim)).as("sv"))
+  }
+
+  /** Train the PqM per-sub-space codebooks over a (vec_id, v) corpus
+    * frame: seeds = the first PqKs vectors' sub-vectors, ONE Lloyd
+    * iteration with exact quantized-integer means, assignment via the
+    * map-only NearestCell argmin against an 8-row broadcast of
+    * per-sub-space centroid arrays. Returns (m, code, cv) — at most
+    * PqM·PqKs rows, KBs at any corpus size. */
+  private[graft] def pqCodebooksOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val subs = pqSubsOf(e)
+    var cb = subs.filter($"vec_id" < PqKs)
+      .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("cv"))
+    for (_ <- 0 until PqTrainIters) {
+      val cbArr = cb
+        .select($"m", $"code".as("cid"), $"cv")
+        .groupBy($"m")
+        .agg(collect_list(struct($"cid", $"cv")).as("cents"))
+      cb = subs.join(broadcast(cbArr), Seq("m"))
+        .select($"m", graft.plans.NearestCell($"sv", $"cents").as("code"),
+          posexplode($"sv").as(Seq("dim", "x")))
+        .groupBy($"m", $"code", $"dim")
+        .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
+          / 1e7 / count(lit(1))).as("mean"))
+        .groupBy($"m", $"code")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"mean"))),
+          s0 => s0.getField("mean")).as("cv"))
+    }
+    cb
+  }
+
+  /** Encode a (vec_id, v) corpus against finished codebooks:
+    * (vec_id, codes) with codes(m) = the NearestCell argmin of
+    * sub-vector m — a map-only pass plus one vec_id-keyed fold. */
+  private[graft] def pqEncodeOf(e: DataFrame, cb: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val cbArr = cb
+      .select($"m", $"code".as("cid"), $"cv")
+      .groupBy($"m")
+      .agg(collect_list(struct($"cid", $"cv")).as("cents"))
+    pqSubsOf(e).join(broadcast(cbArr), Seq("m"))
+      .select($"vec_id", $"m",
+        graft.plans.NearestCell($"sv", $"cents").as("code"))
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
+        s0 => s0.getField("code")).as("codes"))
+  }
+
+  /** The trained codebooks, persisted once per (JVM, sfDir). */
+  private[graft] def persistedPqCb(s: SparkSession, dir: String): DataFrame =
+    LlmText.writeOnceTable(s, s"graft_pq_cb_${math.abs(dir.hashCode)}",
+      Seq("m"), pqCodebooksOf(embDoubles(s, dir)))
+
+  /** The IVF-PQ index artifact: (cid, vec_id, codes) — the persisted
+    * IVF's cell assignment carrying PQ codes instead of full vectors,
+    * bucketed on `cid` so probes bucket-read it exactly like the
+    * cells artifact (and literal-cid pruning applies unchanged). */
+  private[graft] def persistedPqIdx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    LlmText.writeOnceTable(s, s"graft_pq_idx_${math.abs(dir.hashCode)}",
+      Seq("cid"),
+      persistedIvfCells(s, dir).select($"cid", $"vec_id")
+        .join(pqEncodeOf(embDoubles(s, dir), persistedPqCb(s, dir)),
+          Seq("vec_id"))
+        .select($"cid", $"vec_id", $"codes"))
+  }
+
+  /** Codebooks collected to a dense (PqM × PqKs × PqSubDim) literal —
+    * metadata-sized (8·16·8 doubles), the ADC analog of the broadcast
+    * centroid array; codes that lost every vector in the Lloyd pass
+    * (possible, never referenced by any encoding) hold a zero slot so
+    * positional lookup stays dense. Cached per (JVM, sfDir). */
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap[String, Seq[Seq[Seq[Double]]]]()
+  private def pqCbArr(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    pqCbCache.getOrElseUpdate(dir, {
+      val byKey = persistedPqCb(s, dir).select("m", "code", "cv").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+        .toMap
+      val zero = IndexedSeq.fill(PqSubDim)(0.0)
+      (0 until PqM).map(m => (0 until PqKs).map(c =>
+        byKey.getOrElse((m, c), zero)))
+    })
+
+  /** Asymmetric distance (ADC): Σ over sub-spaces of the exact d2
+    * between the query's sub-vector and the candidate's codebook
+    * entry — a strict in-order fold (matches the oracle's
+    * list_reduce over list(t ORDER BY m) bit-for-bit), O(PqM·PqSubDim)
+    * per candidate with NO full-width vector read. */
+  private def pqAdc(qv: Column, codes: Column,
+                    cbs: Seq[Seq[Seq[Double]]]): Column = {
+    val cbsLit = typedLit(cbs)
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) => {
+      val sq = slice(qv, m * lit(PqSubDim) + lit(1), lit(PqSubDim))
+      val cv = cbsLit(m)(codes(m))
+      acc + (V.dot(sq, sq) - lit(2.0) * V.dot(sq, cv) + V.dot(cv, cv))
+    })
+  }
+
+  /** One IVF-PQ probe: route queries in [lo, hi) to their `nprobe`
+    * cells, ADC-score the routed cells' CODES (literal-cid-pruned
+    * bucket read of the 8-byte-per-vector index), keep the ADC top-R
+    * per query, rerank ONLY those R against true vectors (a second
+    * pruned bucket read of R·|q| rows) — exact cosine top-3 out. */
+  private[graft] def ivfPqProbe(s: SparkSession, dir: String,
+                                lo: Long, hi: Long,
+                                topR: Int = PqTopR): DataFrame = {
+    import s.implicits._
+    val idx = persistedPqIdx(s, dir)
+    val cells = persistedIvfCells(s, dir)
+    val cbs = pqCbArr(s, dir)
+    val q = embDoubles(s, dir)
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val routed = probeCells(q, centArrOf(persistedIvfCent(s, dir)),
+      nprobe = 2)
+    val cids = routed.select($"cid").distinct().as[Int].collect().sorted
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adc".asc, $"vec_id")
+    val topr = routed
+      .join(idx.filter($"cid".isin(cids: _*)), Seq("cid"))
+      .filter($"q_id" =!= $"vec_id")
+      .withColumn("adc", pqAdc($"qv", $"codes", cbs))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter($"arn" <= topR)
+      .select($"cid", $"q_id", $"qv", $"vec_id")
+    val wCos = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    topr
+      .join(cells.filter($"cid".isin(cids: _*)).select($"cid", $"vec_id", $"v"),
+        Seq("cid", "vec_id"))
+      .withColumn("cos", V.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
   }
 
   /** Centroids of the persisted IVF: the [[ivfCentOf]] build at the
@@ -1409,14 +1729,30 @@ object LlmSim extends QueryModule {
     * qv) row of `q` to its `nprobe` nearest cells (broadcast
     * centroids), read candidates out of the bucketed `cells` frame,
     * cosine-rerank top-3. Parameterized over the artifacts so
-    * ScaleProbe can probe scaled indexes with the exact gated plan. */
+    * ScaleProbe can probe scaled indexes with the exact gated plan.
+    *
+    * The index side is pruned BEFORE the join with a literal
+    * `cid IN (...)` filter: the routed cid set is metadata-sized
+    * (≤ min(nlist, nprobe·|q|) ints — the same class as the broadcast
+    * centroid array the routing already holds), so the one bounded
+    * driver collect that materializes it is file-listing-scale work,
+    * and the literal filter buys bucket pruning PLUS parquet
+    * row-group pruning on the cid-sorted bucket files — a probe scans
+    * ~nprobe·|q|/nlist of the artifact instead of every bucket file.
+    * Semantics-free: the equi-join on cid restricts to exactly this
+    * set anyway, so gated hashes are unchanged by construction.
+    * `selfMatch = false` keeps a query vector drawn from the corpus
+    * from matching itself (a no-op when query ids are disjoint from
+    * the index, as for arrival batches). */
   private[graft] def ivfProbeOf(q: DataFrame, cent: DataFrame,
-                                cells: DataFrame,
-                                nprobe: Int): DataFrame = {
+                                cells: DataFrame, nprobe: Int,
+                                selfMatch: Boolean = false): DataFrame = {
     import q.sparkSession.implicits._
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    probeCells(q, centArrOf(cent), nprobe)
-      .join(cells, Seq("cid")).filter($"q_id" =!= $"vec_id")
+    val routed = probeCells(q, centArrOf(cent), nprobe)
+    val cids = routed.select($"cid").distinct().as[Int].collect().sorted
+    val joined = routed.join(cells.filter($"cid".isin(cids: _*)), Seq("cid"))
+    (if (selfMatch) joined else joined.filter($"q_id" =!= $"vec_id"))
       .withColumn("cos", V.cosine($"qv", $"v"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)

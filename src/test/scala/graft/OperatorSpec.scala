@@ -574,6 +574,10 @@ class OperatorSpec extends AnyFunSuite {
     // consume its bucket clustering and move NOTHING
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(2000))
+    // r11: the routed-cid literal IN filter reaches the bucketed scan,
+    // engaging bucket pruning (SelectedBucketsCount) so unrouted
+    // bucket files are never opened
+    assert(plan.contains("SelectedBucketsCount"), plan.take(2000))
     // and the artifact matches a fresh assignment computation: every
     // vector goes to the cell the broadcast-argmin picks
     val fresh = {
@@ -592,6 +596,36 @@ class OperatorSpec extends AnyFunSuite {
       .select("vec_id", "cid").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(persisted === fresh)
+  }
+
+  test("IVF-PQ: codes are well-formed and ADC+rerank holds the routed ceiling") {
+    import graft.queries.LlmSim
+    // artifact shape: every corpus vector carries exactly PqM codes,
+    // each inside the codebook range
+    val idx = LlmSim.persistedPqIdx(spark, sf)
+      .select("vec_id", "codes").collect()
+    assert(idx.length === 500)
+    idx.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length === LlmSim.PqM)
+      assert(codes.forall(c => c >= 0 && c < LlmSim.PqKs))
+    }
+    // recall: the PQ probe reranks only the ADC top-R, so its natural
+    // ceiling is the exact rerank of EVERYTHING the IVF routes
+    // (ivfPersistedProbe). Floor 0.85 = the r11 sweep's R=50 measured
+    // 0.92-0.97 minus margin, over 50 query vectors (150 pairs) —
+    // the gated query's 5 queries would hide a real regression.
+    val nQ = 50
+    def top3(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("rank") <= 3).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ceiling = top3(LlmSim.ivfPersistedProbe(spark, sf, 0L, nQ.toLong))
+    val pq = top3(LlmSim.ivfPqProbe(spark, sf, 0L, nQ.toLong))
+    val vsCeiling = (pq & ceiling).size.toDouble / ceiling.size
+    assert(vsCeiling >= 0.85,
+      f"PQ recall vs routed ceiling over $nQ queries = $vsCeiling%.3f < 0.85")
+    info(f"ivf-pq(ks=${LlmSim.PqKs}, R=${LlmSim.PqTopR}) keeps " +
+      f"$vsCeiling%.3f of the routed exact-rerank ceiling ($nQ queries)")
   }
 
   test("upserted IVF index keeps its bucket clustering through the append") {
