@@ -536,9 +536,23 @@ object ScaleProbe {
         spark.table(art._1), spark.table(art._2), nprobe = 2)
         .write.format("noop").mode("overwrite").save()
 
+    // steady-state ingest shape: ONE arriving vector probes the index.
+    // Its routed literal-cid set is 2 cells, so the r11 pruning can
+    // skip whole buckets and row groups — the cost of routing a single
+    // shard must stay FLAT as the index under it grows 64x (the batch
+    // probe above saturates every cell at |q|=50, so pruning is
+    // plan-neutral there; this shape is where it bites).
+    def ivfPointProbeShape(art: (String, String, Int, Long)): Unit =
+      queries.LlmSim.ivfProbeOf(
+        emb1.filter($"vec_id" === 0L)
+          .select($"vec_id".as("q_id"), $"v".as("qv")),
+        spark.table(art._1), spark.table(art._2), nprobe = 2)
+        .write.format("noop").mode("overwrite").save()
+
     val warmups = Seq[(String, () => Unit)](
       "semdedup_shape" -> (() => semdedupShape(ivf1)),
       "ivf_probe_shape" -> (() => ivfProbeShape(ivf1)),
+      "ivf_point_probe_shape" -> (() => ivfPointProbeShape(ivf1)),
       "q1_agg_shape" -> (() => q1(li1)),
       "join_agg_shape" -> (() => join(li1, orders1)),
       "group_topk_shape" -> (() => topk(li1)),
@@ -561,6 +575,8 @@ object ScaleProbe {
         semdedupShape(if (l eq li1) ivf1 else ivfN)),
       "ivf_probe_shape" -> ((l, _) =>
         ivfProbeShape(if (l eq li1) ivf1 else ivfN)),
+      "ivf_point_probe_shape" -> ((l, _) =>
+        ivfPointProbeShape(if (l eq li1) ivf1 else ivfN)),
       "q1_agg_shape" -> ((l, _) => q1(l)),
       "join_agg_shape" -> ((l, o) => join(l, o)),
       "q21_fast_shape" -> ((l, o) => q21fast(l, o)),
