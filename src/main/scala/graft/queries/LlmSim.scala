@@ -794,6 +794,141 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // PQ INDEX UPSERT — the maintenance half of the IVF-PQ lifecycle,
+    // mirroring q_llm_ann_index_upsert on the CODED index: arrivals
+    // are encoded with the FROZEN codebooks (train once, deltas ride
+    // them) and appended as new bucket files exactly-once via
+    // TxnMarker; a fresh query set then ADC-probes the upserted codes
+    // table and reranks against the upserted cells — arrival vectors
+    // must surface among the top-3 where they truly are nearest
+    // (query 10's perturbed twin 500010 again), hash-gated against a
+    // base∪arrivals oracle that re-derives the frozen-codebook
+    // encoding of the delta in SQL.
+    "q_llm_pq_upsert" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val idxUp = persistedPqIdxUpserted(s, dir)
+        val cellsUp = persistedIvfCellsUpserted(s, dir)
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 10 && $"vec_id" < 15)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          persistedIvfCent(s, dir), idxUp, cellsUp,
+          pqCbArr(s, dir), PqTopR)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql, $pqSql,
+        $ivfArrivalsSql,
+        nbcells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT nb.vec_id, nb.v, c.cid,
+              row_number() OVER (PARTITION BY nb.vec_id ORDER BY
+                ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn = 1),
+        nbsubs AS (
+          SELECT vec_id, m,
+            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM nb CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        nbcodes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u0.vec_id, u0.m, c0.code,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM nbsubs u0 JOIN pcb c0 ON u0.m = c0.m)
+          WHERE rn = 1
+          GROUP BY vec_id),
+        allcells AS (
+          SELECT * FROM cells UNION ALL SELECT * FROM nbcells),
+        allidx AS (
+          SELECT vec_id, codes FROM pidx
+          UNION ALL SELECT vec_id, codes FROM nbcodes),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= 10 AND vec_id < 15),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= 2),
+        cand AS (
+          SELECT p.q_id, p.qv, cl.vec_id, cl.cid, i.codes
+          FROM probes p
+            JOIN allcells cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id
+            JOIN allidx i ON i.vec_id = cl.vec_id),
+        aterms AS (
+          SELECT c.q_id, c.vec_id, t.m,
+            ${d2Sql(
+              s"c.qv[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
+              "pb.cv")} AS t
+          FROM cand c
+            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
+            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
+        adc AS (
+          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS adc
+          FROM aterms GROUP BY q_id, vec_id),
+        topr AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= $PqTopR),
+        scored AS (
+          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
+          FROM topr t
+            JOIN q ON q.q_id = t.q_id
+            JOIN allcells cl ON cl.vec_id = t.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
+    // BINARY-QUANTIZATION ANN — the coarsest point on the vector-
+    // compression ladder (double 512 B → int8 64 B → PQ 8 B → sign
+    // bits 8 B with NO codebook): 64 sign bits per vector in one
+    // long, candidates found by an integer Hamming scan (bit_count of
+    // xor — float-free, so the pre-filter is exactly cross-engine),
+    // Hamming top-R reranked against true vectors through a literal
+    // vec_id IN pushdown. The full-scan complement of the IVF family:
+    // zero routing loss, index I/O = N·8 B per probe.
+    "q_llm_ann_hamming" -> QueryDef(
+      fn = (s, dir) => bqHammingProbe(s, dir, 0L, 5L),
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, CAST(CASE WHEN s >= 9223372036854775808
+              THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS sig
+          FROM (
+            SELECT vec_id, sum(CASE WHEN x >= 0
+                THEN CAST(1 AS HUGEINT) << (i - 1)
+                ELSE CAST(0 AS HUGEINT) END) AS s
+            FROM (SELECT vec_id, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS i FROM e)
+            GROUP BY vec_id)),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        qsig AS (SELECT q.q_id, q.qv, sg.sig AS qsig
+          FROM q JOIN sig sg ON sg.vec_id = q.q_id),
+        topr AS (
+          SELECT q_id, qv, vec_id FROM (
+            SELECT qs.q_id, qs.qv, s2.vec_id,
+              row_number() OVER (PARTITION BY qs.q_id ORDER BY
+                bit_count(xor(qs.qsig, s2.sig)), s2.vec_id) AS rn
+            FROM qsig qs JOIN sig s2 ON s2.vec_id <> qs.q_id)
+          WHERE rn <= $BqTopR),
+        scored AS (
+          SELECT t.q_id, e2.vec_id, ${V.cosineSql("t.qv", "e2.v")} AS cos
+          FROM topr t JOIN e e2 ON e2.vec_id = t.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
     // L2 NORMALIZATION of the embedding column — the prep step before
     // cosine ANN (normalized vectors turn cosine into dot product).
     // Pure per-row math: norm = sqrt(native dot) (sqrt and divide are
@@ -1624,18 +1759,12 @@ object LlmSim extends QueryModule {
     * bucket read of the 8-byte-per-vector index), keep the ADC top-R
     * per query, rerank ONLY those R against true vectors (a second
     * pruned bucket read of R·|q| rows) — exact cosine top-3 out. */
-  private[graft] def ivfPqProbe(s: SparkSession, dir: String,
-                                lo: Long, hi: Long,
-                                topR: Int = PqTopR): DataFrame = {
-    import s.implicits._
-    val idx = persistedPqIdx(s, dir)
-    val cells = persistedIvfCells(s, dir)
-    val cbs = pqCbArr(s, dir)
-    val q = embDoubles(s, dir)
-      .filter($"vec_id" >= lo && $"vec_id" < hi)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
-    val routed = probeCells(q, centArrOf(persistedIvfCent(s, dir)),
-      nprobe = 2)
+  private[graft] def pqProbeCore(q: DataFrame, cent: DataFrame,
+                                 idx: DataFrame, cells: DataFrame,
+                                 cbs: Seq[Seq[Seq[Double]]],
+                                 topR: Int): DataFrame = {
+    import q.sparkSession.implicits._
+    val routed = probeCells(q, centArrOf(cent), nprobe = 2)
     val cids = routed.select($"cid").distinct().as[Int].collect().sorted
     val wAdc = Window.partitionBy($"q_id").orderBy($"adc".asc, $"vec_id")
     val topr = routed
@@ -1653,6 +1782,52 @@ object LlmSim extends QueryModule {
       .withColumn("rank", row_number().over(wCos))
       .filter($"rank" <= 3)
       .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
+  private[graft] def ivfPqProbe(s: SparkSession, dir: String,
+                                lo: Long, hi: Long,
+                                topR: Int = PqTopR): DataFrame = {
+    import s.implicits._
+    pqProbeCore(
+      embDoubles(s, dir)
+        .filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id".as("q_id"), $"v".as("qv")),
+      persistedIvfCent(s, dir), persistedPqIdx(s, dir),
+      persistedIvfCells(s, dir), pqCbArr(s, dir), topR)
+  }
+
+  /** The PQ index after a delta: arrivals are encoded with the FROZEN
+    * codebooks (the standard IVF-PQ maintenance contract — codebooks
+    * train once, deltas ride them; re-training is a rebuild) and
+    * appended into the bucketed codes table as new bucket files,
+    * exactly-once via the same [[graft.operators.TxnMarker]] protocol
+    * as the cells upsert — O(delta) bytes, no rebuild, clustering
+    * survives, double delivery lands one batch. */
+  private[graft] def persistedPqIdxUpserted(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_pq_idx_up_${math.abs(dir.hashCode)}"
+    LlmText.writeOnceTable(s, tbl, Seq("cid"),
+      persistedIvfCells(s, dir).select($"cid", $"vec_id")
+        .join(pqEncodeOf(embDoubles(s, dir), persistedPqCb(s, dir)),
+          Seq("vec_id"))
+        .select($"cid", $"vec_id", $"codes"))
+    graft.operators.TxnMarker.appendOnce(
+      graft.operators.TxnMarker.managedTableDir(s, tbl),
+      txn = "pq-arrivals-1",
+      doAppend = () => {
+        val nb = ivfArrivals(s, dir)
+          .select($"q_id".as("vec_id"), $"qv".as("v"))
+        ivfCellsOf(nb, persistedIvfCent(s, dir)).select($"cid", $"vec_id")
+          .join(pqEncodeOf(nb, persistedPqCb(s, dir)), Seq("vec_id"))
+          .select($"cid", $"vec_id", $"codes")
+          .write.mode("append").format("parquet")
+          .bucketBy(8, "cid").sortBy("cid").saveAsTable(tbl)
+      },
+      presentRows = () =>
+        s.table(tbl).filter($"vec_id" >= 500000L).count(),
+      expectedRows = () => ivfArrivals(s, dir).count())
+    s.table(tbl)
   }
 
   /** Centroids of the persisted IVF: the [[ivfCentOf]] build at the
@@ -1770,6 +1945,74 @@ object LlmSim extends QueryModule {
         .filter($"vec_id" >= lo && $"vec_id" < hi)
         .select($"vec_id".as("q_id"), $"v".as("qv")),
       persistedIvfCent(s, dir), persistedIvfCells(s, dir), nprobe = 2)
+  }
+
+  // ---- Binary quantization (sign-bit sketch ANN) -------------------
+
+  /** Hamming pre-filter survivors reranked exactly per query — the
+    * same corpus-independent R·|q| rerank-cost class as [[PqTopR]].
+    * r11 sweep (recall@3 vs BRUTE over 50 queries, sf0.001/0.01/0.1):
+    * R=20 0.53/0.52/0.35, R=50 0.71/0.75/0.47, R=100 0.88/0.90/0.72 —
+    * shipped 100 (absolute recall above the IVF nprobe=2 routing
+    * posture at every scale, with zero routing loss by construction). */
+  private[graft] val BqTopR = 100
+
+  /** 1-bit/dim signatures: the 64 sign bits of a vector packed into
+    * ONE long (8 B — 64× under the double array, the coarsest point
+    * on the PQ/int8/binary compression ladder). Bit i = dim i's sign;
+    * the in-order add of shiftleft(1L, i) sets each bit exactly once
+    * (bit 63 wraps to Long.MinValue identically in both engines —
+    * the oracle packs through HUGEINT and folds to signed). */
+  private[graft] def bqSigsOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"vec_id", expr(
+      """aggregate(sequence(0, 63), 0L, (acc, i) ->
+        |  acc + IF(element_at(v, i + 1) >= 0.0D, shiftleft(1L, i), 0L))"""
+        .stripMargin).as("sig"))
+  }
+
+  /** The signature artifact, persisted once per (JVM, sfDir). */
+  private[graft] def persistedBqSigs(s: SparkSession, dir: String): DataFrame =
+    LlmText.writeOnceTable(s, s"graft_bq_sig_${math.abs(dir.hashCode)}",
+      Seq("vec_id"), bqSigsOf(embDoubles(s, dir)))
+
+  /** Binary-sketch ANN probe: queries in [lo, hi) × the FULL
+    * signature table through an integer Hamming scan (bit_count of
+    * xor — 8 B/vector of index I/O, no floats so the pre-filter is
+    * trivially cross-engine-exact), keep the Hamming top-R per query,
+    * rerank only those against true vectors (the R·|q| id set is
+    * metadata-sized and pushed as a literal vec_id IN filter, so the
+    * full-width embedding scan row-group-prunes to the survivors).
+    * The full-scan complement of the IVF family: no routing loss,
+    * index cost N·8 B — the right tool when recall matters more than
+    * scan sub-linearity. */
+  private[graft] def bqHammingProbe(s: SparkSession, dir: String,
+                                    lo: Long, hi: Long,
+                                    topR: Int = BqTopR): DataFrame = {
+    import s.implicits._
+    val sigs = persistedBqSigs(s, dir)
+    val qb = broadcast(
+      embDoubles(s, dir)
+        .filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+        .join(bqSigsOf(
+          embDoubles(s, dir).filter($"vec_id" >= lo && $"vec_id" < hi))
+          .select($"vec_id".as("q_id"), $"sig".as("qsig")), Seq("q_id")))
+    val wH = Window.partitionBy($"q_id").orderBy($"ham".asc, $"vec_id")
+    val topr = qb.join(sigs, $"q_id" =!= $"vec_id")
+      .withColumn("ham", expr("bit_count(qsig ^ sig)"))
+      .withColumn("hrn", row_number().over(wH))
+      .filter($"hrn" <= topR)
+      .select($"q_id", $"qv", $"vec_id")
+    val ids = topr.select($"vec_id").distinct().as[Long].collect().sorted
+    val wC = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    topr
+      .join(embDoubles(s, dir).filter($"vec_id".isin(ids: _*)),
+        Seq("vec_id"))
+      .withColumn("cos", V.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(wC))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
   }
 
   /** Exact brute-force cosine top-3 over the first `nQueries` query

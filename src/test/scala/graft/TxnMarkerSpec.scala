@@ -111,4 +111,20 @@ class TxnMarkerSpec extends AnyFunSuite {
     assert(first.length === first.distinct.length,
       "no vec_id may appear twice (double-append would duplicate)")
   }
+
+  test("PQ index upsert delivered twice holds exactly one arrival batch") {
+    import spark.implicits._
+    // the coded-index twin of the cells upsert: same marker protocol,
+    // distinct table + txn — both deliveries must agree byte-for-byte
+    // and carry the arrival encodings exactly once
+    val first = graft.queries.LlmSim.persistedPqIdxUpserted(spark, sf)
+      .select($"vec_id").as[Long].collect().sorted
+    val second = graft.queries.LlmSim.persistedPqIdxUpserted(spark, sf)
+      .select($"vec_id").as[Long].collect().sorted
+    assert(first.sameElements(second))
+    val arrivals = first.count(_ >= 500000L)
+    assert(arrivals > 0, "arrival encodings must be present")
+    assert(first.length === first.distinct.length,
+      "no vec_id may appear twice (double-append would duplicate)")
+  }
 }
