@@ -886,6 +886,47 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // STREAMING PQ ENCODE — the online form of the encode pass: the
+    // arrival stream is coded row-by-row against the FROZEN broadcast
+    // codebooks via the map-only pqEncodeCol (a per-row transform +
+    // NearestCell argmin — STATELESS, so the stream runs in append
+    // mode with zero state store), converging to the identical
+    // frozen-codebook encoding the batch upsert writes. This is the
+    // ingest-time shape of PQ maintenance: every arriving shard is
+    // coded in flight at 8 B/vector before it ever lands.
+    "q_stream_pq_encode" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cbs = pqCbStructs(persistedPqCb(s, dir))
+        val nb = ivfArrivals(s, dir)
+          .select($"q_id".as("vec_id"), $"qv".as("v"))
+        graft.streaming.Replay.run(s, nb, mode = "append",
+          cacheKey = s"pqenc:$dir") { st =>
+          st.select($"vec_id",
+            array_join(pqEncodeCol($"v", cbs), ",").as("codes_s"))
+        }
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        $pqSql,
+        $ivfArrivalsSql,
+        nbsubs AS (
+          SELECT vec_id, m,
+            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM nb CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        nbcodes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u0.vec_id, u0.m, c0.code,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM nbsubs u0 JOIN pcb c0 ON u0.m = c0.m)
+          WHERE rn = 1
+          GROUP BY vec_id)
+        SELECT vec_id, array_to_string(codes, ',') AS codes_s
+        FROM nbcodes""")),
+
     // BINARY-QUANTIZATION ANN — the coarsest point on the vector-
     // compression ladder (double 512 B → int8 64 B → PQ 8 B → sign
     // bits 8 B with NO codebook): 64 sign bits per vector in one
@@ -1686,21 +1727,41 @@ object LlmSim extends QueryModule {
     cb
   }
 
+  /** Finished codebooks as per-sub-space (code, cv) candidate lists —
+    * SPARSE (only codes the Lloyd pass kept; a dense zero-filled slot
+    * would be a phantom argmin candidate), code-sorted for
+    * determinism's sake though NearestCell's (d2, id) tiebreak is
+    * order-free. The encode-side collected form of the codebook. */
+  private[graft] def pqCbStructs(
+      cb: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    val rows = cb.select("m", "code", "cv").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    (0 until PqM).map(m =>
+      rows.filter(_._1 == m).sortBy(_._2)
+        .map(t => (t._2, t._3: Seq[Double])).toSeq)
+  }
+
+  /** All PqM codes of one vector in ONE expression: a transform over
+    * the sub-space index with a per-sub-space [[graft.plans.NearestCell]]
+    * argmin against the collected codebook literal (struct fields are
+    * read positionally, so the (code, cv) tuple encoding satisfies
+    * its type check). Encode is therefore a MAP-ONLY pass — no
+    * explode, no vec_id-keyed shuffle, usable verbatim on a stream. */
+  private[graft] def pqEncodeCol(
+      v: Column, cbs: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val cbLit = typedLit(cbs)
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      graft.plans.NearestCell(
+        slice(v, m * lit(PqSubDim) + lit(1), lit(PqSubDim)),
+        cbLit(m)))
+  }
+
   /** Encode a (vec_id, v) corpus against finished codebooks:
     * (vec_id, codes) with codes(m) = the NearestCell argmin of
-    * sub-vector m — a map-only pass plus one vec_id-keyed fold. */
+    * sub-vector m — map-only via [[pqEncodeCol]]. */
   private[graft] def pqEncodeOf(e: DataFrame, cb: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    val cbArr = cb
-      .select($"m", $"code".as("cid"), $"cv")
-      .groupBy($"m")
-      .agg(collect_list(struct($"cid", $"cv")).as("cents"))
-    pqSubsOf(e).join(broadcast(cbArr), Seq("m"))
-      .select($"vec_id", $"m",
-        graft.plans.NearestCell($"sv", $"cents").as("code"))
-      .groupBy($"vec_id")
-      .agg(transform(array_sort(collect_list(struct($"m", $"code"))),
-        s0 => s0.getField("code")).as("codes"))
+    e.select($"vec_id", pqEncodeCol($"v", pqCbStructs(cb)).as("codes"))
   }
 
   /** The trained codebooks, persisted once per (JVM, sfDir). */

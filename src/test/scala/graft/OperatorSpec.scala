@@ -610,6 +610,19 @@ class OperatorSpec extends AnyFunSuite {
       assert(codes.length === LlmSim.PqM)
       assert(codes.forall(c => c >= 0 && c < LlmSim.PqKs))
     }
+    // encode is MAP-ONLY (r11): all PqM codes come from one transform
+    // + NearestCell expression over the collected codebook literal —
+    // a pure scan, no explode, no vec_id shuffle
+    val encPlan = {
+      import spark.implicits._
+      LlmSim.pqEncodeOf(
+        Engine.table(spark, sf, "embeddings")
+          .select($"vec_id",
+            graft.operators.VectorOps.toDouble($"embedding").as("v")),
+        LlmSim.persistedPqCb(spark, sf))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!encPlan.contains("Exchange"), encPlan.take(1500))
     // recall: the PQ probe reranks only the ADC top-R, so its natural
     // ceiling is the exact rerank of EVERYTHING the IVF routes
     // (ivfPersistedProbe). Floor 0.85 = the r11 sweep's R=50 measured
