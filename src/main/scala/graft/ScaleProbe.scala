@@ -524,6 +524,46 @@ object ScaleProbe {
     }
     lazy val ivf1 = mkIvf("1", emb1)
     lazy val ivfN = mkIvf(s"n$n", embN)
+
+    // the binary-sketch family's cost model is the opposite trade:
+    // full scan (no routing loss) over N·8 B signatures. The shape
+    // pins the scan's growth — expected ~linear in N with a tiny
+    // constant; the rerank half is corpus-independent (R·|q|) and is
+    // covered by the gated query, so the probe measures the Hamming
+    // scan + top-R alone.
+    def mkSigs(tag: String, e: DataFrame): String = {
+      val tbl = s"sp_bq_sig_$tag"
+      if (!spark.catalog.tableExists(tbl)) {
+        val wh = new java.io.File(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(wh, tbl))
+        queries.LlmSim.bqSigsOf(e).write.mode("overwrite")
+          .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(tbl)
+      }
+      tbl
+    }
+    lazy val sig1 = mkSigs("1", emb1)
+    lazy val sigN = mkSigs(s"n$n", embN)
+    def bqHammingShape(tbl: String): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val q = emb1.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val qs = queries.LlmSim.bqSigsOf(
+        q.select($"q_id".as("vec_id"), $"qv".as("v")))
+        .select($"vec_id".as("q_id"), $"sig".as("qsig"))
+      val w = Window.partitionBy($"q_id").orderBy($"ham".asc, $"vec_id")
+      broadcast(q.join(qs, Seq("q_id")))
+        .join(spark.table(tbl), $"q_id" =!= $"vec_id")
+        .withColumn("ham", expr("bit_count(qsig ^ sig)"))
+        .withColumn("hrn", row_number().over(w))
+        .filter($"hrn" <= 100)
+        .select($"q_id", $"vec_id")
+        .write.format("noop").mode("overwrite").save()
+    }
     def semdedupShape(art: (String, String, Int, Long)): Unit =
       queries.LlmSim.semdedupOf(spark.table(art._2), 0.30)
         .write.format("noop").mode("overwrite").save()
@@ -553,6 +593,7 @@ object ScaleProbe {
       "semdedup_shape" -> (() => semdedupShape(ivf1)),
       "ivf_probe_shape" -> (() => ivfProbeShape(ivf1)),
       "ivf_point_probe_shape" -> (() => ivfPointProbeShape(ivf1)),
+      "bq_hamming_shape" -> (() => bqHammingShape(sig1)),
       "q1_agg_shape" -> (() => q1(li1)),
       "join_agg_shape" -> (() => join(li1, orders1)),
       "group_topk_shape" -> (() => topk(li1)),
@@ -577,6 +618,8 @@ object ScaleProbe {
         ivfProbeShape(if (l eq li1) ivf1 else ivfN)),
       "ivf_point_probe_shape" -> ((l, _) =>
         ivfPointProbeShape(if (l eq li1) ivf1 else ivfN)),
+      "bq_hamming_shape" -> ((l, _) =>
+        bqHammingShape(if (l eq li1) sig1 else sigN)),
       "q1_agg_shape" -> ((l, _) => q1(l)),
       "join_agg_shape" -> ((l, o) => join(l, o)),
       "q21_fast_shape" -> ((l, o) => q21fast(l, o)),

@@ -886,6 +886,43 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // HARD-NEGATIVE MINING — contrastive training-pair construction:
+    // for each anchor, the most cosine-similar vectors carrying a
+    // DIFFERENT label (the "confusable negatives" an embedding
+    // trainer wants in-batch). Brute broadcast-anchor scan — the same
+    // labeled-baseline class as q_llm_cosine_topk; the production
+    // path routes anchors through the persisted ANN index with the
+    // label-exclusion predicate pushed into the rerank.
+    "q_llm_hard_negatives" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val e = Engine.table(s, dir, "embeddings")
+          .select($"vec_id", $"label", V.toDouble($"embedding").as("v"))
+        val anchors = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("a_id"), $"label".as("a_label"),
+            $"v".as("av"))
+        val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"vec_id")
+        broadcast(anchors).join(e, $"a_label" =!= $"label")
+          .withColumn("cos", V.cosine($"av", $"v"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"a_id", $"rank", $"vec_id".as("neg_id"), $"cos")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        a AS (SELECT vec_id AS a_id, label AS a_label, v AS av
+          FROM e WHERE vec_id < 20),
+        scored AS (
+          SELECT a.a_id, e.vec_id, ${V.cosineSql("a.av", "e.v")} AS cos
+          FROM a JOIN e ON a.a_label <> e.label)
+        SELECT a_id, rank, neg_id, cos FROM (
+          SELECT a_id, vec_id AS neg_id, cos, CAST(row_number() OVER (
+            PARTITION BY a_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
     // STREAMING PQ ENCODE — the online form of the encode pass: the
     // arrival stream is coded row-by-row against the FROZEN broadcast
     // codebooks via the map-only pqEncodeCol (a per-row transform +
