@@ -294,46 +294,21 @@ object LlmSim extends QueryModule {
     // candidate pair is scored exactly once.
     "q_llm_ann_lsh_mt" -> QueryDef(
       fn = (s, dir) => annLshMtTopK(s, dir, nQueries = 5),
-      oracle = Some {
-        val T = MtTables; val P = MtPlanes; val R = MtRadius
-        val masks =
-          (0 until (1 << P)).filter(m => Integer.bitCount(m) <= R)
-        def probeList(b: String) = masks.map(m =>
-          s"xor($b, CAST($m AS BIGINT))").mkString(", ")
-        val bucketDefs = (0 until T).map(t0 =>
-          s"${bucketSqlT("v", t0 * P, P)} AS b$t0").mkString(",\n            ")
-        val elongArms = (0 until T).map(t0 =>
-          s"SELECT vec_id, $t0 AS t, b$t0 AS bucket FROM e")
-          .mkString("\n          UNION ALL ")
-        val probeArms = (0 until T).map(t0 =>
-          s"SELECT vec_id AS q_id, $t0 AS t, " +
-            s"unnest([${probeList(s"b$t0")}]) AS pb FROM e WHERE vec_id < 5")
-          .mkString("\n          UNION ALL ")
-        s"""
-        WITH e AS (
-          SELECT vec_id, v, $bucketDefs FROM (
-            SELECT vec_id,
-              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings)),
-        elong AS (
-          $elongArms),
-        probes AS (
-          $probeArms),
-        cand AS (
-          SELECT DISTINCT p.q_id, el.vec_id
-          FROM probes p JOIN elong el
-            ON p.t = el.t AND p.pb = el.bucket AND p.q_id <> el.vec_id),
-        scored AS (
-          SELECT c.q_id, c.vec_id, ${V.cosineSql("q.v", "e.v")} AS cos
-          FROM cand c
-          JOIN e q ON q.vec_id = c.q_id
-          JOIN e ON e.vec_id = c.vec_id)
-        SELECT q_id, rank, vec_id, cos FROM (
-          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-          FROM scored)
-        WHERE rank <= 3"""
-      }),
+      oracle = Some(lshMtOracleSql)),
+
+    // The build-once/probe-many form of the multi-table LSH: the corpus
+    // is hashed ONCE into a persisted (tb, vec_id) signature table —
+    // tb packs (table, bucket) into one key, 12 B a row, bucketed +
+    // sorted on tb — and each probe batch re-hashes only ITSELF.
+    // Identical candidate set (same tables, planes, radius), so the
+    // oracle is q_llm_ann_lsh_mt's verbatim; what changes is the scale
+    // shape: per-probe corpus work drops from a full re-hash (T·P dot
+    // products per vector + a T·N-row explode, every run) to a pruned
+    // read of the 12 B/row index — the same lifecycle the persisted
+    // IVF gave the k-means family.
+    "q_llm_ann_lsh_persisted" -> QueryDef(
+      fn = (s, dir) => lshPersistedProbe(s, dir, 0L, 5L),
+      oracle = Some(lshMtOracleSql)),
 
     // IVF-style ANN: coarse centroids = exact per-label means (integer-
     // quantized sums), probe the nearest centroid's partition only.
@@ -1391,6 +1366,136 @@ object LlmSim extends QueryModule {
         $"p.t" === $"el.t" && $"p.pb" === $"el.bucket" &&
           $"p.q_id" =!= $"el.vec_id")
       .select($"p.q_id", $"el.vec_id").distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    cand
+      .join(e.select($"vec_id".as("q_id"), $"v".as("qv")), "q_id")
+      .join(e.select($"vec_id", $"v"), "vec_id")
+      .withColumn("cos", V.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
+  /** The DuckDB mirror of the MtTables×MtPlanes×MtRadius probe over
+    * the first 5 query vectors — shared verbatim by q_llm_ann_lsh_mt
+    * and q_llm_ann_lsh_persisted, because the persisted index changes
+    * the PLAN (hash once, probe the artifact) and not the candidate
+    * set. */
+  private lazy val lshMtOracleSql: String = {
+    val T = MtTables; val P = MtPlanes; val R = MtRadius
+    val masks =
+      (0 until (1 << P)).filter(m => Integer.bitCount(m) <= R)
+    def probeList(b: String) = masks.map(m =>
+      s"xor($b, CAST($m AS BIGINT))").mkString(", ")
+    val bucketDefs = (0 until T).map(t0 =>
+      s"${bucketSqlT("v", t0 * P, P)} AS b$t0").mkString(",\n            ")
+    val elongArms = (0 until T).map(t0 =>
+      s"SELECT vec_id, $t0 AS t, b$t0 AS bucket FROM e")
+      .mkString("\n          UNION ALL ")
+    val probeArms = (0 until T).map(t0 =>
+      s"SELECT vec_id AS q_id, $t0 AS t, " +
+        s"unnest([${probeList(s"b$t0")}]) AS pb FROM e WHERE vec_id < 5")
+      .mkString("\n          UNION ALL ")
+    s"""
+        WITH e AS (
+          SELECT vec_id, v, $bucketDefs FROM (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings)),
+        elong AS (
+          $elongArms),
+        probes AS (
+          $probeArms),
+        cand AS (
+          SELECT DISTINCT p.q_id, el.vec_id
+          FROM probes p JOIN elong el
+            ON p.t = el.t AND p.pb = el.bucket AND p.q_id <> el.vec_id),
+        scored AS (
+          SELECT c.q_id, c.vec_id, ${V.cosineSql("q.v", "e.v")} AS cos
+          FROM cand c
+          JOIN e q ON q.vec_id = c.q_id
+          JOIN e ON e.vec_id = c.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3"""
+  }
+
+  /** The banded multi-table LSH signature ARTIFACT: each corpus
+    * vector's MtTables bucket ids with (table, bucket) packed into one
+    * key `tb = t·2^MtPlanes + bucket`, written once per (JVM, sfDir)
+    * as a managed table bucketed + sorted on tb. The T-fold row
+    * duplication is the classical multi-table trade (each table is an
+    * independent hash of the corpus); rows are 12 B — (tb, vec_id) —
+    * so the whole index is ~T·12 B a vector against 512 B of doubles,
+    * and the T·MtPlanes hyperplane dot products per vector are paid
+    * ONCE at build instead of on every probe run. */
+  private[graft] def persistedLshIdx(
+      s: SparkSession, dir: String): DataFrame =
+    LlmText.writeOnceTable(s, s"graft_lsh_idx_${math.abs(dir.hashCode)}",
+      Seq("tb"), lshIdxOf(embDoubles(s, dir)))
+
+  /** The (tb, vec_id) signature rows of a (vec_id, v) corpus frame —
+    * the build half of [[persistedLshIdx]], exposed so ScaleProbe can
+    * materialize per-scale indexes with the exact gated arithmetic. */
+  private[graft] def lshIdxOf(e0: DataFrame): DataFrame = {
+    import e0.sparkSession.implicits._
+    val P = MtPlanes
+    val e = (0 until MtTables).foldLeft(e0)((d, t0) =>
+      d.withColumn(s"b$t0", bucketColT($"v", t0 * P, P)))
+    e.select($"vec_id", explode(array(
+        (0 until MtTables).map(t0 =>
+          lit(t0.toLong * (1L << P)) + col(s"b$t0")): _*)).as("tb"))
+      .select($"tb", $"vec_id")
+  }
+
+  /** Probe the persisted LSH index with queries in [lo, hi): the
+    * probe batch hashes ITSELF (|q|·T buckets × radius masks), pushes
+    * its probe-key set as a literal `tb IN (...)` filter on the index
+    * side BEFORE the join — the set is bounded by the KEY SPACE
+    * (≤ MtTables·2^MtPlanes ints, a config constant independent of
+    * both corpus and batch size), so the one driver collect that
+    * materializes it is metadata-scale — then dedups candidate pairs
+    * and reranks exactly as [[annLshMtTopK]] does. Candidate-set
+    * equality with the on-the-fly form is by construction (same
+    * hashes, same masks); OperatorSpec asserts the outputs match
+    * row-for-row and that the index side consumes its bucket layout
+    * without an exchange. */
+  private[graft] def lshPersistedProbe(s: SparkSession, dir: String,
+                                       lo: Long, hi: Long): DataFrame = {
+    import s.implicits._
+    val e = embDoubles(s, dir)
+    lshProbeOf(e.filter($"vec_id" >= lo && $"vec_id" < hi),
+      persistedLshIdx(s, dir), e)
+  }
+
+  /** One probe pass of (vec_id, v) query rows `q0` against a
+    * (tb, vec_id) signature index, reranked against corpus frame `e`
+    * — the probe half of [[lshPersistedProbe]], parameterized over
+    * the artifacts so ScaleProbe can probe scaled indexes with the
+    * exact gated plan. */
+  private[graft] def lshProbeOf(q0: DataFrame, idx: DataFrame,
+                                e: DataFrame): DataFrame = {
+    import q0.sparkSession.implicits._
+    val P = MtPlanes; val T = MtTables
+    val masks =
+      (0 until (1 << P)).filter(m => Integer.bitCount(m) <= MtRadius)
+    val q = (0 until T).foldLeft(q0)((d, t0) =>
+      d.withColumn(s"b$t0", bucketColT($"v", t0 * P, P)))
+    val maskDf = masks.map(_.toLong).toDF("mask")
+    val probes = q
+      .select($"vec_id".as("q_id") +:
+        (0 until T).map(t0 => col(s"b$t0")): _*)
+      .crossJoin(broadcast(maskDf))
+      .select($"q_id", explode(array(
+        (0 until T).map(t0 => lit(t0.toLong * (1L << P)) +
+          col(s"b$t0").bitwiseXOR($"mask")): _*)).as("tb"))
+    val tbs = probes.select($"tb").distinct().as[Long].collect().sorted
+    val cand = broadcast(probes)
+      .join(idx.filter($"tb".isin(tbs: _*)), Seq("tb"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id").distinct()
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     cand
       .join(e.select($"vec_id".as("q_id"), $"v".as("qv")), "q_id")

@@ -598,6 +598,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(persisted === fresh)
   }
 
+  test("persisted LSH probe matches the on-the-fly plan and bucket-reads the index") {
+    import graft.queries.LlmSim
+    val persisted = LlmSim.lshPersistedProbe(spark, sf, 0L, 5L)
+    // the candidate set is the same hashes through the same masks, so
+    // the persisted probe must reproduce q_llm_ann_lsh_mt row-for-row
+    val a = persisted.collect().map(_.toSeq).toSet
+    val b = LlmSim.annLshMtTopK(spark, sf, nQueries = 5)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    persisted.write.format("noop").mode("overwrite").save()
+    val planFull = persisted.queryExecution.executedPlan.toString
+    // AQE's toString repeats the plan under "== Initial Plan ==" —
+    // count exchanges in the FINAL plan section only
+    val plan = planFull.split("== Initial Plan ==")(0)
+    // the index side is the artifact consumed in place: the probe side
+    // broadcasts, so the corpus-sized signature table joins with NO
+    // exchange; the only legitimate shuffles are the candidate dedup
+    // and the rerank window
+    assert(planFull.contains("graft_lsh_idx"), planFull.take(1500))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles:\n" + plan.take(2500))
+  }
+
   test("IVF-PQ: codes are well-formed and ADC+rerank holds the routed ceiling") {
     import graft.queries.LlmSim
     // artifact shape: every corpus vector carries exactly PqM codes,
