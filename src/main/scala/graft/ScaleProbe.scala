@@ -167,6 +167,28 @@ object ScaleProbe {
     * optimize without breaking the >=2-trigger / fresh-checkpoint
     * semantics the queries exist to prove.
     * Usage: tools/run.sh graft.ScaleProbe streamfloor [sfDir] */
+  /** Plain-PQ vs residual-PQ recall at R ∈ {10,30,50}, measured
+    * against the routed exact-rerank ceiling (the right denominator:
+    * neither can beat rerank-everything on the same routed cells) over
+    * 50 query vectors — the evidence for shipping residual encoding. */
+  private def pqSweepProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Engine.session("graft-pqsweep")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ceil = pairs(queries.LlmSim.ivfPersistedProbe(spark, sfDir, 0L, 50L))
+    val rep = Seq(10, 30, 50).map { r =>
+      val pq = pairs(queries.LlmSim.ivfPqProbe(spark, sfDir, 0L, 50L, r))
+      val rpq = pairs(queries.LlmSim.ivfRpqProbe(spark, sfDir, 0L, 50L, r))
+      f""""R$r":{"pq":${(pq & ceil).size.toDouble / ceil.size}%.3f,""" +
+        f""""rpq":${(rpq & ceil).size.toDouble / ceil.size}%.3f}"""
+    }
+    println(s"""{"pq_sweep":"$sfDir","ceiling_pairs":${ceil.size},""" +
+      rep.mkString(",") + "}")
+    spark.stop()
+  }
+
   private def streamFloorProbe(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Engine.session("graft-streamfloor")
@@ -198,6 +220,8 @@ object ScaleProbe {
     if (args.headOption.contains("bpe")) return bpeProbe(args.drop(1))
     if (args.headOption.contains("streamfloor"))
       return streamFloorProbe(args.drop(1))
+    if (args.headOption.contains("pqsweep"))
+      return pqSweepProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     // optional args 3+: probe only the named shapes (local fast loop)

@@ -769,6 +769,74 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // RESIDUAL-PQ PROBE — the textbook IVF-PQ refinement (residuals
+    // v − centroid instead of raw vectors; see the residual-PQ helper
+    // block): same 8 B/vector index, same probe plan, but the code
+    // budget describes the within-cell spread instead of re-describing
+    // the centroid, so ADC ranks closer to exact at the same R (the
+    // sweep vs the plain-PQ codes is in PLANS.md r11). Query side
+    // forms the PER-CELL residual against the broadcast centroids.
+    // DuckDB re-derives residuals, residual codebooks, codes, and the
+    // per-cell ADC bit-for-bit — hash-exact, not tolerance-based.
+    "q_llm_ann_rpq" -> QueryDef(
+      fn = (s, dir) => ivfRpqProbe(s, dir, 0L, 5L),
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        resid AS (
+          SELECT cl.cid, cl.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> cl.v[i] - ct.cv[i]) AS v
+          FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
+        ${pqSqlFrom("resid")},
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= 2),
+        qres AS (
+          SELECT p.q_id, p.cid,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> p.qv[i] - c.cv[i]) AS qr
+          FROM probes p JOIN cent c ON c.cid = p.cid),
+        cand AS (
+          SELECT p.q_id, p.qr, cl.vec_id
+          FROM qres p
+            JOIN cells cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
+        candc AS (
+          SELECT c.q_id, c.qr, c.vec_id, i.codes
+          FROM cand c JOIN pidx i ON i.vec_id = c.vec_id),
+        aterms AS (
+          SELECT c.q_id, c.vec_id, t.m,
+            ${d2Sql(
+              s"c.qr[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
+              "pb.cv")} AS t
+          FROM candc c
+            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
+            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
+        adc AS (
+          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS adc
+          FROM aterms GROUP BY q_id, vec_id),
+        topr AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= $PqTopR),
+        scored AS (
+          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
+          FROM topr t
+            JOIN q ON q.q_id = t.q_id
+            JOIN cells cl ON cl.vec_id = t.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
     // PQ INDEX UPSERT — the maintenance half of the IVF-PQ lifecycle,
     // mirroring q_llm_ann_index_upsert on the CODED index: arrivals
     // are encoded with the FROZEN codebooks (train once, deltas ride
@@ -1701,7 +1769,12 @@ object LlmSim extends QueryModule {
     * mean and (d2, id)-argmin recipes as the IVF chain, per
     * (vec_id, m) sub-vector; DuckDB list slicing is 1-based inclusive
     * so `v[m·d+1 : m·d+d]` mirrors the engine's `slice(v, m·d+1, d)`. */
-  private def pqSql: String = {
+  private def pqSql: String = pqSqlFrom("e")
+
+  /** [[pqSql]] with the training/encode corpus parameterized — the
+    * residual-PQ oracle feeds the `resid` CTE through the identical
+    * chain (CTE names are shared, so only one chain per query). */
+  private def pqSqlFrom(src: String): String = {
     // one Lloyd refinement: assign `subs` to codebook `prev`, then
     // exact quantized means -> codebook `out`
     def refine(prev: String, out: String): String = s"""$out AS (
@@ -1726,7 +1799,7 @@ object LlmSim extends QueryModule {
     s"""subs AS (
           SELECT vec_id,  m,
             v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
-          FROM e CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+          FROM $src CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
         pseed AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS cv
           FROM subs WHERE vec_id < $PqKs),
         $chain,
@@ -2031,6 +2104,101 @@ object LlmSim extends QueryModule {
         s.table(tbl).filter($"vec_id" >= 500000L).count(),
       expectedRows = () => ivfArrivals(s, dir).count())
     s.table(tbl)
+  }
+
+  // ---- Residual product quantization (textbook IVF-PQ) ------------
+  // The r11 plain-PQ codes quantize RAW vectors, so every codebook
+  // entry spends its precision re-describing the cell centroid the
+  // routing already knows. The textbook IVF-PQ (Jégou et al., TPAMI
+  // 2011, public) codes the RESIDUAL v − centroid(cell(v)) instead:
+  // residuals are centered near zero with far smaller spread, so the
+  // same PqM×PqKs code budget resolves much finer distances — the ADC
+  // ordering gets closer to the exact ordering at the same 8 B/vector.
+  // Query side: each routed cell scores with its OWN query residual
+  // q − cv(cell) — the per-cell lookup tables of the paper. Every
+  // stage reuses the deterministic quantized-Lloyd arithmetic, so the
+  // whole chain stays DuckDB-oracle-able bit-for-bit.
+
+  /** (cid, vec_id, v = vector − its cell centroid): the residual
+    * corpus frame codebooks train on — a broadcast-join map pass over
+    * the cells artifact, no shuffle. */
+  private def pqResidualsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    persistedIvfCells(s, dir)
+      .join(broadcast(persistedIvfCent(s, dir)), Seq("cid"))
+      .select($"cid", $"vec_id",
+        zip_with($"v", $"cv", (x, y) => x - y).as("v"))
+  }
+
+  /** Residual codebooks, persisted once per (JVM, sfDir) — the same
+    * [[pqCodebooksOf]] trainer over the residual frame. */
+  private[graft] def persistedRpqCb(s: SparkSession, dir: String): DataFrame =
+    LlmText.writeOnceTable(s, s"graft_rpq_cb_${math.abs(dir.hashCode)}",
+      Seq("m"), {
+        import s.implicits._
+        pqCodebooksOf(pqResidualsOf(s, dir).select($"vec_id", $"v"))
+      })
+
+  /** The residual-coded index artifact: (cid, vec_id, codes) with
+    * codes = the residual's PqM argmins — map-only encode over the
+    * residual frame, bucketed on `cid` like every index artifact. */
+  private[graft] def persistedRpqIdx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    LlmText.writeOnceTable(s, s"graft_rpq_idx_${math.abs(dir.hashCode)}",
+      Seq("cid"),
+      pqResidualsOf(s, dir).select($"cid", $"vec_id",
+        pqEncodeCol($"v", pqCbStructs(persistedRpqCb(s, dir))).as("codes")))
+  }
+
+  private val rpqCbCache =
+    scala.collection.concurrent.TrieMap[String, Seq[Seq[Seq[Double]]]]()
+  private def rpqCbArr(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    rpqCbCache.getOrElseUpdate(dir, {
+      val byKey = persistedRpqCb(s, dir).select("m", "code", "cv").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+        .toMap
+      val zero = IndexedSeq.fill(PqSubDim)(0.0)
+      (0 until PqM).map(m => (0 until PqKs).map(c =>
+        byKey.getOrElse((m, c), zero)))
+    })
+
+  /** One residual-PQ probe: route queries in [lo, hi) to nprobe=2
+    * cells, form the PER-CELL query residual q − cv against the
+    * broadcast centroids (metadata join), ADC-score the routed cells'
+    * residual codes, rerank the ADC top-R exactly. Same plan shape as
+    * [[pqProbeCore]] — literal-cid-pruned bucket reads on both the
+    * 8 B/vector code scan and the R·|q| rerank. */
+  private[graft] def ivfRpqProbe(s: SparkSession, dir: String,
+                                 lo: Long, hi: Long,
+                                 topR: Int = PqTopR): DataFrame = {
+    import s.implicits._
+    val cent = persistedIvfCent(s, dir)
+    val cells = persistedIvfCells(s, dir)
+    val q = embDoubles(s, dir)
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val routed = probeCells(q, centArrOf(cent), nprobe = 2)
+      .join(broadcast(cent), Seq("cid"))
+      .select($"cid", $"q_id", $"qv",
+        zip_with($"qv", $"cv", (x, y) => x - y).as("qr"))
+    val cids = routed.select($"cid").distinct().as[Int].collect().sorted
+    val cbs = rpqCbArr(s, dir)
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adc".asc, $"vec_id")
+    val topr = routed
+      .join(persistedRpqIdx(s, dir).filter($"cid".isin(cids: _*)), Seq("cid"))
+      .filter($"q_id" =!= $"vec_id")
+      .withColumn("adc", pqAdc($"qr", $"codes", cbs))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter($"arn" <= topR)
+      .select($"cid", $"q_id", $"qv", $"vec_id")
+    val wCos = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    topr
+      .join(cells.filter($"cid".isin(cids: _*)).select($"cid", $"vec_id", $"v"),
+        Seq("cid", "vec_id"))
+      .withColumn("cos", V.cosine($"qv", $"v"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
   }
 
   /** Centroids of the persisted IVF: the [[ivfCentOf]] build at the

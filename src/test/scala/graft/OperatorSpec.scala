@@ -664,6 +664,38 @@ class OperatorSpec extends AnyFunSuite {
       f"$vsCeiling%.3f of the routed exact-rerank ceiling ($nQ queries)")
   }
 
+  test("residual-PQ: codes well-formed, recall holds the routed ceiling floor") {
+    import graft.queries.LlmSim
+    // artifact shape: every corpus vector carries exactly PqM residual
+    // codes, each inside the codebook range
+    val idx = LlmSim.persistedRpqIdx(spark, sf)
+      .select("vec_id", "codes").collect()
+    assert(idx.length === 500)
+    idx.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length === LlmSim.PqM)
+      assert(codes.forall(c => c >= 0 && c < LlmSim.PqKs))
+    }
+    // recall vs the routed exact-rerank ceiling, same denominator as
+    // the plain-PQ gate. r11 sweep at R=50: rpq 0.973/0.993/0.980 vs
+    // pq 0.973/0.967/0.920 at sf0.001/0.01/0.1 — residual encoding
+    // cuts ADC misses ~4x at the larger scales; floor stays 0.85
+    // (measured-minus-margin), and the comparative sweep lives in
+    // PLANS.md r11.
+    val nQ = 50
+    def top3(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("rank") <= 3).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ceiling = top3(LlmSim.ivfPersistedProbe(spark, sf, 0L, nQ.toLong))
+    val rpq = top3(LlmSim.ivfRpqProbe(spark, sf, 0L, nQ.toLong))
+    val vsCeiling = (rpq & ceiling).size.toDouble / ceiling.size
+    assert(vsCeiling >= 0.85,
+      f"residual-PQ recall vs routed ceiling over $nQ queries = " +
+        f"$vsCeiling%.3f < 0.85")
+    info(f"residual-pq(ks=${LlmSim.PqKs}, R=${LlmSim.PqTopR}) keeps " +
+      f"$vsCeiling%.3f of the routed exact-rerank ceiling ($nQ queries)")
+  }
+
   test("binary-quantization ANN: signature round-trip and Hamming recall floor") {
     import graft.queries.LlmSim
     // signature correctness: bit i of the packed long IS dim i's sign
