@@ -1007,6 +1007,58 @@ object LlmSim extends QueryModule {
         SELECT vec_id, array_to_string(codes, ',') AS codes_s
         FROM nbcodes""")),
 
+    // STREAMING RESIDUAL ENCODE — the online form of the TEXTBOOK
+    // IVF-PQ ingest: route each arrival to its cell (NearestCell
+    // against the centroid literal), subtract that cell's centroid,
+    // code the residual against the frozen residual codebooks —
+    // route → residual → encode is ONE stateless map chain (zero
+    // state store, zero shuffle), which is the claim that matters at
+    // 100 TB: even the residual encoding, which needs the routing,
+    // ingests as a pure scan. Converges to the exact frozen-codebook
+    // delta encoding the batch upsert would write; DuckDB re-derives
+    // routing, residual, and codes bit-for-bit.
+    "q_stream_rpq_encode" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val nb = ivfArrivals(s, dir)
+          .select($"q_id".as("vec_id"), $"qv".as("v"))
+        graft.streaming.Replay.run(s, nb, mode = "append",
+          cacheKey = s"rpqenc:$dir")(rpqEncodeChain(s, dir, _))
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        resid AS (
+          SELECT cl.cid, cl.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> cl.v[i] - ct.cv[i]) AS v
+          FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
+        ${pqSqlFrom("resid")},
+        $ivfArrivalsSql,
+        nbr AS (
+          SELECT vec_id, cid,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> v[i] - cv[i]) AS v
+          FROM (
+            SELECT nb.vec_id, nb.v, c.cid, c.cv,
+              row_number() OVER (PARTITION BY nb.vec_id ORDER BY
+                ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn = 1),
+        nbsubs AS (
+          SELECT vec_id, m,
+            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM nbr CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        nbcodes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u0.vec_id, u0.m, c0.code,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM nbsubs u0 JOIN pcb c0 ON u0.m = c0.m)
+          WHERE rn = 1
+          GROUP BY vec_id)
+        SELECT r.vec_id, r.cid, array_to_string(n.codes, ',') AS codes_s
+        FROM nbr r JOIN nbcodes n ON n.vec_id = r.vec_id""")),
+
     // BINARY-QUANTIZATION ANN — the coarsest point on the vector-
     // compression ladder (double 512 B → int8 64 B → PQ 8 B → sign
     // bits 8 B with NO codebook): 64 sign bits per vector in one
@@ -2161,6 +2213,37 @@ object LlmSim extends QueryModule {
       (0 until PqM).map(m => (0 until PqKs).map(c =>
         byKey.getOrElse((m, c), zero)))
     })
+
+  /** The whole residual ingest encode — route (NearestCell against
+    * the centroid literal) → subtract the routed centroid (dense
+    * 0-based cv lookup; a cid the Lloyd pass emptied holds a zero row
+    * NearestCell can never pick, as it is absent from the argmin
+    * literal) → code the residual against the frozen residual
+    * codebooks — as ONE stateless select over a (vec_id, v) frame:
+    * no state store, no shuffle (plan-asserted in OperatorSpec), so
+    * it runs verbatim on a stream (q_stream_rpq_encode) and as a
+    * map-only batch pass. */
+  private[graft] def rpqEncodeChain(s: SparkSession, dir: String,
+                                    df: DataFrame): DataFrame = {
+    import s.implicits._
+    val cbs = pqCbStructs(persistedRpqCb(s, dir))
+    val centRows = persistedIvfCent(s, dir)
+      .select($"cid", $"cv").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+    val centsLit = typedLit(
+      centRows.map(t => (t._1, t._2: Seq[Double])).toSeq)
+    val byCid = centRows.toMap
+    val cvLit = typedLit(
+      IndexedSeq.tabulate(centRows.map(_._1).max + 1)(i =>
+        byCid.getOrElse(i,
+          IndexedSeq.fill(PqM * PqSubDim)(0.0)): Seq[Double]))
+    df.select($"vec_id",
+        graft.plans.NearestCell($"v", centsLit).as("cid"), $"v")
+      .select($"vec_id", $"cid",
+        array_join(pqEncodeCol(
+          zip_with($"v", cvLit($"cid"), (x, y) => x - y),
+          cbs), ",").as("codes_s"))
+  }
 
   /** One residual-PQ probe: route queries in [lo, hi) to nprobe=2
     * cells, form the PER-CELL query residual q − cv against the

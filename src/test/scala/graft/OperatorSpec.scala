@@ -694,6 +694,18 @@ class OperatorSpec extends AnyFunSuite {
         f"$vsCeiling%.3f < 0.85")
     info(f"residual-pq(ks=${LlmSim.PqKs}, R=${LlmSim.PqTopR}) keeps " +
       f"$vsCeiling%.3f of the routed exact-rerank ceiling ($nQ queries)")
+    // the ingest encode chain (route -> subtract routed centroid ->
+    // code residual) is ONE stateless select: zero Exchange, which is
+    // why q_stream_rpq_encode runs it verbatim with no state store
+    val chainPlan = {
+      import spark.implicits._
+      LlmSim.rpqEncodeChain(spark, sf,
+        Engine.table(spark, sf, "embeddings")
+          .select($"vec_id",
+            graft.operators.VectorOps.toDouble($"embedding").as("v")))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!chainPlan.contains("Exchange"), chainPlan.take(1500))
   }
 
   test("binary-quantization ANN: signature round-trip and Hamming recall floor") {
