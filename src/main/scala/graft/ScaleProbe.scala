@@ -522,6 +522,21 @@ object ScaleProbe {
         .withColumn("vec_id", $"vec_id" + lit(i * 100000000L))
         .withColumn("v", transform($"v", x => x + lit(i * 1e-3))))
       .reduce(_ unionByName _)
+    // one home for the per-scale artifact writer (stale-dir cleanup +
+    // bucketed saveAsTable) — shared by the IVF, signature, and LSH
+    // index builders below
+    def writeBucketed(tbl: String, key: String, df: => DataFrame): Unit =
+      if (!spark.catalog.tableExists(tbl)) {
+        val wh = new java.io.File(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(wh, tbl))
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
+      }
     def mkIvf(tag: String, e: DataFrame): (String, String, Int, Long) = {
       val rows = e.count()
       val nlist = queries.LlmSim.ivfNlistFor(rows)
@@ -530,20 +545,9 @@ object ScaleProbe {
           " — cells grow linearly past here; raise the clamp at scale")
       val centT = s"sp_ivf_cent_$tag"
       val cellT = s"sp_ivf_cells_$tag"
-      def write(tbl: String, df: => DataFrame): Unit =
-        if (!spark.catalog.tableExists(tbl)) {
-          val wh = new java.io.File(new java.net.URI(
-            spark.conf.get("spark.sql.warehouse.dir")).getPath)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(): Unit
-          }
-          rm(new java.io.File(wh, tbl))
-          df.write.mode("overwrite")
-            .bucketBy(8, "cid").sortBy("cid").saveAsTable(tbl)
-        }
-      write(centT, queries.LlmSim.ivfCentOf(e, nlist))
-      write(cellT, queries.LlmSim.ivfCellsOf(e, spark.table(centT)))
+      writeBucketed(centT, "cid", queries.LlmSim.ivfCentOf(e, nlist))
+      writeBucketed(cellT, "cid",
+        queries.LlmSim.ivfCellsOf(e, spark.table(centT)))
       (centT, cellT, nlist, rows)
     }
     lazy val ivf1 = mkIvf("1", emb1)
@@ -557,17 +561,7 @@ object ScaleProbe {
     // scan + top-R alone.
     def mkSigs(tag: String, e: DataFrame): String = {
       val tbl = s"sp_bq_sig_$tag"
-      if (!spark.catalog.tableExists(tbl)) {
-        val wh = new java.io.File(new java.net.URI(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(wh, tbl))
-        queries.LlmSim.bqSigsOf(e).write.mode("overwrite")
-          .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(tbl)
-      }
+      writeBucketed(tbl, "vec_id", queries.LlmSim.bqSigsOf(e))
       tbl
     }
     lazy val sig1 = mkSigs("1", emb1)
@@ -582,17 +576,7 @@ object ScaleProbe {
     // the LSH family's nlist, raised with the corpus in production.
     def mkLsh(tag: String, e: DataFrame): String = {
       val tbl = s"sp_lsh_idx_$tag"
-      if (!spark.catalog.tableExists(tbl)) {
-        val wh = new java.io.File(new java.net.URI(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(wh, tbl))
-        queries.LlmSim.lshIdxOf(e).write.mode("overwrite")
-          .bucketBy(8, "tb").sortBy("tb").saveAsTable(tbl)
-      }
+      writeBucketed(tbl, "tb", queries.LlmSim.lshIdxOf(e))
       tbl
     }
     lazy val lsh1 = mkLsh("1", emb1)

@@ -2057,15 +2057,24 @@ object LlmSim extends QueryModule {
     * positional lookup stays dense. Cached per (JVM, sfDir). */
   private val pqCbCache =
     scala.collection.concurrent.TrieMap[String, Seq[Seq[Seq[Double]]]]()
-  private def pqCbArr(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
-    pqCbCache.getOrElseUpdate(dir, {
-      val byKey = persistedPqCb(s, dir).select("m", "code", "cv").collect()
+  /** Collect a (m, code, cv) codebook frame to the dense
+    * (PqM × PqKs × PqSubDim) literal shape [[pqAdc]] indexes into —
+    * the one home of the zero-slot backfill for Lloyd-emptied codes
+    * (never referenced by any encoding). Cached per (kind, sfDir);
+    * duplicate computation under a concurrent first call is harmless
+    * (pure collect, no side effects). */
+  private def cbArrOf(cacheKey: String,
+                      cb: => DataFrame): Seq[Seq[Seq[Double]]] =
+    pqCbCache.getOrElseUpdate(cacheKey, {
+      val byKey = cb.select("m", "code", "cv").collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
         .toMap
       val zero = IndexedSeq.fill(PqSubDim)(0.0)
       (0 until PqM).map(m => (0 until PqKs).map(c =>
         byKey.getOrElse((m, c), zero)))
     })
+  private def pqCbArr(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    cbArrOf(s"pq:$dir", persistedPqCb(s, dir))
 
   /** Asymmetric distance (ADC): Σ over sub-spaces of the exact d2
     * between the query's sub-vector and the candidate's codebook
@@ -2090,15 +2099,27 @@ object LlmSim extends QueryModule {
   private[graft] def pqProbeCore(q: DataFrame, cent: DataFrame,
                                  idx: DataFrame, cells: DataFrame,
                                  cbs: Seq[Seq[Seq[Double]]],
-                                 topR: Int): DataFrame = {
+                                 topR: Int,
+                                 residual: Boolean = false): DataFrame = {
     import q.sparkSession.implicits._
-    val routed = probeCells(q, centArrOf(cent), nprobe = 2)
+    // `adcv` is what the ADC scores a candidate's codes against: the
+    // query itself for plain PQ, or (residual=true) the PER-CELL
+    // query residual q − cv — the textbook IVF-PQ lookup tables. One
+    // shared skeleton keeps the probe-plan contract (nprobe, literal
+    // pruning, (adc, vec_id) and (cos, vec_id) tiebreaks, the R cut)
+    // in exactly one place for both encodings.
+    val routed0 = probeCells(q, centArrOf(cent), nprobe = 2)
+    val routed =
+      if (residual) routed0.join(broadcast(cent), Seq("cid"))
+        .select($"cid", $"q_id", $"qv",
+          zip_with($"qv", $"cv", (x, y) => x - y).as("adcv"))
+      else routed0.select($"cid", $"q_id", $"qv", $"qv".as("adcv"))
     val cids = routed.select($"cid").distinct().as[Int].collect().sorted
     val wAdc = Window.partitionBy($"q_id").orderBy($"adc".asc, $"vec_id")
     val topr = routed
       .join(idx.filter($"cid".isin(cids: _*)), Seq("cid"))
       .filter($"q_id" =!= $"vec_id")
-      .withColumn("adc", pqAdc($"qv", $"codes", cbs))
+      .withColumn("adc", pqAdc($"adcv", $"codes", cbs))
       .withColumn("arn", row_number().over(wAdc))
       .filter($"arn" <= topR)
       .select($"cid", $"q_id", $"qv", $"vec_id")
@@ -2202,17 +2223,8 @@ object LlmSim extends QueryModule {
         pqEncodeCol($"v", pqCbStructs(persistedRpqCb(s, dir))).as("codes")))
   }
 
-  private val rpqCbCache =
-    scala.collection.concurrent.TrieMap[String, Seq[Seq[Seq[Double]]]]()
   private def rpqCbArr(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
-    rpqCbCache.getOrElseUpdate(dir, {
-      val byKey = persistedRpqCb(s, dir).select("m", "code", "cv").collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
-        .toMap
-      val zero = IndexedSeq.fill(PqSubDim)(0.0)
-      (0 until PqM).map(m => (0 until PqKs).map(c =>
-        byKey.getOrElse((m, c), zero)))
-    })
+    cbArrOf(s"rpq:$dir", persistedRpqCb(s, dir))
 
   /** The whole residual ingest encode — route (NearestCell against
     * the centroid literal) → subtract the routed centroid (dense
@@ -2245,43 +2257,22 @@ object LlmSim extends QueryModule {
           cbs), ",").as("codes_s"))
   }
 
-  /** One residual-PQ probe: route queries in [lo, hi) to nprobe=2
-    * cells, form the PER-CELL query residual q − cv against the
-    * broadcast centroids (metadata join), ADC-score the routed cells'
-    * residual codes, rerank the ADC top-R exactly. Same plan shape as
-    * [[pqProbeCore]] — literal-cid-pruned bucket reads on both the
-    * 8 B/vector code scan and the R·|q| rerank. */
+  /** One residual-PQ probe: [[pqProbeCore]] with `residual = true` —
+    * the shared skeleton forms the per-cell query residual and scores
+    * the residual-coded index with the residual codebooks; everything
+    * else (routing, literal-cid pruning, tiebreaks, the R cut, the
+    * exact rerank) is the one shared contract. */
   private[graft] def ivfRpqProbe(s: SparkSession, dir: String,
                                  lo: Long, hi: Long,
                                  topR: Int = PqTopR): DataFrame = {
     import s.implicits._
-    val cent = persistedIvfCent(s, dir)
-    val cells = persistedIvfCells(s, dir)
-    val q = embDoubles(s, dir)
-      .filter($"vec_id" >= lo && $"vec_id" < hi)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
-    val routed = probeCells(q, centArrOf(cent), nprobe = 2)
-      .join(broadcast(cent), Seq("cid"))
-      .select($"cid", $"q_id", $"qv",
-        zip_with($"qv", $"cv", (x, y) => x - y).as("qr"))
-    val cids = routed.select($"cid").distinct().as[Int].collect().sorted
-    val cbs = rpqCbArr(s, dir)
-    val wAdc = Window.partitionBy($"q_id").orderBy($"adc".asc, $"vec_id")
-    val topr = routed
-      .join(persistedRpqIdx(s, dir).filter($"cid".isin(cids: _*)), Seq("cid"))
-      .filter($"q_id" =!= $"vec_id")
-      .withColumn("adc", pqAdc($"qr", $"codes", cbs))
-      .withColumn("arn", row_number().over(wAdc))
-      .filter($"arn" <= topR)
-      .select($"cid", $"q_id", $"qv", $"vec_id")
-    val wCos = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    topr
-      .join(cells.filter($"cid".isin(cids: _*)).select($"cid", $"vec_id", $"v"),
-        Seq("cid", "vec_id"))
-      .withColumn("cos", V.cosine($"qv", $"v"))
-      .withColumn("rank", row_number().over(wCos))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"rank", $"vec_id", $"cos")
+    pqProbeCore(
+      embDoubles(s, dir)
+        .filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id".as("q_id"), $"v".as("qv")),
+      persistedIvfCent(s, dir), persistedRpqIdx(s, dir),
+      persistedIvfCells(s, dir), rpqCbArr(s, dir), topR,
+      residual = true)
   }
 
   /** Centroids of the persisted IVF: the [[ivfCentOf]] build at the

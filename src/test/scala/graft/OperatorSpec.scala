@@ -607,7 +607,9 @@ class OperatorSpec extends AnyFunSuite {
     val b = LlmSim.annLshMtTopK(spark, sf, nQueries = 5)
       .collect().map(_.toSeq).toSet
     assert(a === b)
-    persisted.write.format("noop").mode("overwrite").save()
+    // the collect above already executed this DataFrame's one
+    // QueryExecution and finalized its adaptive plan — inspect it
+    // directly instead of re-running the probe through a noop sink
     val planFull = persisted.queryExecution.executedPlan.toString
     // AQE's toString repeats the plan under "== Initial Plan ==" —
     // count exchanges in the FINAL plan section only
