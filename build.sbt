@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout BARE, not through sbt's logger:
+// the logger stamps every line with an `[info] ` prefix, which makes the
+// bench record line (one JSON object on stdout, parsed by the driver)
+// fail a plain json-parse of the line. StdOutput inherits the parent
+// process streams, so the record prints exactly as written.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.io.File
-import java.nio.file.{FileAlreadyExistsException, Files}
+import java.nio.file.{FileAlreadyExistsException, Files, Path}
 
 import org.apache.spark.sql.SparkSession
 
@@ -21,31 +21,64 @@ import org.apache.spark.sql.SparkSession
   *      This alone closes sequential re-delivery from any JVM.
   *   2. Atomically create `<txn>.inflight` (`Files.createFile` — the
   *      cross-process AND cross-thread mutex, replacing the JVM-local
-  *      TrieMap guard this protocol superseded). The winner runs the
-  *      append (Spark's parquet job commit is all-or-nothing at the
-  *      driver: task files move into place at job commit), then
-  *      creates `.committed` — the durable commit record.
-  *   3. The loser polls for `.committed` while the winner works. If
-  *      the winner DIED mid-append the poll times out and the loser
-  *      recovers: `presentRows()` (caller predicate counting the
-  *      batch's rows in the table) against `expectedRows()` decides
-  *      whether the orphaned append landed before the crash —
-  *      complete → just write `.committed`; absent → take over the
-  *      append under a second `.recover` mutex. A partial landing is
-  *      impossible under job-commit atomicity, so it raises instead
-  *      of risking a silent double-append.
+  *      TrieMap guard this protocol superseded). The winner HEARTBEATS
+  *      the marker (touches its mtime every `pollMs/20`) while it runs
+  *      the append (Spark's parquet job commit is all-or-nothing at
+  *      the driver: task files move into place at job commit), then
+  *      creates `.committed` — the durable commit record. If the
+  *      append THROWS, the winner deletes `.inflight` before
+  *      rethrowing, so a retry reacquires the mutex immediately
+  *      instead of burning a full recovery poll against a ghost.
+  *   3. The loser waits on `.committed`. A winner that is merely SLOW
+  *      is distinguished from a dead one by the heartbeat: takeover is
+  *      gated on the `.inflight` mtime being STALE (older than
+  *      `pollMs`, i.e. ≥20 missed heartbeats) — a live writer blocks
+  *      losers indefinitely, which is what exactly-once requires. If
+  *      `.inflight` vanishes without a commit record (a failed winner
+  *      cleaned up), the loser retries acquisition from the top. Only
+  *      a timed-out wait WITH a stale marker recovers: `presentRows()`
+  *      (caller predicate counting the batch's rows in the table)
+  *      against `expectedRows()` decides whether the orphaned append
+  *      landed before the crash — complete → just write `.committed`;
+  *      absent → take over the append under a second `.recover` mutex
+  *      (itself heartbeated, so a third delivery waits rather than
+  *      declaring the recoverer dead). A partial landing is impossible
+  *      under job-commit atomicity, so it raises instead of risking a
+  *      silent double-append.
   *
   * Delivered TWICE — sequentially, concurrently, or from two JVMs —
-  * the table holds exactly ONE copy of the batch (double-delivery and
-  * crash-recovery paths unit-tested in OperatorSpec).
+  * the table holds exactly ONE copy of the batch (double-delivery,
+  * failed-winner, slow-winner, and crash-recovery paths unit-tested
+  * in TxnMarkerSpec).
+  *
+  * ==Storage atomicity contract==
+  * The mutex is `Files.createFile`, which is atomic-or-throws on any
+  * POSIX filesystem — the local FS of this sandbox, and equally HDFS
+  * (`create` without overwrite is an atomic namespace operation at
+  * the NameNode). On an OBJECT STORE (S3/GCS/ABFS — the realistic
+  * 100 TB home of a managed table) a plain PUT is last-writer-wins,
+  * NOT a mutex: deploying there requires swapping the marker create
+  * for a conditional put (S3 `If-None-Match: *`, GCS
+  * `ifGenerationMatch=0`, ABFS lease/ETag), which restores the same
+  * win-or-observe semantics; without it the protocol degrades to
+  * best-effort and loses its concurrency guarantee. Residual fencing
+  * caveat even with atomic create: a writer FROZEN long enough to go
+  * heartbeat-stale and then resurrected can still complete its append
+  * after a recoverer took over (the classic lease limitation). The
+  * heartbeat shrinks that window from "any append slower than
+  * `pollMs`" to "a ≥`pollMs` full-process freeze"; closing it
+  * entirely needs staged output plus a conditional-rename commit,
+  * which plain bucketed-parquet `saveAsTable` appends cannot express
+  * — size `pollMs` against worst-case GC/preemption pauses.
   */
 object TxnMarker {
 
   /** Append `doAppend`'s batch into the table at `tableDir` exactly
     * once under transaction id `txn`. `presentRows`/`expectedRows`
-    * are consulted only on the crash-recovery path (a timed-out poll
-    * for a dead writer's commit marker). `pollMs` bounds how long a
-    * losing delivery waits for the in-flight winner.
+    * are consulted only on the crash-recovery path (a stale-marker
+    * timeout for a dead writer's commit record). `pollMs` bounds both
+    * the losing delivery's wait-per-cycle AND the heartbeat staleness
+    * threshold beyond which an in-flight writer is presumed dead.
     */
   def appendOnce(tableDir: File, txn: String,
                  doAppend: () => Unit,
@@ -61,35 +94,102 @@ object TxnMarker {
       try { Files.createFile(inflight); true }
       catch { case _: FileAlreadyExistsException => false }
     if (won) {
-      doAppend()
+      val hb = startHeartbeat(inflight, pollMs)
+      try doAppend()
+      catch {
+        case t: Throwable =>
+          // release the mutex so a retry reacquires instantly instead
+          // of waiting out a recovery poll against a ghost writer
+          stopHeartbeat(hb)
+          Files.deleteIfExists(inflight)
+          throw t
+      }
+      stopHeartbeat(hb)
       commitMarker(committed)
       Files.deleteIfExists(inflight): Unit
     } else {
-      // another delivery holds the append; wait for its commit record
-      if (!pollFor(committed, pollMs)) recover(
-        dir, txn, committed, doAppend, presentRows, expectedRows, pollMs)
+      waitOrRecover(dir, txn, committed, inflight, tableDir,
+        doAppend, presentRows, expectedRows, pollMs)
     }
   }
 
-  private def commitMarker(committed: java.nio.file.Path): Unit =
+  /** Daemon thread refreshing `p`'s mtime every `pollMs/20` (floor
+    * 50 ms) — the liveness signal that gates takeover. Touch-only: a
+    * marker someone deleted is never resurrected. */
+  private def startHeartbeat(p: Path, pollMs: Long): Thread = {
+    val interval = math.max(50L, pollMs / 20)
+    val t = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(interval)
+        if (Files.exists(p)) {
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-txn-heartbeat-${p.getFileName}")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  private def stopHeartbeat(t: Thread): Unit = {
+    t.interrupt()
+    t.join(5000)
+  }
+
+  /** mtime older than `ms` (a vanished file is not stale — the caller
+    * handles absence as its own case first). */
+  private def isStale(p: Path, ms: Long): Boolean =
+    try System.currentTimeMillis() -
+      Files.getLastModifiedTime(p).toMillis > ms
+    catch { case _: java.io.IOException => false }
+
+  /** The losing delivery's wait loop: exit on the commit record;
+    * retry acquisition if the in-flight marker vanished uncommitted
+    * (failed winner cleaned up); recover only once the wait has run a
+    * full `pollMs` AND the marker is heartbeat-stale. A fresh marker
+    * past the timeout means a live-but-slow writer: keep waiting —
+    * blocking on a live writer is the exactly-once contract. */
+  private def waitOrRecover(dir: File, txn: String,
+                            committed: Path, inflight: Path,
+                            tableDir: File,
+                            doAppend: () => Unit,
+                            presentRows: () => Long,
+                            expectedRows: () => Long,
+                            pollMs: Long): Unit = {
+    val start = System.nanoTime()
+    while (true) {
+      if (Files.exists(committed)) return
+      if (!Files.exists(inflight)) {
+        // winner failed and released the mutex (or committed — the
+        // retry sees `.committed` and no-ops): take it from the top
+        appendOnce(tableDir, txn, doAppend, presentRows, expectedRows,
+          pollMs)
+        return
+      }
+      val waitedMs = (System.nanoTime() - start) / 1000000L
+      if (waitedMs > pollMs && isStale(inflight, pollMs)) {
+        recover(dir, txn, committed, doAppend, presentRows,
+          expectedRows, pollMs)
+        return
+      }
+      Thread.sleep(50)
+    }
+  }
+
+  private def commitMarker(committed: Path): Unit =
     try Files.createFile(committed): Unit
     catch { case _: FileAlreadyExistsException => () }
 
-  private def pollFor(p: java.nio.file.Path, ms: Long): Boolean = {
-    val deadline = System.nanoTime() + ms * 1000000L
-    while (!Files.exists(p)) {
-      if (System.nanoTime() > deadline) return false
-      Thread.sleep(50)
-    }
-    true
-  }
-
   /** The in-flight writer is presumed dead (its `.inflight` marker
-    * outlived `pollMs` with no commit record). Decide from the DATA
-    * whether its append landed, under a `.recover` mutex so two
-    * stalled deliveries cannot both take over. */
+    * went heartbeat-stale with no commit record). Decide from the
+    * DATA whether its append landed, under a `.recover` mutex so two
+    * stalled deliveries cannot both take over; the recoverer
+    * heartbeats its lock so a third delivery waits instead of
+    * declaring the recovery itself dead. */
   private def recover(dir: File, txn: String,
-                      committed: java.nio.file.Path,
+                      committed: Path,
                       doAppend: () => Unit,
                       presentRows: () => Long,
                       expectedRows: () => Long,
@@ -99,11 +199,25 @@ object TxnMarker {
       try { Files.createFile(recoverLock); true }
       catch { case _: FileAlreadyExistsException => false }
     if (!won) {
-      // a sibling recoverer is at work; its commit is the only exit
-      if (!pollFor(committed, pollMs)) throw new IllegalStateException(
-        s"txn $txn: recovery in progress elsewhere but never committed")
+      // a sibling recoverer is at work; wait while it is live, give up
+      // only if it too goes stale without committing
+      val start = System.nanoTime()
+      while (!Files.exists(committed)) {
+        if (!Files.exists(recoverLock)) {
+          if (Files.exists(committed)) return
+          throw new IllegalStateException(
+            s"txn $txn: recovery elsewhere released its lock uncommitted")
+        }
+        val waitedMs = (System.nanoTime() - start) / 1000000L
+        if (waitedMs > pollMs && isStale(recoverLock, pollMs)) {
+          throw new IllegalStateException(
+            s"txn $txn: recovery in progress elsewhere but never committed")
+        }
+        Thread.sleep(50)
+      }
       return
     }
+    val hb = startHeartbeat(recoverLock, pollMs)
     try {
       val (present, expected) = (presentRows(), expectedRows())
       if (present == expected) () // dead writer's append landed whole
@@ -112,7 +226,10 @@ object TxnMarker {
         s"txn $txn: partial batch in table ($present of $expected rows)" +
           " — job-commit atomicity violated, refusing to re-append")
       commitMarker(committed)
-    } finally Files.deleteIfExists(recoverLock): Unit
+    } finally {
+      stopHeartbeat(hb)
+      Files.deleteIfExists(recoverLock): Unit
+    }
   }
 
   /** Location of managed table `tbl` under the session warehouse —

@@ -95,6 +95,54 @@ class TxnMarkerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partial"))
   }
 
+  test("failed winner releases the mutex; a retry reacquires instantly") {
+    val dir = freshDir()
+    val txnDir = new java.io.File(dir, "_graft_txn")
+    val appends = new java.util.concurrent.atomic.AtomicInteger()
+    intercept[RuntimeException] {
+      TxnMarker.appendOnce(dir, "b1",
+        doAppend = () => throw new RuntimeException("job failed"),
+        presentRows = () => 0L,
+        expectedRows = () => 1L)
+    }
+    assert(!new java.io.File(txnDir, "b1.inflight").exists(),
+      "a failed append must not leave its inflight marker behind")
+    // the retry must win the mutex immediately — no recovery poll. An
+    // absurdly large pollMs makes any recovery-path detour hang the test.
+    val t0 = System.nanoTime()
+    TxnMarker.appendOnce(dir, "b1",
+      doAppend = () => { appends.incrementAndGet(); () },
+      presentRows = () => appends.get().toLong,
+      expectedRows = () => 1L,
+      pollMs = 600000L)
+    assert(appends.get() === 1)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+  }
+
+  test("live-but-slow winner is NOT taken over (heartbeat beats pollMs)") {
+    val dir = freshDir()
+    val appends = new java.util.concurrent.atomic.AtomicInteger()
+    // winner's append runs 4x the loser's pollMs: without the liveness
+    // gate the loser would time out, see presentRows()==0, and re-run
+    // the append — the ADVICE double-append. The heartbeat (pollMs/20,
+    // floored at 50 ms) keeps the marker fresh, so the loser must WAIT.
+    val winner = new Thread(() => TxnMarker.appendOnce(dir, "b1",
+      doAppend = () => { Thread.sleep(800); appends.incrementAndGet(); () },
+      presentRows = () => appends.get().toLong,
+      expectedRows = () => 1L,
+      pollMs = 200L))
+    winner.start()
+    Thread.sleep(100) // let the winner take the mutex
+    TxnMarker.appendOnce(dir, "b1",
+      doAppend = () => { appends.incrementAndGet(); () },
+      presentRows = () => appends.get().toLong,
+      expectedRows = () => 1L,
+      pollMs = 200L)
+    winner.join(30000)
+    assert(appends.get() === 1,
+      "loser must wait out a live slow winner, not re-append")
+  }
+
   test("IVF index upsert delivered twice holds exactly one arrival batch") {
     import spark.implicits._
     // the real consumer: persistedIvfCellsUpserted routes its append
