@@ -96,6 +96,17 @@ case class GroupTopKExec(
     if (finalPhase) ClusteredDistribution(groupExprs) :: Nil
     else UnspecifiedDistribution :: Nil
 
+  // Row-preserving per partition: the operator drops rows but never
+  // moves them, so the child's partitioning (the final phase's
+  // clustering exchange) holds for the output too. Without this,
+  // SparkPlan's UnknownPartitioning default makes EnsureRequirements
+  // insert a REDUNDANT exchange under any downstream operator that
+  // clusters on the same group key — e.g. the k-bounded rank-naming
+  // window that follows every ANN rerank cut.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val g = groupExprs
     val o = order

@@ -734,12 +734,50 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("rank") <= 3).select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = top3(LlmSim.bruteTopK(spark, sf, nQ))
-    val bq = top3(LlmSim.bqHammingProbe(spark, sf, 0L, nQ.toLong))
+    val bqDf = LlmSim.bqHammingProbe(spark, sf, 0L, nQ.toLong)
+    val bq = top3(bqDf)
     val recall = (bq & brute).size.toDouble / brute.size
     assert(recall >= 0.80,
       f"hamming recall@3 vs brute over $nQ queries = $recall%.3f < 0.80")
     info(f"binary-sketch hamming (R=${LlmSim.BqTopR}) recall@3 vs " +
       f"brute = $recall%.3f ($nQ queries)")
+    // r12: the Hamming top-R cut (and the cosine cut after it) ride the
+    // bounded-heap GroupTopK operator, NOT row_number windows — the
+    // candidate frame here is |q| × the ENTIRE signature table (the
+    // full-corpus scan family), and a window formulation would shuffle
+    // and full-sort it. The only Window (with its one local Sort) left
+    // is the rank namer over the ≤3-row groups AFTER the final cut.
+    bqDf.write.format("noop").mode("overwrite").save()
+    val bqPlan = bqDf.queryExecution.executedPlan.toString
+    assert("GroupTopK".r.findAllIn(bqPlan).size >= 4, // 2 cuts × 2 phases
+      "expected partial+final GroupTopK for both cuts:\n" + bqPlan.take(2000))
+    assert("\\bWindow\\b".r.findAllIn(bqPlan).size === 1,
+      "candidate path must not carry a Window:\n" + bqPlan.take(2000))
+    assert("\\bSort\\b".r.findAllIn(bqPlan).size <= 1,
+      "candidate path must not carry a Sort:\n" + bqPlan.take(2000))
+  }
+
+  test("index-routed hard negatives: recall floor vs the brute baseline") {
+    import graft.queries.LlmSim
+    // the production path (q_llm_hard_negatives_ivf) routes anchors
+    // through the persisted IVF at the family nprobe; its recall vs the
+    // brute cross-label top-3 is the routing recall — r12 grid at
+    // nprobe=4: 0.79/0.76 (sf0.01/sf0.1) vs 0.57/0.67 at the old
+    // nprobe=2. Floor 0.70 = measured-minus-margin over 50 anchors
+    // (150 pairs); the gated query's 20 anchors would mask a
+    // regression behind sampling noise.
+    val nA = 50
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "neg_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(LlmSim.hardNegativesBrute(spark, sf, nA))
+    val ivf = pairs(LlmSim.hardNegativesIvf(spark, sf, nA))
+    assert(brute.size === nA * 3)
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.70,
+      f"ivf-routed hard-negative recall over $nA anchors = $recall%.3f < 0.70")
+    info(f"hard-negatives ivf(np=${LlmSim.IvfPNprobe}) recall vs brute = " +
+      f"$recall%.3f ($nA anchors)")
   }
 
   test("upserted IVF index keeps its bucket clustering through the append") {
