@@ -1028,21 +1028,35 @@ object TxLog {
         s"stats unsupported for column $c: ${f.dataType.simpleString}"))
       (c, t)
     }
-    // ONE readback per commit, whatever the column mix (pre-r11 this
-    // cost 1 range pass + 2 passes PER bloom column — at 100 TB of
-    // freshly written files, multiple extra full scans): a single
+    // ONE data readback per commit, whatever the column mix (pre-r11
+    // this cost 1 range pass + 2 passes PER bloom column — at 100 TB
+    // of freshly written files, multiple extra full scans): a single
     // groupBy(file) computes every range column's min/max, every
     // bloom column's HLL NDV, AND every bloom column's filter — built
-    // executor-side by BloomBuildAgg at the sizing CLAMP, then folded
+    // executor-side by BloomBuildAgg at a sizing clamp, then folded
     // down to the NDV-derived target on the driver. The fold is
     // bit-exact, not approximate: filter sizes are powers of two and
     // probe positions are `h mod m`, so position(m) = position(M) mod
     // m whenever m | M — OR-ing the clamp filter's m-bit blocks
     // yields EXACTLY the filter a direct m-bit build would produce.
-    // The trade is executor memory (each in-flight group buffers
-    // clamp/8 = 512 KiB until merged) for a full scan less — at scale
-    // the scan dominates; a production writer folds even this single
-    // pass into the file write itself.
+    // Memory envelope: each in-flight (file, bloom column) group
+    // buffers clampBits/8 bytes until merged, so a commit costs up to
+    // (#files × #bloom columns × clampBits/8) of executor+shuffle
+    // state. A FIXED clamp (512 KiB) makes a many-small-files commit
+    // pay that worst case for filters that fold to 1 KiB — so the
+    // clamp is DERIVED per commit: a file's NDV is at most its row
+    // count, so bloomBitsFor(max file row count) already bounds every
+    // file's target size, and since sizes are powers of two it
+    // divides cleanly for the fold. The row counts come from a
+    // zero-data-column count scan (parquet answers it from row-group
+    // metadata) — the "one readback" above counts DATA passes.
+    val clampBits =
+      if (bloomCols.isEmpty) BloomClampBits
+      else {
+        val r = written0.groupBy(input_file_name()).count()
+          .agg(max("count")).collect()(0)
+        if (r.isNullAt(0)) BloomClampBits else bloomBitsFor(r.getLong(0))
+      }
     val written = bloomCols.zipWithIndex.foldLeft(written0) {
       case (df, (c, j)) =>
         df.withColumn(s"__h$j", graft.functions.Fns.h60(col(c)))
@@ -1052,7 +1066,7 @@ object TxLog {
     }
     val bloomAggs = bloomCols.indices.flatMap { j =>
       Seq(approx_count_distinct(col(s"__h$j")).as(s"ndv$j"),
-        graft.plans.BloomBuildAgg(col(s"__h$j"), lit(BloomClampBits))
+        graft.plans.BloomBuildAgg(col(s"__h$j"), lit(clampBits))
           .as(s"fw$j"))
     }
     val aggs = rangeAggs ++ bloomAggs
