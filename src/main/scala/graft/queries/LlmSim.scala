@@ -706,6 +706,92 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // IVF CELL SPLIT — the index-maintenance op that closes the
+    // lifecycle loop (build → probe → append → SPLIT): O(delta)
+    // upserts grow cells past the IvfPCellRows target, and the
+    // derived-nlist policy's flat-probe claim rests on |cell| staying
+    // ~target. Instead of rebuilding the index (or raising the global
+    // nlist ceiling), each overgrown cell (> IvfPSplitRows = target
+    // +25%) splits LOCALLY: seeds = the cell's two smallest vec_ids
+    // (deterministic), one exact-d2 assignment pass against the two
+    // seed vectors (same d2 + lower-child tiebreak arithmetic as
+    // every argmin in the family), the upper child relabeled
+    // cid + SplitCidOffset, and refreshed quantized-mean centroids
+    // (the kmeans_iter arithmetic) for BOTH children. Work is
+    // O(Σ|overgrown cell|) — corpus-independent under steady ingest —
+    // and every stage is SQL-mirrorable, so the gate verifies exactly
+    // WHICH vectors land in which child (per-cell id-sum) AND the new
+    // centroid values (c_norm), not just counts. Untouched cells pass
+    // through byte-identical with a NULL c_norm.
+    "q_llm_ivf_cell_split" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val split = splitCells(
+          persistedIvfCellsUpserted(s, dir).select($"cid", $"vec_id", $"v"),
+          IvfPSplitRows)
+        val ncent = split.filter($"split")
+          .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+          .groupBy($"cid", $"dim")
+          .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
+            / 1e7 / count(lit(1))).as("m"))
+          .groupBy($"cid")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+            s0 => s0.getField("m")).as("cv"))
+          .select($"cid", V.dot($"cv", $"cv").as("c_norm"))
+        split.groupBy($"cid")
+          .agg(count(lit(1)).as("n"), sum($"vec_id").as("id_sum"))
+          .join(ncent, Seq("cid"), "left")
+          .select(($"cid" % SplitCidOffset).as("parent"), $"cid",
+            $"n", $"id_sum", $"c_norm")
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $ivfArrivalsSql,
+        nbcells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT nb.vec_id, nb.v, c.cid,
+              row_number() OVER (PARTITION BY nb.vec_id ORDER BY
+                ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn = 1),
+        allcells AS (
+          SELECT vec_id, v, cid FROM cells
+          UNION ALL SELECT vec_id, v, cid FROM nbcells),
+        sizes AS (SELECT cid, count(*) AS cn FROM allcells GROUP BY cid),
+        ov AS (SELECT cid FROM sizes WHERE cn > $IvfPSplitRows),
+        sd AS (
+          SELECT a.cid, a.vec_id, a.v,
+            row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id) AS rn
+          FROM allcells a JOIN ov USING (cid)),
+        sd0 AS (SELECT cid, v AS cv FROM sd WHERE rn = 1),
+        sd1 AS (SELECT cid, v AS cv FROM sd WHERE rn = 2),
+        relab AS (
+          SELECT a.vec_id, a.v, (s0.cid IS NOT NULL) AS split,
+            CASE WHEN s1.cv IS NOT NULL
+                AND ${d2Sql("a.v", "s1.cv")} < ${d2Sql("a.v", "s0.cv")}
+              THEN a.cid + $SplitCidOffset ELSE a.cid END AS cid
+          FROM allcells a
+            LEFT JOIN sd0 s0 ON s0.cid = a.cid
+            LEFT JOIN sd1 s1 ON s1.cid = a.cid),
+        ncent AS (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT cid, unnest(v) AS x,
+                    generate_subscripts(v, 1) - 1 AS dim
+                  FROM relab WHERE split)
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        summary AS (
+          SELECT cid, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(vec_id) AS BIGINT) AS id_sum
+          FROM relab GROUP BY cid)
+        SELECT s.cid % $SplitCidOffset AS parent, s.cid, s.n, s.id_sum,
+          CASE WHEN nc.cid IS NULL THEN NULL
+            ELSE ${V.dotSql("nc.cv", "nc.cv")} END AS c_norm
+        FROM summary s LEFT JOIN ncent nc ON nc.cid = s.cid""")),
+
     // PQ ENCODE — the compression half of IVF-PQ (see the PQ helper
     // block's scaladoc): the corpus coded as PqM=8 codebook ids per
     // vector (8 B vs 512 B — the representation a 100 TB ANN index
@@ -1983,6 +2069,55 @@ object LlmSim extends QueryModule {
     cells.select($"vec_id", $"cid")
       .join(dropped, Seq("vec_id"), "left")
       .select($"vec_id", $"cid", coalesce(!$"hit", lit(true)).as("kept"))
+  }
+
+  /** Split threshold of the cell-split maintenance op: a cell splits
+    * when it exceeds the [[IvfPCellRows]] target by 25% — hysteresis
+    * so steady ingest doesn't thrash splits at the target boundary. */
+  private[graft] val IvfPSplitRows: Long = IvfPCellRows + IvfPCellRows / 4
+
+  /** Upper-child cid displacement for split cells — disjoint from the
+    * 4096 nlist ceiling by 2^20, so child ids never collide with base
+    * cells (and parent = cid % offset is recoverable). */
+  private[graft] val SplitCidOffset = 1 << 20
+
+  /** LOCAL split of every overgrown cell of a (cid, vec_id, v) cells
+    * frame (see the q_llm_ivf_cell_split QueryDef comment for the
+    * lifecycle rationale). Deterministic and SQL-mirrorable end to
+    * end: seeds are the cell's two smallest vec_ids, assignment is
+    * one exact-d2 pass against the two seed VECTORS with the
+    * lower-child tiebreak (the family's (d2, lower-id) argmin
+    * convention), the upper child relabels to cid + SplitCidOffset.
+    * Work is O(Σ|overgrown cell|): the overgrown-cid set is at most
+    * nlist rows (broadcast marker join), seeds come off a bounded-
+    * heap GroupTopK cut (k=2 per cell), and the relabel itself is a
+    * map over the tagged rows — no shuffle of the untouched corpus.
+    * Returns (cid, vec_id, v, split); `split` marks rows whose cell
+    * was divided (both children), so a caller can refresh exactly
+    * those centroids. ONE pass: a pathological cell (near-duplicate
+    * mass) can leave a child still overgrown; a maintenance loop
+    * re-running to fixpoint must use a fresh offset per round (a low
+    * child re-splitting would mint cid+offset, which an earlier
+    * round's upper child may already hold). */
+  private[graft] def splitCells(cells: DataFrame,
+                                threshold: Long): DataFrame = {
+    import cells.sparkSession.implicits._
+    val over = cells.groupBy($"cid").agg(count(lit(1)).as("cn"))
+      .filter($"cn" > threshold).select($"cid")
+    val seeds = rankedTopK(
+        cells.join(broadcast(over), Seq("cid"))
+          .select($"cid", $"vec_id", $"v"),
+        "cid", Seq(("vec_id", false)), 2)
+      .groupBy($"cid")
+      .agg(max(when($"rank" === 1, $"v")).as("s0"),
+        max(when($"rank" === 2, $"v")).as("s1"))
+    def d2(v: Column, c: Column): Column =
+      V.dot(v, v) - lit(2.0) * V.dot(v, c) + V.dot(c, c)
+    cells.join(broadcast(seeds), Seq("cid"), "left")
+      .select(
+        when($"s1".isNotNull && d2($"v", $"s1") < d2($"v", $"s0"),
+          $"cid" + lit(SplitCidOffset)).otherwise($"cid").as("cid"),
+        $"vec_id", $"v", $"s0".isNotNull.as("split"))
   }
 
   /** Cell labeling of a corpus frame against finished centroids — the

@@ -780,6 +780,43 @@ class OperatorSpec extends AnyFunSuite {
       f"$recall%.3f ($nA anchors)")
   }
 
+  test("IVF cell split: threshold-gated, membership-exact, children nonempty") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cells = LlmSim.persistedIvfCellsUpserted(spark, sf)
+      .select($"cid", $"vec_id", $"v")
+    val before = cells.groupBy($"cid").count()
+      .as[(Int, Long)].collect().toMap
+    val split = LlmSim.splitCells(cells, LlmSim.IvfPSplitRows)
+    val after = split
+      .select(($"cid" % LlmSim.SplitCidOffset).as("parent"), $"cid",
+        $"vec_id", $"split")
+      .as[(Int, Int, Long, Boolean)].collect()
+    // split flag ⇔ the ORIGINAL cell exceeded the threshold
+    after.groupBy(_._1).foreach { case (parent, rows) =>
+      val overgrown = before(parent) > LlmSim.IvfPSplitRows
+      assert(rows.forall(_._4 == overgrown),
+        s"cell $parent: split flag mismatches size ${before(parent)}")
+      // membership: children partition exactly the parent's rows
+      assert(rows.length.toLong === before(parent),
+        s"cell $parent: row count changed through the split")
+      if (overgrown) {
+        val bySize = rows.groupBy(_._2).map(_._2.length)
+        assert(bySize.size === 2 && bySize.forall(_ > 0),
+          s"cell $parent split into ${bySize.size} nonempty children")
+      } else
+        assert(rows.forall(_._2 == parent),
+          s"cell $parent relabeled without being overgrown")
+    }
+    // vec_id multiset globally preserved
+    assert(after.map(_._3).sorted.toSeq ===
+      cells.select($"vec_id").as[Long].collect().sorted.toSeq)
+    val nSplit = after.filter(_._4).map(_._1).distinct.length
+    assert(nSplit >= 1, "no cell split at this corpus — threshold inert")
+    info(s"split $nSplit overgrown cells (threshold ${LlmSim.IvfPSplitRows})")
+  }
+
   test("upserted IVF index keeps its bucket clustering through the append") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val plan = try {
