@@ -754,7 +754,7 @@ object LlmSim extends QueryModule {
                 ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
             FROM nb CROSS JOIN cent c)
           WHERE rn = 1),
-        allcells AS (
+        allcells AS MATERIALIZED (
           SELECT vec_id, v, cid FROM cells
           UNION ALL SELECT vec_id, v, cid FROM nbcells),
         sizes AS (SELECT cid, count(*) AS cn FROM allcells GROUP BY cid),
@@ -765,7 +765,7 @@ object LlmSim extends QueryModule {
           FROM allcells a JOIN ov USING (cid)),
         sd0 AS (SELECT cid, v AS cv FROM sd WHERE rn = 1),
         sd1 AS (SELECT cid, v AS cv FROM sd WHERE rn = 2),
-        relab AS (
+        relab AS MATERIALIZED (
           SELECT a.vec_id, a.v, (s0.cid IS NOT NULL) AS split,
             CASE WHEN s1.cv IS NOT NULL
                 AND ${d2Sql("a.v", "s1.cv")} < ${d2Sql("a.v", "s0.cv")}
@@ -788,6 +788,133 @@ object LlmSim extends QueryModule {
             CAST(sum(vec_id) AS BIGINT) AS id_sum
           FROM relab GROUP BY cid)
         SELECT s.cid % $SplitCidOffset AS parent, s.cid, s.n, s.id_sum,
+          CASE WHEN nc.cid IS NULL THEN NULL
+            ELSE ${V.dotSql("nc.cv", "nc.cv")} END AS c_norm
+        FROM summary s LEFT JOIN ncent nc ON nc.cid = s.cid""")),
+
+    // IVF CELL MERGE — the consolidation half of the maintenance pair
+    // (split handles ingest overgrowth; merge handles the IMBALANCE
+    // that maintenance itself leaves behind). Exercised on the
+    // composed lifecycle: build → upsert → SPLIT → merge — the
+    // split's two-smallest-id seeding is deliberately cheap and
+    // produces lopsided children (measured: a 14-row child beside a
+    // 68-row sibling at sf0.001; 6 under-half-average children at
+    // sf0.1), and a probe of an underfull cell reads less than the
+    // candidate pool the rerank budgets for. Cells below half the
+    // CURRENT average population merge LOCALLY into their nearest
+    // healthy sibling by refreshed-centroid d2 with the family's
+    // (d2, lower-id) tiebreak; targets are healthy by construction so
+    // the one-pass simultaneous relabel can't chain. Work is
+    // O(Σ|underfull cell|) + a ≤nlist² broadcast mapping — the
+    // healthy corpus never moves. The DuckDB oracle re-derives the
+    // whole chain (upsert, split, refreshed means, size histogram,
+    // threshold, mapping), so the gate verifies exact post-merge
+    // MEMBERSHIP (per-cell id sums + absorbed-row counts) and the
+    // receiving cells' new centroid values, untouched cells
+    // byte-identical with NULL c_norm.
+    "q_llm_ivf_cell_merge" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val post = splitCells(
+          persistedIvfCellsUpserted(s, dir)
+            .select($"cid", $"vec_id", $"v"),
+          IvfPSplitRows).select($"cid", $"vec_id", $"v")
+        val merged = mergeCells(post, refreshedCentroids(post))
+        val recv = merged.filter($"moved").select($"cid").distinct()
+        val ncent = merged.join(recv, Seq("cid"))
+          .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+          .groupBy($"cid", $"dim")
+          .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
+            / 1e7 / count(lit(1))).as("m"))
+          .groupBy($"cid")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+            s0 => s0.getField("m")).as("cv"))
+          .select($"cid", V.dot($"cv", $"cv").as("c_norm"))
+        merged.groupBy($"cid")
+          .agg(count(lit(1)).as("n"), sum($"vec_id").as("id_sum"),
+            sum(when($"moved", 1L).otherwise(0L)).as("moved_in"))
+          .join(ncent, Seq("cid"), "left")
+          .select($"cid", $"n", $"id_sum", $"moved_in", $"c_norm")
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $ivfArrivalsSql,
+        nbcells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT nb.vec_id, nb.v, c.cid,
+              row_number() OVER (PARTITION BY nb.vec_id ORDER BY
+                ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn = 1),
+        allcells AS MATERIALIZED (
+          SELECT vec_id, v, cid FROM cells
+          UNION ALL SELECT vec_id, v, cid FROM nbcells),
+        asz AS (SELECT cid, count(*) AS cn FROM allcells GROUP BY cid),
+        ov AS (SELECT cid FROM asz WHERE cn > $IvfPSplitRows),
+        sd AS (
+          SELECT a.cid, a.vec_id, a.v,
+            row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id)
+              AS rn
+          FROM allcells a JOIN ov USING (cid)),
+        sd0 AS (SELECT cid, v AS cv FROM sd WHERE rn = 1),
+        sd1 AS (SELECT cid, v AS cv FROM sd WHERE rn = 2),
+        post AS MATERIALIZED (
+          SELECT a.vec_id, a.v,
+            CASE WHEN s1.cv IS NOT NULL
+                AND ${d2Sql("a.v", "s1.cv")} < ${d2Sql("a.v", "s0.cv")}
+              THEN a.cid + $SplitCidOffset ELSE a.cid END AS cid
+          FROM allcells a
+            LEFT JOIN sd0 s0 ON s0.cid = a.cid
+            LEFT JOIN sd1 s1 ON s1.cid = a.cid),
+        cent2 AS MATERIALIZED (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT cid, unnest(v) AS x,
+                    generate_subscripts(v, 1) - 1 AS dim FROM post)
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        sizes2 AS (SELECT cid, count(*) AS cn FROM post GROUP BY cid),
+        par AS (SELECT GREATEST(2,
+            ((sum(cn) + count(*) - 1) // count(*)) // 2) AS minr
+          FROM sizes2),
+        und AS (SELECT cid FROM sizes2
+          WHERE cn < (SELECT minr FROM par)),
+        tgt AS (SELECT cid FROM sizes2
+          WHERE cn >= (SELECT minr FROM par)),
+        mapping AS (
+          SELECT ucid, tcid FROM (
+            SELECT u.cid AS ucid, t.cid AS tcid,
+              row_number() OVER (PARTITION BY u.cid ORDER BY
+                ${d2Sql("uc.cv", "tc.cv")}, t.cid) AS rn
+            FROM und u
+              JOIN cent2 uc ON uc.cid = u.cid
+              CROSS JOIN tgt t
+              JOIN cent2 tc ON tc.cid = t.cid)
+          WHERE rn = 1),
+        relab AS MATERIALIZED (
+          SELECT COALESCE(m.tcid, p.cid) AS cid, p.vec_id, p.v,
+            (m.tcid IS NOT NULL) AS moved
+          FROM post p LEFT JOIN mapping m ON m.ucid = p.cid),
+        recv AS (SELECT DISTINCT cid FROM relab WHERE moved),
+        ncent AS (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT r.cid, unnest(r.v) AS x,
+                    generate_subscripts(r.v, 1) - 1 AS dim
+                  FROM relab r JOIN recv USING (cid))
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        summary AS (
+          SELECT cid, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(vec_id) AS BIGINT) AS id_sum,
+            CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+              AS moved_in
+          FROM relab GROUP BY cid)
+        SELECT s.cid, s.n, s.id_sum, s.moved_in,
           CASE WHEN nc.cid IS NULL THEN NULL
             ELSE ${V.dotSql("nc.cv", "nc.cv")} END AS c_norm
         FROM summary s LEFT JOIN ncent nc ON nc.cid = s.cid""")),
@@ -1108,6 +1235,54 @@ object LlmSim extends QueryModule {
           SELECT q_id, vec_id, cos, CAST(row_number() OVER (
             PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
           FROM cand)
+        WHERE rank <= 3""")),
+
+    // FILTERED ANN — vector search under a metadata predicate
+    // ("nearest among label = X"), the production shape of every
+    // multi-tenant / faceted embedding store. The hard part is
+    // recall: with predicate selectivity s a routed cell holds only
+    // ~|cell|·s matching candidates, so the unfiltered nprobe starves
+    // the rerank — the probe widens to the selectivity-derived
+    // filteredNprobe (policy-by-code; derivation in the helper's
+    // scaladoc), and candidates come from the ATTRIBUTE-PAYLOAD index
+    // (labels stored in the cells artifact) with both the routed-cid
+    // set AND the target-label set pushed as literal scan filters —
+    // index I/O stays nprobeF·|cell| rows per query, no probe-time
+    // corpus join. The oracle re-derives the label histogram, the
+    // nprobeF clamp (same integer ceil-division), the routing, and
+    // the filter in SQL, so the gate is hash-exact at every scale;
+    // recall vs the filtered BRUTE top-3 is floor-gated in
+    // OperatorSpec and the grid documented in PLANS.md.
+    "q_llm_ann_filtered" -> QueryDef(
+      fn = (s, dir) => ivfFilteredProbe(s, dir, 10),
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        hist AS (SELECT min(cnt) AS m, CAST(sum(cnt) AS BIGINT) AS n
+          FROM (SELECT count(*) AS cnt FROM embeddings
+                GROUP BY label)),
+        np AS (SELECT GREATEST($IvfPNprobe, LEAST((SELECT n FROM nl),
+            ($FilteredPoolTarget * n + $IvfPCellRows * m - 1)
+              // ($IvfPCellRows * m))) AS p FROM hist),
+        q AS (SELECT vec_id AS q_id, v AS qv,
+            CAST((vec_id % 3) * 2 AS INT) AS target
+          FROM e WHERE vec_id < 10),
+        probes AS (
+          SELECT q_id, qv, target, cid FROM (
+            SELECT q.q_id, q.qv, q.target, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= (SELECT p FROM np)),
+        scored AS (
+          SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
+          FROM probes p
+            JOIN cells cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id
+            JOIN embeddings l ON l.vec_id = cl.vec_id
+              AND l.label = p.target)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
         WHERE rank <= 3""")),
 
     // STREAMING PQ ENCODE — the online form of the encode pass: the
@@ -2120,6 +2295,66 @@ object LlmSim extends QueryModule {
         $"vec_id", $"v", $"s0".isNotNull.as("split"))
   }
 
+  /** LOCAL merge of every underfull cell of a (cid, vec_id, v) cells
+    * frame into its nearest healthy sibling — the consolidation half
+    * of the maintenance pair ([[splitCells]] handles overgrowth from
+    * ingest; merge handles shrinkage after curation deletes rows, so
+    * probe I/O per routed cell doesn't decay below the pool the
+    * rerank budgets for). Underfull = below max(2, ceil(avg)/2) rows
+    * — HALF THE CURRENT AVERAGE population, so the rule is meaningful
+    * at every corpus scale (a fixed floor would be inert on toy
+    * corpora and trigger-happy after heavy dedup). Each underfull
+    * cell maps to the nearest NON-underfull cell by centroid-to-
+    * centroid d2 with the family's (d2, lower-id) tiebreak — targets
+    * are healthy by construction, so the one-pass simultaneous
+    * relabel can't chain (a target never moves); if EVERY cell is
+    * underfull there is no valid target and the frame passes through
+    * unchanged. Work: the mapping is ≤ nlist² centroid pairs
+    * (metadata-sized, broadcast), and only the underfull cells' rows
+    * relabel — O(Σ|underfull cell|), never a shuffle of the healthy
+    * corpus. */
+  /** Post-maintenance centroid refresh: exact quantized means (the
+    * kmeans_iter arithmetic) over the CURRENT membership, for every
+    * cell of a (cid, vec_id, v) frame — split children have no
+    * persisted centroid, so maintenance recomputes from the data. */
+  private[graft] def refreshedCentroids(cells: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    cells
+      .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"cid", $"dim")
+      .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
+        / 1e7 / count(lit(1))).as("m"))
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        s0 => s0.getField("m")).as("cv"))
+  }
+
+  private[graft] def mergeCells(cells: DataFrame,
+                                cent: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    val sizes = cells.groupBy($"cid").agg(count(lit(1)).as("cn"))
+    // metadata-sized driver aggregate: ≤ nlist rows in, one row out
+    // (pure — recomputation harmless, same class as filteredNprobe)
+    val st = sizes.agg(sum($"cn").as("nk"), count(lit(1)).as("c")).head()
+    val minRows = math.max(2L,
+      ((st.getLong(0) + st.getLong(1) - 1) / st.getLong(1)) / 2)
+    val under = sizes.filter($"cn" < minRows).select($"cid")
+    val targets = sizes.filter($"cn" >= minRows).select($"cid")
+    def d2(v: Column, c: Column): Column =
+      V.dot(v, v) - lit(2.0) * V.dot(v, c) + V.dot(c, c)
+    val mapping = rankedTopK(
+      under.join(cent, Seq("cid"))
+        .select($"cid".as("ucid"), $"cv".as("ucv"))
+        .crossJoin(broadcast(targets.join(cent, Seq("cid"))
+          .select($"cid".as("tcid"), $"cv".as("tcv"))))
+        .withColumn("dm", d2($"ucv", $"tcv")),
+      "ucid", Seq(("dm", false), ("tcid", false)), 1)
+      .select($"ucid", $"tcid")
+    cells.join(broadcast(mapping), $"cid" === $"ucid", "left")
+      .select(coalesce($"tcid", $"cid").as("cid"), $"vec_id", $"v",
+        $"tcid".isNotNull.as("moved"))
+  }
+
   /** Cell labeling of a corpus frame against finished centroids — the
     * map-only NearestCell pass every persisted-cells artifact runs. */
   private[graft] def ivfCellsOf(e: DataFrame, cent: DataFrame): DataFrame = {
@@ -2740,6 +2975,129 @@ object LlmSim extends QueryModule {
     rankedTopK(cand, "q_id", Seq(("cos", true), ("vec_id", false)), 3)
       .select($"q_id".as("a_id"), $"rank", $"vec_id".as("neg_id"),
         $"cos")
+  }
+
+  // ---- Filtered ANN (q_llm_ann_filtered) ----------------------------
+
+  /** Attribute-payload IVF cells: the persisted cells artifact joined
+    * ONCE with its filterable metadata (`label`) and re-persisted
+    * bucketed+sorted on `cid` — the filtered-vector-search index
+    * layout (attributes stored IN the index, as vector stores do), so
+    * a probe's metadata predicate pushes into the index SCAN instead
+    * of costing a corpus-wide label join at probe time. Write-once per
+    * (JVM, sfDir) like every index artifact in this file. */
+  private[graft] def persistedIvfCellsLabeled(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_cells_lbl_${math.abs(dir.hashCode)}", Seq("cid"),
+      persistedIvfCells(s, dir)
+        .join(Engine.table(s, dir, "embeddings")
+          .select($"vec_id", $"label"), Seq("vec_id"))
+        .select($"cid", $"vec_id", $"label", $"v"))
+  }
+
+  /** Expected matching-candidate pool a filtered probe must route
+    * before the rerank has anything to rank: ~10× the k=3 cut, the
+    * same headroom class as [[PqTopR]]/[[BqTopR]]. */
+  private[graft] val FilteredPoolTarget = 32L
+
+  // one histogram per (JVM, sfDir): pure collect, duplicate
+  // computation harmless — same pattern as ivfNlistCache
+  private val filteredNprobeCache =
+    scala.collection.concurrent.TrieMap[String, Int]()
+
+  /** Selectivity-derived probe width for FILTERED ANN — policy-by-code
+    * like [[ivfNlistFor]]. With predicate selectivity s, a routed cell
+    * holds only ~IvfPCellRows·s matching candidates, so the unfiltered
+    * [[IvfPNprobe]] starves the rerank as the filter sharpens (THE
+    * failure mode of filtered vector search). Probe enough cells that
+    * the EXPECTED matching pool under the batch's worst-case label
+    * selectivity (min label count / N — one |labels|-row aggregate
+    * over the label histogram, metadata-sized) reaches
+    * [[FilteredPoolTarget]]:
+    *   nprobeF = clamp(ceil(PoolTarget·N / (IvfPCellRows·minCnt)),
+    *                   IvfPNprobe, nlist)
+    * Integer ceil-division end-to-end; the oracle derives the SAME
+    * value in SQL, so engine and oracle cannot drift. nprobeF depends
+    * on selectivity, not N, so probe I/O stays nprobeF·IvfPCellRows
+    * rows per query at any corpus size and the scan fraction
+    * nprobeF/nlist still shrinks as 1/N under the derived-nlist
+    * policy. */
+  private[graft] def filteredNprobe(s: SparkSession, dir: String): Int =
+    filteredNprobeCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      val r = Engine.table(s, dir, "embeddings")
+        .groupBy($"label").agg(count(lit(1)).as("cnt"))
+        .agg(min($"cnt").as("m"), sum($"cnt").as("n")).head()
+      val m = r.getLong(0)
+      val n = r.getLong(1)
+      val p = (FilteredPoolTarget * n + IvfPCellRows * m - 1) /
+        (IvfPCellRows * m)
+      math.max(IvfPNprobe.toLong,
+        math.min(ivfPNlist(s, dir).toLong, p)).toInt
+    })
+
+  /** Deterministic per-query filter target: queries 0..9 spread over
+    * labels {0, 2, 4} — 3 of the 10 label values, so the pushed label
+    * set genuinely prunes the index scan at every scale. */
+  private def filteredTarget(c: Column): Column =
+    ((c % 3) * 2).cast("int")
+
+  /** FILTERED ANN probe: per-query top-3 among vectors satisfying the
+    * query's metadata predicate (label = target). Routing widens to
+    * [[filteredNprobe]] cells; candidates come from ONE scan of the
+    * attribute-payload index with BOTH prunes pushed as literal InSet
+    * scan filters — the routed cid set (bucket + row-group pruning)
+    * AND the target-label set (row-group pruning on the label column)
+    * — then the per-query equality applies on the joined rows and
+    * survivors rerank exactly through GroupTopK. No probe-time corpus
+    * join: index I/O is nprobeF·|cell| rows per query, full-width
+    * reads only for rows that pass both prunes. */
+  private[graft] def ivfFilteredProbe(s: SparkSession, dir: String,
+                                      nQ: Int): DataFrame = {
+    import s.implicits._
+    val np = filteredNprobe(s, dir)
+    val q = embDoubles(s, dir).filter($"vec_id" < nQ)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val routed = probeCells(q, centArrOf(persistedIvfCent(s, dir)), np)
+      .withColumn("target", filteredTarget($"q_id"))
+    // bounded collects: routed cids ≤ nlist ints, targets ≤ |labels|
+    // ints — metadata-sized, same class as every probe in this file
+    val cids = routed.select($"cid").distinct().as[Int].collect().sorted
+    val tgts =
+      routed.select($"target").distinct().as[Int].collect().sorted
+    val cand = persistedIvfCellsLabeled(s, dir)
+      .filter(inSetCol($"cid", cids) && inSetCol($"label", tgts))
+    // the probe side is |q|·nprobeF rows — metadata-sized at any
+    // corpus — and the (label = target) equality would otherwise be
+    // extracted into the join keys, breaking the index side's
+    // bucket-on-cid clustering (a corpus-sized shuffle); broadcasting
+    // the routed side keeps the index side a pure pruned bucket scan
+    rankedTopK(
+      broadcast(routed).join(cand, Seq("cid"))
+        .filter($"label" === $"target" && $"q_id" =!= $"vec_id")
+        .withColumn("cos", V.cosine($"qv", $"v")),
+      "q_id", Seq(("cos", true), ("vec_id", false)), 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
+  /** Exact filtered brute-force top-3 (same per-query targets) — the
+    * recall denominator for the filtered-ANN OperatorSpec gate. */
+  private[graft] def filteredBrute(s: SparkSession, dir: String,
+                                   nQ: Int): DataFrame = {
+    import s.implicits._
+    val e = Engine.table(s, dir, "embeddings")
+      .select($"vec_id", $"label", V.toDouble($"embedding").as("v"))
+    val q = e.filter($"vec_id" < nQ)
+      .select($"vec_id".as("q_id"), $"v".as("qv"),
+        filteredTarget($"vec_id").as("target"))
+    rankedTopK(
+      broadcast(q)
+        .join(e, $"q_id" =!= $"vec_id" && $"label" === $"target")
+        .withColumn("cos", V.cosine($"qv", $"v")),
+      "q_id", Seq(("cos", true), ("vec_id", false)), 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
   }
 
   /** Exact brute-force cosine top-3 over the first `nQueries` query

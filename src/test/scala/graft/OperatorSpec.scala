@@ -817,6 +817,93 @@ class OperatorSpec extends AnyFunSuite {
     info(s"split $nSplit overgrown cells (threshold ${LlmSim.IvfPSplitRows})")
   }
 
+  test("IVF cell merge: threshold-gated, targets healthy, membership preserved") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val post = LlmSim.splitCells(
+      LlmSim.persistedIvfCellsUpserted(spark, sf)
+        .select($"cid", $"vec_id", $"v"),
+      LlmSim.IvfPSplitRows).select($"cid", $"vec_id", $"v")
+    val before = post.groupBy($"cid").count()
+      .as[(Int, Long)].collect().toMap
+    val minRows = math.max(2L,
+      ((before.values.sum + before.size - 1) / before.size) / 2)
+    val srcCid = post.select($"vec_id", $"cid")
+      .as[(Long, Int)].collect().toMap
+    val merged = LlmSim.mergeCells(post, LlmSim.refreshedCentroids(post))
+      .select($"cid", $"vec_id", $"moved")
+      .as[(Int, Long, Boolean)].collect()
+    merged.foreach { case (cid2, vid, moved) =>
+      val src = srcCid(vid)
+      // moved ⇔ the source cell was underfull
+      assert(moved === (before(src) < minRows),
+        s"vec $vid: moved=$moved, source cell $src size ${before(src)}" +
+          s" vs min $minRows")
+      if (moved)
+        // absorption target must be HEALTHY (pre-merge ≥ threshold) —
+        // the no-chain guarantee
+        assert(before(cid2) >= minRows,
+          s"vec $vid absorbed into underfull cell $cid2")
+      else assert(cid2 === src, s"vec $vid relabeled without merging")
+    }
+    // vec_id multiset globally preserved
+    assert(merged.map(_._2).sorted.toSeq === srcCid.keys.toSeq.sorted)
+    val absorbed = merged.filter(_._3)
+    assert(absorbed.length >= 1, "no merge at this corpus — rule inert")
+    // post-merge no cell sits below the threshold: every underfull
+    // cell merged away, every survivor was already healthy
+    val finalSizes = merged.groupBy(_._1).map(_._2.length.toLong)
+    assert(finalSizes.forall(_ >= minRows),
+      s"post-merge underfull cell remains (min $minRows)")
+    info(s"absorbed ${absorbed.length} rows from " +
+      s"${absorbed.map(v => srcCid(v._2)).distinct.length} underfull " +
+      s"cells (threshold $minRows)")
+  }
+
+  test("filtered ANN: recall floor vs filtered brute, predicate pushed into the index scan") {
+    import graft.queries.LlmSim
+    // the selectivity-derived probe width must sit inside its clamp
+    val np = LlmSim.filteredNprobe(spark, sf)
+    assert(np >= LlmSim.IvfPNprobe, s"nprobeF $np below the family floor")
+    // recall vs the exact FILTERED top-3 over 50 queries (the gated
+    // query's 10 would mask a regression behind sampling noise); the
+    // pool-target policy routes enough cells that the matching pool is
+    // ≥ FilteredPoolTarget in expectation — measured r12: see PLANS.md
+    // grid; floor = measured-minus-margin.
+    val nQ = 50
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(LlmSim.filteredBrute(spark, sf, nQ))
+    val routedDf = LlmSim.ivfFilteredProbe(spark, sf, nQ)
+    val routed = pairs(routedDf)
+    val recall = (routed & brute).size.toDouble / brute.size
+    assert(recall >= 0.70,
+      f"filtered-ANN recall over $nQ queries = $recall%.3f < 0.70")
+    info(f"filtered ANN (nprobeF=$np) recall@3 vs filtered brute = " +
+      f"$recall%.3f ($nQ queries)")
+    // the metadata predicate must reach the attribute-payload index
+    // SCAN: routed-cid set engages bucket pruning and the label set
+    // appears in the scan's pushed filters — the whole point of
+    // storing the attribute IN the index
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = LlmSim.ivfFilteredProbe(spark, sf, 10)
+      q.write.format("noop").mode("overwrite").save()
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("SelectedBucketsCount"), plan.take(2000))
+    assert("In\\(label".r.findFirstIn(plan).nonEmpty,
+      "label predicate not pushed to the index scan:\n" + plan.take(2000))
+    // the corpus-sized index side must move NOTHING: the routed probe
+    // side broadcasts (explicit hint — metadata-sized by construction),
+    // so the only hash exchange is GroupTopK's partial→final boundary
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"$shuffles shuffles:\n" + plan.take(2000))
+  }
+
   test("upserted IVF index keeps its bucket clustering through the append") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val plan = try {
