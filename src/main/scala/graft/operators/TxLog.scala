@@ -1048,8 +1048,10 @@ object TxLog {
     // count, so bloomBitsFor(max file row count) already bounds every
     // file's target size, and since sizes are powers of two it
     // divides cleanly for the fold. The row counts come from a
-    // zero-data-column count scan (parquet answers it from row-group
-    // metadata) — the "one readback" above counts DATA passes.
+    // zero-data-column pass (no data column is read or decoded, but
+    // it IS a Spark job that emits one row per record into a
+    // per-file-group count — cheap, not metadata-only; the "one
+    // readback" above counts DATA passes).
     val clampBits =
       if (bloomCols.isEmpty) BloomClampBits
       else {

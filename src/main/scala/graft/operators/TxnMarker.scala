@@ -61,7 +61,10 @@ import org.apache.spark.sql.SparkSession
   * for a conditional put (S3 `If-None-Match: *`, GCS
   * `ifGenerationMatch=0`, ABFS lease/ETag), which restores the same
   * win-or-observe semantics; without it the protocol degrades to
-  * best-effort and loses its concurrency guarantee. Residual fencing
+  * best-effort and loses its concurrency guarantee. That swap is an
+  * injection point, not a comment: pass a [[TxnMarker.MarkerCreate]]
+  * to [[appendOnce]] (default [[TxnMarker.LocalFsMarkerCreate]]) and
+  * both mutexes ride the injected primitive. Residual fencing
   * caveat even with atomic create: a writer FROZEN long enough to go
   * heartbeat-stale and then resurrected can still complete its append
   * after a recoverer took over (the classic lease limitation). The
@@ -72,6 +75,31 @@ import org.apache.spark.sql.SparkSession
   * — size `pollMs` against worst-case GC/preemption pauses.
   */
 object TxnMarker {
+
+  /** The atomic-create primitive the whole protocol rests on —
+    * extracted as a strategy so the object-store deployment posture
+    * in the contract above is CODE, not a comment: swap
+    * [[LocalFsMarkerCreate]] for a conditional-put implementation
+    * (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS
+    * lease/ETag) and every mutex in the protocol — `.inflight` and
+    * `.recover` alike — carries that store's win-or-observe
+    * semantics. The contract an implementation must honor: of any
+    * set of concurrent `create(p)` calls for the same path, EXACTLY
+    * ONE returns true (it created the marker); all others return
+    * false and the marker exists when they do. (A racing mock
+    * implementation is unit-tested in TxnMarkerSpec — the losing
+    * racer must observe, never double-create.) */
+  trait MarkerCreate {
+    def create(p: Path): Boolean
+  }
+
+  /** `Files.createFile` — atomic-or-throws on POSIX filesystems and
+    * HDFS (see the storage contract above); the default. */
+  object LocalFsMarkerCreate extends MarkerCreate {
+    def create(p: Path): Boolean =
+      try { Files.createFile(p); true }
+      catch { case _: FileAlreadyExistsException => false }
+  }
 
   /** Append `doAppend`'s batch into the table at `tableDir` exactly
     * once under transaction id `txn`. `presentRows`/`expectedRows`
@@ -84,15 +112,14 @@ object TxnMarker {
                  doAppend: () => Unit,
                  presentRows: () => Long,
                  expectedRows: () => Long,
-                 pollMs: Long = 120000L): Unit = {
+                 pollMs: Long = 120000L,
+                 marker: MarkerCreate = LocalFsMarkerCreate): Unit = {
     val dir = new File(tableDir, "_graft_txn")
     dir.mkdirs()
     val committed = new File(dir, s"$txn.committed").toPath
     if (Files.exists(committed)) return
     val inflight = new File(dir, s"$txn.inflight").toPath
-    val won =
-      try { Files.createFile(inflight); true }
-      catch { case _: FileAlreadyExistsException => false }
+    val won = marker.create(inflight)
     if (won) {
       val hb = startHeartbeat(inflight, pollMs)
       try doAppend()
@@ -109,7 +136,7 @@ object TxnMarker {
       Files.deleteIfExists(inflight): Unit
     } else {
       waitOrRecover(dir, txn, committed, inflight, tableDir,
-        doAppend, presentRows, expectedRows, pollMs)
+        doAppend, presentRows, expectedRows, pollMs, marker)
     }
   }
 
@@ -119,14 +146,25 @@ object TxnMarker {
   private def startHeartbeat(p: Path, pollMs: Long): Thread = {
     val interval = math.max(50L, pollMs / 20)
     val t = new Thread(() => {
-      try while (!Thread.interrupted()) {
-        Thread.sleep(interval)
-        if (Files.exists(p)) {
-          Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis()))
+      var run = true
+      while (run) {
+        // a transient FS error (or the exists/set TOCTOU window) must
+        // NOT kill the beat: a silently dead heartbeat lets a loser
+        // declare a live writer stale and re-run its append — the
+        // exact double-append this thread exists to prevent. Skip the
+        // failed beat and keep beating; only interruption exits.
+        try {
+          Thread.sleep(interval)
+          if (Files.exists(p)) {
+            Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis()))
+          }
+        } catch {
+          case _: InterruptedException => run = false
+          case scala.util.control.NonFatal(_) => ()
         }
-      } catch { case _: InterruptedException => () }
+      }
     }, s"graft-txn-heartbeat-${p.getFileName}")
     t.setDaemon(true)
     t.start()
@@ -157,7 +195,8 @@ object TxnMarker {
                             doAppend: () => Unit,
                             presentRows: () => Long,
                             expectedRows: () => Long,
-                            pollMs: Long): Unit = {
+                            pollMs: Long,
+                            marker: MarkerCreate): Unit = {
     val start = System.nanoTime()
     while (true) {
       if (Files.exists(committed)) return
@@ -165,13 +204,13 @@ object TxnMarker {
         // winner failed and released the mutex (or committed — the
         // retry sees `.committed` and no-ops): take it from the top
         appendOnce(tableDir, txn, doAppend, presentRows, expectedRows,
-          pollMs)
+          pollMs, marker)
         return
       }
       val waitedMs = (System.nanoTime() - start) / 1000000L
       if (waitedMs > pollMs && isStale(inflight, pollMs)) {
         recover(dir, txn, committed, doAppend, presentRows,
-          expectedRows, pollMs)
+          expectedRows, pollMs, marker)
         return
       }
       Thread.sleep(50)
@@ -193,11 +232,10 @@ object TxnMarker {
                       doAppend: () => Unit,
                       presentRows: () => Long,
                       expectedRows: () => Long,
-                      pollMs: Long): Unit = {
+                      pollMs: Long,
+                      marker: MarkerCreate): Unit = {
     val recoverLock = new File(dir, s"$txn.recover").toPath
-    val won =
-      try { Files.createFile(recoverLock); true }
-      catch { case _: FileAlreadyExistsException => false }
+    val won = marker.create(recoverLock)
     if (!won) {
       // a sibling recoverer is at work; wait while it is live, give up
       // only if it too goes stale without committing

@@ -38,19 +38,6 @@ object LlmSim extends QueryModule {
       when(Fns.h60(concat(lit(s"${p}_"), d.cast("string")))
         .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)))
 
-  /** [[planeW]]'s weights folded ONCE per (JVM, plane) to a plain
-    * 64-double literal. The weight vector is a constant, but spelled
-    * as a 64-term md5 fold it makes every consumer's plan carry — and
-    * Catalyst re-fold on every run — thousands of expression nodes
-    * per bucket column: the r11 stage table attributes ~2 s of the
-    * 2.8 s gated lsh_persisted median to pure driver planning
-    * (job wall 0.8 s/run), a corpus-independent floor that would
-    * also tax every 100 TB probe's plan compile. Folding through a
-    * 1-row select — Catalyst's OWN evaluation of the exact [[planeW]]
-    * tree the oracle SQL mirrors — keeps the values definitionally
-    * bit-exact while plans shrink to array literals. Pure-collect
-    * cache (same class as pqCbCache): recomputation is harmless and
-    * side-effect-free. */
   /** `c IN vs` as ONE InSet node instead of |vs| literal children.
     * The bounded probe-key/cid/id sets this file pushes into index
     * scans are metadata-sized for execution, but a multi-thousand-term
@@ -69,6 +56,20 @@ object LlmSim extends QueryModule {
 
   private val planeLitCache =
     scala.collection.concurrent.TrieMap.empty[Int, Seq[Double]]
+
+  /** [[planeW]]'s weights folded ONCE per (JVM, plane) to a plain
+    * 64-double literal. The weight vector is a constant, but spelled
+    * as a 64-term md5 fold it makes every consumer's plan carry — and
+    * Catalyst re-fold on every run — thousands of expression nodes
+    * per bucket column: the r11 stage table attributes ~2 s of the
+    * 2.8 s gated lsh_persisted median to pure driver planning
+    * (job wall 0.8 s/run), a corpus-independent floor that would
+    * also tax every 100 TB probe's plan compile. Folding through a
+    * 1-row select — Catalyst's OWN evaluation of the exact [[planeW]]
+    * tree the oracle SQL mirrors — keeps the values definitionally
+    * bit-exact while plans shrink to array literals. Pure-collect
+    * cache (same class as pqCbCache): recomputation is harmless and
+    * side-effect-free. */
   private def planeLitW(p: Int): Column = typedLit(
     planeLitCache.getOrElseUpdate(p,
       SparkSession.active.range(1).select(planeW(p).as("w"))
@@ -483,7 +484,7 @@ object LlmSim extends QueryModule {
     // cell by the codegen NearestCell argmin, and the assignment
     // WRITTEN ONCE as a managed table bucketed on `cid`. The query
     // then probes the artifact TWICE (two disjoint query sets,
-    // nprobe=2 nearest cells each) — each probe joins the bucketed
+    // IvfPNprobe nearest cells each) — each probe joins the bucketed
     // cells on `cid`, so only the tiny query side moves; the
     // corpus-sized index reads its buckets with no exchange
     // (plan-asserted in OperatorSpec). At 100 TB this is the whole
@@ -552,7 +553,7 @@ object LlmSim extends QueryModule {
     // INCREMENTAL ANN: a NEW batch of query vectors (deterministic
     // perturbations of every 7th corpus vector — "near-arrival"
     // embeddings an ingest pipeline must route) probes the PERSISTED
-    // IVF index: nprobe=2 nearest cells from the broadcast centroids,
+    // IVF index: IvfPNprobe nearest cells from the broadcast centroids,
     // candidates read out of the bucketed cells artifact (only the
     // new-batch side moves), cosine top-3 per arrival. The ANN twin of
     // q_llm_dedup_incremental: index once, screen every delta — the
@@ -959,7 +960,7 @@ object LlmSim extends QueryModule {
           JOIN recon r ON r.vec_id = i.vec_id""")),
 
     // IVF-PQ PROBE — ADC search over the coded index: route queries
-    // to nprobe=2 cells, score routed CODES sub-space-wise against
+    // to IvfPNprobe cells, score routed CODES sub-space-wise against
     // the broadcast codebooks (the scan touches 8 B/vector, never the
     // embedding column), rerank only the ADC top-10 against true
     // vectors (R·|q| rows through a second literal-cid-pruned bucket
@@ -1198,7 +1199,7 @@ object LlmSim extends QueryModule {
 
     // INDEX-ROUTED HARD NEGATIVES — the production path the brute
     // baseline above documents: anchors route through the persisted
-    // IVF (broadcast centroids, nprobe=2), candidates come out of the
+    // IVF (broadcast centroids, the family IvfPNprobe), candidates come out of the
     // bucketed cells artifact (literal-cid-pruned bucket read), the
     // cross-label exclusion applies to the ROUTED candidate set, and
     // the survivors rerank exactly — per-anchor cost is
@@ -2295,6 +2296,22 @@ object LlmSim extends QueryModule {
         $"vec_id", $"v", $"s0".isNotNull.as("split"))
   }
 
+  /** Post-maintenance centroid refresh: exact quantized means (the
+    * kmeans_iter arithmetic) over the CURRENT membership, for every
+    * cell of a (cid, vec_id, v) frame — split children have no
+    * persisted centroid, so maintenance recomputes from the data. */
+  private[graft] def refreshedCentroids(cells: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    cells
+      .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"cid", $"dim")
+      .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
+        / 1e7 / count(lit(1))).as("m"))
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        s0 => s0.getField("m")).as("cv"))
+  }
+
   /** LOCAL merge of every underfull cell of a (cid, vec_id, v) cells
     * frame into its nearest healthy sibling — the consolidation half
     * of the maintenance pair ([[splitCells]] handles overgrowth from
@@ -2313,22 +2330,6 @@ object LlmSim extends QueryModule {
     * (metadata-sized, broadcast), and only the underfull cells' rows
     * relabel — O(Σ|underfull cell|), never a shuffle of the healthy
     * corpus. */
-  /** Post-maintenance centroid refresh: exact quantized means (the
-    * kmeans_iter arithmetic) over the CURRENT membership, for every
-    * cell of a (cid, vec_id, v) frame — split children have no
-    * persisted centroid, so maintenance recomputes from the data. */
-  private[graft] def refreshedCentroids(cells: DataFrame): DataFrame = {
-    import cells.sparkSession.implicits._
-    cells
-      .select($"cid", posexplode($"v").as(Seq("dim", "x")))
-      .groupBy($"cid", $"dim")
-      .agg((sum(floor($"x" * 1e7).cast("long")).cast("double")
-        / 1e7 / count(lit(1))).as("m"))
-      .groupBy($"cid")
-      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
-        s0 => s0.getField("m")).as("cv"))
-  }
-
   private[graft] def mergeCells(cells: DataFrame,
                                 cent: DataFrame): DataFrame = {
     import cells.sparkSession.implicits._
@@ -2948,7 +2949,8 @@ object LlmSim extends QueryModule {
   }
 
   /** Index-routed hard-negative mining: anchors route through the
-    * persisted IVF (nprobe=2), the cross-label exclusion applies to
+    * persisted IVF (the family [[IvfPNprobe]]), the cross-label
+    * exclusion applies to
     * the routed candidate set, survivors rerank exactly —
     * O(nprobe·|cell|) per anchor at any corpus size. */
   private[graft] def hardNegativesIvf(s: SparkSession, dir: String,

@@ -143,6 +143,44 @@ class TxnMarkerSpec extends AnyFunSuite {
       "loser must wait out a live slow winner, not re-append")
   }
 
+  test("injected marker-create carries win-or-observe (racing conditional-put mock)") {
+    val dir = freshDir()
+    // mock object-store conditional put: the win/lose decision lives
+    // in an external compare-and-set (the S3 If-None-Match semantics),
+    // and the marker file is then written NON-atomically — so if the
+    // protocol consulted the filesystem instead of the injected
+    // strategy, two racers could both "win". The counters prove the
+    // strategy's contract: of all concurrent creates, exactly one won
+    // and every other racer observed.
+    val puts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    val wins = new java.util.concurrent.atomic.AtomicInteger()
+    val losses = new java.util.concurrent.atomic.AtomicInteger()
+    val condPut = new TxnMarker.MarkerCreate {
+      def create(p: java.nio.file.Path): Boolean =
+        if (puts.putIfAbsent(p.toString, java.lang.Boolean.TRUE) == null) {
+          Files.write(p, Array.emptyByteArray)
+          wins.incrementAndGet(); true
+        } else { losses.incrementAndGet(); false }
+    }
+    val appends = new java.util.concurrent.atomic.AtomicInteger()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => TxnMarker.appendOnce(dir, "b1",
+        doAppend = () => {
+          Thread.sleep(200) // hold the mutex while losers race create()
+          appends.incrementAndGet(); ()
+        },
+        presentRows = () => appends.get().toLong,
+        expectedRows = () => 1L,
+        marker = condPut))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(appends.get() === 1)
+    assert(wins.get() === 1, "exactly one racer may win the injected mutex")
+    assert(losses.get() >= 1, "losing racers must observe, never re-create")
+    assert(new java.io.File(new java.io.File(dir, "_graft_txn"),
+      "b1.committed").isFile)
+  }
+
   test("IVF index upsert delivered twice holds exactly one arrival batch") {
     import spark.implicits._
     // the real consumer: persistedIvfCellsUpserted routes its append
