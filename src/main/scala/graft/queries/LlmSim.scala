@@ -920,6 +920,138 @@ object LlmSim extends QueryModule {
             ELSE ${V.dotSql("nc.cv", "nc.cv")} END AS c_norm
         FROM summary s LEFT JOIN ncent nc ON nc.cid = s.cid""")),
 
+    // COMMITTED INDEX MAINTENANCE — the writeback that closes the
+    // lifecycle loop the r12 pair opened: build → probe → upsert →
+    // split → merge → COMMIT. maintainIvfCommit persists the
+    // maintained cells, the refreshed+carried centroid set, and the
+    // relabel CASCADE (PQ codes, labeled cells) in ONE exactly-once
+    // TxnMarker transaction; this query then probes the COMMITTED
+    // post-maintenance index — routing over the maintained centroids
+    // (split children present, absorbed cells gone, refreshed means
+    // where membership changed), candidates out of the maintained
+    // bucketed cells artifact. The DuckDB oracle re-derives the WHOLE
+    // chain (build, upsert, split, hybrid centroid set, merge
+    // mapping, incremental refresh, probe), so the gate is hash-exact
+    // proof that what was COMMITTED is what the derivation says —
+    // cascade consistency and double delivery on the real artifacts
+    // are asserted in OperatorSpec/TxnMarkerSpec.
+    "q_llm_ivf_maintenance_commit" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (mCells, mCent) = maintainIvfCommit(s, dir)
+        ivfProbeOf(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 10 && $"vec_id" < 15)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          mCent, mCells, nprobe = IvfPNprobe)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $ivfArrivalsSql,
+        nbcells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT nb.vec_id, nb.v, c.cid,
+              row_number() OVER (PARTITION BY nb.vec_id ORDER BY
+                ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn = 1),
+        allcells AS MATERIALIZED (
+          SELECT vec_id, v, cid FROM cells
+          UNION ALL SELECT vec_id, v, cid FROM nbcells),
+        asz AS (SELECT cid, count(*) AS cn FROM allcells GROUP BY cid),
+        ov AS (SELECT cid FROM asz WHERE cn > $IvfPSplitRows),
+        sd AS (
+          SELECT a.cid, a.vec_id, a.v,
+            row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id)
+              AS rn
+          FROM allcells a JOIN ov USING (cid)),
+        sd0 AS (SELECT cid, v AS cv FROM sd WHERE rn = 1),
+        sd1 AS (SELECT cid, v AS cv FROM sd WHERE rn = 2),
+        post AS MATERIALIZED (
+          SELECT a.vec_id, a.v, (s0.cid IS NOT NULL) AS split,
+            CASE WHEN s1.cv IS NOT NULL
+                AND ${d2Sql("a.v", "s1.cv")} < ${d2Sql("a.v", "s0.cv")}
+              THEN a.cid + $SplitCidOffset ELSE a.cid END AS cid
+          FROM allcells a
+            LEFT JOIN sd0 s0 ON s0.cid = a.cid
+            LEFT JOIN sd1 s1 ON s1.cid = a.cid),
+        scid AS MATERIALIZED (
+          SELECT DISTINCT cid FROM post WHERE split),
+        ncs AS (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT cid, unnest(v) AS x,
+                    generate_subscripts(v, 1) - 1 AS dim
+                  FROM post WHERE split)
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        hcent AS MATERIALIZED (
+          SELECT cid, cv FROM cent
+           WHERE cid NOT IN (SELECT cid FROM scid)
+          UNION ALL SELECT cid, cv FROM ncs),
+        sizes2 AS (SELECT cid, count(*) AS cn FROM post GROUP BY cid),
+        par AS (SELECT GREATEST(2,
+            ((sum(cn) + count(*) - 1) // count(*)) // 2) AS minr
+          FROM sizes2),
+        und AS (SELECT cid FROM sizes2
+          WHERE cn < (SELECT minr FROM par)),
+        tgt AS (SELECT cid FROM sizes2
+          WHERE cn >= (SELECT minr FROM par)),
+        mapping AS MATERIALIZED (
+          SELECT ucid, tcid FROM (
+            SELECT u.cid AS ucid, t.cid AS tcid,
+              row_number() OVER (PARTITION BY u.cid ORDER BY
+                ${d2Sql("uc.cv", "tc.cv")}, t.cid) AS rn
+            FROM und u
+              JOIN hcent uc ON uc.cid = u.cid
+              CROSS JOIN tgt t
+              JOIN hcent tc ON tc.cid = t.cid)
+          WHERE rn = 1),
+        relab AS MATERIALIZED (
+          SELECT COALESCE(m.tcid, p.cid) AS cid, p.vec_id, p.v,
+            (m.tcid IS NOT NULL) AS moved, p.split
+          FROM post p LEFT JOIN mapping m ON m.ucid = p.cid),
+        chg AS MATERIALIZED (
+          SELECT cid FROM relab WHERE moved
+          UNION
+          SELECT cid FROM scid
+           WHERE cid NOT IN (SELECT ucid FROM mapping)),
+        mref AS (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT r.cid, unnest(r.v) AS x,
+                    generate_subscripts(r.v, 1) - 1 AS dim
+                  FROM relab r JOIN chg USING (cid))
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        mcent AS MATERIALIZED (
+          SELECT cid, cv FROM cent
+           WHERE cid NOT IN (SELECT ucid FROM mapping)
+             AND cid NOT IN (SELECT cid FROM chg)
+          UNION ALL SELECT cid, cv FROM mref),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= 10 AND vec_id < 15),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN mcent c)
+          WHERE rn <= $IvfPNprobe),
+        scored AS (
+          SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
+          FROM probes p JOIN relab cl
+            ON cl.cid = p.cid AND p.q_id <> cl.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
     // PQ ENCODE — the compression half of IVF-PQ (see the PQ helper
     // block's scaladoc): the corpus coded as PqM=8 codebook ids per
     // vector (8 B vs 512 B — the representation a 100 TB ANN index
@@ -2815,6 +2947,161 @@ object LlmSim extends QueryModule {
       expectedRows = () => ivfArrivals(s, dir).count())
     s.table(tbl)
   }
+
+  // ---- Committed index maintenance (split/merge writeback) ----------
+
+  /** The maintained index DERIVATION: split every overgrown cell of
+    * the upserted artifact, then merge every underfull cell into its
+    * nearest healthy sibling — returning the maintained
+    * (cid, vec_id, v) frame AND its centroid set. Centroids refresh
+    * ONLY where membership changed (split children incl. the kept-cid
+    * child, merge receivers); every untouched cell keeps its ORIGINAL
+    * persisted centroid row, and absorbed cells' rows drop — so the
+    * refresh work is O(Σ|touched cell|), never a full-corpus mean
+    * pass (at 100 TB the corpus-sized quantized-mean aggregate is the
+    * whole cost; maintenance must not pay it for cells it didn't
+    * touch). NOTE this deliberately differs from the gated
+    * q_llm_ivf_cell_merge DEMO, whose self-contained oracle refreshes
+    * every post-split centroid: there the full refresh keeps the
+    * one-query oracle simple; here the incremental refresh is the
+    * posture that survives scale, and the maintenance-commit oracle
+    * re-derives exactly this hybrid. Deterministic end to end — same
+    * split seeds, same (d2, lower-id) tiebreaks, same quantized
+    * means. */
+  private[graft] def maintainedChain(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val up = persistedIvfCellsUpserted(s, dir)
+      .select($"cid", $"vec_id", $"v")
+    val post = splitCells(up, IvfPSplitRows) // (cid, vec_id, v, split)
+    val splitCids = post.filter($"split").select($"cid").distinct()
+    val origCent = persistedIvfCent(s, dir)
+    // hybrid centroids for the merge decision: refreshed means for
+    // split-touched cells (children have no persisted centroid, and
+    // the kept-cid child's membership changed), original persisted
+    // rows for everything else
+    val cent2 = origCent.join(splitCids, Seq("cid"), "left_anti")
+      .unionByName(refreshedCentroids(
+        post.filter($"split").select($"cid", $"vec_id", $"v")))
+    val merged =
+      mergeCells(post.select($"cid", $"vec_id", $"v"), cent2)
+    // final centroid set: refresh where post-merge membership changed
+    // (receivers + surviving split-touched cells), keep originals for
+    // untouched cells, drop absorbed cells
+    val survived = merged.select($"cid").distinct()
+    val absorbed = post.select($"cid").distinct()
+      .join(survived, Seq("cid"), "left_anti")
+    val changed = merged.filter($"moved").select($"cid")
+      .unionByName(splitCids.join(survived, Seq("cid"), "left_semi"))
+      .distinct()
+    val refreshed = refreshedCentroids(
+      merged.join(broadcast(changed), Seq("cid"), "left_semi")
+        .select($"cid", $"vec_id", $"v"))
+    val maintCent = origCent
+      .join(absorbed, Seq("cid"), "left_anti")
+      .join(changed, Seq("cid"), "left_anti")
+      .unionByName(refreshed)
+    (merged.select($"cid", $"vec_id", $"v"), maintCent)
+  }
+
+  /** (vec_id, label) for every row the maintained index holds: corpus
+    * labels plus the arrival batch's (an arrival carries its source
+    * vector's label — the metadata a real ingest delta ships with its
+    * vectors). */
+  private def labelsWithArrivals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Engine.table(s, dir, "embeddings")
+      .select($"vec_id", $"label")
+    base.unionByName(
+      base.filter($"vec_id" % 7 === 3)
+        .select(($"vec_id" + 500000L).as("vec_id"), $"label"))
+  }
+
+  /** The maintained-epoch artifact tables, in cascade write order:
+    * cells, centroids, PQ codes, labeled cells. */
+  private[graft] def maintainedTables(dir: String): Seq[String] = {
+    val h = math.abs(dir.hashCode)
+    Seq(s"graft_ivf_cells_m1_$h", s"graft_ivf_cent_m1_$h",
+      s"graft_pq_idx_m1_$h", s"graft_ivf_cells_lbl_m1_$h")
+  }
+
+  private val maintLock = new Object
+
+  /** COMMIT maintenance back to the persisted index, exactly-once,
+    * with the relabel CASCADED to every cid-keyed sibling artifact —
+    * the writeback the r12 maintenance pair lacked (split/merge were
+    * gated in-flight; nothing persisted, so the cid-keyed PQ codes
+    * and labeled cells would have gone stale the moment a relabel
+    * landed). One [[graft.operators.TxnMarker]] transaction covers
+    * the WHOLE cascade: maintained cells (bucketed on cid), the
+    * refreshed+carried centroid set, the PQ-code index relabeled to
+    * the maintained cids (plain-PQ codes encode the VECTOR, so a
+    * relabel moves routing keys, never payloads — a residual-PQ
+    * index, whose codes describe v − centroid(cell), would instead
+    * re-encode the touched cells' rows against the refreshed
+    * centroids with the frozen codebooks), and the labeled cells.
+    * Each table write is individually all-or-nothing (parquet job
+    * commit) and skipped when present, so a recovery re-run completes
+    * exactly the missing suffix of the cascade; the marker commits
+    * only after all four landed. Epoch guard: once the marker reports
+    * committed, a missing sibling table means the epochs diverged
+    * OUTSIDE the protocol (manual drop, corruption) — the accessor
+    * REFUSES with an exception rather than probe a stale cascade,
+    * while any divergence WITH the marker uncommitted (crash
+    * mid-cascade) is REFRESHED by the recovery re-run. Cross-JVM, a
+    * fresh catalog re-derives the epoch (the writeOnceTable
+    * discipline — the marker resets with the tables); within a JVM,
+    * deliveries serialize on a lock and the marker makes concurrent
+    * cross-process deliveries land the cascade once
+    * (double-delivery tested on the real artifacts in
+    * TxnMarkerSpec). Returns (cells, centroids) read from the
+    * COMMITTED tables. */
+  private[graft] def maintainIvfCommit(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    maintLock.synchronized {
+      import s.implicits._
+      val Seq(cellsT, centT, pqT, lblT) = maintainedTables(dir)
+      def missing =
+        maintainedTables(dir).filterNot(s.catalog.tableExists)
+      if (missing.nonEmpty) {
+        val metaDir = graft.operators.TxnMarker.managedTableDir(s,
+          s"graft_ivf_maint_${math.abs(dir.hashCode)}")
+        // cross-JVM reset: a fresh catalog with stale warehouse
+        // leftovers re-derives the whole epoch, marker included
+        if (!s.catalog.tableExists(cellsT)) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(metaDir)
+        }
+        graft.operators.TxnMarker.appendOnce(metaDir,
+          txn = "ivf-maintain-1",
+          doAppend = () => {
+            val (cells, cent) = maintainedChain(s, dir)
+            LlmText.writeOnceTable(s, cellsT, Seq("cid"), cells)
+            LlmText.writeOnceTable(s, centT, Seq("cid"), cent)
+            LlmText.writeOnceTable(s, pqT, Seq("cid"),
+              s.table(cellsT).select($"cid", $"vec_id")
+                .join(persistedPqIdxUpserted(s, dir)
+                  .select($"vec_id", $"codes"), Seq("vec_id"))
+                .select($"cid", $"vec_id", $"codes"))
+            LlmText.writeOnceTable(s, lblT, Seq("cid"),
+              s.table(cellsT)
+                .join(labelsWithArrivals(s, dir), Seq("vec_id"))
+                .select($"cid", $"vec_id", $"label", $"v"))
+            ()
+          },
+          presentRows = () => if (missing.isEmpty) 1L else 0L,
+          expectedRows = () => 1L)
+        val diverged = missing
+        if (diverged.nonEmpty) throw new IllegalStateException(
+          "IVF maintenance epochs diverged: commit marker present " +
+            s"but artifacts missing: ${diverged.mkString(", ")} — " +
+            "refusing to serve a stale cascade")
+      }
+      (s.table(cellsT), s.table(centT))
+    }
 
   /** One probe pass against an IVF artifact pair: route each (q_id,
     * qv) row of `q` to its `nprobe` nearest cells (broadcast

@@ -861,6 +861,76 @@ class OperatorSpec extends AnyFunSuite {
       s"cells (threshold $minRows)")
   }
 
+  test("maintenance commit: cascade consistent across artifacts, epoch guard refreshes or refuses") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (cells, cent) = LlmSim.maintainIvfCommit(spark, sf)
+    val Seq(cellsT, centT, pqT, lblT) = LlmSim.maintainedTables(sf)
+    assert(Seq(cellsT, centT, pqT, lblT)
+      .forall(spark.catalog.tableExists), "cascade left a table missing")
+    // membership: the PQ-code index and the labeled cells carry
+    // EXACTLY the maintained (cid, vec_id) set — the cascade's point:
+    // a probe routed by the maintained centroids finds every sibling
+    // artifact keyed by the SAME cids
+    val mem = cells.select($"cid", $"vec_id")
+      .as[(Int, Long)].collect().toSet
+    val pqMem = spark.table(pqT).select($"cid", $"vec_id")
+      .as[(Int, Long)].collect().toSet
+    val lblMem = spark.table(lblT).select($"cid", $"vec_id")
+      .as[(Int, Long)].collect().toSet
+    assert(pqMem === mem, "PQ-code index diverges from maintained cells")
+    assert(lblMem === mem, "labeled cells diverge from maintained cells")
+    // payloads survive the relabel: plain-PQ codes encode the VECTOR,
+    // so per-vec_id codes must be byte-identical to the upserted index
+    val upCodes = LlmSim.persistedPqIdxUpserted(spark, sf)
+      .select($"vec_id", array_join($"codes", ",").as("c"))
+      .as[(Long, String)].collect().toMap
+    val mCodes = spark.table(pqT)
+      .select($"vec_id", array_join($"codes", ",").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(mCodes === upCodes, "relabel altered code payloads")
+    // centroid set: every live cell has a centroid; split children
+    // (cid >= offset) carry REFRESHED means over maintained
+    // membership — they have no original row to carry
+    val maint = cent.select($"cid", $"cv")
+      .as[(Int, Seq[Double])].collect().toMap
+    val refreshedAll = LlmSim.refreshedCentroids(cells)
+      .select($"cid", $"cv").as[(Int, Seq[Double])].collect().toMap
+    val liveCids = mem.map(_._1)
+    assert(liveCids.subsetOf(maint.keySet),
+      "a live cell lacks a committed centroid")
+    liveCids.filter(_ >= LlmSim.SplitCidOffset).foreach { cid =>
+      assert(maint(cid) === refreshedAll(cid),
+        s"split child $cid centroid is not the refreshed mean")
+    }
+    // epoch guard, REFRESH branch: a sibling missing with the commit
+    // marker absent (= crash mid-cascade) is completed by a re-run
+    val metaDir = new java.io.File(
+      graft.operators.TxnMarker.managedTableDir(spark,
+        s"graft_ivf_maint_${math.abs(sf.hashCode)}"), "_graft_txn")
+    val marker = new java.io.File(metaDir, "ivf-maintain-1.committed")
+    spark.sql(s"DROP TABLE $pqT")
+    assert(marker.delete(), "commit marker should exist before the drop")
+    LlmSim.maintainIvfCommit(spark, sf)
+    assert(spark.catalog.tableExists(pqT) && marker.isFile,
+      "re-run must complete the missing cascade suffix and recommit")
+    val pqMem2 = spark.table(pqT).select($"cid", $"vec_id")
+      .as[(Int, Long)].collect().toSet
+    assert(pqMem2 === mem, "refreshed sibling re-derived differently")
+    // epoch guard, REFUSE branch: a sibling missing WITH the marker
+    // committed is divergence outside the protocol — refuse to serve
+    spark.sql(s"DROP TABLE $lblT")
+    val e = intercept[IllegalStateException] {
+      LlmSim.maintainIvfCommit(spark, sf)
+    }
+    assert(e.getMessage.contains("diverged"))
+    // restore the epoch for any later consumer in this JVM
+    assert(marker.delete())
+    LlmSim.maintainIvfCommit(spark, sf)
+    assert(spark.catalog.tableExists(lblT))
+  }
+
   test("filtered ANN: recall floor vs filtered brute, predicate pushed into the index scan") {
     import graft.queries.LlmSim
     // the selectivity-derived probe width must sit inside its clamp

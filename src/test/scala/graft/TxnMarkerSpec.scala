@@ -198,6 +198,28 @@ class TxnMarkerSpec extends AnyFunSuite {
       "no vec_id may appear twice (double-append would duplicate)")
   }
 
+  test("maintenance commit delivered twice holds exactly one maintained epoch") {
+    import spark.implicits._
+    // the real cascade: a second delivery — sequential or concurrent —
+    // must return the SAME committed epoch, duplicating nothing (the
+    // within-JVM lock serializes; the durable marker carries the
+    // cross-process case, same protocol the upsert tests exercise)
+    val (c1, _) = graft.queries.LlmSim.maintainIvfCommit(spark, sf)
+    val first = c1.select($"vec_id").as[Long].collect().sorted
+    assert(first.length === first.distinct.length,
+      "maintained cells hold a duplicated vec_id")
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        graft.queries.LlmSim.maintainIvfCommit(spark, sf); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val (c2, _) = graft.queries.LlmSim.maintainIvfCommit(spark, sf)
+    val second = c2.select($"vec_id").as[Long].collect().sorted
+    assert(first.sameElements(second),
+      "a repeated delivery changed the maintained epoch")
+  }
+
   test("PQ index upsert delivered twice holds exactly one arrival batch") {
     import spark.implicits._
     // the coded-index twin of the cells upsert: same marker protocol,
