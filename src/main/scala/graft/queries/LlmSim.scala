@@ -2403,12 +2403,13 @@ object LlmSim extends QueryModule {
     * Returns (cid, vec_id, v, split); `split` marks rows whose cell
     * was divided (both children), so a caller can refresh exactly
     * those centroids. ONE pass: a pathological cell (near-duplicate
-    * mass) can leave a child still overgrown; a maintenance loop
-    * re-running to fixpoint must use a fresh offset per round (a low
-    * child re-splitting would mint cid+offset, which an earlier
-    * round's upper child may already hold). */
+    * mass) can leave a child still overgrown; [[splitCellsFixpoint]]
+    * loops this pass with a fresh `offset` per round (a low child
+    * re-splitting would mint cid+offset, which an earlier round's
+    * upper child may already hold). */
   private[graft] def splitCells(cells: DataFrame,
-                                threshold: Long): DataFrame = {
+                                threshold: Long,
+                                offset: Int = SplitCidOffset): DataFrame = {
     import cells.sparkSession.implicits._
     val over = cells.groupBy($"cid").agg(count(lit(1)).as("cn"))
       .filter($"cn" > threshold).select($"cid")
@@ -2424,8 +2425,53 @@ object LlmSim extends QueryModule {
     cells.join(broadcast(seeds), Seq("cid"), "left")
       .select(
         when($"s1".isNotNull && d2($"v", $"s1") < d2($"v", $"s0"),
-          $"cid" + lit(SplitCidOffset)).otherwise($"cid").as("cid"),
+          $"cid" + lit(offset)).otherwise($"cid").as("cid"),
         $"vec_id", $"v", $"s0".isNotNull.as("split"))
+  }
+
+  /** [[splitCells]] to FIXPOINT: re-split while any cell remains
+    * overgrown, bounded by `maxRounds`. Round r relabels its upper
+    * children by `SplitCidOffset << r` — offsets are distinct powers
+    * of two times the base offset, so a final cid is
+    * base + Σ(subset of round offsets): the binary decomposition is
+    * unique, cids can NEVER collide across rounds (the hazard the
+    * one-pass scaladoc documents), and parent recovery stays
+    * `cid % SplitCidOffset` because every offset is a multiple of the
+    * base. Each round is the one-pass operator verbatim —
+    * O(Σ|overgrown|) work, seeds from a bounded-heap top-2, no
+    * shuffle of healthy cells — and the loop's driver side touches
+    * only a per-round overgrown COUNT (metadata-sized aggregate);
+    * per-round `localCheckpoint` cuts the lineage exactly like the
+    * repo's other fixpoints (ConnectedComponents, BFS). Convergence:
+    * a split strictly shrinks any cell whose two smallest-id vectors
+    * differ; a cell of BIT-IDENTICAL vectors cannot shrink (every row
+    * ties to the lower seed) and is excluded from the progress demand
+    * — the loop stops early if a round leaves the overgrown set's
+    * total population unchanged, rather than burning maxRounds on an
+    * unsplittable clone mass. Returns (maintained frame, rounds
+    * run). */
+  private[graft] def splitCellsFixpoint(
+      cells0: DataFrame, threshold: Long,
+      maxRounds: Int = 8): (DataFrame, Int) = {
+    import cells0.sparkSession.implicits._
+    var cur = cells0.select($"cid", $"vec_id", $"v")
+    var r = 0
+    def overPop(df: DataFrame): Long =
+      df.groupBy($"cid").agg(count(lit(1)).as("cn"))
+        .filter($"cn" > threshold)
+        .agg(coalesce(sum($"cn"), lit(0L))).as[Long].head()
+    var over = overPop(cur)
+    var progress = true
+    while (r < maxRounds && over > 0 && progress) {
+      cur = splitCells(cur, threshold, offset = SplitCidOffset << r)
+        .select($"cid", $"vec_id", $"v")
+        .localCheckpoint()
+      r += 1
+      val nextOver = overPop(cur)
+      progress = nextOver < over
+      over = nextOver
+    }
+    (cur, r)
   }
 
   /** Post-maintenance centroid refresh: exact quantized means (the

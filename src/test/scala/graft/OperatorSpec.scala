@@ -861,6 +861,52 @@ class OperatorSpec extends AnyFunSuite {
       s"cells (threshold $minRows)")
   }
 
+  test("split fixpoint: pathological cell needs >=2 rounds; membership and cids stay sound") {
+    import graft.queries.LlmSim
+    import spark.implicits._
+    // one overgrown cell holding THREE tight clusters, arranged so the
+    // one-pass split's two-smallest-id seeding separates only A from
+    // B∪C (cluster C sits nearer B than A): the documented pathological
+    // shape — a child still overgrown after one pass
+    val dims = 64
+    def mk(hot: Map[Int, Double], j: Double): Seq[Double] =
+      Seq.tabulate(dims)(d =>
+        hot.getOrElse(d, 0.0) + (if (d == 3) j else 0.0))
+    val a = (Seq(0L) ++ (10L to 68L))
+      .map(i => (0, i, mk(Map(0 -> 1.0), i * 1e-6)))
+    val b = (Seq(1L) ++ (71L to 129L))
+      .map(i => (0, i, mk(Map(1 -> 1.0), i * 1e-6)))
+    val c = (Seq(2L) ++ (131L to 189L))
+      .map(i => (0, i, mk(Map(1 -> 1.0, 2 -> 0.5), i * 1e-6)))
+    val cells = (a ++ b ++ c).toDF("cid", "vec_id", "v")
+    val threshold = 100L
+    val onePass = LlmSim.splitCells(cells, threshold)
+      .groupBy($"cid").count().as[(Int, Long)].collect().toMap
+    assert(onePass.values.exists(_ > threshold),
+      "one pass unexpectedly converged — not a fixpoint case")
+    val (fixed, rounds) = LlmSim.splitCellsFixpoint(cells, threshold)
+    assert(rounds >= 2, s"fixpoint converged in $rounds round(s)")
+    val out = fixed.select($"cid", $"vec_id")
+      .as[(Int, Long)].collect()
+    // vec_id multiset preserved through every round
+    assert(out.map(_._2).sorted.toSeq ===
+      (a ++ b ++ c).map(_._2).sorted.toSeq)
+    val byCell = out.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // converged, and each cluster sits whole in exactly one cell — a
+    // cid collision across rounds would merge two clusters' members
+    assert(byCell.values.forall(_.size <= threshold),
+      "an overgrown cell survived the fixpoint")
+    assert(byCell.values.toSet ===
+      Seq(a, b, c).map(_.map(_._2).toSet).toSet,
+      "clusters torn or merged — round offsets collided")
+    // parent recovery survives multi-round offsets (all multiples of
+    // the base offset)
+    assert(byCell.keySet.forall(_ % LlmSim.SplitCidOffset == 0))
+    info(s"fixpoint in $rounds rounds -> cells " +
+      byCell.view.mapValues(_.size).toMap.toSeq.sorted.mkString(", "))
+  }
+
   test("maintenance commit: cascade consistent across artifacts, epoch guard refreshes or refuses") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
