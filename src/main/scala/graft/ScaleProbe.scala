@@ -189,6 +189,122 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Filtered-ANN shape probe — two claims on one line each:
+    * (a) the POOL-TARGET grid: recall@3 vs the exact filtered brute
+    *     over nQ queries for poolTarget ∈ {32, 48, 64} at this sfDir,
+    *     with the per-label width range each target implies — the
+    *     evidence behind the shipped FilteredPoolTarget and the
+    *     OperatorSpec recall floor;
+    * (b) SELECTIVITY-NOT-N: the same queries and label skew probe a
+    *     1x and an Nx-scaled labeled index — the per-label widths
+    *     must be IDENTICAL (histogram and corpus scale together, so
+    *     the width derives from selectivity alone once unclamped)
+    *     and the rerank-input candidate rows per query must stay
+    *     ~flat while the index under them grows Nx.
+    * Usage: tools/run.sh graft.ScaleProbe filtered [sfDir] [N] [nQ] */
+  private def filteredShapeProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val nQ = args.lift(2).map(_.toInt).getOrElse(50)
+    val spark = Engine.session("graft-filteredshape")
+    import spark.implicits._
+    import queries.LlmSim
+    def pairs(df: DataFrame) = df.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(LlmSim.filteredBrute(spark, sfDir, nQ))
+    val grid = Seq(32L, 48L, 64L).map { pt =>
+      val widths = LlmSim.filteredNprobeByLabel(spark, sfDir, pt)
+      val t1 = System.nanoTime()
+      val got = pairs(LlmSim.ivfFilteredProbe(spark, sfDir, nQ, pt))
+      val sec = (System.nanoTime() - t1) / 1e9
+      f"""{"pool":$pt,"recall_at_3":${(got & brute).size.toDouble /
+        brute.size}%.4f,"sec":$sec%.2f,""" +
+        s""""np_min":${widths.values.min},"np_max":${widths.values.max}}"""
+    }
+    println(s"""{"filtered_pool_grid":"$sfDir","nQueries":$nQ,""" +
+      s""""grid":[${grid.mkString(",")}]}""")
+    // (b) scaled labeled index: replicate the corpus WITH its labels
+    // (skew preserved), derive each scale's own nlist/widths, probe
+    // with the SAME nQ 1x queries
+    val e1 = Engine.table(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label".cast("int").as("label"),
+        graft.operators.VectorOps.toDouble($"embedding").as("v"))
+    val eN = (0 until n).map(i => e1
+        .withColumn("vec_id", $"vec_id" + lit(i * 100000000L))
+        .withColumn("v", transform($"v", x => x + lit(i * 1e-3))))
+      .reduce(_ unionByName _)
+    def writeBucketed(tbl: String, key: String, df: => DataFrame): Unit =
+      if (!spark.catalog.tableExists(tbl)) {
+        val wh = new java.io.File(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(wh, tbl))
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
+      }
+    def mkLabeled(tag: String, e: DataFrame): (String, String, Map[Int, Int]) = {
+      val rows = e.count()
+      val nlist = LlmSim.ivfNlistFor(rows)
+      val centT = s"sp_f_cent_$tag"; val lblT = s"sp_f_lbl_$tag"
+      writeBucketed(centT, "cid",
+        LlmSim.ivfCentOf(e.select($"vec_id", $"v"), nlist))
+      writeBucketed(lblT, "cid",
+        LlmSim.ivfCellsOf(e.select($"vec_id", $"v"), spark.table(centT))
+          .join(e.select($"vec_id", $"label"), Seq("vec_id"))
+          .select($"cid", $"vec_id", $"label", $"v"))
+      val hist = e.groupBy($"label").agg(count(lit(1)).as("cnt"))
+        .as[(Int, Long)].collect().toSeq
+      (centT, lblT, LlmSim.filteredNprobeOf(hist, nlist,
+        LlmSim.FilteredPoolTarget))
+    }
+    val a1 = mkLabeled("1", e1)
+    val aN = mkLabeled(s"n$n", eN)
+    def qFrame(widths: Map[Int, Int]): DataFrame =
+      e1.filter($"vec_id" < nQ)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+        .withColumn("target", LlmSim.filteredTarget($"q_id"))
+        .withColumn("np", element_at(typedLit(widths), $"target"))
+    def probe(a: (String, String, Map[Int, Int])): Unit =
+      LlmSim.ivfFilteredProbeOf(qFrame(a._3),
+        spark.table(a._1), spark.table(a._2))
+        .write.format("noop").mode("overwrite").save()
+    // rerank-input volume: candidate rows after BOTH prunes + the
+    // per-query label equality — the work a probe actually pays
+    def candRows(a: (String, String, Map[Int, Int])): Long = {
+      val q = qFrame(a._3)
+      val routed = q.crossJoin(broadcast(spark.table(a._1)
+          .agg(collect_list(struct($"cid", $"cv")).as("cents"))))
+        .select($"q_id", $"target",
+          explode(slice(array_sort(transform($"cents",
+            c => struct(
+              (graft.operators.VectorOps.dot($"qv", $"qv")
+                - lit(2.0) * graft.operators.VectorOps.dot($"qv",
+                    c.getField("cv"))
+                + graft.operators.VectorOps.dot(c.getField("cv"),
+                    c.getField("cv"))).as("d2"),
+            c.getField("cid").as("cid")))), lit(1), $"np")).as("pc"))
+        .select($"q_id", $"target", $"pc.cid".as("cid"))
+      routed.join(spark.table(a._2), Seq("cid"))
+        .filter($"label" === $"target").count()
+    }
+    probe(a1); probe(aN) // warmup both plans
+    val t1 = Seq.fill(3)(time(probe(a1))).sorted.apply(1)
+    val tN = Seq.fill(3)(time(probe(aN))).sorted.apply(1)
+    val (c1, cN) = (candRows(a1), candRows(aN))
+    val sameWidths = a1._3 == aN._3
+    println(f"""{"filtered_shape":"$sfDir","scale":$n,"nQueries":$nQ,""" +
+      s""""widths_1x":"${a1._3.toSeq.sorted.mkString(",")}",""" +
+      s""""widths_Nx":"${aN._3.toSeq.sorted.mkString(",")}",""" +
+      s""""widths_identical":$sameWidths,""" +
+      f""""cand_rows_1x":$c1,"cand_rows_Nx":$cN,""" +
+      f""""cand_ratio":${cN.toDouble / c1}%.2f,""" +
+      f""""t1":$t1%.3f,"tN":$tN%.3f,"ratio":${tN / t1}%.2f}""")
+    spark.stop()
+  }
+
   private def streamFloorProbe(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Engine.session("graft-streamfloor")
@@ -222,6 +338,8 @@ object ScaleProbe {
       return streamFloorProbe(args.drop(1))
     if (args.headOption.contains("pqsweep"))
       return pqSweepProbe(args.drop(1))
+    if (args.headOption.contains("filtered"))
+      return filteredShapeProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     // optional args 3+: probe only the named shapes (local fast loop)

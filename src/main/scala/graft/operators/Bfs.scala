@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-source (or multi-source) BFS hop distance by iterative
@@ -66,6 +66,106 @@ object Bfs {
         SqlBridge.ofRows(s2, sources.queryExecution.logical),
         maxHops, micro = true)
     }
+
+  /** BITMAP-FRONTIER BFS for a DOMAIN-BOUNDED node id space
+    * [0, maxId) — the join-free formulation of [[hopDistance]].
+    * Frontier and settled sets live as driver-held long-array bitmaps
+    * (maxId/8 bytes each; `maxId` is capped so a bitmap stays tens of
+    * MBs — a sparser or unbounded id space must densify first, the
+    * standard id-densification step of every production graph
+    * engine). Each round is ONE map-side job: the edge scan filters
+    * `src` against the frontier bitmap (a words-array literal probed
+    * with native bit ops — codegen, no UDF), projects `dst`, and
+    * OR-folds it into a round bitmap via [[graft.plans.BitmapOrAgg]]
+    * — NO join, NO distinct, NO anti-join, NO shuffle: the only
+    * cross-worker traffic is one fixed-size bitmap buffer per
+    * partition into the final merge, independent of frontier
+    * cardinality. The driver clears already-settled bits (exact — a
+    * bitmap, not a sketch, so no false positive can drop a node) and
+    * the result materializes OFF the driver as one range scan over
+    * the domain with d = the first level bitmap holding the id.
+    * Semantics identical to [[hopDistance]]: every reachable node at
+    * its minimum hop, sources at d=0, early stop on an empty
+    * frontier. Work per round is one full edge scan (same as the
+    * join formulation's probe side) with O(1) bytes exchanged where
+    * the join formulation shuffles the frontier, the expansion
+    * distinct, AND the growing settled anti-join every round. */
+  def hopDistanceBitmap(edges: DataFrame, sources: DataFrame,
+                        maxHops: Int, maxId: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(maxId > 0 && maxId <= (1L << 31),
+      s"bitmap BFS needs a bounded id domain (got maxId=$maxId; " +
+        "densify ids first past 2^31)")
+    val words = ((maxId + 63) / 64).toInt
+    val bits = words.toLong * 64
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val settled = new Array[Long](words)
+    // bounded collect: one long per SOURCE node — the query's seed
+    // set, not the corpus
+    sources.select(col("node")).distinct().as[Long].collect()
+      .foreach { id =>
+        require(id >= 0 && id < maxId,
+          s"source node $id outside the declared domain [0, $maxId)")
+        settled((id >> 6).toInt) |= 1L << (id & 63)
+      }
+    var frontier = settled.clone()
+    var frontierCount = frontier.map(java.lang.Long.bitCount(_).toLong).sum
+    val levels = scala.collection.mutable.ArrayBuffer(frontier.toSeq)
+    def containsCol(bm: Array[Long], idc: Column): Column = {
+      val word = element_at(typedLit(bm.toSeq), (idc / 64).cast("int") + 1)
+      val mask = SqlBridge.column(ShiftLeft(
+        SqlBridge.expression(lit(1L)),
+        SqlBridge.expression(pmod(idc, lit(64L)).cast("int"))))
+      word.bitwiseAND(mask) =!= 0L
+    }
+    var hop = 0
+    while (hop < maxHops && frontierCount > 0) {
+      val nb = e.filter(containsCol(frontier, col("src")))
+        .agg(graft.plans.BitmapOrAgg(col("dst"), lit(bits)).as("bm"))
+        .head.getAs[Array[Byte]]("bm")
+      val next =
+        if (nb == null) new Array[Long](words)
+        else {
+          val w = new Array[Long](words)
+          java.nio.ByteBuffer.wrap(nb).asLongBuffer()
+            .get(w, 0, nb.length / 8)
+          w
+        }
+      var i = 0; var cnt = 0L
+      while (i < words) {
+        next(i) &= ~settled(i)
+        settled(i) |= next(i)
+        cnt += java.lang.Long.bitCount(next(i))
+        i += 1
+      }
+      levels += next.toSeq
+      frontier = next
+      frontierCount = cnt
+      hop += 1
+    }
+    release(e)
+    // distributed materialization: d = index of the first level bitmap
+    // holding the id — a coalesce over <= maxHops+1 bounded-literal
+    // probes inside one codegen range scan, no driver-side row build
+    val lvlLit = typedLit(levels.toSeq)
+    val idc = col("id")
+    def inLevel(l: Int): Column = {
+      val word = element_at(element_at(lvlLit, l + 1),
+        (idc / 64).cast("int") + 1)
+      val mask = SqlBridge.column(ShiftLeft(
+        SqlBridge.expression(lit(1L)),
+        SqlBridge.expression(pmod(idc, lit(64L)).cast("int"))))
+      word.bitwiseAND(mask) =!= 0L
+    }
+    spark.range(0, maxId)
+      .withColumn("d", coalesce(
+        levels.indices.map(l => when(inLevel(l), lit(l))): _*))
+      .filter(col("d").isNotNull)
+      .select(col("id").as("node"), col("d"))
+  }
 
   // private[graft] so the job-count test can run both postures and
   // measure the submission gap the adaptive=false wrapper exists for

@@ -1375,37 +1375,43 @@ object LlmSim extends QueryModule {
     // multi-tenant / faceted embedding store. The hard part is
     // recall: with predicate selectivity s a routed cell holds only
     // ~|cell|·s matching candidates, so the unfiltered nprobe starves
-    // the rerank — the probe widens to the selectivity-derived
-    // filteredNprobe (policy-by-code; derivation in the helper's
-    // scaladoc), and candidates come from the ATTRIBUTE-PAYLOAD index
+    // the rerank — each query's probe widens to ITS TARGET LABEL'S
+    // selectivity-derived width (filteredNprobeByLabel, policy-by-
+    // code; derivation in the helper's scaladoc — a common label
+    // routes fewer cells than a rare one, r12's global worst-case
+    // width over-probed common labels by commonest/rarest), and
+    // candidates come from the ATTRIBUTE-PAYLOAD index
     // (labels stored in the cells artifact) with both the routed-cid
     // set AND the target-label set pushed as literal scan filters —
-    // index I/O stays nprobeF·|cell| rows per query, no probe-time
-    // corpus join. The oracle re-derives the label histogram, the
-    // nprobeF clamp (same integer ceil-division), the routing, and
-    // the filter in SQL, so the gate is hash-exact at every scale;
+    // index I/O stays nprobeF(target)·|cell| rows per query, no
+    // probe-time corpus join. The oracle re-derives the label
+    // histogram, the per-label clamp (same integer ceil-division),
+    // the routing, and the filter in SQL — hash-exact at every scale;
     // recall vs the filtered BRUTE top-3 is floor-gated in
     // OperatorSpec and the grid documented in PLANS.md.
     "q_llm_ann_filtered" -> QueryDef(
       fn = (s, dir) => ivfFilteredProbe(s, dir, 10),
       oracle = Some(s"""
         WITH $ivfCellsSql,
-        hist AS (SELECT min(cnt) AS m, CAST(sum(cnt) AS BIGINT) AS n
-          FROM (SELECT count(*) AS cnt FROM embeddings
-                GROUP BY label)),
-        np AS (SELECT GREATEST($IvfPNprobe, LEAST((SELECT n FROM nl),
-            ($FilteredPoolTarget * n + $IvfPCellRows * m - 1)
-              // ($IvfPCellRows * m))) AS p FROM hist),
+        hist AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt
+          FROM embeddings GROUP BY label),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        np AS (SELECT label,
+            GREATEST($IvfPNprobe, LEAST((SELECT n FROM nl),
+              ($FilteredPoolTarget * (SELECT n FROM tot)
+                  + $IvfPCellRows * cnt - 1)
+                // ($IvfPCellRows * cnt))) AS p
+          FROM hist),
         q AS (SELECT vec_id AS q_id, v AS qv,
             CAST((vec_id % 3) * 2 AS INT) AS target
           FROM e WHERE vec_id < 10),
         probes AS (
           SELECT q_id, qv, target, cid FROM (
-            SELECT q.q_id, q.qv, q.target, c.cid,
+            SELECT q.q_id, q.qv, q.target, c.cid, np.p,
               row_number() OVER (PARTITION BY q.q_id ORDER BY
                 ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
-            FROM q CROSS JOIN cent c)
-          WHERE rn <= (SELECT p FROM np)),
+            FROM q JOIN np ON np.label = q.target CROSS JOIN cent c)
+          WHERE rn <= p),
         scored AS (
           SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
           FROM probes p
@@ -3333,78 +3339,126 @@ object LlmSim extends QueryModule {
   }
 
   /** Expected matching-candidate pool a filtered probe must route
-    * before the rerank has anything to rank: ~10× the k=3 cut, the
-    * same headroom class as [[PqTopR]]/[[BqTopR]]. */
-  private[graft] val FilteredPoolTarget = 32L
+    * before the rerank has anything to rank — the same headroom class
+    * as [[PqTopR]]/[[BqTopR]]. Shipped 64 from the r13 pool grid
+    * (ScaleProbe `filtered`, 50 queries, recall@3 vs filtered brute
+    * at sf0.001/0.01/0.1): 32 → 0.84/0.87/0.69, 48 → 0.95/1.00/0.75,
+    * 64 → 1.00/1.00/0.80, with probe wall time FLAT across the grid
+    * (the routed set stays ~8-11 cells of ~IvfPCellRows rows — still
+    * selectivity-derived and corpus-independent, so the constant is
+    * the only cost). sf0.1's 0.80 is the honest routing ceiling at
+    * that corpus's geometry: the missing neighbors live in cells the
+    * centroid ordering ranks past nprobeF — wider pools keep paying
+    * linearly for the tail (grid in PLANS.md r13). */
+  private[graft] val FilteredPoolTarget = 64L
 
-  // one histogram per (JVM, sfDir): pure collect, duplicate
-  // computation harmless — same pattern as ivfNlistCache
+  // one histogram per (JVM, sfDir, poolTarget): pure collect,
+  // duplicate computation harmless — same pattern as ivfNlistCache
   private val filteredNprobeCache =
-    scala.collection.concurrent.TrieMap[String, Int]()
+    scala.collection.concurrent.TrieMap[(String, Long), Map[Int, Int]]()
 
-  /** Selectivity-derived probe width for FILTERED ANN — policy-by-code
-    * like [[ivfNlistFor]]. With predicate selectivity s, a routed cell
-    * holds only ~IvfPCellRows·s matching candidates, so the unfiltered
-    * [[IvfPNprobe]] starves the rerank as the filter sharpens (THE
-    * failure mode of filtered vector search). Probe enough cells that
-    * the EXPECTED matching pool under the batch's worst-case label
-    * selectivity (min label count / N — one |labels|-row aggregate
-    * over the label histogram, metadata-sized) reaches
-    * [[FilteredPoolTarget]]:
-    *   nprobeF = clamp(ceil(PoolTarget·N / (IvfPCellRows·minCnt)),
-    *                   IvfPNprobe, nlist)
-    * Integer ceil-division end-to-end; the oracle derives the SAME
-    * value in SQL, so engine and oracle cannot drift. nprobeF depends
-    * on selectivity, not N, so probe I/O stays nprobeF·IvfPCellRows
-    * rows per query at any corpus size and the scan fraction
-    * nprobeF/nlist still shrinks as 1/N under the derived-nlist
-    * policy. */
-  private[graft] def filteredNprobe(s: SparkSession, dir: String): Int =
-    filteredNprobeCache.getOrElseUpdate(dir, {
+  /** PER-TARGET selectivity-derived probe widths for FILTERED ANN —
+    * policy-by-code like [[ivfNlistFor]]. With predicate selectivity
+    * s, a routed cell holds only ~IvfPCellRows·s matching candidates,
+    * so the unfiltered [[IvfPNprobe]] starves the rerank as the
+    * filter sharpens (THE failure mode of filtered vector search).
+    * Probe enough cells that the EXPECTED matching pool under the
+    * QUERY'S OWN target selectivity (its label's count / N, from one
+    * |labels|-row histogram — metadata-sized) reaches `poolTarget`:
+    *   nprobeF(l) = clamp(ceil(poolTarget·N / (IvfPCellRows·cnt(l))),
+    *                      IvfPNprobe, nlist)
+    * Per label, not global: the r12 form derived ONE width from the
+    * worst-case (minimum) count, so every query against a common
+    * label over-probed by the ratio commonest/rarest — same integer
+    * arithmetic, now per histogram row, and a query pays exactly its
+    * own selectivity. Integer ceil-division end-to-end; the oracle
+    * derives the SAME per-label values in SQL, so engine and oracle
+    * cannot drift. nprobeF depends on selectivity, not N, so probe
+    * I/O stays nprobeF(l)·IvfPCellRows rows per query at any corpus
+    * size and the scan fraction still shrinks as 1/N under the
+    * derived-nlist policy (measured in ScaleProbe `filtered_shape`). */
+  private[graft] def filteredNprobeByLabel(
+      s: SparkSession, dir: String,
+      poolTarget: Long = FilteredPoolTarget): Map[Int, Int] =
+    filteredNprobeCache.getOrElseUpdate((dir, poolTarget), {
       import s.implicits._
-      val r = Engine.table(s, dir, "embeddings")
-        .groupBy($"label").agg(count(lit(1)).as("cnt"))
-        .agg(min($"cnt").as("m"), sum($"cnt").as("n")).head()
-      val m = r.getLong(0)
-      val n = r.getLong(1)
-      val p = (FilteredPoolTarget * n + IvfPCellRows * m - 1) /
-        (IvfPCellRows * m)
-      math.max(IvfPNprobe.toLong,
-        math.min(ivfPNlist(s, dir).toLong, p)).toInt
+      filteredNprobeOf(
+        Engine.table(s, dir, "embeddings")
+          .groupBy($"label").agg(count(lit(1)).as("cnt"))
+          .select($"label".cast("int"), $"cnt")
+          .as[(Int, Long)].collect().toSeq,
+        ivfPNlist(s, dir), poolTarget)
     })
+
+  /** The per-label width arithmetic itself, over an explicit
+    * histogram — the one home of the clamp, shared by the dir-bound
+    * policy above and ScaleProbe's scaled-index `filtered_shape`. */
+  private[graft] def filteredNprobeOf(
+      hist: Seq[(Int, Long)], nlist: Int,
+      poolTarget: Long): Map[Int, Int] = {
+    val n = hist.map(_._2).sum
+    hist.map { case (l, cnt) =>
+      val p = (poolTarget * n + IvfPCellRows * cnt - 1) /
+        (IvfPCellRows * cnt)
+      l -> math.max(IvfPNprobe.toLong, math.min(nlist.toLong, p)).toInt
+    }.toMap
+  }
 
   /** Deterministic per-query filter target: queries 0..9 spread over
     * labels {0, 2, 4} — 3 of the 10 label values, so the pushed label
     * set genuinely prunes the index scan at every scale. */
-  private def filteredTarget(c: Column): Column =
+  private[graft] def filteredTarget(c: Column): Column =
     ((c % 3) * 2).cast("int")
 
   /** FILTERED ANN probe: per-query top-3 among vectors satisfying the
     * query's metadata predicate (label = target). Routing widens to
-    * [[filteredNprobe]] cells; candidates come from ONE scan of the
-    * attribute-payload index with BOTH prunes pushed as literal InSet
-    * scan filters — the routed cid set (bucket + row-group pruning)
-    * AND the target-label set (row-group pruning on the label column)
-    * — then the per-query equality applies on the joined rows and
-    * survivors rerank exactly through GroupTopK. No probe-time corpus
-    * join: index I/O is nprobeF·|cell| rows per query, full-width
-    * reads only for rows that pass both prunes. */
-  private[graft] def ivfFilteredProbe(s: SparkSession, dir: String,
-                                      nQ: Int): DataFrame = {
+    * the query's OWN [[filteredNprobeByLabel]] width (per-row slice
+    * length over the same sorted broadcast centroid array — a common
+    * label routes fewer cells than a rare one); candidates come from
+    * ONE scan of the attribute-payload index with BOTH prunes pushed
+    * as literal InSet scan filters — the routed cid set (bucket +
+    * row-group pruning) AND the target-label set (row-group pruning
+    * on the label column) — then the per-query equality applies on
+    * the joined rows and survivors rerank exactly through GroupTopK.
+    * No probe-time corpus join: index I/O is nprobeF(target)·|cell|
+    * rows per query, full-width reads only for rows that pass both
+    * prunes. */
+  private[graft] def ivfFilteredProbe(
+      s: SparkSession, dir: String, nQ: Int,
+      poolTarget: Long = FilteredPoolTarget): DataFrame = {
     import s.implicits._
-    val np = filteredNprobe(s, dir)
+    val npLit = typedLit(filteredNprobeByLabel(s, dir, poolTarget))
     val q = embDoubles(s, dir).filter($"vec_id" < nQ)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-    val routed = probeCells(q, centArrOf(persistedIvfCent(s, dir)), np)
       .withColumn("target", filteredTarget($"q_id"))
+      .withColumn("np", element_at(npLit, $"target"))
+    ivfFilteredProbeOf(q, persistedIvfCent(s, dir),
+      persistedIvfCellsLabeled(s, dir))
+  }
+
+  /** The filtered-probe CORE over explicit artifacts: `q` carries
+    * (q_id, qv, target, np — its own per-label width); routing is a
+    * per-row slice of length `np` over the sorted broadcast centroid
+    * array, candidates come from ONE pruned scan of the labeled index
+    * — shared by the gated dir-bound probe and ScaleProbe's
+    * scaled-index `filtered_shape`. */
+  private[graft] def ivfFilteredProbeOf(
+      q: DataFrame, cent: DataFrame, labeled: DataFrame): DataFrame = {
+    import q.sparkSession.implicits._
+    val routed = q.crossJoin(centArrOf(cent))
+      .select($"q_id", $"qv", $"target",
+        explode(slice(array_sort(transform($"cents",
+          c => struct(sqDist($"qv", c.getField("cv")).as("d2"),
+            c.getField("cid").as("cid")))), lit(1), $"np")).as("pc"))
+      .select($"q_id", $"qv", $"target", $"pc.cid".as("cid"))
     // bounded collects: routed cids ≤ nlist ints, targets ≤ |labels|
     // ints — metadata-sized, same class as every probe in this file
     val cids = routed.select($"cid").distinct().as[Int].collect().sorted
     val tgts =
       routed.select($"target").distinct().as[Int].collect().sorted
-    val cand = persistedIvfCellsLabeled(s, dir)
+    val cand = labeled
       .filter(inSetCol($"cid", cids) && inSetCol($"label", tgts))
-    // the probe side is |q|·nprobeF rows — metadata-sized at any
+    // the probe side is Σ nprobeF(target) rows — metadata-sized at any
     // corpus — and the (label = target) equality would otherwise be
     // extracted into the join keys, breaking the index side's
     // bucket-on-cid clustering (a corpus-sized shuffle); broadcasting

@@ -979,14 +979,15 @@ class OperatorSpec extends AnyFunSuite {
 
   test("filtered ANN: recall floor vs filtered brute, predicate pushed into the index scan") {
     import graft.queries.LlmSim
-    // the selectivity-derived probe width must sit inside its clamp
-    val np = LlmSim.filteredNprobe(spark, sf)
-    assert(np >= LlmSim.IvfPNprobe, s"nprobeF $np below the family floor")
+    // every per-label probe width must sit inside its clamp
+    val np = LlmSim.filteredNprobeByLabel(spark, sf)
+    assert(np.nonEmpty && np.values.forall(_ >= LlmSim.IvfPNprobe),
+      s"per-label nprobeF $np below the family floor")
     // recall vs the exact FILTERED top-3 over 50 queries (the gated
     // query's 10 would mask a regression behind sampling noise); the
     // pool-target policy routes enough cells that the matching pool is
-    // ≥ FilteredPoolTarget in expectation — measured r12: see PLANS.md
-    // grid; floor = measured-minus-margin.
+    // ≥ FilteredPoolTarget in expectation — r13 grid (PLANS.md): pool
+    // 64 measures 1.00 at this sf; floor = measured-minus-margin.
     val nQ = 50
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select("q_id", "vec_id").collect()
@@ -995,8 +996,8 @@ class OperatorSpec extends AnyFunSuite {
     val routedDf = LlmSim.ivfFilteredProbe(spark, sf, nQ)
     val routed = pairs(routedDf)
     val recall = (routed & brute).size.toDouble / brute.size
-    assert(recall >= 0.70,
-      f"filtered-ANN recall over $nQ queries = $recall%.3f < 0.70")
+    assert(recall >= 0.90,
+      f"filtered-ANN recall over $nQ queries = $recall%.3f < 0.90")
     info(f"filtered ANN (nprobeF=$np) recall@3 vs filtered brute = " +
       f"$recall%.3f ($nQ queries)")
     // the metadata predicate must reach the attribute-payload index
