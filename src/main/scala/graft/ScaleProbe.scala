@@ -189,6 +189,43 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** BFS A/B on the GATED q_graph_bfs graph: the join-frontier
+    * formulation vs the bitmap-frontier one (domain = the graph's own
+    * max node id — ~n_customers, so the bitmap is KBs). Median of 3
+    * after warmup, same grouped output as the gated query.
+    * Usage: tools/run.sh graft.ScaleProbe bfsab [sfDir] */
+  private def bfsAbProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Engine.session("graft-bfsab")
+    import spark.implicits._
+    val n = Engine.table(spark, sfDir, "customer").count()
+    val raw = Engine.table(spark, sfDir, "orders")
+      .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+        greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val edges = raw.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(raw.select($"b".as("src"), $"a".as("dst")))
+    val sources = spark.range(1, 2).select($"id".as("node"))
+    val maxId = edges.agg(max(greatest($"src", $"dst")))
+      .head.getLong(0) + 1
+    def out(df: DataFrame): Unit = {
+      df.groupBy($"d")
+        .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
+        .collect(); ()
+    }
+    def joinForm(): Unit =
+      out(graft.operators.Bfs.hopDistance(edges, sources, maxHops = 8))
+    def bmForm(): Unit = out(graft.operators.Bfs.hopDistanceBitmap(
+      edges, sources, maxHops = 8, maxId))
+    joinForm(); bmForm()
+    val tj = Seq.fill(3)(time(joinForm())).sorted.apply(1)
+    val tb = Seq.fill(3)(time(bmForm())).sorted.apply(1)
+    println(f"""{"bfs_ab":"$sfDir","max_id":$maxId,""" +
+      f""""join_sec":$tj%.3f,"bitmap_sec":$tb%.3f,""" +
+      f""""speedup":${tj / tb}%.2f}""")
+    spark.stop()
+  }
+
   /** Filtered-ANN shape probe — two claims on one line each:
     * (a) the POOL-TARGET grid: recall@3 vs the exact filtered brute
     *     over nQ queries for poolTarget ∈ {32, 48, 64} at this sfDir,
@@ -340,6 +377,8 @@ object ScaleProbe {
       return pqSweepProbe(args.drop(1))
     if (args.headOption.contains("filtered"))
       return filteredShapeProbe(args.drop(1))
+    if (args.headOption.contains("bfsab"))
+      return bfsAbProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     // optional args 3+: probe only the named shapes (local fast loop)
@@ -428,6 +467,31 @@ object ScaleProbe {
         o.filter($"o_orderkey" % 8 === 0).select($"o_orderkey".as("node")),
         maxHops = 8)
       .write.format("noop").mode("overwrite").save()
+
+    // Bitmap-frontier twin of the BFS shape. The Nx replica ids are
+    // base + i·1e8 — far too sparse for a raw-id bitmap — so they
+    // densify first (dense = replica·maxBase + key%1e8, a bijection
+    // into [0, reps·maxBase)): the id-densification step every
+    // production bitmap/CSR graph engine runs, done here in the probe
+    // because the OPERATOR honestly requires a bounded domain.
+    lazy val bfsMaxBase =
+      orders1.agg(max($"o_orderkey")).head.getLong(0) + 1
+    def bfsBitmap(o: DataFrame, reps: Int): Unit = {
+      // Column./ is FRACTIONAL division — floor+cast gives the exact
+      // replica index (keys < 2^53, so the double quotient cannot
+      // cross an integer boundary)
+      def dense(c: org.apache.spark.sql.Column) =
+        floor(c / 100000000L).cast("long") * bfsMaxBase +
+          (c % 100000000L)
+      graft.operators.Bfs.hopDistanceBitmap(
+        o.filter($"o_orderkey" % 8 =!= 0)
+          .select(dense($"o_orderkey" - 1).as("src"),
+            dense($"o_orderkey").as("dst")),
+        o.filter($"o_orderkey" % 8 === 0)
+          .select(dense($"o_orderkey").as("node")),
+        maxHops = 8, maxId = reps * bfsMaxBase)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // Chunking shape: pure per-row explode (q_llm_chunk's plan) over the
     // order-priority text proxy — linear rows in, ~rows/stride out.
@@ -776,6 +840,7 @@ object ScaleProbe {
       "group_topk_shape" -> (() => topk(li1)),
       "conn_components_shape" -> (() => cc(orders1)),
       "bfs_shape" -> (() => bfs(orders1)),
+      "bfs_bitmap_shape" -> (() => bfsBitmap(orders1, 1)),
       "chunk_explode_shape" -> (() => chunk(orders1)),
       "q21_fast_shape" -> (() => q21fast(li1, orders1)),
       "pair_join_pinned_shape" -> (() => pairJoin(docs1)),
@@ -813,6 +878,8 @@ object ScaleProbe {
       "group_topk_shape" -> ((l, _) => topk(l)),
       "conn_components_shape" -> ((_, o) => cc(o)),
       "bfs_shape" -> ((_, o) => bfs(o)),
+      "bfs_bitmap_shape" -> ((_, o) =>
+        bfsBitmap(o, if (o eq orders1) 1 else n)),
       "pair_join_pinned_shape" -> ((l, _) =>
         pairJoin(if (l eq li1) docs1 else docsN)),
       "sweep_prefix_hot_shape" -> ((l, _) =>

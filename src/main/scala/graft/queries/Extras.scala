@@ -253,17 +253,25 @@ object Extras extends QueryModule {
     // BFS HOP DISTANCE — the fourth iterative-graph shape next to
     // ConnectedComponents, PageRank, and triangles: frontier expansion
     // settles each node exactly once at its minimum hop count from the
-    // source (integer-exact, capped at 8 hops on both engines). The
-    // edge list shuffles onto src ONCE up front (localCheckpoint
-    // preserves the partitioning), so each round only moves the
-    // frontier — the distributed-BFS cost model that holds at 100 TB.
-    // Result = per-distance histogram; the oracle replays it as a
-    // depth-capped recursive CTE with min-over-walks, which equals hop
-    // distance for every node reachable within the cap.
+    // source (integer-exact, capped at 8 hops on both engines). This
+    // graph's node ids are DOMAIN-BOUNDED by construction (every node
+    // < max(max custkey, |customer|)), so the query rides the
+    // bitmap-frontier formulation (Bfs.hopDistanceBitmap): frontier
+    // and settled sets are exact driver-held bitmaps (KBs here, MBs
+    // at any TPC-H scale), each round is ONE map-side edge scan — no
+    // join, no distinct, no anti-join, no per-round shuffle — and the
+    // r13 A/B measured 4.9× over the join-frontier general-graph
+    // operator (hopDistance, which remains the unbounded-domain
+    // path; grid in PLANS.md r13). Result = per-distance histogram;
+    // the oracle replays it as a depth-capped recursive CTE with
+    // min-over-walks, which equals hop distance for every node
+    // reachable within the cap.
     "q_graph_bfs" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
         val n = Engine.table(s, dir, "customer").count()
+        val maxCust = Engine.table(s, dir, "customer")
+          .agg(max($"c_custkey")).head.getLong(0)
         val raw = Engine.table(s, dir, "orders")
           .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
             greatest($"o_custkey", $"o_orderkey" % n).as("b"))
@@ -272,7 +280,8 @@ object Extras extends QueryModule {
         val edges = raw.select($"a".as("src"), $"b".as("dst"))
           .unionByName(raw.select($"b".as("src"), $"a".as("dst")))
         val sources = s.range(1, 2).select($"id".as("node"))
-        graft.operators.Bfs.hopDistance(edges, sources, maxHops = 8)
+        graft.operators.Bfs.hopDistanceBitmap(edges, sources,
+            maxHops = 8, maxId = math.max(maxCust + 1, n))
           .groupBy($"d")
           .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
       },

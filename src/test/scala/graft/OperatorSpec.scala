@@ -2094,6 +2094,54 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Bfs bitmap frontier matches the join formulation exactly") {
+    import graft.operators.Bfs
+    import spark.implicits._
+    // unit graphs: shortcut, cap, multi-source — byte-for-byte against
+    // the join formulation's asserted maps
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (100L, 101L))
+    val edges = pairs.toDF("src", "dst")
+      .unionByName(pairs.map(_.swap).toDF("src", "dst"))
+    val d = Bfs.hopDistanceBitmap(edges, Seq(0L).toDF("node"),
+        maxHops = 8, maxId = 256L)
+      .as[(Long, Int)].collect().toMap
+    assert(d === Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2))
+    val capped = Bfs.hopDistanceBitmap(edges, Seq(0L).toDF("node"),
+        maxHops = 1, maxId = 256L)
+      .as[(Long, Int)].collect().toMap
+    assert(capped === Map(0L -> 0, 1L -> 1, 3L -> 1))
+    val multi = Bfs.hopDistanceBitmap(edges,
+        Seq(0L, 100L).toDF("node"), maxHops = 8, maxId = 256L)
+      .as[(Long, Int)].collect().toMap
+    assert(multi(100L) === 0 && multi(101L) === 1 && multi(4L) === 2)
+    // the gated graph at this sf: both formulations must agree on
+    // every (node, d)
+    import org.apache.spark.sql.functions._
+    val n = Engine.table(spark, sf, "customer").count()
+    val raw = Engine.table(spark, sf, "orders")
+      .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+        greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val gEdges = raw.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(raw.select($"b".as("src"), $"a".as("dst")))
+    val gSrc = spark.range(1, 2).select($"id".as("node"))
+    val maxId = gEdges
+      .agg(max(greatest($"src", $"dst"))).head.getLong(0) + 1
+    val joinD = Bfs.hopDistance(gEdges, gSrc, maxHops = 8)
+      .as[(Long, Int)].collect().toMap
+    val bmD = Bfs.hopDistanceBitmap(gEdges, gSrc, maxHops = 8, maxId)
+      .as[(Long, Int)].collect().toMap
+    assert(bmD === joinD,
+      s"bitmap vs join mismatch: ${bmD.size} vs ${joinD.size} nodes")
+    // out-of-domain ids fail loudly, never alias
+    val e2 = intercept[Exception] {
+      Bfs.hopDistanceBitmap(Seq((0L, 300L)).toDF("src", "dst"),
+        Seq(0L).toDF("node"), maxHops = 2, maxId = 256L).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("Bfs submits O(rounds) jobs, not O(exchange stages)") {
     import graft.operators.Bfs
     import spark.implicits._
