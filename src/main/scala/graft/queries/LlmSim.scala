@@ -947,92 +947,7 @@ object LlmSim extends QueryModule {
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
-        $ivfArrivalsSql,
-        nbcells AS (
-          SELECT vec_id, v, cid FROM (
-            SELECT nb.vec_id, nb.v, c.cid,
-              row_number() OVER (PARTITION BY nb.vec_id ORDER BY
-                ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
-            FROM nb CROSS JOIN cent c)
-          WHERE rn = 1),
-        allcells AS MATERIALIZED (
-          SELECT vec_id, v, cid FROM cells
-          UNION ALL SELECT vec_id, v, cid FROM nbcells),
-        asz AS (SELECT cid, count(*) AS cn FROM allcells GROUP BY cid),
-        ov AS (SELECT cid FROM asz WHERE cn > $IvfPSplitRows),
-        sd AS (
-          SELECT a.cid, a.vec_id, a.v,
-            row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id)
-              AS rn
-          FROM allcells a JOIN ov USING (cid)),
-        sd0 AS (SELECT cid, v AS cv FROM sd WHERE rn = 1),
-        sd1 AS (SELECT cid, v AS cv FROM sd WHERE rn = 2),
-        post AS MATERIALIZED (
-          SELECT a.vec_id, a.v, (s0.cid IS NOT NULL) AS split,
-            CASE WHEN s1.cv IS NOT NULL
-                AND ${d2Sql("a.v", "s1.cv")} < ${d2Sql("a.v", "s0.cv")}
-              THEN a.cid + $SplitCidOffset ELSE a.cid END AS cid
-          FROM allcells a
-            LEFT JOIN sd0 s0 ON s0.cid = a.cid
-            LEFT JOIN sd1 s1 ON s1.cid = a.cid),
-        scid AS MATERIALIZED (
-          SELECT DISTINCT cid FROM post WHERE split),
-        ncs AS (
-          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
-            SELECT cid, dim,
-              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
-                / 10000000 / count(*) AS mn
-            FROM (SELECT cid, unnest(v) AS x,
-                    generate_subscripts(v, 1) - 1 AS dim
-                  FROM post WHERE split)
-            GROUP BY cid, dim)
-          GROUP BY cid),
-        hcent AS MATERIALIZED (
-          SELECT cid, cv FROM cent
-           WHERE cid NOT IN (SELECT cid FROM scid)
-          UNION ALL SELECT cid, cv FROM ncs),
-        sizes2 AS (SELECT cid, count(*) AS cn FROM post GROUP BY cid),
-        par AS (SELECT GREATEST(2,
-            ((sum(cn) + count(*) - 1) // count(*)) // 2) AS minr
-          FROM sizes2),
-        und AS (SELECT cid FROM sizes2
-          WHERE cn < (SELECT minr FROM par)),
-        tgt AS (SELECT cid FROM sizes2
-          WHERE cn >= (SELECT minr FROM par)),
-        mapping AS MATERIALIZED (
-          SELECT ucid, tcid FROM (
-            SELECT u.cid AS ucid, t.cid AS tcid,
-              row_number() OVER (PARTITION BY u.cid ORDER BY
-                ${d2Sql("uc.cv", "tc.cv")}, t.cid) AS rn
-            FROM und u
-              JOIN hcent uc ON uc.cid = u.cid
-              CROSS JOIN tgt t
-              JOIN hcent tc ON tc.cid = t.cid)
-          WHERE rn = 1),
-        relab AS MATERIALIZED (
-          SELECT COALESCE(m.tcid, p.cid) AS cid, p.vec_id, p.v,
-            (m.tcid IS NOT NULL) AS moved, p.split
-          FROM post p LEFT JOIN mapping m ON m.ucid = p.cid),
-        chg AS MATERIALIZED (
-          SELECT cid FROM relab WHERE moved
-          UNION
-          SELECT cid FROM scid
-           WHERE cid NOT IN (SELECT ucid FROM mapping)),
-        mref AS (
-          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
-            SELECT cid, dim,
-              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
-                / 10000000 / count(*) AS mn
-            FROM (SELECT r.cid, unnest(r.v) AS x,
-                    generate_subscripts(r.v, 1) - 1 AS dim
-                  FROM relab r JOIN chg USING (cid))
-            GROUP BY cid, dim)
-          GROUP BY cid),
-        mcent AS MATERIALIZED (
-          SELECT cid, cv FROM cent
-           WHERE cid NOT IN (SELECT ucid FROM mapping)
-             AND cid NOT IN (SELECT cid FROM chg)
-          UNION ALL SELECT cid, cv FROM mref),
+        $maintChainSql,
         q AS (SELECT vec_id AS q_id, v AS qv FROM e
           WHERE vec_id >= 10 AND vec_id < 15),
         probes AS (
@@ -1046,6 +961,90 @@ object LlmSim extends QueryModule {
           SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
           FROM probes p JOIN relab cl
             ON cl.cid = p.cid AND p.q_id <> cl.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
+    // MAINTAINED-PQ PROBE — the cascade proved END TO END in the gate:
+    // an ADC probe that consumes EVERY artifact the maintenance commit
+    // cascaded — routing over the maintained centroids (mcent),
+    // 8 B/vector candidates from the RELABELED PQ-code index, exact
+    // rerank against the maintained cells. If the cascade relabeled a
+    // code row wrong, routed a moved cell stale, or dropped an
+    // absorbed cell's codes, the candidate set (and the hash) breaks.
+    // The oracle composes the maintenance chain with the frozen-
+    // codebook PQ chain (corpus codes + arrival encodes), relabeled
+    // exactly as the cascade join does.
+    "q_llm_pq_maintained_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        maintainIvfCommit(s, dir)
+        val Seq(cellsT, centT, pqT, _) = maintainedTables(dir)
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 15 && $"vec_id" < 20)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          s.table(centT), s.table(pqT), s.table(cellsT),
+          pqCbArr(s, dir), PqTopR)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $pqSql,
+        $maintChainSql,
+        nbsubs AS (
+          SELECT vec_id, m,
+            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM nb CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        nbcodes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u0.vec_id, u0.m, c0.code,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM nbsubs u0 JOIN pcb c0 ON u0.m = c0.m)
+          WHERE rn = 1
+          GROUP BY vec_id),
+        allidx AS (
+          SELECT vec_id, codes FROM pidx
+          UNION ALL SELECT vec_id, codes FROM nbcodes),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= 15 AND vec_id < 20),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN mcent c)
+          WHERE rn <= $IvfPNprobe),
+        cand AS (
+          SELECT p.q_id, p.qv, cl.vec_id, cl.cid, i.codes
+          FROM probes p
+            JOIN relab cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id
+            JOIN allidx i ON i.vec_id = cl.vec_id),
+        aterms AS (
+          SELECT c.q_id, c.vec_id, t.m,
+            ${d2Sql(
+              s"c.qv[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
+              "pb.cv")} AS t
+          FROM cand c
+            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
+            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
+        adc AS (
+          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS adc
+          FROM aterms GROUP BY q_id, vec_id),
+        topr AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= $PqTopR),
+        scored AS (
+          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
+          FROM topr t
+            JOIN q ON q.q_id = t.q_id
+            JOIN relab cl ON cl.vec_id = t.vec_id)
         SELECT q_id, rank, vec_id, cos FROM (
           SELECT q_id, vec_id, cos, CAST(row_number() OVER (
             PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
@@ -2966,6 +2965,103 @@ object LlmSim extends QueryModule {
           SELECT vec_id + 500000 AS vec_id,
             list_transform(v, x -> x * 0.9 + 0.01) AS v
           FROM e WHERE vec_id % 7 = 3)"""
+
+  /** The WITH-clause chain reproducing [[maintainedChain]] in DuckDB —
+    * upsert, one-pass split, the hybrid centroid set, the merge
+    * mapping, the incremental refresh — appended after
+    * [[ivfCellsSql]] (uses its `e`, `cent`, `cells`). Defines (among
+    * intermediates): `relab` = the maintained (cid, vec_id, v) frame
+    * and `mcent` = the maintained centroid set — exactly what
+    * [[maintainIvfCommit]] persists, shared by every oracle that
+    * probes the committed maintained artifacts. Reused CTEs carry
+    * AS MATERIALIZED (DuckDB 1.0 inlines multiply-referenced CTEs —
+    * the chain re-computes multiplicatively without it). */
+  private def maintChainSql: String = s"""$ivfArrivalsSql,
+        nbcells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT nb.vec_id, nb.v, c.cid,
+              row_number() OVER (PARTITION BY nb.vec_id ORDER BY
+                ${d2Sql("nb.v", "c.cv")}, c.cid) AS rn
+            FROM nb CROSS JOIN cent c)
+          WHERE rn = 1),
+        allcells AS MATERIALIZED (
+          SELECT vec_id, v, cid FROM cells
+          UNION ALL SELECT vec_id, v, cid FROM nbcells),
+        asz AS (SELECT cid, count(*) AS cn FROM allcells GROUP BY cid),
+        ov AS (SELECT cid FROM asz WHERE cn > $IvfPSplitRows),
+        sd AS (
+          SELECT a.cid, a.vec_id, a.v,
+            row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id)
+              AS rn
+          FROM allcells a JOIN ov USING (cid)),
+        sd0 AS (SELECT cid, v AS cv FROM sd WHERE rn = 1),
+        sd1 AS (SELECT cid, v AS cv FROM sd WHERE rn = 2),
+        post AS MATERIALIZED (
+          SELECT a.vec_id, a.v, (s0.cid IS NOT NULL) AS split,
+            CASE WHEN s1.cv IS NOT NULL
+                AND ${d2Sql("a.v", "s1.cv")} < ${d2Sql("a.v", "s0.cv")}
+              THEN a.cid + $SplitCidOffset ELSE a.cid END AS cid
+          FROM allcells a
+            LEFT JOIN sd0 s0 ON s0.cid = a.cid
+            LEFT JOIN sd1 s1 ON s1.cid = a.cid),
+        scid AS MATERIALIZED (
+          SELECT DISTINCT cid FROM post WHERE split),
+        ncs AS (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT cid, unnest(v) AS x,
+                    generate_subscripts(v, 1) - 1 AS dim
+                  FROM post WHERE split)
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        hcent AS MATERIALIZED (
+          SELECT cid, cv FROM cent
+           WHERE cid NOT IN (SELECT cid FROM scid)
+          UNION ALL SELECT cid, cv FROM ncs),
+        sizes2 AS (SELECT cid, count(*) AS cn FROM post GROUP BY cid),
+        par AS (SELECT GREATEST(2,
+            ((sum(cn) + count(*) - 1) // count(*)) // 2) AS minr
+          FROM sizes2),
+        und AS (SELECT cid FROM sizes2
+          WHERE cn < (SELECT minr FROM par)),
+        tgt AS (SELECT cid FROM sizes2
+          WHERE cn >= (SELECT minr FROM par)),
+        mapping AS MATERIALIZED (
+          SELECT ucid, tcid FROM (
+            SELECT u.cid AS ucid, t.cid AS tcid,
+              row_number() OVER (PARTITION BY u.cid ORDER BY
+                ${d2Sql("uc.cv", "tc.cv")}, t.cid) AS rn
+            FROM und u
+              JOIN hcent uc ON uc.cid = u.cid
+              CROSS JOIN tgt t
+              JOIN hcent tc ON tc.cid = t.cid)
+          WHERE rn = 1),
+        relab AS MATERIALIZED (
+          SELECT COALESCE(m.tcid, p.cid) AS cid, p.vec_id, p.v,
+            (m.tcid IS NOT NULL) AS moved, p.split
+          FROM post p LEFT JOIN mapping m ON m.ucid = p.cid),
+        chg AS MATERIALIZED (
+          SELECT cid FROM relab WHERE moved
+          UNION
+          SELECT cid FROM scid
+           WHERE cid NOT IN (SELECT ucid FROM mapping)),
+        mref AS (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT r.cid, unnest(r.v) AS x,
+                    generate_subscripts(r.v, 1) - 1 AS dim
+                  FROM relab r JOIN chg USING (cid))
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        mcent AS MATERIALIZED (
+          SELECT cid, cv FROM cent
+           WHERE cid NOT IN (SELECT ucid FROM mapping)
+             AND cid NOT IN (SELECT cid FROM chg)
+          UNION ALL SELECT cid, cv FROM mref)"""
 
   /** The UPSERTED cell index: the corpus cells table plus the arrival
     * batch appended as additional bucket files — `saveAsTable` with a
