@@ -977,7 +977,7 @@ object LlmSim extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         maintainIvfCommit(s, dir)
-        val Seq(cellsT, centT, pqT, _) = maintainedTables(dir)
+        val Seq(cellsT, centT, pqT, _, _) = maintainedTables(dir)
         pqProbeCore(
           embDoubles(s, dir)
             .filter($"vec_id" >= 15 && $"vec_id" < 20)
@@ -1024,6 +1024,107 @@ object LlmSim extends QueryModule {
               s"c.qv[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
               "pb.cv")} AS t
           FROM cand c
+            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
+            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
+        adc AS (
+          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS adc
+          FROM aterms GROUP BY q_id, vec_id),
+        topr AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= $PqTopR),
+        scored AS (
+          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
+          FROM topr t
+            JOIN q ON q.q_id = t.q_id
+            JOIN relab cl ON cl.vec_id = t.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
+    // MAINTAINED RESIDUAL-PQ PROBE — the cascade's hardest artifact
+    // proved in the gate: residual codes are CENTROID-DEPENDENT
+    // (v − centroid(cell)), so maintenance cannot merely relabel them
+    // — rows of changed cells re-encode against the REFRESHED
+    // centroids with the frozen codebooks, rows of unchanged cells
+    // keep their persisted codes (bit-equal to a full re-encode,
+    // because an unchanged cell's maintained centroid IS its original
+    // row — which is why the oracle can re-derive the WHOLE index
+    // uniformly as encode(v − mcent(cid)) while the engine does the
+    // O(Σ|changed| + |delta|) incremental write). Query side forms
+    // per-routed-cell residuals against the MAINTAINED centroids; a
+    // stale code, a missed re-encode, or a wrong refreshed centroid
+    // breaks ADC ordering and the hash.
+    "q_llm_rpq_maintained_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        maintainIvfCommit(s, dir)
+        val Seq(cellsT, centT, _, _, rpqT) = maintainedTables(dir)
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 15 && $"vec_id" < 20)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          s.table(centT), s.table(rpqT), s.table(cellsT),
+          rpqCbArr(s, dir), PqTopR, residual = true)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        resid AS (
+          SELECT cl.cid, cl.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> cl.v[i] - ct.cv[i]) AS v
+          FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
+        ${pqSqlFrom("resid")},
+        $maintChainSql,
+        mresid AS (
+          SELECT r.cid, r.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> r.v[i] - mc.cv[i]) AS rv
+          FROM relab r JOIN mcent mc ON mc.cid = r.cid),
+        msubs AS (
+          SELECT vec_id, m,
+            rv[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM mresid CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        mcodes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u0.vec_id, u0.m, c0.code,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM msubs u0 JOIN pcb c0 ON u0.m = c0.m)
+          WHERE rn = 1
+          GROUP BY vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= 15 AND vec_id < 20),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN mcent c)
+          WHERE rn <= $IvfPNprobe),
+        qres AS (
+          SELECT p.q_id, p.cid,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> p.qv[i] - c.cv[i]) AS qr
+          FROM probes p JOIN mcent c ON c.cid = p.cid),
+        cand AS (
+          SELECT p.q_id, p.qr, cl.vec_id
+          FROM qres p
+            JOIN relab cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
+        candc AS (
+          SELECT c.q_id, c.qr, c.vec_id, i.codes
+          FROM cand c JOIN mcodes i ON i.vec_id = c.vec_id),
+        aterms AS (
+          SELECT c.q_id, c.vec_id, t.m,
+            ${d2Sql(
+              s"c.qr[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
+              "pb.cv")} AS t
+          FROM candc c
             CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
             JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
         adc AS (
@@ -3131,7 +3232,7 @@ object LlmSim extends QueryModule {
     * split seeds, same (d2, lower-id) tiebreaks, same quantized
     * means. */
   private[graft] def maintainedChain(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val post = persistedPostSplit(s, dir) // (cid, vec_id, v, split)
     val splitCids = post.filter($"split").select($"cid").distinct()
@@ -3161,7 +3262,7 @@ object LlmSim extends QueryModule {
       .join(absorbed, Seq("cid"), "left_anti")
       .join(changed, Seq("cid"), "left_anti")
       .unionByName(refreshed)
-    (merged.select($"cid", $"vec_id", $"v"), maintCent)
+    (merged.select($"cid", $"vec_id", $"v"), maintCent, changed)
   }
 
   /** (vec_id, label) for every row the maintained index holds: corpus
@@ -3178,11 +3279,12 @@ object LlmSim extends QueryModule {
   }
 
   /** The maintained-epoch artifact tables, in cascade write order:
-    * cells, centroids, PQ codes, labeled cells. */
+    * cells, centroids, PQ codes, labeled cells, residual-PQ codes. */
   private[graft] def maintainedTables(dir: String): Seq[String] = {
     val h = math.abs(dir.hashCode)
     Seq(s"graft_ivf_cells_m1_$h", s"graft_ivf_cent_m1_$h",
-      s"graft_pq_idx_m1_$h", s"graft_ivf_cells_lbl_m1_$h")
+      s"graft_pq_idx_m1_$h", s"graft_ivf_cells_lbl_m1_$h",
+      s"graft_rpq_idx_m1_$h")
   }
 
   private val maintLock = new Object
@@ -3196,14 +3298,14 @@ object LlmSim extends QueryModule {
     * the WHOLE cascade: maintained cells (bucketed on cid), the
     * refreshed+carried centroid set, the PQ-code index relabeled to
     * the maintained cids (plain-PQ codes encode the VECTOR, so a
-    * relabel moves routing keys, never payloads — a residual-PQ
-    * index, whose codes describe v − centroid(cell), would instead
-    * re-encode the touched cells' rows against the refreshed
-    * centroids with the frozen codebooks), and the labeled cells.
-    * Each table write is individually all-or-nothing (parquet job
-    * commit) and skipped when present, so a recovery re-run completes
-    * exactly the missing suffix of the cascade; the marker commits
-    * only after all four landed. Epoch guard: once the marker reports
+    * relabel moves routing keys, never payloads), the labeled cells,
+    * and the residual-PQ index (whose codes describe v −
+    * centroid(cell), so touched cells' rows RE-ENCODE against the
+    * refreshed centroids with the frozen codebooks — see the cascade
+    * body). Each table write is individually all-or-nothing (parquet
+    * job commit) and skipped when present, so a recovery re-run
+    * completes exactly the missing suffix of the cascade; the marker
+    * commits only after all five landed. Epoch guard: once the marker reports
     * committed, a missing sibling table means the epochs diverged
     * OUTSIDE the protocol (manual drop, corruption) — the accessor
     * REFUSES with an exception rather than probe a stale cascade,
@@ -3220,7 +3322,7 @@ object LlmSim extends QueryModule {
       s: SparkSession, dir: String): (DataFrame, DataFrame) =
     maintLock.synchronized {
       import s.implicits._
-      val Seq(cellsT, centT, pqT, lblT) = maintainedTables(dir)
+      val Seq(cellsT, centT, pqT, lblT, rpqT) = maintainedTables(dir)
       def missing =
         maintainedTables(dir).filterNot(s.catalog.tableExists)
       if (missing.nonEmpty) {
@@ -3238,7 +3340,7 @@ object LlmSim extends QueryModule {
         graft.operators.TxnMarker.appendOnce(metaDir,
           txn = "ivf-maintain-1",
           doAppend = () => {
-            val (cells, cent) = maintainedChain(s, dir)
+            val (cells, cent, changed) = maintainedChain(s, dir)
             LlmText.writeOnceTable(s, cellsT, Seq("cid"), cells)
             LlmText.writeOnceTable(s, centT, Seq("cid"), cent)
             LlmText.writeOnceTable(s, pqT, Seq("cid"),
@@ -3250,6 +3352,35 @@ object LlmSim extends QueryModule {
               s.table(cellsT)
                 .join(labelsWithArrivals(s, dir), Seq("vec_id"))
                 .select($"cid", $"vec_id", $"label", $"v"))
+            // the residual-PQ cascade is a RE-ENCODE, not a relabel:
+            // residual codes describe v − centroid(cell), so rows of
+            // CHANGED cells (refreshed centroid) and arrival rows
+            // (never residual-coded) re-encode v − mcent(cid) with the
+            // FROZEN residual codebooks (train once, epochs ride
+            // them); rows of unchanged cells keep their persisted
+            // codes — which equal the uniform definition bit-exactly,
+            // because an unchanged cell's maintained centroid IS its
+            // original row. O(Σ|changed| + |delta|) encode work.
+            LlmText.writeOnceTable(s, rpqT, Seq("cid"), {
+              val mcells = s.table(cellsT)
+              val tagged = mcells.join(
+                broadcast(changed.withColumn("chg", lit(true))),
+                Seq("cid"), "left")
+              val re = tagged
+                .filter($"chg" === true || $"vec_id" >= 500000L)
+              val keep = tagged
+                .filter($"chg".isNull && $"vec_id" < 500000L)
+              val cbs = pqCbStructs(persistedRpqCb(s, dir))
+              keep.select($"cid", $"vec_id")
+                .join(persistedRpqIdx(s, dir)
+                  .select($"vec_id", $"codes"), Seq("vec_id"))
+                .select($"cid", $"vec_id", $"codes")
+                .unionByName(
+                  re.join(broadcast(s.table(centT)), Seq("cid"))
+                    .select($"cid", $"vec_id",
+                      pqEncodeCol(zip_with($"v", $"cv",
+                        (x, y) => x - y), cbs).as("codes")))
+            })
             ()
           },
           presentRows = () => if (missing.isEmpty) 1L else 0L,

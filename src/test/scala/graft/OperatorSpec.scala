@@ -912,8 +912,8 @@ class OperatorSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val (cells, cent) = LlmSim.maintainIvfCommit(spark, sf)
-    val Seq(cellsT, centT, pqT, lblT) = LlmSim.maintainedTables(sf)
-    assert(Seq(cellsT, centT, pqT, lblT)
+    val Seq(cellsT, centT, pqT, lblT, rpqT) = LlmSim.maintainedTables(sf)
+    assert(Seq(cellsT, centT, pqT, lblT, rpqT)
       .forall(spark.catalog.tableExists), "cascade left a table missing")
     // membership: the PQ-code index and the labeled cells carry
     // EXACTLY the maintained (cid, vec_id) set — the cascade's point:
@@ -949,6 +949,28 @@ class OperatorSpec extends AnyFunSuite {
     liveCids.filter(_ >= LlmSim.SplitCidOffset).foreach { cid =>
       assert(maint(cid) === refreshedAll(cid),
         s"split child $cid centroid is not the refreshed mean")
+    }
+    // residual-PQ cascade: same membership; rows of UNCHANGED cells
+    // (maintained centroid byte-equal the original) keep their
+    // persisted residual codes verbatim — the re-encode touched only
+    // changed cells and arrivals
+    val orig = LlmSim.persistedIvfCent(spark, sf)
+      .select($"cid", $"cv").as[(Int, Seq[Double])].collect().toMap
+    val mR = spark.table(rpqT)
+      .select($"cid", $"vec_id", array_join($"codes", ",").as("c"))
+      .as[(Int, Long, String)].collect()
+    assert(mR.map(r => (r._1, r._2)).toSet === mem,
+      "residual-PQ index diverges from maintained cells")
+    val upR = LlmSim.persistedRpqIdx(spark, sf)
+      .select($"vec_id", array_join($"codes", ",").as("c"))
+      .as[(Long, String)].collect().toMap
+    val keepRows = mR.filter { case (cid, vec, _) =>
+      vec < 500000L && orig.get(cid).contains(maint(cid)) }
+    assert(keepRows.nonEmpty, "no unchanged-cell rows to check")
+    keepRows.foreach { case (cid, vec, c) =>
+      assert(c === upR(vec),
+        s"vec $vec (unchanged cell $cid): residual codes re-derived " +
+          "differently from the persisted index")
     }
     // epoch guard, REFRESH branch: a sibling missing with the commit
     // marker absent (= crash mid-cascade) is completed by a re-run
