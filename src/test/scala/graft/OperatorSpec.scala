@@ -999,6 +999,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists(lblT))
   }
 
+  test("maintained-index probe consumes the bucketed epoch tables with pruning") {
+    import org.apache.spark.sql.functions._
+    // the committed epoch must be probed exactly like every other
+    // index artifact: routed-cid InSet pruning engages bucket pruning
+    // on BOTH the maintained code index and the maintained cells
+    val q = SparkEntry.queries("q_llm_pq_maintained_probe")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      "maintained-index probe scans without bucket pruning:\n" +
+        plan.take(2000))
+  }
+
   test("filtered ANN: recall floor vs filtered brute, predicate pushed into the index scan") {
     import graft.queries.LlmSim
     // every per-label probe width must sit inside its clamp
