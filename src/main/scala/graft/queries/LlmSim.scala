@@ -1148,6 +1148,39 @@ object LlmSim extends QueryModule {
           FROM scored)
         WHERE rank <= 3""")),
 
+    // INDEX DELETES — the lifecycle verb the chain lacked: curation
+    // drops (the semdedup θ=0.30 verdicts — dedup feeding its own
+    // index maintenance) land as an O(delta) TOMBSTONE artifact, and
+    // this probe reads the index WITH tombstones live — routed bucket
+    // scan, then a broadcast anti-join against the delta-sized
+    // tombstone set before the rerank. A deleted vector surfacing in
+    // any top-3 breaks the hash. The oracle derives the drops (the
+    // q_llm_semdedup pair rule) and probes the survivors.
+    "q_llm_ann_tomb_probe" -> QueryDef(
+      fn = (s, dir) => ivfTombProbe(s, dir, 20L, 25L),
+      oracle = Some(tombProbeOracleSql)),
+
+    // TOMBSTONE COMPACTION — the fold that ends a tombstone's life:
+    // the cells artifact rewritten without the deleted rows (the
+    // read-amplification of the anti-join paid ONCE, the MOR
+    // compaction discipline at the index layer), probed through the
+    // ordinary exchange-free bucket path. Same survivor set as the
+    // tombstone read path by construction — the two queries share one
+    // oracle verbatim (the lsh_mt/lsh_persisted precedent) while
+    // their PLANS differ: this one carries no anti-join at probe
+    // time (plan-asserted in OperatorSpec).
+    "q_llm_ivf_tomb_compact" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        ivfProbeOf(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 20 && $"vec_id" < 25)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          persistedIvfCent(s, dir),
+          persistedIvfCellsCompacted(s, dir), nprobe = IvfPNprobe)
+      },
+      oracle = Some(tombProbeOracleSql)),
+
     // PQ ENCODE — the compression half of IVF-PQ (see the PQ helper
     // block's scaladoc): the corpus coded as PqM=8 codebook ids per
     // vector (8 B vs 512 B — the representation a 100 TB ANN index
@@ -3393,6 +3426,101 @@ object LlmSim extends QueryModule {
       }
       (s.table(cellsT), s.table(centT))
     }
+
+  // ---- Index deletes (tombstones + compaction) ----------------------
+
+  /** DELETION TOMBSTONES for the persisted IVF index — the lifecycle
+    * verb the build/probe/upsert/split/merge/commit chain lacked:
+    * curation DROPS vectors (here the [[semdedupOf]] θ=0.30 verdicts
+    * — the dedup pipeline feeding its own index maintenance), and a
+    * plain bucketed parquet table cannot delete in place, so deletes
+    * land as an O(delta) tombstone artifact — (cid, vec_id) rows,
+    * bucketed on cid like every index sibling — and probes exclude
+    * them with a broadcast anti-join until a compaction folds them
+    * into the cells (the MOR discipline TxLog's deletion vectors use,
+    * re-expressed at the index layer). Write-once per (JVM, sfDir). */
+  private[graft] def persistedIvfTombstones(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_tomb_${math.abs(dir.hashCode)}", Seq("cid"),
+      semdedupOf(persistedIvfCells(s, dir), 0.30)
+        .filter(!$"kept").select($"cid", $"vec_id"))
+  }
+
+  /** The compacted cells artifact: tombstones FOLDED into the index —
+    * the read-amplification of the anti-join paid once at compaction
+    * instead of on every probe. Same survivor set as the tombstone
+    * read path by construction, so both probes share one oracle. */
+  private[graft] def persistedIvfCellsCompacted(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_cells_d1_${math.abs(dir.hashCode)}", Seq("cid"),
+      persistedIvfCells(s, dir)
+        .join(broadcast(persistedIvfTombstones(s, dir)
+          .select($"vec_id")), Seq("vec_id"), "left_anti")
+        .select($"cid", $"vec_id", $"v"))
+  }
+
+  /** Probe the index WITH tombstones live (pre-compaction): routed
+    * cells read as usual (literal-cid pruned bucket scan), candidates
+    * anti-joined against the broadcast tombstone set before the
+    * rerank — the delta-sized delete costs a broadcast, never a
+    * corpus shuffle. */
+  private[graft] def ivfTombProbe(s: SparkSession, dir: String,
+                                  lo: Long, hi: Long,
+                                  nprobe: Int = IvfPNprobe): DataFrame = {
+    import s.implicits._
+    val q = embDoubles(s, dir)
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val routed = probeCells(q, centArrOf(persistedIvfCent(s, dir)),
+      nprobe)
+    val cids = routed.select($"cid").distinct().as[Int].collect().sorted
+    val cand = persistedIvfCells(s, dir)
+      .filter(inSetCol($"cid", cids))
+      .join(broadcast(persistedIvfTombstones(s, dir)
+        .select($"vec_id")), Seq("vec_id"), "left_anti")
+    rankedTopK(
+      routed.join(cand, Seq("cid")).filter($"q_id" =!= $"vec_id")
+        .withColumn("cos", V.cosine($"qv", $"v")),
+      "q_id", Seq(("cos", true), ("vec_id", false)), 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
+  /** The shared DuckDB mirror of BOTH delete read paths (tombstone
+    * anti-join and compacted artifact): the PLAN differs, the
+    * survivor set — and hence the result — is identical, the
+    * lshMtOracleSql precedent. */
+  private lazy val tombProbeOracleSql: String = s"""
+        WITH $ivfCellsSql,
+        drops AS (
+          SELECT DISTINCT a.vec_id
+          FROM cells a JOIN cells b
+            ON a.cid = b.cid AND b.vec_id < a.vec_id
+          WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30),
+        live AS (
+          SELECT * FROM cells
+          WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= 20 AND vec_id < 25),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= $IvfPNprobe),
+        scored AS (
+          SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
+          FROM probes p JOIN live cl
+            ON cl.cid = p.cid AND p.q_id <> cl.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3"""
 
   /** One probe pass against an IVF artifact pair: route each (q_id,
     * qv) row of `q` to its `nprobe` nearest cells (broadcast

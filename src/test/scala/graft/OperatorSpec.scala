@@ -999,6 +999,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists(lblT))
   }
 
+  test("index deletes: tombstones excluded at read, folded by compaction, plans differ") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tomb = LlmSim.persistedIvfTombstones(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(tomb.nonEmpty, "no curation drops at this sf — delete inert")
+    val cells = LlmSim.persistedIvfCells(spark, sf)
+    val nCells = cells.count()
+    // compaction removed EXACTLY the tombstoned rows
+    val compacted = LlmSim.persistedIvfCellsCompacted(spark, sf)
+    assert(compacted.count() === nCells - tomb.size)
+    assert(compacted.join(cells, Seq("vec_id"), "left_anti").count() === 0)
+    // neither read path can surface a deleted vector
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id").as[Long].collect().toSet
+    val viaTomb = hits(LlmSim.ivfTombProbe(spark, sf, 0L, 50L))
+    assert((viaTomb & tomb).isEmpty,
+      "tombstone probe surfaced a deleted vector")
+    val viaCompact = hits(graft.queries.LlmSim.ivfProbeOf(
+      LlmSim.persistedIvfCells(spark, sf).filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"v".as("qv")),
+      LlmSim.persistedIvfCent(spark, sf), compacted,
+      nprobe = LlmSim.IvfPNprobe))
+    assert((viaCompact & tomb).isEmpty,
+      "compacted probe surfaced a deleted vector")
+    // same survivor semantics -> identical results over the same
+    // queries (the shared-oracle claim, asserted engine-side too)
+    assert(viaTomb === viaCompact)
+    // the plans differ exactly as documented: the tombstone path
+    // carries a broadcast ANTI-join; the compacted path carries none
+    val tp = SparkEntry.queries("q_llm_ann_tomb_probe")(spark, sf)
+    tp.write.format("noop").mode("overwrite").save()
+    assert(tp.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "tombstone probe lost its anti-join")
+    val cp = SparkEntry.queries("q_llm_ivf_tomb_compact")(spark, sf)
+    cp.write.format("noop").mode("overwrite").save()
+    assert(!cp.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "compacted probe still pays the anti-join")
+  }
+
   test("maintained-index probe consumes the bucketed epoch tables with pruning") {
     import org.apache.spark.sql.functions._
     // the committed epoch must be probed exactly like every other
