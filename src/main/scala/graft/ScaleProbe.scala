@@ -189,6 +189,98 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Maintenance-commit shape: the O(Σ|touched|) claim measured. Per
+    * scale, a fresh corpus + derived-nlist index + a proportional
+    * arrival upsert feed the EXACT committed chain
+    * (LlmSim.maintainedChainOf over the one-pass split frame); the
+    * timed region is the chain's two outputs (maintained cells +
+    * centroid set) materialized. Report: wall 1× vs N×, touched rows
+    * (split-cell rows + moved rows) vs corpus rows per scale — the
+    * claim is that the chain's work tracks TOUCHED (∝ the delta),
+    * and the incremental refresh aggregates only the changed cells'
+    * rows instead of a full-corpus quantized-mean pass.
+    * Usage: tools/run.sh graft.ScaleProbe maint [sfDir] [N] */
+  private def maintShapeProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = Engine.session("graft-maintshape")
+    import spark.implicits._
+    import queries.LlmSim
+    def writeBucketed(tbl: String, key: String, df: => DataFrame): String = {
+      if (!spark.catalog.tableExists(tbl)) {
+        val wh = new java.io.File(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(wh, tbl))
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
+      }
+      tbl
+    }
+    val e1 = Engine.table(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        graft.operators.VectorOps.toDouble($"embedding").as("v"))
+    def corpus(reps: Int): DataFrame =
+      if (reps == 1) e1
+      else (0 until reps).map(i => e1
+          .withColumn("vec_id", $"vec_id" + lit(i * 100000000L))
+          .withColumn("v", transform($"v", x => x + lit(i * 1e-3))))
+        .reduce(_ unionByName _)
+    def mk(tag: String, reps: Int): (String, String, Long) = {
+      val e = corpus(reps)
+      val rows = e.count()
+      val nlist = LlmSim.ivfNlistFor(rows)
+      val centT = writeBucketed(s"sp_mn_cent_$tag", "cid",
+        LlmSim.ivfCentOf(e, nlist))
+      val cellT = writeBucketed(s"sp_mn_cells_$tag", "cid",
+        LlmSim.ivfCellsOf(e, spark.table(centT)))
+      // proportional arrival delta (every 7th vector perturbed),
+      // assigned with the same centroids and appended — then the
+      // one-pass split frame persisted OUTSIDE the timed region,
+      // exactly like the engine's persistedPostSplit
+      val arrivals = e.filter($"vec_id" % 7 === 3)
+        .select(($"vec_id" + 10000000000L).as("vec_id"),
+          transform($"v", x => x * lit(0.9) + lit(0.01)).as("v"))
+      val upT = writeBucketed(s"sp_mn_up_$tag", "cid",
+        spark.table(cellT).unionByName(
+          LlmSim.ivfCellsOf(arrivals, spark.table(centT))
+            .select($"cid", $"vec_id", $"v")))
+      val postT = writeBucketed(s"sp_mn_post_$tag", "cid",
+        LlmSim.splitCells(spark.table(upT)
+          .select($"cid", $"vec_id", $"v"), LlmSim.IvfPSplitRows))
+      (postT, centT, rows)
+    }
+    val a1 = mk("1", 1)
+    val aN = mk(s"n$n", n)
+    def chain(a: (String, String, Long)): Unit = {
+      val (merged, maintCent, _) = LlmSim.maintainedChainOf(
+        spark.table(a._1), spark.table(a._2))
+      merged.write.format("noop").mode("overwrite").save()
+      maintCent.write.format("noop").mode("overwrite").save()
+    }
+    def touched(a: (String, String, Long)): (Long, Long) = {
+      val post = spark.table(a._1)
+      val splitRows = post.filter($"split").count()
+      val (merged, _, _) = LlmSim.maintainedChainOf(
+        post, spark.table(a._2))
+      (splitRows, merged.filter($"moved").count())
+    }
+    chain(a1); chain(aN) // warmup
+    val t1 = Seq.fill(3)(time(chain(a1))).sorted.apply(1)
+    val tN = Seq.fill(3)(time(chain(aN))).sorted.apply(1)
+    val (s1, m1) = touched(a1)
+    val (sN, mN) = touched(aN)
+    println(f"""{"maint_shape":"$sfDir","scale":$n,""" +
+      s""""corpus_1x":${a1._3},"corpus_Nx":${aN._3},""" +
+      s""""touched_1x":{"split_rows":$s1,"moved_rows":$m1},""" +
+      s""""touched_Nx":{"split_rows":$sN,"moved_rows":$mN},""" +
+      f""""t1":$t1%.3f,"tN":$tN%.3f,"ratio":${tN / t1}%.2f}""")
+    spark.stop()
+  }
+
   /** BFS A/B on the GATED q_graph_bfs graph: the join-frontier
     * formulation vs the bitmap-frontier one (domain = the graph's own
     * max node id — ~n_customers, so the bitmap is KBs). Median of 3
@@ -379,6 +471,8 @@ object ScaleProbe {
       return filteredShapeProbe(args.drop(1))
     if (args.headOption.contains("bfsab"))
       return bfsAbProbe(args.drop(1))
+    if (args.headOption.contains("maint"))
+      return maintShapeProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     // optional args 3+: probe only the named shapes (local fast loop)

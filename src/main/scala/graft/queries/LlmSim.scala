@@ -3265,11 +3265,19 @@ object LlmSim extends QueryModule {
     * split seeds, same (d2, lower-id) tiebreaks, same quantized
     * means. */
   private[graft] def maintainedChain(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    import s.implicits._
-    val post = persistedPostSplit(s, dir) // (cid, vec_id, v, split)
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    maintainedChainOf(persistedPostSplit(s, dir),
+      persistedIvfCent(s, dir))
+
+  /** [[maintainedChain]]'s frame-parameterized core — `post` is a
+    * (cid, vec_id, v, split) one-pass-split frame, `origCent` its
+    * original centroid set — so ScaleProbe's `maint` shape can time
+    * the EXACT committed chain on scaled corpora. */
+  private[graft] def maintainedChainOf(
+      post: DataFrame,
+      origCent: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import post.sparkSession.implicits._
     val splitCids = post.filter($"split").select($"cid").distinct()
-    val origCent = persistedIvfCent(s, dir)
     // hybrid centroids for the merge decision: refreshed means for
     // split-touched cells (children have no persisted centroid, and
     // the kept-cid child's membership changed), original persisted
