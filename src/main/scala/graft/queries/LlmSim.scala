@@ -1181,6 +1181,120 @@ object LlmSim extends QueryModule {
       },
       oracle = Some(tombProbeOracleSql)),
 
+    // HYBRID SEARCH — lexical + vector retrieval fused by reciprocal
+    // rank fusion (RRF, Cormack et al. 2009, public): the standard
+    // retrieval shape of a RAG-curation pipeline, composing two
+    // surfaces this engine already ships — the integral tf·1e6/df
+    // text ranking (q_llm_search's arithmetic; query terms = the
+    // first 8 words of each query doc, self excluded) and the
+    // persisted-IVF ANN ranking (routed bucket read, exact rerank) —
+    // each cut to its top-20 by GroupTopK, then
+    // rrf = Σ 1/(60 + rank) over the sides a doc appears in (a
+    // full-outer merge on (q_id, doc_id): union of the lists, never
+    // an intersection requirement). Cross-engine exact: ranks are
+    // ints, each 1/(60+r) is one correctly-rounded double division,
+    // and the two-term sum is fixed-order. Scale shape: both sides
+    // are existing probe plans (broadcast query terms onto posting
+    // lists; literal-cid-pruned bucket read) and the fusion joins two
+    // ≤20·|q|-row frames — metadata-sized at any corpus.
+    "q_llm_hybrid_search" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+        val qterms = docs.filter($"doc_id" < 5)
+          .select($"doc_id".as("q_id"),
+            explode(slice(split($"text", " "), 1, 8)).as("w"))
+          .distinct()
+        val tok = docs
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.groupBy($"w").agg(count(lit(1)).as("df"))
+        val tsc = tok.join(dfreq, "w").join(broadcast(qterms), "w")
+          .filter($"q_id" =!= $"doc_id")
+          .groupBy($"q_id", $"doc_id")
+          .agg(sum(expr("tf * 1000000 div df")).as("su"))
+        val trank = rankedTopK(tsc, "q_id",
+            Seq(("su", true), ("doc_id", false)), 20)
+          .select($"q_id", $"doc_id", $"rank".as("tr"))
+        val q = embDoubles(s, dir).filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val routed = probeCells(q,
+          centArrOf(persistedIvfCent(s, dir)), IvfPNprobe)
+        val cids =
+          routed.select($"cid").distinct().as[Int].collect().sorted
+        val vsc = routed
+          .join(persistedIvfCells(s, dir).filter(inSetCol($"cid", cids)),
+            Seq("cid"))
+          .filter($"q_id" =!= $"vec_id")
+          .withColumn("cos", V.cosine($"qv", $"v"))
+        val vrank = rankedTopK(vsc, "q_id",
+            Seq(("cos", true), ("vec_id", false)), 20)
+          .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vr"))
+        val fused = trank.join(vrank, Seq("q_id", "doc_id"), "full")
+          .select($"q_id", $"doc_id",
+            (coalesce(lit(1.0) / ($"tr" + lit(60)), lit(0.0)) +
+              coalesce(lit(1.0) / ($"vr" + lit(60)), lit(0.0)))
+              .as("rrf"))
+        rankedTopK(fused, "q_id",
+            Seq(("rrf", true), ("doc_id", false)), 5)
+          .select($"q_id", $"rank", $"doc_id", $"rrf")
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        qw AS (SELECT DISTINCT doc_id AS q_id,
+            unnest(string_split(text, ' ')[1:8]) AS w
+          FROM documents WHERE doc_id < 5),
+        tok AS (
+          SELECT w, doc_id, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          GROUP BY w, doc_id),
+        dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        tsc AS (
+          SELECT q_id, doc_id,
+            CAST(sum(tf * 1000000 // df) AS BIGINT) AS su
+          FROM tok JOIN dfreq USING (w) JOIN qw USING (w)
+          WHERE q_id <> doc_id
+          GROUP BY q_id, doc_id),
+        trank AS (
+          SELECT q_id, doc_id, CAST(rn AS INT) AS tr FROM (
+            SELECT q_id, doc_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY su DESC, doc_id) AS rn
+            FROM tsc)
+          WHERE rn <= 20),
+        qv AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id < 5),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM qv q CROSS JOIN cent c)
+          WHERE rn <= $IvfPNprobe),
+        vsc AS (
+          SELECT p.q_id, cl.vec_id AS doc_id,
+            ${V.cosineSql("p.qv", "cl.v")} AS cos
+          FROM probes p JOIN cells cl
+            ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
+        vrank AS (
+          SELECT q_id, doc_id, CAST(rn AS INT) AS vr FROM (
+            SELECT q_id, doc_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rn
+            FROM vsc)
+          WHERE rn <= 20),
+        fused AS (
+          SELECT COALESCE(t.q_id, v.q_id) AS q_id,
+            COALESCE(t.doc_id, v.doc_id) AS doc_id,
+            COALESCE(CAST(1 AS DOUBLE) / (t.tr + 60), 0.0) +
+              COALESCE(CAST(1 AS DOUBLE) / (v.vr + 60), 0.0) AS rrf
+          FROM trank t FULL JOIN vrank v
+            ON t.q_id = v.q_id AND t.doc_id = v.doc_id)
+        SELECT q_id, rank, doc_id, rrf FROM (
+          SELECT q_id, doc_id, rrf, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+          FROM fused)
+        WHERE rank <= 5""")),
+
     // PQ ENCODE — the compression half of IVF-PQ (see the PQ helper
     // block's scaladoc): the corpus coded as PqM=8 codebook ids per
     // vector (8 B vs 512 B — the representation a 100 TB ANN index
