@@ -1295,6 +1295,123 @@ object LlmSim extends QueryModule {
           FROM fused)
         WHERE rank <= 5""")),
 
+    // MMR DIVERSIFIED TOP-K — maximal marginal relevance (Carbonell &
+    // Goldstein 1998, public) over the IVF-routed candidate pool: the
+    // selection step a curation pipeline runs when it wants RELEVANT
+    // BUT NON-REDUNDANT picks (diverse few-shot exemplars, dedup-aware
+    // retrieval). Greedy λ=0.7: pick 1 = pure relevance; picks 2-3 =
+    // argmax of 0.7·rel − 0.3·max-sim-to-already-picked over the
+    // remaining pool. k=3 over a 10-candidate pool, so the greedy
+    // unrolls into THREE bounded stages — each a join over ≤10·|q|
+    // rows (metadata-sized at any corpus; the pool itself comes from
+    // the standard routed bucket read). Cross-engine exact: cosines
+    // are bit-identical, the λ arithmetic is two fixed-order
+    // correctly-rounded ops (0.7e0/0.3e0 double literals BOTH sides —
+    // never 1−λ, whose Scala value 0.30000000000000004 would diverge
+    // from SQL's 0.3), argmax tiebreak by vec_id.
+    "q_llm_mmr_diversify" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val q = embDoubles(s, dir)
+          .filter($"vec_id" >= 25 && $"vec_id" < 30)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val routed = probeCells(q,
+          centArrOf(persistedIvfCent(s, dir)), IvfPNprobe)
+        val cids =
+          routed.select($"cid").distinct().as[Int].collect().sorted
+        val pool = topKCut(
+          routed.join(persistedIvfCells(s, dir)
+              .filter(inSetCol($"cid", cids)), Seq("cid"))
+            .filter($"q_id" =!= $"vec_id")
+            .withColumn("cos", V.cosine($"qv", $"v")),
+          "q_id", Seq(("cos", true), ("vec_id", false)), 10)
+          .select($"q_id", $"vec_id", $"v", $"cos")
+        val s1 = topKCut(pool, "q_id",
+            Seq(("cos", true), ("vec_id", false)), 1)
+          .select($"q_id", $"vec_id".as("s1_id"), $"v".as("s1v"))
+        val rem1 = pool.join(s1, Seq("q_id"))
+          .filter($"vec_id" =!= $"s1_id")
+          .withColumn("mmr", lit(0.7) * $"cos"
+            - lit(0.3) * V.cosine($"v", $"s1v"))
+        val s2 = topKCut(rem1, "q_id",
+            Seq(("mmr", true), ("vec_id", false)), 1)
+          .select($"q_id", $"vec_id".as("s2_id"), $"v".as("s2v"))
+        val rem2 = rem1
+          .select($"q_id", $"vec_id", $"v", $"cos", $"s1v")
+          .join(s2, Seq("q_id")).filter($"vec_id" =!= $"s2_id")
+          .withColumn("mmr", lit(0.7) * $"cos" - lit(0.3) *
+            greatest(V.cosine($"v", $"s1v"), V.cosine($"v", $"s2v")))
+        val s3 = topKCut(rem2, "q_id",
+            Seq(("mmr", true), ("vec_id", false)), 1)
+          .select($"q_id", $"vec_id".as("s3_id"))
+        s1.select($"q_id", lit(1).as("pick"), $"s1_id".as("vec_id"))
+          .unionByName(s2.select($"q_id", lit(2).as("pick"),
+            $"s2_id".as("vec_id")))
+          .unionByName(s3.select($"q_id", lit(3).as("pick"),
+            $"s3_id".as("vec_id")))
+          .join(pool.select($"q_id", $"vec_id", $"cos"),
+            Seq("q_id", "vec_id"))
+          .select($"q_id", $"pick", $"vec_id", $"cos")
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= 25 AND vec_id < 30),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= $IvfPNprobe),
+        pool AS (
+          SELECT q_id, vec_id, v, cos FROM (
+            SELECT p.q_id, cl.vec_id, cl.v,
+              ${V.cosineSql("p.qv", "cl.v")} AS cos,
+              row_number() OVER (PARTITION BY p.q_id ORDER BY
+                ${V.cosineSql("p.qv", "cl.v")} DESC, cl.vec_id) AS rn
+            FROM probes p JOIN cells cl
+              ON cl.cid = p.cid AND p.q_id <> cl.vec_id)
+          WHERE rn <= 10),
+        s1 AS (
+          SELECT q_id, vec_id AS s1_id, v AS s1v FROM (
+            SELECT q_id, vec_id, v, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            FROM pool)
+          WHERE rn = 1),
+        rem1 AS (
+          SELECT p.q_id, p.vec_id, p.v, p.cos, s.s1v,
+            0.7e0 * p.cos - 0.3e0 * ${V.cosineSql("p.v", "s.s1v")}
+              AS mmr
+          FROM pool p JOIN s1 s ON s.q_id = p.q_id
+          WHERE p.vec_id <> s.s1_id),
+        s2 AS (
+          SELECT q_id, vec_id AS s2_id, v AS s2v FROM (
+            SELECT q_id, vec_id, v, row_number() OVER (
+              PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+            FROM rem1)
+          WHERE rn = 1),
+        rem2 AS (
+          SELECT r.q_id, r.vec_id,
+            0.7e0 * r.cos - 0.3e0 * greatest(
+              ${V.cosineSql("r.v", "r.s1v")},
+              ${V.cosineSql("r.v", "s.s2v")}) AS mmr
+          FROM rem1 r JOIN s2 s ON s.q_id = r.q_id
+          WHERE r.vec_id <> s.s2_id),
+        s3 AS (
+          SELECT q_id, vec_id AS s3_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+            FROM rem2)
+          WHERE rn = 1),
+        picks AS (
+          SELECT q_id, 1 AS pick, s1_id AS vec_id FROM s1
+          UNION ALL SELECT q_id, 2, s2_id FROM s2
+          UNION ALL SELECT q_id, 3, s3_id FROM s3)
+        SELECT pk.q_id, pk.pick, pk.vec_id, p.cos
+        FROM picks pk JOIN pool p
+          ON p.q_id = pk.q_id AND p.vec_id = pk.vec_id""")),
+
     // PQ ENCODE — the compression half of IVF-PQ (see the PQ helper
     // block's scaladoc): the corpus coded as PqM=8 codebook ids per
     // vector (8 B vs 512 B — the representation a 100 TB ANN index

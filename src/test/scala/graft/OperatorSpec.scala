@@ -1040,6 +1040,29 @@ class OperatorSpec extends AnyFunSuite {
       "compacted probe still pays the anti-join")
   }
 
+  test("MMR diversification is load-bearing: picks diverge from pure relevance") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mmr = pairs(SparkEntry.queries("q_llm_mmr_diversify")(spark, sf))
+    val rel = pairs(LlmSim.ivfProbeOf(
+      Engine.table(spark, sf, "embeddings")
+        .filter($"vec_id" >= 25 && $"vec_id" < 30)
+        .select($"vec_id".as("q_id"),
+          graft.operators.VectorOps.toDouble($"embedding").as("qv")),
+      LlmSim.persistedIvfCent(spark, sf),
+      LlmSim.persistedIvfCells(spark, sf),
+      nprobe = LlmSim.IvfPNprobe))
+    assert(mmr.size === rel.size)
+    assert(mmr !== rel,
+      "λ-penalty inert — MMR picks identical to the relevance top-3")
+    info(s"MMR replaced ${(rel -- mmr).size} of ${rel.size} " +
+      "relevance picks with diverse ones")
+  }
+
   test("maintained-index probe consumes the bucketed epoch tables with pruning") {
     import org.apache.spark.sql.functions._
     // the committed epoch must be probed exactly like every other
