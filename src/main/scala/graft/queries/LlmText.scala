@@ -2017,6 +2017,57 @@ object LlmText extends QueryModule {
               FROM scored)
         WHERE rn <= 20""")),
 
+    // PER-DOCUMENT LM QUALITY SCORE — the CCNet-style language-model
+    // filter (score each document by how predictable its text is
+    // under a corpus LM, drop the tails), built on the bigram LM
+    // above in EXACT integral arithmetic instead of log-space
+    // perplexity: per bigram, the conditional probability in ppm
+    // (c(w1,w2)·1e6 div c(w1) — transcendental-free, so no ln() whose
+    // last bit could differ cross-engine), per document the ppm sum
+    // and its integral mean over the doc's bigrams. High avg = boilerplate
+    // / repetitive, low avg = unpredictable (or unique) text — the
+    // monotone proxy for -perplexity a filter thresholds on. One
+    // corpus scan for counts, one for scoring; the LM tables are
+    // vocab-sized. Degenerate <2-word docs score their fallback
+    // whole-text unigram, mirrored by the same CASE in SQL.
+    "q_llm_lm_score" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val docBg = Engine.table(s, dir, "documents")
+          .select($"doc_id",
+            explode(graft.plans.Shingles($"text", 2)).as("bg"))
+          .withColumn("w1", substring_index($"bg", " ", 1))
+        val c2 = docBg.groupBy($"w1", $"bg").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+        val ppm = c2.join(broadcast(c1), "w1")
+          .select($"bg", expr("c2 * 1000000 div c1").as("ppm"))
+        docBg.join(ppm, "bg")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bg"), sum($"ppm").as("ppm_sum"))
+          .select($"doc_id", $"n_bg", $"ppm_sum",
+            expr("ppm_sum div n_bg").as("avg_ppm"))
+      },
+      oracle = Some("""
+        WITH bgd AS (
+          SELECT doc_id, unnest(CASE WHEN len(words) >= 2
+              THEN [concat_ws(' ', words[i+1], words[i+2])
+                    FOR i IN generate_series(0, len(words)-2)]
+              ELSE [text] END) AS bg
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+                FROM documents)),
+        bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+                FROM bgd),
+        c2 AS (SELECT w1, bg, count(*) AS c2 FROM bgw GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+               FROM c2 GROUP BY w1),
+        ppm AS (SELECT bg, (c2.c2 * 1000000) // c1.c1 AS ppm
+                FROM c2 JOIN c1 USING (w1))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+          CAST(sum(ppm) AS BIGINT) AS ppm_sum,
+          CAST(sum(ppm) AS BIGINT) // count(*) AS avg_ppm
+        FROM bgw JOIN ppm USING (bg)
+        GROUP BY doc_id""")),
+
     // Corpus-level OUTLIER FILTER: drop documents above their source's
     // p95 character length — the "remove pathologically long docs"
     // quality rule crawl pipelines apply before training. The per-source
