@@ -2175,6 +2175,69 @@ object LlmText extends QueryModule {
     // reshuffles an existing doc across splits (the property that makes
     // eval sets trustworthy). Pure per-row codegen math: no shuffle at
     // any scale.
+    // SPLIT LEAKAGE AUDIT — the eval-hygiene check a pipeline runs
+    // AFTER splitting: near-duplicate pairs that STRADDLE train /
+    // validation / test are contamination (the model sees the eval
+    // answer's twin in training), and the hash-stable split rule
+    // cannot prevent them — a near-dup carries a different doc_id, so
+    // it buckets independently of its source (the mirror corpus here
+    // demonstrates exactly that). Candidates come from the PERSISTED
+    // banding index (both join sides bucket-read, no exchange on the
+    // index — the q_llm_index_persisted plan), split labels from the
+    // q_llm_split rule verbatim, and the pair is normalized
+    // (least/greatest of the two split names) so straddles count once
+    // per unordered split pair. Output: pair counts per (split_a,
+    // split_b) + the leaky flag — the audit number a release gate
+    // reads before a corpus ships.
+    "q_llm_split_leakage" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val bands = persistedBands(s, dir)
+        val pairs = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.bh" === $"b.bh"
+              && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        val sp = withNearDups(s, dir)
+          .select($"doc_id", when(
+            Fns.h60(concat($"source", lit(":"),
+              $"doc_id".cast("string"))) % 100 < 80, "train")
+            .when(Fns.h60(concat($"source", lit(":"),
+              $"doc_id".cast("string"))) % 100 < 90, "validation")
+            .otherwise("test").as("split"))
+        pairs.join(sp.as("pa"), $"doc_a" === $"pa.doc_id")
+          .join(sp.as("pb"), $"doc_b" === $"pb.doc_id")
+          .select(least($"pa.split", $"pb.split").as("split_a"),
+            greatest($"pa.split", $"pb.split").as("split_b"))
+          .groupBy($"split_a", $"split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leaky", $"split_a" =!= $"split_b")
+      },
+      oracle = Some(s"""
+        WITH $bandCtesSql,
+        p AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        sp AS (
+          SELECT doc_id,
+            CASE WHEN bkt < 80 THEN 'train'
+                 WHEN bkt < 90 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+              ${Fns.h60Sql(
+                "concat(source, ':', CAST(doc_id AS VARCHAR))")} % 100
+              AS bkt FROM base)),
+        lp AS (
+          SELECT least(pa.split, pb.split) AS split_a,
+            greatest(pa.split, pb.split) AS split_b
+          FROM p
+            JOIN sp pa ON p.doc_a = pa.doc_id
+            JOIN sp pb ON p.doc_b = pb.doc_id)
+        SELECT split_a, split_b, count(*) AS n_pairs,
+          split_a <> split_b AS leaky
+        FROM lp GROUP BY split_a, split_b""")),
+
     "q_llm_split" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
