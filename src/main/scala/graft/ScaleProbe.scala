@@ -18,6 +18,27 @@ object ScaleProbe {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-scale artifact writer (stale-dir cleanup + bucketed
+    * saveAsTable) shared by every probe that materializes an index —
+    * one home for the warehouse-cleanup logic. Returns the table
+    * name so callers can thread it. */
+  private def writeBucketed(spark: org.apache.spark.sql.SparkSession,
+                            tbl: String, key: String,
+                            df: => DataFrame): String = {
+    if (!spark.catalog.tableExists(tbl)) {
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(wh, tbl))
+      df.write.mode("overwrite")
+        .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
+    }
+    tbl
+  }
+
   /** ANN recall sweep: recall@3 of the multi-table multi-probe LSH
     * pipeline vs exact brute force over `nQueries` query vectors.
     * Usage: tools/run.sh graft.ScaleProbe recall [sfDir] [nQueries]
@@ -206,20 +227,6 @@ object ScaleProbe {
     val spark = Engine.session("graft-maintshape")
     import spark.implicits._
     import queries.LlmSim
-    def writeBucketed(tbl: String, key: String, df: => DataFrame): String = {
-      if (!spark.catalog.tableExists(tbl)) {
-        val wh = new java.io.File(new java.net.URI(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(wh, tbl))
-        df.write.mode("overwrite")
-          .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
-      }
-      tbl
-    }
     val e1 = Engine.table(spark, sfDir, "embeddings")
       .select($"vec_id",
         graft.operators.VectorOps.toDouble($"embedding").as("v"))
@@ -233,9 +240,9 @@ object ScaleProbe {
       val e = corpus(reps)
       val rows = e.count()
       val nlist = LlmSim.ivfNlistFor(rows)
-      val centT = writeBucketed(s"sp_mn_cent_$tag", "cid",
+      val centT = writeBucketed(spark, s"sp_mn_cent_$tag", "cid",
         LlmSim.ivfCentOf(e, nlist))
-      val cellT = writeBucketed(s"sp_mn_cells_$tag", "cid",
+      val cellT = writeBucketed(spark, s"sp_mn_cells_$tag", "cid",
         LlmSim.ivfCellsOf(e, spark.table(centT)))
       // proportional arrival delta (every 7th vector perturbed),
       // assigned with the same centroids and appended — then the
@@ -244,11 +251,11 @@ object ScaleProbe {
       val arrivals = e.filter($"vec_id" % 7 === 3)
         .select(($"vec_id" + 10000000000L).as("vec_id"),
           transform($"v", x => x * lit(0.9) + lit(0.01)).as("v"))
-      val upT = writeBucketed(s"sp_mn_up_$tag", "cid",
+      val upT = writeBucketed(spark, s"sp_mn_up_$tag", "cid",
         spark.table(cellT).unionByName(
           LlmSim.ivfCellsOf(arrivals, spark.table(centT))
             .select($"cid", $"vec_id", $"v")))
-      val postT = writeBucketed(s"sp_mn_post_$tag", "cid",
+      val postT = writeBucketed(spark, s"sp_mn_post_$tag", "cid",
         LlmSim.splitCells(spark.table(upT)
           .select($"cid", $"vec_id", $"v"), LlmSim.IvfPSplitRows))
       (postT, centT, rows)
@@ -362,25 +369,13 @@ object ScaleProbe {
         .withColumn("vec_id", $"vec_id" + lit(i * 100000000L))
         .withColumn("v", transform($"v", x => x + lit(i * 1e-3))))
       .reduce(_ unionByName _)
-    def writeBucketed(tbl: String, key: String, df: => DataFrame): Unit =
-      if (!spark.catalog.tableExists(tbl)) {
-        val wh = new java.io.File(new java.net.URI(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(wh, tbl))
-        df.write.mode("overwrite")
-          .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
-      }
     def mkLabeled(tag: String, e: DataFrame): (String, String, Map[Int, Int]) = {
       val rows = e.count()
       val nlist = LlmSim.ivfNlistFor(rows)
       val centT = s"sp_f_cent_$tag"; val lblT = s"sp_f_lbl_$tag"
-      writeBucketed(centT, "cid",
+      writeBucketed(spark, centT, "cid",
         LlmSim.ivfCentOf(e.select($"vec_id", $"v"), nlist))
-      writeBucketed(lblT, "cid",
+      writeBucketed(spark, lblT, "cid",
         LlmSim.ivfCellsOf(e.select($"vec_id", $"v"), spark.table(centT))
           .join(e.select($"vec_id", $"label"), Seq("vec_id"))
           .select($"cid", $"vec_id", $"label", $"v"))
@@ -402,23 +397,14 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     // rerank-input volume: candidate rows after BOTH prunes + the
     // per-query label equality — the work a probe actually pays
-    def candRows(a: (String, String, Map[Int, Int])): Long = {
-      val q = qFrame(a._3)
-      val routed = q.crossJoin(broadcast(spark.table(a._1)
-          .agg(collect_list(struct($"cid", $"cv")).as("cents"))))
-        .select($"q_id", $"target",
-          explode(slice(array_sort(transform($"cents",
-            c => struct(
-              (graft.operators.VectorOps.dot($"qv", $"qv")
-                - lit(2.0) * graft.operators.VectorOps.dot($"qv",
-                    c.getField("cv"))
-                + graft.operators.VectorOps.dot(c.getField("cv"),
-                    c.getField("cv"))).as("d2"),
-            c.getField("cid").as("cid")))), lit(1), $"np")).as("pc"))
-        .select($"q_id", $"target", $"pc.cid".as("cid"))
-      routed.join(spark.table(a._2), Seq("cid"))
+    def candRows(a: (String, String, Map[Int, Int])): Long =
+      // the SHIPPED routing (LlmSim.filteredRoutedOf — same slice,
+      // same d2, same tiebreak), so this metric cannot drift from the
+      // plan the gated query runs
+      LlmSim.filteredRoutedOf(qFrame(a._3), spark.table(a._1))
+        .select($"q_id", $"target", $"cid")
+        .join(spark.table(a._2), Seq("cid"))
         .filter($"label" === $"target").count()
-    }
     probe(a1); probe(aN) // warmup both plans
     val t1 = Seq.fill(3)(time(probe(a1))).sorted.apply(1)
     val tN = Seq.fill(3)(time(probe(aN))).sorted.apply(1)
@@ -801,18 +787,6 @@ object ScaleProbe {
     // one home for the per-scale artifact writer (stale-dir cleanup +
     // bucketed saveAsTable) — shared by the IVF, signature, and LSH
     // index builders below
-    def writeBucketed(tbl: String, key: String, df: => DataFrame): Unit =
-      if (!spark.catalog.tableExists(tbl)) {
-        val wh = new java.io.File(new java.net.URI(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(wh, tbl))
-        df.write.mode("overwrite")
-          .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
-      }
     def mkIvf(tag: String, e: DataFrame): (String, String, Int, Long) = {
       val rows = e.count()
       val nlist = queries.LlmSim.ivfNlistFor(rows)
@@ -821,8 +795,8 @@ object ScaleProbe {
           " — cells grow linearly past here; raise the clamp at scale")
       val centT = s"sp_ivf_cent_$tag"
       val cellT = s"sp_ivf_cells_$tag"
-      writeBucketed(centT, "cid", queries.LlmSim.ivfCentOf(e, nlist))
-      writeBucketed(cellT, "cid",
+      writeBucketed(spark, centT, "cid", queries.LlmSim.ivfCentOf(e, nlist))
+      writeBucketed(spark, cellT, "cid",
         queries.LlmSim.ivfCellsOf(e, spark.table(centT)))
       (centT, cellT, nlist, rows)
     }
@@ -837,7 +811,7 @@ object ScaleProbe {
     // scan + top-R alone.
     def mkSigs(tag: String, e: DataFrame): String = {
       val tbl = s"sp_bq_sig_$tag"
-      writeBucketed(tbl, "vec_id", queries.LlmSim.bqSigsOf(e))
+      writeBucketed(spark, tbl, "vec_id", queries.LlmSim.bqSigsOf(e))
       tbl
     }
     lazy val sig1 = mkSigs("1", emb1)
@@ -852,7 +826,7 @@ object ScaleProbe {
     // the LSH family's nlist, raised with the corpus in production.
     def mkLsh(tag: String, e: DataFrame): String = {
       val tbl = s"sp_lsh_idx_$tag"
-      writeBucketed(tbl, "tb", queries.LlmSim.lshIdxOf(e))
+      writeBucketed(spark, tbl, "tb", queries.LlmSim.lshIdxOf(e))
       tbl
     }
     lazy val lsh1 = mkLsh("1", emb1)

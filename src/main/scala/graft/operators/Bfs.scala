@@ -96,9 +96,10 @@ object Bfs {
     import org.apache.spark.sql.catalyst.expressions.ShiftLeft
     val spark = edges.sparkSession
     import spark.implicits._
-    require(maxId > 0 && maxId <= (1L << 31),
+    require(maxId > 0 && maxId <= (1L << 28),
       s"bitmap BFS needs a bounded id domain (got maxId=$maxId; " +
-        "densify ids first past 2^31)")
+        "the 2^28 cap keeps a bitmap at 32 MB — densify ids first " +
+        "past it)")
     val words = ((maxId + 63) / 64).toInt
     val bits = words.toLong * 64
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
@@ -121,9 +122,22 @@ object Bfs {
         SqlBridge.expression(pmod(idc, lit(64L)).cast("int"))))
       word.bitwiseAND(mask) =!= 0L
     }
+    // the fail-loudly domain guard, enforced against the DECLARED
+    // maxId (BitmapOrAgg's own check rounds up to the 64-bit word
+    // boundary, which would let up to 63 out-of-domain dst ids pass
+    // and then silently vanish from the range-scan materialization),
+    // and against NEGATIVE src ids (whose word/bit arithmetic would
+    // alias another node's frontier bit): assert_true throws on the
+    // first violating row, inside the same codegen scan
+    def inDomain(c: Column): Column =
+      assert_true(c >= 0L && c < lit(maxId),
+        lit(s"bitmap BFS: id outside the declared domain [0, $maxId)"))
     var hop = 0
     while (hop < maxHops && frontierCount > 0) {
-      val nb = e.filter(containsCol(frontier, col("src")))
+      val nb = e.filter(inDomain(col("src")).isNull &&
+          containsCol(frontier, col("src")))
+        .select(col("dst"))
+        .filter(inDomain(col("dst")).isNull)
         .agg(graft.plans.BitmapOrAgg(col("dst"), lit(bits)).as("bm"))
         .head.getAs[Array[Byte]]("bm")
       val next =

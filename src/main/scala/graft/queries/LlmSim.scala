@@ -2809,33 +2809,38 @@ object LlmSim extends QueryModule {
     * only a per-round overgrown COUNT (metadata-sized aggregate);
     * per-round `localCheckpoint` cuts the lineage exactly like the
     * repo's other fixpoints (ConnectedComponents, BFS). Convergence:
-    * a split strictly shrinks any cell whose two smallest-id vectors
+    * a split strictly refines any cell whose two smallest-id vectors
     * differ; a cell of BIT-IDENTICAL vectors cannot shrink (every row
     * ties to the lower seed) and is excluded from the progress demand
-    * — the loop stops early if a round leaves the overgrown set's
-    * total population unchanged, rather than burning maxRounds on an
-    * unsplittable clone mass. Returns (maintained frame, rounds
-    * run). */
+    * — the loop stops early only when a round leaves the overgrown
+    * (cid, size) SET unchanged (nothing moved anywhere), rather than
+    * burning maxRounds on an unsplittable clone mass. The set — not
+    * its total population — is the progress measure: an overgrown
+    * cell splitting into two still-overgrown halves keeps the
+    * population constant while genuinely refining, and must loop
+    * again. The per-round set is ≤ nlist+splits rows — a
+    * metadata-sized driver collect. Returns (maintained frame,
+    * rounds run). */
   private[graft] def splitCellsFixpoint(
       cells0: DataFrame, threshold: Long,
       maxRounds: Int = 8): (DataFrame, Int) = {
     import cells0.sparkSession.implicits._
     var cur = cells0.select($"cid", $"vec_id", $"v")
     var r = 0
-    def overPop(df: DataFrame): Long =
+    def overSet(df: DataFrame): Set[(Int, Long)] =
       df.groupBy($"cid").agg(count(lit(1)).as("cn"))
         .filter($"cn" > threshold)
-        .agg(coalesce(sum($"cn"), lit(0L))).as[Long].head()
-    var over = overPop(cur)
+        .as[(Int, Long)].collect().toSet
+    var over = overSet(cur)
     var progress = true
-    while (r < maxRounds && over > 0 && progress) {
+    while (r < maxRounds && over.nonEmpty && progress) {
       cur = splitCells(cur, threshold, offset = SplitCidOffset << r)
         .select($"cid", $"vec_id", $"v")
         .localCheckpoint()
       r += 1
-      val nextOver = overPop(cur)
-      progress = nextOver < over
-      over = nextOver
+      val next = overSet(cur)
+      progress = next != over
+      over = next
     }
     (cur, r)
   }
@@ -3600,14 +3605,18 @@ object LlmSim extends QueryModule {
       if (missing.nonEmpty) {
         val metaDir = graft.operators.TxnMarker.managedTableDir(s,
           s"graft_ivf_maint_${math.abs(dir.hashCode)}")
-        // cross-JVM reset: a fresh catalog with stale warehouse
-        // leftovers re-derives the whole epoch, marker included
+        // cross-JVM reset: a fresh catalog re-derives the epoch, so a
+        // PREVIOUS epoch's commit record must not satisfy appendOnce —
+        // delete ONLY the `.committed` marker. A live writer's
+        // `.inflight`/`.recover` markers are preserved: deleting them
+        // would let two processes run the cascade concurrently — the
+        // double delivery the protocol exists to prevent; a crashed
+        // writer's stale inflight is handled by the heartbeat-staleness
+        // recovery path as usual.
         if (!s.catalog.tableExists(cellsT)) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(): Unit
-          }
-          rm(metaDir)
+          java.nio.file.Files.deleteIfExists(new java.io.File(
+            new java.io.File(metaDir, "_graft_txn"),
+            "ivf-maintain-1.committed").toPath): Unit
         }
         graft.operators.TxnMarker.appendOnce(metaDir,
           txn = "ivf-maintain-1",
@@ -4048,15 +4057,26 @@ object LlmSim extends QueryModule {
     * array, candidates come from ONE pruned scan of the labeled index
     * — shared by the gated dir-bound probe and ScaleProbe's
     * scaled-index `filtered_shape`. */
-  private[graft] def ivfFilteredProbeOf(
-      q: DataFrame, cent: DataFrame, labeled: DataFrame): DataFrame = {
+  /** The routed (q_id, qv, target, cid) frame of a filtered probe —
+    * the per-row-width slice over the sorted broadcast centroid array
+    * — factored out so ScaleProbe's `filtered` shape measures the
+    * SHIPPED routing rather than a re-implementation that could
+    * silently drift. */
+  private[graft] def filteredRoutedOf(
+      q: DataFrame, cent: DataFrame): DataFrame = {
     import q.sparkSession.implicits._
-    val routed = q.crossJoin(centArrOf(cent))
+    q.crossJoin(centArrOf(cent))
       .select($"q_id", $"qv", $"target",
         explode(slice(array_sort(transform($"cents",
           c => struct(sqDist($"qv", c.getField("cv")).as("d2"),
             c.getField("cid").as("cid")))), lit(1), $"np")).as("pc"))
       .select($"q_id", $"qv", $"target", $"pc.cid".as("cid"))
+  }
+
+  private[graft] def ivfFilteredProbeOf(
+      q: DataFrame, cent: DataFrame, labeled: DataFrame): DataFrame = {
+    import q.sparkSession.implicits._
+    val routed = filteredRoutedOf(q, cent)
     // bounded collects: routed cids ≤ nlist ints, targets ≤ |labels|
     // ints — metadata-sized, same class as every probe in this file
     val cids = routed.select($"cid").distinct().as[Int].collect().sorted

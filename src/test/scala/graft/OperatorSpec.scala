@@ -907,6 +907,43 @@ class OperatorSpec extends AnyFunSuite {
       byCell.view.mapValues(_.size).toMap.toSeq.sorted.mkString(", "))
   }
 
+  test("split fixpoint: an even split into two still-overgrown halves keeps refining") {
+    import graft.queries.LlmSim
+    import spark.implicits._
+    // the code-review counterexample to population-based progress: a
+    // 240-row cell of four 60-clusters arranged so round 1 splits it
+    // into two 120-row halves — total overgrown POPULATION unchanged,
+    // but the SET changed, so the loop must continue and round 2
+    // finishes the job
+    val dims = 64
+    def mk(hot: Map[Int, Double], j: Double): Seq[Double] =
+      Seq.tabulate(dims)(d =>
+        hot.getOrElse(d, 0.0) + (if (d == 5) j else 0.0))
+    val a1 = (Seq(0L) ++ (10L to 68L))
+      .map(i => (0, i, mk(Map(0 -> 1.0), i * 1e-6)))
+    val a2 = (Seq(2L) ++ (70L to 128L))
+      .map(i => (0, i, mk(Map(0 -> 1.0, 1 -> 0.6), i * 1e-6)))
+    val b1 = (Seq(1L) ++ (130L to 188L))
+      .map(i => (0, i, mk(Map(2 -> 1.0), i * 1e-6)))
+    val b2 = (Seq(3L) ++ (190L to 248L))
+      .map(i => (0, i, mk(Map(2 -> 1.0, 3 -> 0.6), i * 1e-6)))
+    val cells = (a1 ++ a2 ++ b1 ++ b2).toDF("cid", "vec_id", "v")
+    val threshold = 100L
+    // one pass yields exactly two 120-row halves (seeds vec0 ∈ A,
+    // vec1 ∈ B) — the even-split shape
+    val one = LlmSim.splitCells(cells, threshold)
+      .groupBy($"cid").count().as[(Int, Long)].collect().toMap
+    assert(one.values.toSeq.sorted === Seq(120L, 120L),
+      s"setup drifted: one pass gave $one")
+    val (fixed, rounds) = LlmSim.splitCellsFixpoint(cells, threshold)
+    assert(rounds >= 2, s"fixpoint stopped after $rounds round(s)")
+    val sizes = fixed.groupBy($"cid").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= threshold),
+      s"overgrown cell survived: $sizes")
+    assert(sizes.values.toSeq.sorted === Seq(60L, 60L, 60L, 60L))
+  }
+
   test("maintenance commit: cascade consistent across artifacts, epoch guard refreshes or refuses") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
@@ -2233,12 +2270,25 @@ class OperatorSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(bmD === joinD,
       s"bitmap vs join mismatch: ${bmD.size} vs ${joinD.size} nodes")
-    // out-of-domain ids fail loudly, never alias
+    // out-of-domain ids fail loudly, never alias — including ids in
+    // the word-rounding gap (maxId=100 rounds to 128 bits: id 101
+    // fits the bitmap but NOT the declared domain) and negative src
+    // ids (whose word/bit arithmetic would alias another node)
     val e2 = intercept[Exception] {
       Bfs.hopDistanceBitmap(Seq((0L, 300L)).toDF("src", "dst"),
         Seq(0L).toDF("node"), maxHops = 2, maxId = 256L).collect()
     }
     assert(e2.getMessage != null)
+    val e3 = intercept[Exception] {
+      Bfs.hopDistanceBitmap(Seq((0L, 101L)).toDF("src", "dst"),
+        Seq(0L).toDF("node"), maxHops = 2, maxId = 100L).collect()
+    }
+    assert(e3.getMessage != null)
+    val e4 = intercept[Exception] {
+      Bfs.hopDistanceBitmap(Seq((-5L, 1L)).toDF("src", "dst"),
+        Seq(0L).toDF("node"), maxHops = 2, maxId = 100L).collect()
+    }
+    assert(e4.getMessage != null)
   }
 
   test("Bfs submits O(rounds) jobs, not O(exchange stages)") {
