@@ -213,7 +213,8 @@ object ScaleProbe {
   /** Maintenance-commit shape: the O(Σ|touched|) claim measured. Per
     * scale, a fresh corpus + derived-nlist index + a proportional
     * arrival upsert feed the EXACT committed chain
-    * (LlmSim.maintainedChainOf over the one-pass split frame); the
+    * (LlmSim.maintainedChainOf over the MaintSplitRounds-bounded
+    * fixpoint split frame); the
     * timed region is the chain's two outputs (maintained cells +
     * centroid set) materialized. Report: wall 1× vs N×, touched rows
     * (split-cell rows + moved rows) vs corpus rows per scale — the
@@ -246,8 +247,9 @@ object ScaleProbe {
         LlmSim.ivfCellsOf(e, spark.table(centT)))
       // proportional arrival delta (every 7th vector perturbed),
       // assigned with the same centroids and appended — then the
-      // one-pass split frame persisted OUTSIDE the timed region,
-      // exactly like the engine's persistedPostSplit
+      // FIXPOINT split frame (bounded at MaintSplitRounds) persisted
+      // OUTSIDE the timed region, exactly like the engine's
+      // persistedPostSplit
       val arrivals = e.filter($"vec_id" % 7 === 3)
         .select(($"vec_id" + 10000000000L).as("vec_id"),
           transform($"v", x => x * lit(0.9) + lit(0.01)).as("v"))
@@ -256,8 +258,9 @@ object ScaleProbe {
           LlmSim.ivfCellsOf(arrivals, spark.table(centT))
             .select($"cid", $"vec_id", $"v")))
       val postT = writeBucketed(spark, s"sp_mn_post_$tag", "cid",
-        LlmSim.splitCells(spark.table(upT)
-          .select($"cid", $"vec_id", $"v"), LlmSim.IvfPSplitRows))
+        LlmSim.splitCellsFixpoint(spark.table(upT)
+          .select($"cid", $"vec_id", $"v"), LlmSim.IvfPSplitRows,
+          maxRounds = LlmSim.MaintSplitRounds)._1)
       (postT, centT, rows)
     }
     val a1 = mk("1", 1)

@@ -944,6 +944,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(sizes.values.toSeq.sorted === Seq(60L, 60L, 60L, 60L))
   }
 
+  test("maintained chain commits the FIXPOINT: a pathological 2-round cell lands un-overgrown in the epoch") {
+    import graft.queries.LlmSim
+    import spark.implicits._
+    // the 3-cluster pathological frame again (one pass leaves a child
+    // still overgrown), pushed through the EXACT chain the commit
+    // cascades: splitCellsFixpoint bounded at MaintSplitRounds (what
+    // persistedPostSplit persists since r14) -> maintainedChainOf.
+    // Before r14 the committed epoch consumed the ONE-PASS frame and
+    // would have carried the overgrown child.
+    val dims = 64
+    def mk(hot: Map[Int, Double], j: Double): Seq[Double] =
+      Seq.tabulate(dims)(d =>
+        hot.getOrElse(d, 0.0) + (if (d == 3) j else 0.0))
+    val a = (Seq(0L) ++ (10L to 68L))
+      .map(i => (0, i, mk(Map(0 -> 1.0), i * 1e-6)))
+    val b = (Seq(1L) ++ (71L to 129L))
+      .map(i => (0, i, mk(Map(1 -> 1.0), i * 1e-6)))
+    val c = (Seq(2L) ++ (131L to 189L))
+      .map(i => (0, i, mk(Map(1 -> 1.0, 2 -> 0.5), i * 1e-6)))
+    val cells = (a ++ b ++ c).toDF("cid", "vec_id", "v")
+    val threshold = 100L
+    val (post, rounds) = LlmSim.splitCellsFixpoint(cells, threshold,
+      maxRounds = LlmSim.MaintSplitRounds)
+    assert(rounds === 2 && rounds <= LlmSim.MaintSplitRounds,
+      s"pathological case no longer takes 2 rounds (took $rounds) — " +
+        "the bounded commit would not cover it")
+    // every row of the divided family carries the cumulative flag, so
+    // the chain refreshes every child centroid (children have no
+    // persisted row)
+    assert(post.filter(!$"split").count() === 0L,
+      "a row of the split family lost its ever-overgrown flag")
+    val origCent = LlmSim.refreshedCentroids(cells)
+    val (mCells, mCent, changed) =
+      LlmSim.maintainedChainOf(post, origCent)
+    val sizes = mCells.groupBy($"cid").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= threshold),
+      s"an overgrown cell landed in the maintained epoch: $sizes")
+    // row accounting: nothing lost or duplicated through split+merge
+    assert(sizes.values.sum === (a ++ b ++ c).length.toLong)
+    // the centroid set covers exactly the maintained cids — a probe
+    // routed by mCent finds every cell, and no absorbed/stale row
+    val centCids = mCent.select($"cid").as[Int].collect().toSet
+    assert(centCids === sizes.keySet,
+      s"centroid set ${centCids.toSeq.sorted} != maintained cells " +
+        s"${sizes.keySet.toSeq.sorted}")
+    // every surviving split child is in the changed (refresh) set
+    val chg = changed.select($"cid").as[Int].collect().toSet
+    assert(sizes.keySet.subsetOf(chg),
+      "a split child kept a centroid the chain never refreshed")
+  }
+
   test("maintenance commit: cascade consistent across artifacts, epoch guard refreshes or refuses") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
