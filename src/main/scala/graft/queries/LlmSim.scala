@@ -1156,6 +1156,41 @@ object LlmSim extends QueryModule {
       },
       oracle = Some(tombProbeOracleSql)),
 
+    // MAINTAINED-EPOCH DELETES — the verb COMPOSITION the r13 pair
+    // left open: tombstones there targeted the BASE index, so the
+    // committed maintained epoch had no delete path. Here the semdedup
+    // θ=0.30 verdicts are judged within the MAINTAINED cells (the
+    // membership a probe of the epoch actually reads — including the
+    // upserted arrivals, which sit beside their near-duplicate sources
+    // and get curated away), landed as an O(delta) tombstone artifact,
+    // and this probe reads the epoch WITH tombstones live: routed by
+    // the maintained centroids, broadcast anti-join before the rerank.
+    // The oracle re-derives the ENTIRE verb chain — build → upsert →
+    // split fixpoint → merge → commit → delete — one composed gate.
+    "q_llm_maint_tomb_probe" -> QueryDef(
+      fn = (s, dir) => maintTombProbe(s, dir, 30L, 35L),
+      oracle = Some(maintTombOracleSql)),
+
+    // MAINTAINED-EPOCH COMPACTION — the fold at the epoch layer:
+    // maintained cells rewritten without the deleted rows, probed
+    // through the plain bucket path (no anti-join at probe time —
+    // plan-asserted in OperatorSpec). Same survivor set as the live
+    // read above by construction: the two share one oracle verbatim
+    // while their plans differ, closing build → upsert →
+    // maintain-commit → delete → compact as one gated chain.
+    "q_llm_maint_tomb_compact" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (_, mCent) = maintainIvfCommit(s, dir)
+        ivfProbeOf(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 30 && $"vec_id" < 35)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          mCent, persistedMaintCellsCompacted(s, dir),
+          nprobe = IvfPNprobe)
+      },
+      oracle = Some(maintTombOracleSql)),
+
     // HYBRID SEARCH — lexical + vector retrieval fused by reciprocal
     // rank fusion (RRF, Cormack et al. 2009, public): the standard
     // retrieval shape of a RAG-curation pipeline, composing two
@@ -3756,6 +3791,98 @@ object LlmSim extends QueryModule {
           .select($"vec_id")), Seq("vec_id"), "left_anti")
         .select($"cid", $"vec_id", $"v"))
   }
+
+  /** Tombstones for the MAINTAINED epoch — the composition the r13
+    * delete pair lacked (its tombstones targeted the BASE index, so
+    * the committed maintained artifacts had no delete path and the
+    * full verb chain build → upsert → maintain-commit → delete →
+    * compact was never one composed gate). Curation drops are the
+    * same semdedup θ=0.30 verdicts, now judged WITHIN the maintained
+    * cells (post split/merge membership — the cells a probe of the
+    * epoch actually reads; arrivals sit beside their near-duplicate
+    * sources here, so the ingest delta itself gets curated). O(delta)
+    * artifact, bucketed on cid like every epoch sibling. */
+  private[graft] def persistedMaintTombstones(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_mtomb_${math.abs(dir.hashCode)}", Seq("cid"),
+      semdedupOf(maintainIvfCommit(s, dir)._1, 0.30)
+        .filter(!$"kept").select($"cid", $"vec_id"))
+  }
+
+  /** The maintained epoch with its tombstones FOLDED — compaction at
+    * the epoch layer, same survivor set as the live-tombstone read
+    * path by construction (the two maintained delete probes share one
+    * oracle, the tombProbeOracleSql precedent). */
+  private[graft] def persistedMaintCellsCompacted(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_mcells_d1_${math.abs(dir.hashCode)}", Seq("cid"),
+      maintainIvfCommit(s, dir)._1
+        .join(broadcast(persistedMaintTombstones(s, dir)
+          .select($"vec_id")), Seq("vec_id"), "left_anti")
+        .select($"cid", $"vec_id", $"v"))
+  }
+
+  /** Probe the MAINTAINED epoch with tombstones live: routing over
+    * the maintained centroids, candidates from the maintained cells
+    * artifact, the delta-sized tombstone set anti-joined broadcast —
+    * [[ivfTombProbe]]'s shape composed onto the committed epoch. */
+  private[graft] def maintTombProbe(s: SparkSession, dir: String,
+                                    lo: Long, hi: Long,
+                                    nprobe: Int = IvfPNprobe): DataFrame = {
+    import s.implicits._
+    val (mCells, mCent) = maintainIvfCommit(s, dir)
+    val q = embDoubles(s, dir)
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val routed = probeCells(q, centArrOf(mCent), nprobe)
+    val cids = routed.select($"cid").distinct().as[Int].collect().sorted
+    val cand = mCells.filter(inSetCol($"cid", cids))
+      .join(broadcast(persistedMaintTombstones(s, dir)
+        .select($"vec_id")), Seq("vec_id"), "left_anti")
+    rankedTopK(
+      routed.join(cand, Seq("cid")).filter($"q_id" =!= $"vec_id")
+        .withColumn("cos", V.cosine($"qv", $"v")),
+      "q_id", Seq(("cos", true), ("vec_id", false)), 3)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+  }
+
+  /** The shared DuckDB mirror of BOTH maintained-epoch delete read
+    * paths — the whole maintenance chain re-derived, drops judged
+    * within the maintained cells (relab), survivors probed via the
+    * maintained centroids (mcent). */
+  private lazy val maintTombOracleSql: String = s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        mdrops AS (
+          SELECT DISTINCT a.vec_id
+          FROM relab a JOIN relab b
+            ON a.cid = b.cid AND b.vec_id < a.vec_id
+          WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30),
+        mlive AS (
+          SELECT * FROM relab
+          WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
+        mq AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= 30 AND vec_id < 35),
+        mprobes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM mq q CROSS JOIN mcent c)
+          WHERE rn <= $IvfPNprobe),
+        mscored AS (
+          SELECT p.q_id, cl.vec_id, ${V.cosineSql("p.qv", "cl.v")} AS cos
+          FROM mprobes p JOIN mlive cl
+            ON cl.cid = p.cid AND p.q_id <> cl.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM mscored)
+        WHERE rank <= 3"""
 
   /** Probe the index WITH tombstones live (pre-compaction): routed
     * cells read as usual (literal-cid pruned bucket scan), candidates

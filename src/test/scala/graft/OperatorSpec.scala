@@ -1129,6 +1129,50 @@ class OperatorSpec extends AnyFunSuite {
       "compacted probe still pays the anti-join")
   }
 
+  test("maintained-epoch deletes: tombstones within the epoch, compaction row-exact, plans differ") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (mCells, _) = LlmSim.maintainIvfCommit(spark, sf)
+    val mIds = mCells.select($"vec_id").as[Long].collect().toSet
+    val tomb = LlmSim.persistedMaintTombstones(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(tomb.nonEmpty, "no curation drops in the maintained epoch")
+    // tombstones judged WITHIN the epoch: every drop is a maintained
+    // row, and the upserted arrivals really get curated (an arrival
+    // sits beside its near-duplicate source)
+    assert(tomb.subsetOf(mIds), "tombstone outside the epoch")
+    assert(tomb.exists(_ >= LlmSim.ArrivalIdBase),
+      "no arrival curated — the delete never touched the upsert delta")
+    // exact row accounting through the fold
+    val compacted = LlmSim.persistedMaintCellsCompacted(spark, sf)
+    assert(compacted.count() === (mIds.size - tomb.size).toLong)
+    val cIds = compacted.select($"vec_id").as[Long].collect().toSet
+    assert(cIds === mIds -- tomb,
+      "compaction dropped or kept the wrong rows")
+    // neither read path surfaces a deleted vector; both agree
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id").as[Long].collect().toSet
+    val viaTomb = hits(LlmSim.maintTombProbe(spark, sf, 0L, 50L))
+    val viaCompact = hits(LlmSim.ivfProbeOf(
+      mCells.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"v".as("qv")),
+      LlmSim.maintainIvfCommit(spark, sf)._2, compacted,
+      nprobe = LlmSim.IvfPNprobe))
+    assert((viaTomb & tomb).isEmpty && (viaCompact & tomb).isEmpty,
+      "a deleted vector surfaced from the maintained epoch")
+    assert(viaTomb === viaCompact)
+    // plan posture: live path anti-joins, compacted path does not
+    val tp = SparkEntry.queries("q_llm_maint_tomb_probe")(spark, sf)
+    tp.write.format("noop").mode("overwrite").save()
+    assert(tp.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "maintained tombstone probe lost its anti-join")
+    val cp2 = SparkEntry.queries("q_llm_maint_tomb_compact")(spark, sf)
+    cp2.write.format("noop").mode("overwrite").save()
+    assert(!cp2.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "maintained compacted probe still pays the anti-join")
+  }
+
   test("MMR diversification is load-bearing: picks diverge from pure relevance") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
