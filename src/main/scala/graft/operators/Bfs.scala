@@ -74,32 +74,51 @@ object Bfs {
     * MBs — a sparser or unbounded id space must densify first, the
     * standard id-densification step of every production graph
     * engine). Each round is ONE map-side job: the edge scan filters
-    * `src` against the frontier bitmap (a words-array literal probed
-    * with native bit ops — codegen, no UDF), projects `dst`, and
+    * `src` against the frontier bitmap — shipped as a BROADCAST
+    * probed by [[graft.plans.BitmapContains]] (codegen, no UDF; the
+    * plan stays bytes-constant, where the r13 typedLit form
+    * re-serialized the whole bitmap into every task's plan) —
+    * projects `dst`, and
     * OR-folds it into a round bitmap via [[graft.plans.BitmapOrAgg]]
     * — NO join, NO distinct, NO anti-join, NO shuffle: the only
-    * cross-worker traffic is one fixed-size bitmap buffer per
-    * partition into the final merge, independent of frontier
-    * cardinality. The driver clears already-settled bits (exact — a
-    * bitmap, not a sketch, so no false positive can drop a node) and
-    * the result materializes OFF the driver as one range scan over
-    * the domain with d = the first level bitmap holding the id.
+    * cross-worker traffic is one torrent broadcast of the frontier
+    * (≤ 32 MB at the cap, once per executor) plus one fixed-size
+    * bitmap buffer per partition into the final merge, independent of
+    * frontier cardinality. The driver clears already-settled bits
+    * (exact — a bitmap, not a sketch, so no false positive can drop a
+    * node) and the result materializes OFF the driver as one range
+    * scan over the domain with d = the first level bitmap holding the
+    * id ([[graft.plans.BitmapFirstLevel]] over ONE broadcast of all
+    * ≤ maxHops+1 levels).
     * Semantics identical to [[hopDistance]]: every reachable node at
     * its minimum hop, sources at d=0, early stop on an empty
     * frontier. Work per round is one full edge scan (same as the
-    * join formulation's probe side) with O(1) bytes exchanged where
+    * join formulation's probe side) where
     * the join formulation shuffles the frontier, the expansion
-    * distinct, AND the growing settled anti-join every round. */
+    * distinct, AND the growing settled anti-join every round.
+    *
+    * CEILING (declared final posture, r14): every per-round buffer —
+    * driver bitmaps, the frontier broadcast, BitmapOrAgg's per-
+    * partition buffers — scales with the DOMAIN, not the frontier, so
+    * the 2^28 cap (32 MB/bitmap, ≤ (maxHops+1)·32 MB for the one
+    * levels broadcast) is the operator's working range, enforced
+    * loudly. Past ~10^9-node domains the right move is per-executor
+    * sub-range bitmaps (each partition ORs only its id slice, the
+    * driver merges ≤ maxHops slices) — measured at 64× in PLANS.md
+    * r13 (shape ratio 14.8 vs the join path's 7.5, crossover well
+    * past the cap); below the cap this whole-domain form keeps the
+    * one-job-per-round plan that beat the join formulation 4.9× on
+    * the gated graph. Callers with bigger domains use
+    * [[hopDistance]], which is frontier-proportional. */
   def hopDistanceBitmap(edges: DataFrame, sources: DataFrame,
                         maxHops: Int, maxId: Long): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge
-    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
     val spark = edges.sparkSession
     import spark.implicits._
     require(maxId > 0 && maxId <= (1L << 28),
       s"bitmap BFS needs a bounded id domain (got maxId=$maxId; " +
         "the 2^28 cap keeps a bitmap at 32 MB — densify ids first " +
         "past it)")
+    val sc = spark.sparkContext
     val words = ((maxId + 63) / 64).toInt
     val bits = words.toLong * 64
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
@@ -114,32 +133,28 @@ object Bfs {
       }
     var frontier = settled.clone()
     var frontierCount = frontier.map(java.lang.Long.bitCount(_).toLong).sum
-    val levels = scala.collection.mutable.ArrayBuffer(frontier.toSeq)
-    def containsCol(bm: Array[Long], idc: Column): Column = {
-      val word = element_at(typedLit(bm.toSeq), (idc / 64).cast("int") + 1)
-      val mask = SqlBridge.column(ShiftLeft(
-        SqlBridge.expression(lit(1L)),
-        SqlBridge.expression(pmod(idc, lit(64L)).cast("int"))))
-      word.bitwiseAND(mask) =!= 0L
-    }
-    // the fail-loudly domain guard, enforced against the DECLARED
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    // the fail-loudly dst-domain guard, enforced against the DECLARED
     // maxId (BitmapOrAgg's own check rounds up to the 64-bit word
     // boundary, which would let up to 63 out-of-domain dst ids pass
-    // and then silently vanish from the range-scan materialization),
-    // and against NEGATIVE src ids (whose word/bit arithmetic would
-    // alias another node's frontier bit): assert_true throws on the
-    // first violating row, inside the same codegen scan
+    // and then silently vanish from the range-scan materialization).
+    // src needs no sibling guard: BitmapContains throws STRUCTURALLY
+    // on any id outside [0, maxId) — no conjunct ordering to rely on.
     def inDomain(c: Column): Column =
       assert_true(c >= 0L && c < lit(maxId),
         lit(s"bitmap BFS: id outside the declared domain [0, $maxId)"))
     var hop = 0
     while (hop < maxHops && frontierCount > 0) {
-      val nb = e.filter(inDomain(col("src")).isNull &&
-          containsCol(frontier, col("src")))
+      val fBc = sc.broadcast(frontier)
+      val nb = e.filter(
+          graft.plans.BitmapContains(col("src"), fBc, maxId))
         .select(col("dst"))
         .filter(inDomain(col("dst")).isNull)
         .agg(graft.plans.BitmapOrAgg(col("dst"), lit(bits)).as("bm"))
         .head.getAs[Array[Byte]]("bm")
+      // the round's job is complete (head is eager) — release the
+      // frontier broadcast before the next round replaces it
+      fBc.destroy()
       val next =
         if (nb == null) new Array[Long](words)
         else {
@@ -155,28 +170,18 @@ object Bfs {
         cnt += java.lang.Long.bitCount(next(i))
         i += 1
       }
-      levels += next.toSeq
+      levels += next
       frontier = next
       frontierCount = cnt
       hop += 1
     }
     release(e)
-    // distributed materialization: d = index of the first level bitmap
-    // holding the id — a coalesce over <= maxHops+1 bounded-literal
-    // probes inside one codegen range scan, no driver-side row build
-    val lvlLit = typedLit(levels.toSeq)
-    val idc = col("id")
-    def inLevel(l: Int): Column = {
-      val word = element_at(element_at(lvlLit, l + 1),
-        (idc / 64).cast("int") + 1)
-      val mask = SqlBridge.column(ShiftLeft(
-        SqlBridge.expression(lit(1L)),
-        SqlBridge.expression(pmod(idc, lit(64L)).cast("int"))))
-      word.bitwiseAND(mask) =!= 0L
-    }
+    // distributed materialization: d = the first level bitmap holding
+    // the id — all levels ride ONE broadcast, probed inside one
+    // codegen range scan; no driver-side row build, no nested literal
+    val lvlBc = sc.broadcast(levels.toArray)
     spark.range(0, maxId)
-      .withColumn("d", coalesce(
-        levels.indices.map(l => when(inLevel(l), lit(l))): _*))
+      .withColumn("d", graft.plans.BitmapFirstLevel(col("id"), lvlBc))
       .filter(col("d").isNotNull)
       .select(col("id").as("node"), col("d"))
   }

@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
+
+/** Bit-probe of a driver-built bitmap shipped as a Spark BROADCAST —
+  * the bitmap-frontier BFS's per-round frontier test
+  * ([[graft.operators.Bfs.hopDistanceBitmap]]).
+  *
+  * The broadcast handle rides the expression as a referenced object
+  * (the compiled-Pattern discipline of [[BpeCount]]), so the PLAN stays
+  * bytes-constant however large the bitmap: a `typedLit` words array
+  * would serialize the whole bitmap into the plan shipped with EVERY
+  * task (32 MB at the 2^28-id cap — the r13-shipped form's hidden
+  * cost), where a broadcast moves once per executor over the torrent
+  * protocol and is shared by all of its tasks. `value()` resolves
+  * lazily executor-side into a codegen mutable slot, and the generated
+  * loop probes the long[] with native shift/mask ops.
+  *
+  * The domain guard is STRUCTURAL: an id outside [0, maxId) throws
+  * from inside the probe itself — not from a sibling `assert_true`
+  * conjunct whose left-to-right evaluation Catalyst is free to
+  * reorder (a reordered And could let a negative id's word/bit
+  * arithmetic silently alias another node's frontier bit).
+  */
+case class BitmapContains(child: Expression,
+                          bm: Broadcast[Array[Long]],
+                          maxId: Long) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_contains requires a bigint id, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    BitmapContains.probe(bm.value, input.asInstanceOf[Long], maxId)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("frontierBc", bm,
+      classOf[Broadcast[Array[Long]]].getName)
+    val words = ctx.addMutableState("long[]", "bmWords",
+      v => s"$v = (long[]) $ref.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.BitmapContains.probe($words, $c, ${maxId}L);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapContains = copy(child = newChild)
+}
+
+object BitmapContains {
+  def probe(words: Array[Long], id: Long, maxId: Long): Boolean = {
+    if (id < 0L || id >= maxId)
+      throw new IllegalArgumentException(
+        s"bitmap BFS: id $id outside the declared domain [0, $maxId)")
+    (words((id >> 6).toInt) & (1L << (id & 63))) != 0L
+  }
+
+  /** Column-level entry point. */
+  def apply(id: Column, bm: Broadcast[Array[Long]], maxId: Long): Column =
+    SqlBridge.column(BitmapContains(SqlBridge.expression(id), bm, maxId))
+}
+
+/** Index of the FIRST level bitmap holding an id, NULL when none does —
+  * the bitmap BFS's distributed materialization (`d` = the hop whose
+  * level bitmap first set the bit), probing all maxHops+1 levels from
+  * ONE broadcast instead of a nested plan literal (which at the 2^28
+  * cap would embed ~(maxHops+1)·32 MB into the plan and box every word
+  * through Seq[Long] on the driver). Ids outside the broadcast's word
+  * range throw rather than alias (the caller feeds `range(0, maxId)`,
+  * in-domain by construction — the guard is belt-and-braces). */
+case class BitmapFirstLevel(child: Expression,
+                            levels: Broadcast[Array[Array[Long]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_first_level requires a bigint id, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = BitmapFirstLevel.first(levels.value, input.asInstanceOf[Long])
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("levelsBc", levels,
+      classOf[Broadcast[Array[Array[Long]]]].getName)
+    val lv = ctx.addMutableState("long[][]", "lvWords",
+      v => s"$v = (long[][]) $ref.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("lvl")
+      s"""
+        int $r = graft.plans.BitmapFirstLevel.first($lv, $c);
+        ${ev.isNull} = ($r < 0);
+        ${ev.value} = $r;"""
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapFirstLevel = copy(child = newChild)
+}
+
+object BitmapFirstLevel {
+  def first(levels: Array[Array[Long]], id: Long): Int = {
+    if (id < 0L || levels.length > 0 && (id >> 6) >= levels(0).length)
+      throw new IllegalArgumentException(
+        s"bitmap BFS: id $id outside the materialization domain")
+    val w = (id >> 6).toInt
+    val m = 1L << (id & 63)
+    var l = 0
+    while (l < levels.length) {
+      if ((levels(l)(w) & m) != 0L) return l
+      l += 1
+    }
+    -1
+  }
+
+  /** Column-level entry point. */
+  def apply(id: Column, levels: Broadcast[Array[Array[Long]]]): Column =
+    SqlBridge.column(BitmapFirstLevel(SqlBridge.expression(id), levels))
+}
