@@ -952,7 +952,7 @@ object LlmSim extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         maintainIvfCommit(s, dir)
-        val Seq(cellsT, centT, pqT, _, _) = maintainedTables(dir)
+        val Seq(cellsT, centT, pqT, _, _) = maintainedTables(s, dir)
         pqProbeCore(
           embDoubles(s, dir)
             .filter($"vec_id" >= 15 && $"vec_id" < 20)
@@ -1039,7 +1039,7 @@ object LlmSim extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         maintainIvfCommit(s, dir)
-        val Seq(cellsT, centT, _, _, rpqT) = maintainedTables(dir)
+        val Seq(cellsT, centT, _, _, rpqT) = maintainedTables(s, dir)
         pqProbeCore(
           embDoubles(s, dir)
             .filter($"vec_id" >= 15 && $"vec_id" < 20)
@@ -3620,11 +3620,50 @@ object LlmSim extends QueryModule {
 
   /** The maintained-epoch artifact tables, in cascade write order:
     * cells, centroids, PQ codes, labeled cells, residual-PQ codes. */
-  private[graft] def maintainedTables(dir: String): Seq[String] = {
+  /** The five cascade table names for a given EPOCH — every epoch
+    * writes to fresh directories (versioned names), published by an
+    * atomic pointer swap; see [[maintainIvfCommit]]. */
+  private def maintainedTablesFor(dir: String, epoch: Int): Seq[String] = {
     val h = math.abs(dir.hashCode)
-    Seq(s"graft_ivf_cells_m1_$h", s"graft_ivf_cent_m1_$h",
-      s"graft_pq_idx_m1_$h", s"graft_ivf_cells_lbl_m1_$h",
-      s"graft_rpq_idx_m1_$h")
+    Seq(s"graft_ivf_cells_m${epoch}_$h", s"graft_ivf_cent_m${epoch}_$h",
+      s"graft_pq_idx_m${epoch}_$h", s"graft_ivf_cells_lbl_m${epoch}_$h",
+      s"graft_rpq_idx_m${epoch}_$h")
+  }
+
+  /** The CURRENT maintained-epoch artifact tables, in cascade write
+    * order: cells, centroids, PQ codes, labeled cells, residual-PQ
+    * codes — resolved through the epoch pointer, so callers always
+    * see the published epoch. */
+  private[graft] def maintainedTables(
+      s: SparkSession, dir: String): Seq[String] =
+    maintainedTablesFor(dir, maintEpochOf(s, dir))
+
+  /** The epoch-pointer file under the maintenance meta dir. */
+  private def maintPointerFile(s: SparkSession, dir: String): java.io.File =
+    new java.io.File(graft.operators.TxnMarker.managedTableDir(s,
+      s"graft_ivf_maint_${math.abs(dir.hashCode)}"), "_graft_epoch")
+
+  /** The published maintenance epoch (0 = none yet). */
+  private def maintEpochOf(s: SparkSession, dir: String): Int = {
+    val f = maintPointerFile(s, dir)
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
+  /** Atomic pointer swap: write-temp + ATOMIC_MOVE, so a reader sees
+    * the old epoch or the new one, never a torn write. */
+  private def publishMaintEpoch(s: SparkSession, dir: String,
+                                epoch: Int): Unit = {
+    val f = maintPointerFile(s, dir)
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(f.getParentFile, s"_graft_epoch.tmp.$epoch")
+    java.nio.file.Files.write(tmp.toPath, epoch.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   private val maintLock = new Object
@@ -3645,44 +3684,46 @@ object LlmSim extends QueryModule {
     * body). Each table write is individually all-or-nothing (parquet
     * job commit) and skipped when present, so a recovery re-run
     * completes exactly the missing suffix of the cascade; the marker
-    * commits only after all five landed. Epoch guard: once the marker reports
-    * committed, a missing sibling table means the epochs diverged
-    * OUTSIDE the protocol (manual drop, corruption) — the accessor
-    * REFUSES with an exception rather than probe a stale cascade,
-    * while any divergence WITH the marker uncommitted (crash
-    * mid-cascade) is REFRESHED by the recovery re-run. Cross-JVM, a
-    * fresh catalog re-derives the epoch (the writeOnceTable
-    * discipline — the marker resets with the tables); within a JVM,
-    * deliveries serialize on a lock and the marker makes concurrent
-    * cross-process deliveries land the cascade once
-    * (double-delivery tested on the real artifacts in
+    * commits only after all five landed.
+    *
+    * VERSIONED EPOCHS (r14, closing the r13 ADVICE race): each
+    * delivery that cannot serve the published epoch from its catalog
+    * mints the NEXT epoch into FRESH table directories
+    * (epoch-numbered names, their own `ivf-maintain-e<N>` txn) and
+    * publishes it with an atomic pointer swap — it never deletes a
+    * commit marker and never rm+rewrites a directory another process
+    * might still be serving (the previous scheme's cross-JVM reset
+    * deleted the `.committed` record and re-derived IN PLACE,
+    * non-atomically clobbering five live dirs under any concurrent
+    * reader). The immediately-previous epoch is kept as a grace
+    * window for in-flight readers; older epochs (and their markers)
+    * are vacuumed after the swap. Epoch guard: a `.committed` marker
+    * for the epoch we are minting whose tables our catalog cannot
+    * see (a concurrent process won that epoch's cascade, or manual
+    * drop/corruption) REFUSES with an exception rather than probe a
+    * stale cascade; divergence with the marker UNcommitted (crash
+    * mid-cascade) is refreshed by the recovery re-run, completing
+    * exactly the missing suffix. Within a JVM deliveries serialize on
+    * a lock; across processes the marker protocol lands each epoch's
+    * cascade once (double-delivery tested on the real artifacts in
     * TxnMarkerSpec). Returns (cells, centroids) read from the
-    * COMMITTED tables. */
+    * published epoch's tables. */
   private[graft] def maintainIvfCommit(
       s: SparkSession, dir: String): (DataFrame, DataFrame) =
     maintLock.synchronized {
       import s.implicits._
-      val Seq(cellsT, centT, pqT, lblT, rpqT) = maintainedTables(dir)
-      def missing =
-        maintainedTables(dir).filterNot(s.catalog.tableExists)
-      if (missing.nonEmpty) {
-        val metaDir = graft.operators.TxnMarker.managedTableDir(s,
-          s"graft_ivf_maint_${math.abs(dir.hashCode)}")
-        // cross-JVM reset: a fresh catalog re-derives the epoch, so a
-        // PREVIOUS epoch's commit record must not satisfy appendOnce —
-        // delete ONLY the `.committed` marker. A live writer's
-        // `.inflight`/`.recover` markers are preserved: deleting them
-        // would let two processes run the cascade concurrently — the
-        // double delivery the protocol exists to prevent; a crashed
-        // writer's stale inflight is handled by the heartbeat-staleness
-        // recovery path as usual.
-        if (!s.catalog.tableExists(cellsT)) {
-          java.nio.file.Files.deleteIfExists(new java.io.File(
-            new java.io.File(metaDir, "_graft_txn"),
-            "ivf-maintain-1.committed").toPath): Unit
-        }
+      val metaDir = graft.operators.TxnMarker.managedTableDir(s,
+        s"graft_ivf_maint_${math.abs(dir.hashCode)}")
+      val cur = maintEpochOf(s, dir)
+      val curTabs = maintainedTablesFor(dir, cur)
+      if (cur > 0 && curTabs.forall(s.catalog.tableExists)) {
+        (s.table(curTabs.head), s.table(curTabs(1)))
+      } else {
+        val next = cur + 1
+        val tabs = maintainedTablesFor(dir, next)
+        val Seq(cellsT, centT, pqT, lblT, rpqT) = tabs
         graft.operators.TxnMarker.appendOnce(metaDir,
-          txn = "ivf-maintain-1",
+          txn = s"ivf-maintain-e$next",
           doAppend = () => {
             val (cells, cent, changed) = maintainedChain(s, dir)
             LlmText.writeOnceTable(s, cellsT, Seq("cid"), cells)
@@ -3734,15 +3775,37 @@ object LlmSim extends QueryModule {
             })
             ()
           },
-          presentRows = () => if (missing.isEmpty) 1L else 0L,
+          presentRows = () =>
+            if (tabs.forall(s.catalog.tableExists)) 1L else 0L,
           expectedRows = () => 1L)
-        val diverged = missing
+        val diverged = tabs.filterNot(s.catalog.tableExists)
         if (diverged.nonEmpty) throw new IllegalStateException(
-          "IVF maintenance epochs diverged: commit marker present " +
-            s"but artifacts missing: ${diverged.mkString(", ")} — " +
-            "refusing to serve a stale cascade")
+          s"IVF maintenance epoch $next diverged: commit marker " +
+            s"present but artifacts missing from this catalog: " +
+            s"${diverged.mkString(", ")} — another process won the " +
+            "epoch or it was dropped; refusing to serve a stale cascade")
+        publishMaintEpoch(s, dir, next)
+        // vacuum epochs past the grace window (keep `next` and `cur`;
+        // a process that read the pointer just before the swap may
+        // still be serving `cur`) — drop catalog-registered tables,
+        // rm raw dirs left by dead JVMs, and their commit markers
+        (1 until cur).foreach { e =>
+          maintainedTablesFor(dir, e).foreach { t =>
+            if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
+            else {
+              def rm(f: java.io.File): Unit = {
+                if (f.isDirectory) f.listFiles().foreach(rm)
+                f.delete(): Unit
+              }
+              rm(graft.operators.TxnMarker.managedTableDir(s, t))
+            }
+          }
+          java.nio.file.Files.deleteIfExists(new java.io.File(
+            new java.io.File(metaDir, "_graft_txn"),
+            s"ivf-maintain-e$e.committed").toPath): Unit
+        }
+        (s.table(cellsT), s.table(centT))
       }
-      (s.table(cellsT), s.table(centT))
     }
 
   // ---- Index deletes (tombstones + compaction) ----------------------
@@ -4031,8 +4094,10 @@ object LlmSim extends QueryModule {
     * same corpus-independent R·|q| rerank-cost class as [[PqTopR]].
     * r11 sweep (recall@3 vs BRUTE over 50 queries, sf0.001/0.01/0.1):
     * R=20 0.53/0.52/0.35, R=50 0.71/0.75/0.47, R=100 0.88/0.90/0.72 —
-    * shipped 100 (absolute recall above the IVF nprobe=2 routing
-    * posture at every scale, with zero routing loss by construction). */
+    * shipped 100 (absolute recall above the THEN-shipped r11 IVF
+    * posture of nprobe=2 at every scale — the family default has
+    * since moved to IvfPNprobe=4; q_llm_ann_ivf2 keeps the nprobe-2
+    * variant gated — with zero routing loss by construction). */
   private[graft] val BqTopR = 100
 
   /** 1-bit/dim signatures: the 64 sign bits of a vector packed into
@@ -4259,12 +4324,6 @@ object LlmSim extends QueryModule {
       persistedIvfCellsLabeled(s, dir))
   }
 
-  /** The filtered-probe CORE over explicit artifacts: `q` carries
-    * (q_id, qv, target, np — its own per-label width); routing is a
-    * per-row slice of length `np` over the sorted broadcast centroid
-    * array, candidates come from ONE pruned scan of the labeled index
-    * — shared by the gated dir-bound probe and ScaleProbe's
-    * scaled-index `filtered_shape`. */
   /** The routed (q_id, qv, target, cid) frame of a filtered probe —
     * the per-row-width slice over the sorted broadcast centroid array
     * — factored out so ScaleProbe's `filtered` shape measures the
@@ -4281,6 +4340,12 @@ object LlmSim extends QueryModule {
       .select($"q_id", $"qv", $"target", $"pc.cid".as("cid"))
   }
 
+  /** The filtered-probe CORE over explicit artifacts: `q` carries
+    * (q_id, qv, target, np — its own per-label width); routing is a
+    * per-row slice of length `np` over the sorted broadcast centroid
+    * array, candidates come from ONE pruned scan of the labeled index
+    * — shared by the gated dir-bound probe and ScaleProbe's
+    * scaled-index `filtered_shape`. */
   private[graft] def ivfFilteredProbeOf(
       q: DataFrame, cent: DataFrame, labeled: DataFrame): DataFrame = {
     import q.sparkSession.implicits._

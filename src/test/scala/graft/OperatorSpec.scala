@@ -1001,7 +1001,8 @@ class OperatorSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val (cells, cent) = LlmSim.maintainIvfCommit(spark, sf)
-    val Seq(cellsT, centT, pqT, lblT, rpqT) = LlmSim.maintainedTables(sf)
+    val Seq(cellsT, centT, pqT, lblT, rpqT) =
+      LlmSim.maintainedTables(spark, sf)
     assert(Seq(cellsT, centT, pqT, lblT, rpqT)
       .forall(spark.catalog.tableExists), "cascade left a table missing")
     // membership: the PQ-code index and the labeled cells carry
@@ -1061,31 +1062,50 @@ class OperatorSpec extends AnyFunSuite {
         s"vec $vec (unchanged cell $cid): residual codes re-derived " +
           "differently from the persisted index")
     }
-    // epoch guard, REFRESH branch: a sibling missing with the commit
-    // marker absent (= crash mid-cascade) is completed by a re-run
+    // epoch guard, REFRESH branch (versioned since r14): a sibling
+    // missing from the published epoch means the epoch cannot be
+    // served — the next delivery mints a FRESH COMPLETE epoch into
+    // new directories and swaps the pointer; it never deletes the old
+    // epoch's commit marker or rewrites its surviving directories
+    // (the grace window for a process still serving them)
     val metaDir = new java.io.File(
       graft.operators.TxnMarker.managedTableDir(spark,
         s"graft_ivf_maint_${math.abs(sf.hashCode)}"), "_graft_txn")
-    val marker = new java.io.File(metaDir, "ivf-maintain-1.committed")
+    val markers0 = metaDir.list().count(_.endsWith(".committed"))
     spark.sql(s"DROP TABLE $pqT")
-    assert(marker.delete(), "commit marker should exist before the drop")
     LlmSim.maintainIvfCommit(spark, sf)
-    assert(spark.catalog.tableExists(pqT) && marker.isFile,
-      "re-run must complete the missing cascade suffix and recommit")
-    val pqMem2 = spark.table(pqT).select($"cid", $"vec_id")
+    val tabs2 = LlmSim.maintainedTables(spark, sf)
+    assert(tabs2 != Seq(cellsT, centT, pqT, lblT, rpqT),
+      "re-run patched the broken epoch in place instead of minting")
+    assert(tabs2.forall(spark.catalog.tableExists))
+    // the old epoch's surviving members are untouched (grace window)
+    assert(spark.catalog.tableExists(cellsT) &&
+      graft.operators.TxnMarker.managedTableDir(spark, cellsT).isDirectory,
+      "minting a fresh epoch disturbed the previous epoch's tables")
+    assert(metaDir.list().count(_.endsWith(".committed")) === markers0 + 1,
+      "minting deleted or failed to add a commit marker")
+    val pqMem2 = spark.table(tabs2(2)).select($"cid", $"vec_id")
       .as[(Int, Long)].collect().toSet
-    assert(pqMem2 === mem, "refreshed sibling re-derived differently")
-    // epoch guard, REFUSE branch: a sibling missing WITH the marker
-    // committed is divergence outside the protocol — refuse to serve
-    spark.sql(s"DROP TABLE $lblT")
+    assert(pqMem2 === mem, "fresh epoch re-derived differently")
+    // epoch guard, REFUSE branch: the epoch being minted already has
+    // a committed marker whose tables this catalog cannot see (a
+    // concurrent process won that epoch, or manual drop) — refuse to
+    // serve a stale cascade rather than guess
+    val curEpoch = tabs2.head.split("_m")(1).split("_")(0).toInt
+    val foreign = new java.io.File(metaDir,
+      s"ivf-maintain-e${curEpoch + 1}.committed")
+    assert(foreign.createNewFile())
+    spark.sql(s"DROP TABLE ${tabs2(3)}")
     val e = intercept[IllegalStateException] {
       LlmSim.maintainIvfCommit(spark, sf)
     }
     assert(e.getMessage.contains("diverged"))
-    // restore the epoch for any later consumer in this JVM
-    assert(marker.delete())
+    // clearing the foreign marker heals: the next delivery lands the
+    // epoch itself and serves it
+    assert(foreign.delete())
     LlmSim.maintainIvfCommit(spark, sf)
-    assert(spark.catalog.tableExists(lblT))
+    assert(LlmSim.maintainedTables(spark, sf)
+      .forall(spark.catalog.tableExists))
   }
 
   test("index deletes: tombstones excluded at read, folded by compaction, plans differ") {
