@@ -1071,7 +1071,6 @@ class OperatorSpec extends AnyFunSuite {
     val metaDir = new java.io.File(
       graft.operators.TxnMarker.managedTableDir(spark,
         s"graft_ivf_maint_${math.abs(sf.hashCode)}"), "_graft_txn")
-    val markers0 = metaDir.list().count(_.endsWith(".committed"))
     spark.sql(s"DROP TABLE $pqT")
     LlmSim.maintainIvfCommit(spark, sf)
     val tabs2 = LlmSim.maintainedTables(spark, sf)
@@ -1082,8 +1081,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists(cellsT) &&
       graft.operators.TxnMarker.managedTableDir(spark, cellsT).isDirectory,
       "minting a fresh epoch disturbed the previous epoch's tables")
-    assert(metaDir.list().count(_.endsWith(".committed")) === markers0 + 1,
-      "minting deleted or failed to add a commit marker")
+    // the new epoch committed its own marker, and the previous
+    // epoch's marker survives the vacuum (its grace window) — older
+    // epochs' markers may be vacuumed, so no global count assert
+    def epochOf(t: String) = t.split("_m")(1).split("_")(0).toInt
+    assert(epochOf(tabs2.head) === epochOf(cellsT) + 1)
+    assert(new java.io.File(metaDir,
+      s"ivf-maintain-e${epochOf(tabs2.head)}.committed").isFile,
+      "minting failed to commit its epoch marker")
+    assert(new java.io.File(metaDir,
+      s"ivf-maintain-e${epochOf(cellsT)}.committed").isFile,
+      "minting deleted the previous epoch's commit marker")
     val pqMem2 = spark.table(tabs2(2)).select($"cid", $"vec_id")
       .as[(Int, Long)].collect().toSet
     assert(pqMem2 === mem, "fresh epoch re-derived differently")
