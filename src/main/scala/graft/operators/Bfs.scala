@@ -74,10 +74,12 @@ object Bfs {
     * MBs — a sparser or unbounded id space must densify first, the
     * standard id-densification step of every production graph
     * engine). Each round is ONE map-side job: the edge scan filters
-    * `src` against the frontier bitmap — shipped as a BROADCAST
-    * probed by [[graft.plans.BitmapContains]] (codegen, no UDF; the
-    * plan stays bytes-constant, where the r13 typedLit form
-    * re-serialized the whole bitmap into every task's plan) —
+    * `src` against the frontier bitmap — shipped size-adaptively
+    * (raw long[] plan reference below [[BitmapBroadcastWords]], a
+    * torrent BROADCAST above it) and probed by
+    * [[graft.plans.BitmapContains]]/[[graft.plans.BitmapContainsLit]]
+    * (codegen, no UDF; large domains never re-serialize the bitmap
+    * into every task's plan, the r13 typedLit form's hidden cost) —
     * projects `dst`, and
     * OR-folds it into a round bitmap via [[graft.plans.BitmapOrAgg]]
     * — NO join, NO distinct, NO anti-join, NO shuffle: the only
@@ -143,18 +145,28 @@ object Bfs {
     def inDomain(c: Column): Column =
       assert_true(c >= 0L && c < lit(maxId),
         lit(s"bitmap BFS: id outside the declared domain [0, $maxId)"))
+    // size-adaptive shipping: below the threshold the frontier rides
+    // each task's plan as a raw long[] reference (compact, zero
+    // broadcast latency); above it, one torrent broadcast per round
+    // (per-executor, plan stays bytes-constant) — see the expression
+    // scaladocs for the measured crossover
+    val useBc = words > BitmapBroadcastWords
     var hop = 0
     while (hop < maxHops && frontierCount > 0) {
-      val fBc = sc.broadcast(frontier)
-      val nb = e.filter(
-          graft.plans.BitmapContains(col("src"), fBc, maxId))
+      val fBc = if (useBc) Some(sc.broadcast(frontier)) else None
+      val contains = fBc match {
+        case Some(bc) => graft.plans.BitmapContains(col("src"), bc, maxId)
+        case None =>
+          graft.plans.BitmapContainsLit(col("src"), frontier, maxId)
+      }
+      val nb = e.filter(contains)
         .select(col("dst"))
         .filter(inDomain(col("dst")).isNull)
         .agg(graft.plans.BitmapOrAgg(col("dst"), lit(bits)).as("bm"))
         .head.getAs[Array[Byte]]("bm")
       // the round's job is complete (head is eager) — release the
       // frontier broadcast before the next round replaces it
-      fBc.destroy()
+      fBc.foreach(_.destroy())
       val next =
         if (nb == null) new Array[Long](words)
         else {
@@ -177,14 +189,27 @@ object Bfs {
     }
     release(e)
     // distributed materialization: d = the first level bitmap holding
-    // the id — all levels ride ONE broadcast, probed inside one
-    // codegen range scan; no driver-side row build, no nested literal
-    val lvlBc = sc.broadcast(levels.toArray)
+    // the id — all levels ride ONE broadcast (or, small, one raw
+    // plan reference), probed inside one codegen range scan; no
+    // driver-side row build, no boxed nested literal
+    val dCol =
+      if (useBc)
+        graft.plans.BitmapFirstLevel(col("id"), sc.broadcast(levels.toArray))
+      else graft.plans.BitmapFirstLevelLit(col("id"), levels.toArray)
     spark.range(0, maxId)
-      .withColumn("d", graft.plans.BitmapFirstLevel(col("id"), lvlBc))
+      .withColumn("d", dCol)
       .filter(col("d").isNotNull)
       .select(col("id").as("node"), col("d"))
   }
+
+  /** Words threshold of the bitmap-shipping split: ≤ this (256 KB of
+    * bitmap) the frontier/levels ride each task's plan as raw long[]
+    * references — a KB-scale frontier re-broadcast every round costs
+    * more in torrent setup (~10 ms/round, measured on the gated
+    * graph) than its plan bytes; above it the per-task bytes dominate
+    * (32 MB at the 2^28 cap, times every task, where a broadcast
+    * moves once per executor) and each round broadcasts. */
+  private[graft] val BitmapBroadcastWords: Int = 1 << 15
 
   // private[graft] so the job-count test can run both postures and
   // measure the submission gap the adaptive=false wrapper exists for

@@ -69,6 +69,48 @@ object BitmapContains {
     SqlBridge.column(BitmapContains(SqlBridge.expression(id), bm, maxId))
 }
 
+/** [[BitmapContains]] with the words array carried DIRECTLY as a plan
+  * reference — for SMALL domains, where a torrent broadcast's
+  * per-round create/destroy latency (~10 ms, measured as a 63-job
+  * q_graph_bfs sitting moving 4.9→5.4 run-seconds when every round
+  * broadcast a KB-sized frontier) costs more than shipping the raw
+  * long[] with each task's plan. A raw primitive array serializes
+  * compactly (no per-element boxing — the typedLit form this family
+  * replaced boxed through GenericArrayData); past
+  * [[graft.operators.Bfs.BitmapBroadcastWords]] the per-task bytes
+  * dominate and the broadcast form takes over. Same structural
+  * domain guard. */
+case class BitmapContainsLit(child: Expression,
+                             words: Array[Long],
+                             maxId: Long) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_contains requires a bigint id, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    BitmapContains.probe(words, input.asInstanceOf[Long], maxId)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bmWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.BitmapContains.probe($ref, $c, ${maxId}L);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapContainsLit = copy(child = newChild)
+}
+
+object BitmapContainsLit {
+  /** Column-level entry point. */
+  def apply(id: Column, words: Array[Long], maxId: Long): Column =
+    SqlBridge.column(BitmapContainsLit(SqlBridge.expression(id), words, maxId))
+}
+
 /** Index of the FIRST level bitmap holding an id, NULL when none does —
   * the bitmap BFS's distributed materialization (`d` = the hop whose
   * level bitmap first set the bit), probing all maxHops+1 levels from
@@ -132,4 +174,48 @@ object BitmapFirstLevel {
   /** Column-level entry point. */
   def apply(id: Column, levels: Broadcast[Array[Array[Long]]]): Column =
     SqlBridge.column(BitmapFirstLevel(SqlBridge.expression(id), levels))
+}
+
+/** [[BitmapFirstLevel]] with the levels carried directly as a plan
+  * reference — the small-domain twin of [[BitmapContainsLit]] (the
+  * materialization is ONE job, so the only cost is its tasks' plan
+  * bytes: ≤ (maxHops+1)·256 KB at the literal threshold). */
+case class BitmapFirstLevelLit(child: Expression,
+                               levels: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_first_level requires a bigint id, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = BitmapFirstLevel.first(levels, input.asInstanceOf[Long])
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lvWords", levels, "long[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("lvl")
+      s"""
+        int $r = graft.plans.BitmapFirstLevel.first($ref, $c);
+        ${ev.isNull} = ($r < 0);
+        ${ev.value} = $r;"""
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapFirstLevelLit = copy(child = newChild)
+}
+
+object BitmapFirstLevelLit {
+  /** Column-level entry point. */
+  def apply(id: Column, levels: Array[Array[Long]]): Column =
+    SqlBridge.column(BitmapFirstLevelLit(SqlBridge.expression(id), levels))
 }

@@ -2442,6 +2442,14 @@ class OperatorSpec extends AnyFunSuite {
         Seq(0L).toDF("node"), maxHops = 2, maxId = 100L).collect()
     }
     assert(e4.getMessage != null)
+    // the BROADCAST shipping path (domain past BitmapBroadcastWords —
+    // the small-domain runs above ride the raw-plan-reference path):
+    // same graph, huge declared domain, byte-identical distances
+    val big = Bfs.hopDistanceBitmap(edges, Seq(0L).toDF("node"),
+        maxHops = 8,
+        maxId = (Bfs.BitmapBroadcastWords.toLong + 1) * 64)
+      .as[(Long, Int)].collect().toMap
+    assert(big === d, "broadcast-shipped frontier diverged from literal")
   }
 
   test("Bfs submits O(rounds) jobs, not O(exchange stages)") {
