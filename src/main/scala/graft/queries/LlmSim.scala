@@ -1294,6 +1294,64 @@ object LlmSim extends QueryModule {
           FROM fused)
         WHERE rank <= 5""")),
 
+    // POSTINGS UPSERT — the lexical index gets the SAME lifecycle
+    // verbs the vector index has (build → probe → upsert): new
+    // documents land in the WRITE-OPTIMIZED postings pair (see
+    // persistedPostingsUpserted — df is corpus-global, so the
+    // denormalized snapshot cannot take an O(delta) upsert; the split
+    // (w, doc_id, tf) ⊕ (w, df) layout can) exactly-once via
+    // TxnMarker, df merged incrementally (O(delta + vocab), never a
+    // corpus re-scan), and this probe scores query terms against the
+    // UPSERTED pair — an arrival document surfacing at its true rank
+    // (and every df shifted by the delta's counts) is what the hash
+    // gates. Probe plan: broadcast query terms onto the bucketed
+    // postings scan, then an exchange-free co-bucketed join to the
+    // refreshed df relation (both bucketed+sorted on w).
+    "q_llm_postings_upsert" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (post, df2) = persistedPostingsUpserted(s, dir)
+        val qterms = Engine.table(s, dir, "documents")
+          .filter($"doc_id" < 5)
+          .select($"doc_id".as("q_id"),
+            explode(slice(split($"text", " "), 1, 8)).as("w"))
+          .distinct()
+        val tsc = post.join(broadcast(qterms), Seq("w"))
+          .join(df2, Seq("w"))
+          .filter($"q_id" =!= $"doc_id")
+          .groupBy($"q_id", $"doc_id")
+          .agg(sum(expr("tf * 1000000 div df")).as("su"))
+        rankedTopK(tsc, "q_id", Seq(("su", true), ("doc_id", false)), 5)
+          .select($"q_id", $"rank", $"doc_id", $"su")
+      },
+      oracle = Some(s"""
+        WITH nd AS (
+          SELECT doc_id + $ArrivalIdBase AS doc_id, text
+          FROM documents WHERE doc_id % 7 = 3),
+        alld AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM nd),
+        tok AS (
+          SELECT w, doc_id, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM alld)
+          GROUP BY w, doc_id),
+        dfq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        qw AS (SELECT DISTINCT doc_id AS q_id,
+            unnest(string_split(text, ' ')[1:8]) AS w
+          FROM documents WHERE doc_id < 5),
+        tsc AS (
+          SELECT q_id, doc_id,
+            CAST(sum(tf * 1000000 // df) AS BIGINT) AS su
+          FROM tok JOIN dfq USING (w) JOIN qw USING (w)
+          WHERE q_id <> doc_id
+          GROUP BY q_id, doc_id)
+        SELECT q_id, rank, doc_id, su FROM (
+          SELECT q_id, doc_id, su, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY su DESC, doc_id) AS INT) AS rank
+          FROM tsc)
+        WHERE rank <= 5""")),
+
     // MMR DIVERSIFIED TOP-K — maximal marginal relevance (Carbonell &
     // Goldstein 1998, public) over the IVF-routed candidate pool: the
     // selection step a curation pipeline runs when it wants RELEVANT
@@ -3956,6 +4014,61 @@ object LlmSim extends QueryModule {
         tok.join(tok.groupBy($"w").agg(count(lit(1)).as("df")),
           Seq("w"))
       })
+  }
+
+  /** The WRITE-OPTIMIZED postings pair — the lexical index's
+    * lifecycle posture beside [[persistedPostings]]'s read-optimized
+    * snapshot (the COW-vs-MOR split at the text layer): `df` is a
+    * CORPUS-GLOBAL statistic, so a denormalized (w, doc_id, tf, df)
+    * row set cannot take an O(delta) document upsert (every posting
+    * of every word the delta touches would need a rewrite). Split
+    * layout instead: postings (w, doc_id, tf) bucketed on w — an
+    * append-only relation new documents extend with O(delta) bucket
+    * files — and a separate (w, df) relation, vocabulary-sized,
+    * refreshed per commit by merging the DELTA's per-word doc counts
+    * into the previous df (O(delta + vocab), never a corpus re-scan).
+    * Both bucketed+sorted on w with the same spec, so the probe-time
+    * postings⋈df join is exchange-free. Returns (postings with the
+    * arrival batch landed exactly-once, upserted df). */
+  private[graft] def persistedPostingsUpserted(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val h = math.abs(dir.hashCode)
+    val postT = s"graft_postings_wo_$h"
+    val dfT = s"graft_postings_df_$h"
+    def tokOf(docs: DataFrame): DataFrame = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+    val baseDocs = Engine.table(s, dir, "documents")
+      .select($"doc_id", $"text")
+    LlmText.writeOnceTable(s, postT, Seq("w"), tokOf(baseDocs))
+    LlmText.writeOnceTable(s, dfT, Seq("w"),
+      s.table(postT).groupBy($"w").agg(count(lit(1)).as("df")))
+    // the arrival batch: every 7th document, id-shifted — the same
+    // fixture shape the vector index's ingest delta has
+    def deltaDocs = baseDocs.filter($"doc_id" % 7 === 3)
+      .select(($"doc_id" + lit(ArrivalIdBase)).as("doc_id"), $"text")
+    graft.operators.TxnMarker.appendOnce(
+      graft.operators.TxnMarker.managedTableDir(s, postT),
+      txn = "postings-arrivals-1",
+      doAppend = () => tokOf(deltaDocs)
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "w").sortBy("w").saveAsTable(postT),
+      presentRows = () =>
+        s.table(postT).filter($"doc_id" >= ArrivalIdBase).count(),
+      expectedRows = () => tokOf(deltaDocs).count())
+    // upserted df: previous df ⊕ the delta's per-word doc counts —
+    // derived once (base and delta doc sets are disjoint, so the sum
+    // equals a from-scratch df over the union)
+    val df2 = LlmText.writeOnceTable(s, s"graft_postings_df2_$h",
+      Seq("w"),
+      s.table(dfT).select($"w", $"df".as("df0"))
+        .join(tokOf(deltaDocs).groupBy($"w")
+          .agg(count(lit(1)).as("dfd")), Seq("w"), "full")
+        .select($"w",
+          (coalesce($"df0", lit(0L)) + coalesce($"dfd", lit(0L)))
+            .as("df")))
+    (s.table(postT), df2)
   }
 
   /** Lexical arm of hybrid search as a PROBE of [[persistedPostings]]:

@@ -1186,6 +1186,39 @@ class OperatorSpec extends AnyFunSuite {
       s"lexical arm pays $shuffles shuffles (expected 3):\n$plan")
   }
 
+  test("postings upsert: exactly-once append, incremental df equals from-scratch, exchange-free probe") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (post, df2) = LlmSim.persistedPostingsUpserted(spark, sf)
+    val n1 = post.count()
+    // a second delivery (same JVM, marker committed) changes nothing
+    val (postB, _) = LlmSim.persistedPostingsUpserted(spark, sf)
+    assert(postB.count() === n1, "second delivery duplicated the batch")
+    // the arrival batch really landed
+    assert(post.filter($"doc_id" >= LlmSim.ArrivalIdBase).count() > 0,
+      "no arrival postings present after the upsert")
+    // incremental df (old ⊕ delta counts) equals a from-scratch df
+    // over the upserted postings — the disjoint-doc-sets argument,
+    // asserted rather than assumed
+    val scratch = post.groupBy($"w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val inc = df2.as[(String, Long)].collect().toMap
+    assert(inc === scratch,
+      "incrementally merged df diverges from a from-scratch derive")
+    // probe plan: broadcast qterms onto the bucketed postings scan,
+    // co-bucketed join to df — no exchange on either table side; the
+    // only shuffles are qterms distinct + pair agg + GroupTopK
+    val q = SparkEntry.queries("q_llm_postings_upsert")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_postings_wo_") &&
+      plan.contains("graft_postings_df2_"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 3,
+      s"postings probe pays $shuffles shuffles (expected 3):\n$plan")
+  }
+
   test("maintained-epoch deletes: tombstones within the epoch, compaction row-exact, plans differ") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
