@@ -28,11 +28,7 @@ object ScaleProbe {
     if (!spark.catalog.tableExists(tbl)) {
       val wh = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(wh, tbl))
+      graft.operators.TxnMarker.rmTree(new java.io.File(wh, tbl))
       df.write.mode("overwrite")
         .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
     }

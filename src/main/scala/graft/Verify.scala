@@ -45,11 +45,7 @@ object Verify {
         }
         // Remove any stale output from a previous run: a leftover parquet
         // would let the driver's compare pass on old results.
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        graft.operators.TxnMarker.rmTree(new java.io.File(s"$outDir/$name"))
       }
       // Streaming replays and multi-consumer queries cache intermediate
       // results; don't let 90+ queries accumulate cached blocks.

@@ -152,21 +152,29 @@ object Bfs {
     // scaladocs for the measured crossover
     val useBc = words > BitmapBroadcastWords
     var hop = 0
-    while (hop < maxHops && frontierCount > 0) {
+    // failure-path cleanup: a throwing round (out-of-domain id) must
+    // not leave its frontier broadcast or the checkpointed edge list
+    // pinned on executors — the success path releases both explicitly,
+    // so the failure path does too rather than waiting on driver GC
+    try while (hop < maxHops && frontierCount > 0) {
       val fBc = if (useBc) Some(sc.broadcast(frontier)) else None
-      val contains = fBc match {
-        case Some(bc) => graft.plans.BitmapContains(col("src"), bc, maxId)
-        case None =>
-          graft.plans.BitmapContainsLit(col("src"), frontier, maxId)
-      }
-      val nb = e.filter(contains)
-        .select(col("dst"))
-        .filter(inDomain(col("dst")).isNull)
-        .agg(graft.plans.BitmapOrAgg(col("dst"), lit(bits)).as("bm"))
-        .head.getAs[Array[Byte]]("bm")
-      // the round's job is complete (head is eager) — release the
-      // frontier broadcast before the next round replaces it
-      fBc.foreach(_.destroy())
+      val nb =
+        try {
+          val contains = fBc match {
+            case Some(bc) =>
+              graft.plans.BitmapContains(col("src"), bc, maxId)
+            case None =>
+              graft.plans.BitmapContainsLit(col("src"), frontier, maxId)
+          }
+          e.filter(contains)
+            .select(col("dst"))
+            .filter(inDomain(col("dst")).isNull)
+            .agg(graft.plans.BitmapOrAgg(col("dst"), lit(bits)).as("bm"))
+            .head.getAs[Array[Byte]]("bm")
+        } finally
+          // the round's job is complete or failed (head is eager) —
+          // release the frontier broadcast either way
+          fBc.foreach(_.destroy())
       val next =
         if (nb == null) new Array[Long](words)
         else {
@@ -186,8 +194,7 @@ object Bfs {
       frontier = next
       frontierCount = cnt
       hop += 1
-    }
-    release(e)
+    } finally release(e)
     // distributed materialization: d = the first level bitmap holding
     // the id — all levels ride ONE broadcast (or, small, one raw
     // plan reference), probed inside one codegen range scan; no

@@ -275,4 +275,18 @@ object TxnMarker {
   def managedTableDir(s: SparkSession, tbl: String): File =
     new File(new File(
       new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath), tbl)
+
+  /** Recursive delete, tolerant of concurrent removal: `listFiles`
+    * returns null when the directory vanishes between the isDirectory
+    * check and the listing (two processes vacuuming the same stale
+    * artifact) — treat it as already-gone rather than NPE. The ONE
+    * copy of the helper the codebase's five prior inline clones
+    * collapsed into. */
+  def rmTree(f: File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+    }
+    f.delete(): Unit
+  }
 }

@@ -302,11 +302,7 @@ object LlmText extends QueryModule {
     if (!s.catalog.tableExists(tbl)) {
       val wh = new java.io.File(
         new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(wh, tbl))
+      graft.operators.TxnMarker.rmTree(new java.io.File(wh, tbl))
       df.write.mode("overwrite")
         .bucketBy(8, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)

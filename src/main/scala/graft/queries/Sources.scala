@@ -1204,12 +1204,8 @@ object Sources extends QueryModule {
           // run or CTAS refuses the non-empty directory
           val wh = new java.io.File(
             new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(): Unit
-          }
           Seq(s"graft_li_bkt_$suffix", s"graft_ord_bkt_$suffix")
-            .foreach(t => rm(new java.io.File(wh, t)))
+            .foreach(t => graft.operators.TxnMarker.rmTree(new java.io.File(wh, t)))
           Engine.table(s, dir, "lineitem")
             .select($"l_orderkey", $"l_extendedprice")
             .write.mode("overwrite")

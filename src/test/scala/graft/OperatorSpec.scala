@@ -1084,7 +1084,7 @@ class OperatorSpec extends AnyFunSuite {
     // the new epoch committed its own marker, and the previous
     // epoch's marker survives the vacuum (its grace window) — older
     // epochs' markers may be vacuumed, so no global count assert
-    def epochOf(t: String) = t.split("_m")(1).split("_")(0).toInt
+    def epochOf(t: String) = t.split("_me")(1).split("_")(0).toInt
     assert(epochOf(tabs2.head) === epochOf(cellsT) + 1)
     assert(new java.io.File(metaDir,
       s"ivf-maintain-e${epochOf(tabs2.head)}.committed").isFile,
@@ -1099,7 +1099,7 @@ class OperatorSpec extends AnyFunSuite {
     // a committed marker whose tables this catalog cannot see (a
     // concurrent process won that epoch, or manual drop) — refuse to
     // serve a stale cascade rather than guess
-    val curEpoch = tabs2.head.split("_m")(1).split("_")(0).toInt
+    val curEpoch = tabs2.head.split("_me")(1).split("_")(0).toInt
     val foreign = new java.io.File(metaDir,
       s"ivf-maintain-e${curEpoch + 1}.committed")
     assert(foreign.createNewFile())
