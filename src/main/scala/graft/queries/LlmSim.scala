@@ -1872,6 +1872,98 @@ object LlmSim extends QueryModule {
         SELECT vec_id, array_to_string(codes, ',') AS codes_s
         FROM nbcodes""")),
 
+    // INDEX HEALTH — the observability verb of the index lifecycle:
+    // the one-row report a pipeline dashboards per maintenance cycle,
+    // computed over the COMMITTED epoch and its tombstone artifact
+    // (metadata-sized aggregates of index-sized relations — never a
+    // corpus scan). The load-bearing column is `overgrown_cells`: the
+    // r14 fixpoint commit's guarantee ("the persisted epoch never
+    // carries a still-overgrown child") surfaced as a GATED number —
+    // the oracle re-derives the whole chain and must agree it is 0.
+    // Alongside: cell/row counts, delete debt (tombstones vs live
+    // rows — the compaction trigger), the largest cell (probe-cost
+    // ceiling), and how many cells are split children (maintenance
+    // churn since the base build).
+    "q_llm_index_health" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (mCells, _) = maintainIvfCommit(s, dir)
+        val tomb = persistedMaintTombstones(s, dir)
+        mCells.groupBy($"cid").agg(count(lit(1)).as("cn"))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            sum($"cn").as("n_rows"),
+            max($"cn").as("max_cell"),
+            sum(when($"cn" > IvfPSplitRows, 1L).otherwise(0L))
+              .as("overgrown_cells"),
+            sum(when($"cid" >= SplitCidOffset, 1L).otherwise(0L))
+              .as("split_children"))
+          .crossJoin(tomb.agg(count(lit(1)).as("n_tomb")))
+          .select($"n_cells", $"n_rows", $"n_tomb",
+            ($"n_rows" - $"n_tomb").as("live_rows"),
+            $"max_cell", $"overgrown_cells", $"split_children")
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        mdrops AS (
+          SELECT DISTINCT a.vec_id
+          FROM relab a JOIN relab b
+            ON a.cid = b.cid AND b.vec_id < a.vec_id
+          WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30),
+        cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
+          FROM relab GROUP BY cid),
+        agg0 AS (SELECT
+            CAST(count(*) AS BIGINT) AS n_cells,
+            CAST(sum(cn) AS BIGINT) AS n_rows,
+            CAST(max(cn) AS BIGINT) AS max_cell,
+            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
+              AS BIGINT) AS overgrown_cells,
+            CAST(sum(CASE WHEN cid >= $SplitCidOffset THEN 1 ELSE 0 END)
+              AS BIGINT) AS split_children
+          FROM cs),
+        tq AS (SELECT CAST(count(*) AS BIGINT) AS n_tomb FROM mdrops)
+        SELECT n_cells, n_rows, n_tomb, n_rows - n_tomb AS live_rows,
+          max_cell, overgrown_cells, split_children
+        FROM agg0 CROSS JOIN tq""")),
+
+    // STREAMING POSTINGS ENCODE — the lexical twin of the PQ encode
+    // stream, completing the verb symmetry between the two index
+    // families (build → probe → upsert → STREAM-ENCODE): arriving
+    // documents tokenize IN FLIGHT into (doc_id, w, tf) posting rows
+    // with a PER-ROW word count (distinct words of the document ×
+    // in-row occurrence count via higher-order array functions — no
+    // explode-then-groupBy, which would demand streaming aggregation
+    // state) — STATELESS, append mode, zero state store, zero
+    // shuffle; the rows are exactly what the batch upsert's tokenizer
+    // lands, so a foreachBatch appender could feed the write-optimized
+    // postings pair shard-by-shard. Converges to the identical
+    // delta-postings relation the batch oracle derives.
+    "q_stream_postings_encode" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val nb = Engine.table(s, dir, "documents")
+          .filter($"doc_id" % 7 === 3)
+          .select(($"doc_id" + lit(ArrivalIdBase)).as("doc_id"),
+            $"text")
+        graft.streaming.Replay.run(s, nb, mode = "append",
+          cacheKey = s"postenc:$dir") { st =>
+          val words = split($"text", " ")
+          st.select($"doc_id", explode(transform(array_distinct(words),
+              w => struct(w.as("w"),
+                size(filter(words, x => x === w)).cast("long")
+                  .as("tf")))).as("p"))
+            .select($"doc_id", $"p.w".as("w"), $"p.tf".as("tf"))
+        }
+      },
+      oracle = Some(s"""
+        WITH nd AS (
+          SELECT doc_id + $ArrivalIdBase AS doc_id, text
+          FROM documents WHERE doc_id % 7 = 3)
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM nd)
+        GROUP BY doc_id, w""")),
+
     // STREAMING RESIDUAL ENCODE — the online form of the TEXTBOOK
     // IVF-PQ ingest: route each arrival to its cell (NearestCell
     // against the centroid literal), subtract that cell's centroid,
