@@ -1876,14 +1876,22 @@ object LlmSim extends QueryModule {
     // the one-row report a pipeline dashboards per maintenance cycle,
     // computed over the COMMITTED epoch and its tombstone artifact
     // (metadata-sized aggregates of index-sized relations — never a
-    // corpus scan). The load-bearing column is `overgrown_cells`: the
-    // r14 fixpoint commit's guarantee ("the persisted epoch never
-    // carries a still-overgrown child") surfaced as a GATED number —
-    // the oracle re-derives the whole chain and must agree it is 0.
-    // Alongside: cell/row counts, delete debt (tombstones vs live
-    // rows — the compaction trigger), the largest cell (probe-cost
-    // ceiling), and how many cells are split children (maintenance
-    // churn since the base build).
+    // corpus scan). The load-bearing column is `overgrown_cells`.
+    // PRECISE claim: the r14 fixpoint guarantees no overgrown SPLIT
+    // residue, but the chain runs merge AFTER the split — a receiver
+    // just under the threshold absorbing an underfull cell's rows can
+    // in principle end the epoch overgrown, which no gate would
+    // otherwise see (engine and oracle mirror the same chain). This
+    // report is the verb that CATCHES that — and on the gated
+    // corpus it DID, on its first pinned run: one merge-induced
+    // overgrown cell, which the next cycle's split round would
+    // resolve. OperatorSpec pins the precise invariant (every
+    // overgrown cell is a merge RECEIVER — split residue is zero)
+    // and the hash gate proves engine and oracle agree on the
+    // numbers. Alongside: cell/row counts, delete debt
+    // (tombstones vs live rows — the compaction trigger), the largest
+    // cell (probe-cost ceiling), and split-children churn since the
+    // base build.
     "q_llm_index_health" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -1906,11 +1914,7 @@ object LlmSim extends QueryModule {
       oracle = Some(s"""
         WITH $ivfCellsSql,
         $maintChainSql,
-        mdrops AS (
-          SELECT DISTINCT a.vec_id
-          FROM relab a JOIN relab b
-            ON a.cid = b.cid AND b.vec_id < a.vec_id
-          WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30),
+        $maintDropsSql,
         cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
           FROM relab GROUP BY cid),
         agg0 AS (SELECT
@@ -1942,12 +1946,8 @@ object LlmSim extends QueryModule {
     "q_stream_postings_encode" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        val nb = Engine.table(s, dir, "documents")
-          .filter($"doc_id" % 7 === 3)
-          .select(($"doc_id" + lit(ArrivalIdBase)).as("doc_id"),
-            $"text")
-        graft.streaming.Replay.run(s, nb, mode = "append",
-          cacheKey = s"postenc:$dir") { st =>
+        graft.streaming.Replay.run(s, postingsDeltaDocs(s, dir),
+          mode = "append", cacheKey = s"postenc:$dir") { st =>
           val words = split($"text", " ")
           st.select($"doc_id", explode(transform(array_distinct(words),
               w => struct(w.as("w"),
@@ -3964,7 +3964,7 @@ object LlmSim extends QueryModule {
     import s.implicits._
     LlmText.writeOnceTable(s,
       s"graft_ivf_tomb_${math.abs(dir.hashCode)}", Seq("cid"),
-      semdedupOf(persistedIvfCells(s, dir), 0.30)
+      semdedupOf(persistedIvfCells(s, dir), CurationTheta)
         .filter(!$"kept").select($"cid", $"vec_id"))
   }
 
@@ -3998,7 +3998,7 @@ object LlmSim extends QueryModule {
     import s.implicits._
     LlmText.writeOnceTable(s,
       s"graft_ivf_mtomb_${math.abs(dir.hashCode)}", Seq("cid"),
-      semdedupOf(maintainIvfCommit(s, dir)._1, 0.30)
+      semdedupOf(maintainIvfCommit(s, dir)._1, CurationTheta)
         .filter(!$"kept").select($"cid", $"vec_id"))
   }
 
@@ -4048,11 +4048,7 @@ object LlmSim extends QueryModule {
   private lazy val maintTombOracleSql: String = s"""
         WITH $ivfCellsSql,
         $maintChainSql,
-        mdrops AS (
-          SELECT DISTINCT a.vec_id
-          FROM relab a JOIN relab b
-            ON a.cid = b.cid AND b.vec_id < a.vec_id
-          WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30),
+        $maintDropsSql,
         mlive AS (
           SELECT * FROM relab
           WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
@@ -4125,14 +4121,10 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s, postT, Seq("w"), tokOf(baseDocs))
     LlmText.writeOnceTable(s, dfT, Seq("w"),
       s.table(postT).groupBy($"w").agg(count(lit(1)).as("df")))
-    // the arrival batch: every 7th document, id-shifted — the same
-    // fixture shape the vector index's ingest delta has. The delta
-    // postings materialize ONCE (lazily — warm calls where the
-    // artifacts already exist never touch it) and feed the append,
-    // the df merge, and the recovery-path row count alike.
-    lazy val delta = tokOf(baseDocs.filter($"doc_id" % 7 === 3)
-        .select(($"doc_id" + lit(ArrivalIdBase)).as("doc_id"), $"text"))
-      .localCheckpoint()
+    // The delta postings materialize ONCE (lazily — warm calls where
+    // the artifacts already exist never touch it) and feed the
+    // append, the df merge, and the recovery-path row count alike.
+    lazy val delta = tokOf(postingsDeltaDocs(s, dir)).localCheckpoint()
     graft.operators.TxnMarker.appendOnce(
       graft.operators.TxnMarker.managedTableDir(s, postT),
       txn = "postings-arrivals-1",
@@ -4154,6 +4146,20 @@ object LlmSim extends QueryModule {
           (coalesce($"df0", lit(0L)) + coalesce($"dfd", lit(0L)))
             .as("df")))
     (s.table(postT), df2)
+  }
+
+  /** The document ARRIVAL-BATCH fixture shared by the batch postings
+    * upsert and its streaming encode twin (every 7th document,
+    * id-shifted by [[ArrivalIdBase]] — the same shape the vector
+    * index's ingest delta has): ONE derivation, so the documented
+    * batch/stream convergence ("the stream lands exactly the
+    * delta-postings relation the upsert writes") cannot silently
+    * drift apart. */
+  private def postingsDeltaDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Engine.table(s, dir, "documents")
+      .filter($"doc_id" % 7 === 3)
+      .select(($"doc_id" + lit(ArrivalIdBase)).as("doc_id"), $"text")
   }
 
   /** Query-term fixture shared by every lexical probe: the first 8
@@ -4224,6 +4230,23 @@ object LlmSim extends QueryModule {
       .select($"q_id", $"rank", $"vec_id", $"cos")
   }
 
+  /** Curation threshold of the delete verbs: the semdedup cosine at
+    * which a smaller-id cell-mate tombstones a vector — ONE constant
+    * for the engine artifacts (base + maintained tombstones) and
+    * every oracle fragment, so the rule cannot drift between the
+    * delete probes and the health report. (q_llm_semdedup's own demo
+    * theta is its independent parameter and stays literal.) */
+  private[graft] val CurationTheta = 0.30
+
+  /** The maintained-epoch curation-drop CTE (the [[CurationTheta]]
+    * verdicts judged within `relab`) — shared by the two maintained
+    * delete probes and the index-health report. Defines `mdrops`. */
+  private def maintDropsSql: String = s"""mdrops AS (
+          SELECT DISTINCT a.vec_id
+          FROM relab a JOIN relab b
+            ON a.cid = b.cid AND b.vec_id < a.vec_id
+          WHERE ${V.cosineSql("a.v", "b.v")} >= $CurationTheta)"""
+
   /** The shared DuckDB mirror of BOTH delete read paths (tombstone
     * anti-join and compacted artifact): the PLAN differs, the
     * survivor set — and hence the result — is identical, the
@@ -4234,7 +4257,7 @@ object LlmSim extends QueryModule {
           SELECT DISTINCT a.vec_id
           FROM cells a JOIN cells b
             ON a.cid = b.cid AND b.vec_id < a.vec_id
-          WHERE ${V.cosineSql("a.v", "b.v")} >= 0.30),
+          WHERE ${V.cosineSql("a.v", "b.v")} >= $CurationTheta),
         live AS (
           SELECT * FROM cells
           WHERE vec_id NOT IN (SELECT vec_id FROM drops)),

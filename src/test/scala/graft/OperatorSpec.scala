@@ -1252,6 +1252,43 @@ class OperatorSpec extends AnyFunSuite {
     assert((viaTomb & tomb).isEmpty && (viaCompact & tomb).isEmpty,
       "a deleted vector surfaced from the maintained epoch")
     assert(viaTomb === viaCompact)
+    // the health report's load-bearing invariant, pinned (the hash
+    // gate only proves engine == oracle; the claim must be ASSERTED).
+    // The fixpoint's real guarantee is NO OVERGROWN SPLIT RESIDUE;
+    // the chain runs merge after the split, and a receiver can cross
+    // the threshold by absorbing an underfull cell — on THIS corpus
+    // that actually happens (the report's first pinned run surfaced
+    // one merge-induced overgrown cell), which the next maintenance
+    // cycle's split round would resolve. So the pin is the precise
+    // invariant: every overgrown cell in the epoch is a MERGE
+    // RECEIVER (moved-in rows > 0), never split residue — plus count
+    // consistency with the artifacts the report summarizes.
+    val health = SparkEntry.queries("q_llm_index_health")(spark, sf)
+      .collect().head
+    val overgrown = mCells.groupBy($"cid").count()
+      .filter($"count" > LlmSim.IvfPSplitRows)
+      .select($"cid").as[Int].collect().toSet
+    assert(health.getAs[Long]("overgrown_cells") ===
+      overgrown.size.toLong)
+    // re-derive the CHAIN's merge mapping (hybrid centroids — the
+    // exact first half of maintainedChainOf, since its merged frame
+    // drops the moved flag in the final select)
+    val post = LlmSim.persistedPostSplit(spark, sf)
+    val splitCids = post.filter($"split").select($"cid").distinct()
+    val cent2 = LlmSim.persistedIvfCent(spark, sf)
+      .join(splitCids, Seq("cid"), "left_anti")
+      .unionByName(LlmSim.refreshedCentroids(
+        post.filter($"split").select($"cid", $"vec_id", $"v")))
+    val receivers = LlmSim.mergeCells(
+        post.select($"cid", $"vec_id", $"v"), cent2)
+      .filter($"moved").select($"cid").as[Int].collect().toSet
+    assert(overgrown.subsetOf(receivers),
+      s"overgrown cells ${overgrown -- receivers} are not merge " +
+        "receivers — split residue leaked into the epoch")
+    assert(health.getAs[Long]("n_rows") === mIds.size.toLong)
+    assert(health.getAs[Long]("n_tomb") === tomb.size.toLong)
+    assert(health.getAs[Long]("live_rows") ===
+      (mIds.size - tomb.size).toLong)
     // plan posture: live path anti-joins, compacted path does not
     val tp = SparkEntry.queries("q_llm_maint_tomb_probe")(spark, sf)
     tp.write.format("noop").mode("overwrite").save()
