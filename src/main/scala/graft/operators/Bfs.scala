@@ -99,19 +99,18 @@ object Bfs {
     * the join formulation shuffles the frontier, the expansion
     * distinct, AND the growing settled anti-join every round.
     *
-    * CEILING (declared final posture, r14): every per-round buffer —
-    * driver bitmaps, the frontier broadcast, BitmapOrAgg's per-
-    * partition buffers — scales with the DOMAIN, not the frontier, so
-    * the 2^28 cap (32 MB/bitmap, ≤ (maxHops+1)·32 MB for the one
-    * levels broadcast) is the operator's working range, enforced
-    * loudly. Past ~10^9-node domains the right move is per-executor
-    * sub-range bitmaps (each partition ORs only its id slice, the
-    * driver merges ≤ maxHops slices) — measured at 64× in PLANS.md
-    * r13 (shape ratio 14.8 vs the join path's 7.5, crossover well
-    * past the cap); below the cap this whole-domain form keeps the
-    * one-job-per-round plan that beat the join formulation 4.9× on
-    * the gated graph. Callers with bigger domains use
-    * [[hopDistance]], which is frontier-proportional. */
+    * CEILING (r14): the driver-held bitmaps (frontier, settled,
+    * levels) scale with the DOMAIN, not the frontier, so the 2^28 cap
+    * (32 MB/bitmap, ≤ (maxHops+1)·32 MB for the one levels broadcast)
+    * is the operator's working range, enforced loudly. EXECUTOR-side
+    * the large-domain path is already sub-range: the fold is SLICED
+    * (each 2^21-bit id slice ORs into its own 256 KB bitmap, slices
+    * spread across reducers — see the round body), so no executor
+    * ever holds or funnels a whole-domain buffer; what pins the cap
+    * is the driver's own arrays. Past it, densify ids first or use
+    * [[hopDistance]], which is frontier-proportional. Below the
+    * shipping threshold this form keeps the one-job-per-round plan
+    * that beat the join formulation 4.9× on the gated graph. */
   def hopDistanceBitmap(edges: DataFrame, sources: DataFrame,
                         maxHops: Int, maxId: Long): DataFrame = {
     val spark = edges.sparkSession
@@ -147,10 +146,66 @@ object Bfs {
         lit(s"bitmap BFS: id outside the declared domain [0, $maxId)"))
     // size-adaptive shipping: below the threshold the frontier rides
     // each task's plan as a raw long[] reference (compact, zero
-    // broadcast latency); above it, one torrent broadcast per round
-    // (per-executor, plan stays bytes-constant) — see the expression
-    // scaladocs for the measured crossover
+    // broadcast latency) and the fold is one whole-domain buffer per
+    // partition; above it, one torrent broadcast per round
+    // (per-executor, plan stays bytes-constant) and the fold is
+    // SLICED — see the expression scaladocs and [[slicedFold]] for
+    // the measured crossovers
     val useBc = words > BitmapBroadcastWords
+    // whole-domain fold: every partition ORs into ONE bits-wide
+    // buffer, all buffers funnel into one reducer — right while a
+    // buffer is KBs, the single-reducer merge the sliced fold exists
+    // to break once buffers are MBs
+    def wholeFold(cand: DataFrame): Array[Long] = {
+      val nb = cand
+        .agg(graft.plans.BitmapOrAgg(col("dst"), lit(bits)).as("bm"))
+        .head.getAs[Array[Byte]]("bm")
+      if (nb == null) new Array[Long](words)
+      else {
+        val w = new Array[Long](words)
+        java.nio.ByteBuffer.wrap(nb).asLongBuffer()
+          .get(w, 0, nb.length / 8)
+        w
+      }
+    }
+    // SLICED fold for large domains: dst grouped by its 2^21-bit id
+    // slice, each slice OR'd into a slice-LOCAL bitmap (the same
+    // BitmapOrAgg over a 256 KB sub-domain), ≤ touched-slice rows
+    // collected and assembled driver-side. Per-partition state is
+    // per-touched-slice hash-agg entries (spillable) instead of one
+    // unspillable 32 MB whole-domain buffer at the cap, and the merge
+    // spreads slices across reducers instead of funneling every
+    // partition's full-domain buffer through ONE reducer (32
+    // partitions × 32 MB = 1 GB through a single point at the cap).
+    // Costs one slice-bitmap shuffle per round — ≤ nSlices × 256 KB,
+    // still frontier-cardinality-independent. dst stays domain-guarded
+    // by the assert_true filter BEFORE the slice mask (the mask would
+    // otherwise alias an out-of-domain id into a valid slice offset).
+    val sliceWords = BitmapBroadcastWords
+    val sliceBits = sliceWords.toLong * 64
+    val sliceShift = java.lang.Long.numberOfTrailingZeros(sliceBits)
+    def slicedFold(cand: DataFrame): Array[Long] = {
+      val rows = cand
+        .groupBy(shiftright(col("dst"), sliceShift).as("sl"))
+        .agg(graft.plans.BitmapOrAgg(
+          col("dst").bitwiseAND(lit(sliceBits - 1)),
+          lit(sliceBits)).as("bm"))
+        .collect()
+      val w = new Array[Long](words)
+      rows.foreach { r =>
+        val base = r.getLong(0).toInt * sliceWords
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes != null) {
+          val lb = java.nio.ByteBuffer.wrap(bytes).asLongBuffer()
+          // the last slice's buffer may extend past the domain's
+          // word count (domain not a multiple of the slice width)
+          val n = math.min(bytes.length / 8, words - base)
+          var i = 0
+          while (i < n) { w(base + i) |= lb.get(i); i += 1 }
+        }
+      }
+      w
+    }
     var hop = 0
     // failure-path cleanup: a throwing round (out-of-domain id) must
     // not leave its frontier broadcast or the checkpointed edge list
@@ -158,7 +213,7 @@ object Bfs {
     // so the failure path does too rather than waiting on driver GC
     try while (hop < maxHops && frontierCount > 0) {
       val fBc = if (useBc) Some(sc.broadcast(frontier)) else None
-      val nb =
+      val next =
         try {
           val contains = fBc match {
             case Some(bc) =>
@@ -166,23 +221,14 @@ object Bfs {
             case None =>
               graft.plans.BitmapContainsLit(col("src"), frontier, maxId)
           }
-          e.filter(contains)
+          val cand = e.filter(contains)
             .select(col("dst"))
             .filter(inDomain(col("dst")).isNull)
-            .agg(graft.plans.BitmapOrAgg(col("dst"), lit(bits)).as("bm"))
-            .head.getAs[Array[Byte]]("bm")
+          if (useBc) slicedFold(cand) else wholeFold(cand)
         } finally
-          // the round's job is complete or failed (head is eager) —
-          // release the frontier broadcast either way
+          // the round's job is complete or failed (the fold's action
+          // is eager) — release the frontier broadcast either way
           fBc.foreach(_.destroy())
-      val next =
-        if (nb == null) new Array[Long](words)
-        else {
-          val w = new Array[Long](words)
-          java.nio.ByteBuffer.wrap(nb).asLongBuffer()
-            .get(w, 0, nb.length / 8)
-          w
-        }
       var i = 0; var cnt = 0L
       while (i < words) {
         next(i) &= ~settled(i)

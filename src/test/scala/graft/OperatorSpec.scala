@@ -2512,14 +2512,21 @@ class OperatorSpec extends AnyFunSuite {
         Seq(0L).toDF("node"), maxHops = 2, maxId = 100L).collect()
     }
     assert(e4.getMessage != null)
-    // the BROADCAST shipping path (domain past BitmapBroadcastWords —
-    // the small-domain runs above ride the raw-plan-reference path):
-    // same graph, huge declared domain, byte-identical distances
-    val big = Bfs.hopDistanceBitmap(edges, Seq(0L).toDF("node"),
-        maxHops = 8,
-        maxId = (Bfs.BitmapBroadcastWords.toLong + 1) * 64)
+    // the LARGE-DOMAIN path (past BitmapBroadcastWords: broadcast
+    // frontier shipping + the SLICED fold — the small-domain runs
+    // above ride raw plan references + the whole-domain fold): same
+    // graph plus one edge landing in the SECOND id slice, so the
+    // slice assembly (base offset, last-slice word clamp) is
+    // exercised, distances byte-identical where the graphs overlap
+    val bigMax = (Bfs.BitmapBroadcastWords.toLong + 1) * 64
+    val hi = bigMax - 3 // lives in slice 1
+    val big = Bfs.hopDistanceBitmap(
+        edges.unionByName(Seq((1L, hi)).toDF("src", "dst")),
+        Seq(0L).toDF("node"), maxHops = 8, maxId = bigMax)
       .as[(Long, Int)].collect().toMap
-    assert(big === d, "broadcast-shipped frontier diverged from literal")
+    assert(big(hi) === 2, "second-slice node missed or misplaced")
+    assert((big - hi) === d,
+      "broadcast+sliced path diverged from the literal path")
   }
 
   test("Bfs submits O(rounds) jobs, not O(exchange stages)") {
