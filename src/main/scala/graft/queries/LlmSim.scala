@@ -713,7 +713,9 @@ object LlmSim extends QueryModule {
     // derived-nlist policy's flat-probe claim rests on |cell| staying
     // ~target. Instead of rebuilding the index (or raising the global
     // nlist ceiling), each overgrown cell (> IvfPSplitRows = target
-    // +25%) splits LOCALLY: seeds = the cell's two smallest vec_ids
+    // +25%) splits LOCALLY: seeds = the cell's smallest vec_id plus
+    // the smallest vec_id with a DISTINCT vector (r14 — a duplicate
+    // head row can no longer wedge the split)
     // (deterministic), one exact-d2 assignment pass against the two
     // seed vectors (same d2 + lower-child tiebreak arithmetic as
     // every argmin in the family), the upper child relabeled
@@ -2908,7 +2910,9 @@ object LlmSim extends QueryModule {
   /** LOCAL split of every overgrown cell of a (cid, vec_id, v) cells
     * frame (see the q_llm_ivf_cell_split QueryDef comment for the
     * lifecycle rationale). Deterministic and SQL-mirrorable end to
-    * end: seeds are the cell's two smallest vec_ids, assignment is
+    * end: seeds are the cell's smallest vec_id and the smallest
+    * vec_id with a DISTINCT vector (see the seed comment in the
+    * body), assignment is
     * one exact-d2 pass against the two seed VECTORS with the
     * lower-child tiebreak (the family's (d2, lower-id) argmin
     * convention), the upper child relabels to cid + SplitCidOffset.
@@ -2936,13 +2940,28 @@ object LlmSim extends QueryModule {
       else cells.withColumn("split", lit(false))
     val over = in.groupBy($"cid").agg(count(lit(1)).as("cn"))
       .filter($"cn" > threshold).select($"cid")
-    val seeds = rankedTopK(
-        in.join(broadcast(over), Seq("cid"))
-          .select($"cid", $"vec_id", $"v"),
-        "cid", Seq(("vec_id", false)), 2)
-      .groupBy($"cid")
-      .agg(max(when($"rank" === 1, $"v")).as("s0"),
-        max(when($"rank" === 2, $"v")).as("s1"))
+    val ranked = in.join(broadcast(over), Seq("cid"))
+      .select($"cid", $"vec_id", $"v")
+    // seed 0 = the cell's smallest vec_id; seed 1 = the smallest
+    // vec_id whose VECTOR differs from seed 0's. Plain second-
+    // smallest-id seeding (the r13 form) wedges a cell whose two
+    // smallest ids are bit-identical duplicate rows: s0 == s1 makes
+    // every round a no-op while the cell still holds distinct,
+    // splittable mass — the r14 property sweep surfaced exactly that
+    // frame. With a distinct s1, s1's own row is always strictly
+    // closer to s1 (d2 = 0 < d2(s1, s0)), so a round on an overgrown
+    // non-all-clone cell ALWAYS moves at least one row — the only
+    // cell the fixpoint can leave overgrown is a true all-clone
+    // mass. Still O(Σ|overgrown|): one bounded-heap top-1 plus one
+    // top-1 over the s0-mismatched rows.
+    val s0 = rankedTopK(ranked, "cid", Seq(("vec_id", false)), 1)
+      .select($"cid", $"v".as("s0"))
+    val s1 = rankedTopK(
+        ranked.join(broadcast(s0), Seq("cid"))
+          .filter($"v" =!= $"s0"),
+        "cid", Seq(("vec_id", false)), 1)
+      .select($"cid", $"v".as("s1"))
+    val seeds = s0.join(s1, Seq("cid"), "left")
     def d2(v: Column, c: Column): Column =
       V.dot(v, v) - lit(2.0) * V.dot(v, c) + V.dot(c, c)
     in.join(broadcast(seeds), Seq("cid"), "left")
@@ -3526,7 +3545,14 @@ object LlmSim extends QueryModule {
               AS rn
           FROM $in a JOIN sov$r USING (cid)),
         sa$r AS (SELECT cid, v AS cv FROM srk$r WHERE rn = 1),
-        sb$r AS (SELECT cid, v AS cv FROM srk$r WHERE rn = 2),
+        sb$r AS (
+          SELECT cid, cv FROM (
+            SELECT s.cid, s.v AS cv,
+              row_number() OVER (PARTITION BY s.cid
+                ORDER BY s.vec_id) AS rn2
+            FROM srk$r s JOIN sa$r a ON a.cid = s.cid
+            WHERE s.v <> a.cv)
+          WHERE rn2 = 1),
         $out AS MATERIALIZED (
           SELECT a.vec_id, a.v, (a.split OR s0.cid IS NOT NULL) AS split,
             CASE WHEN s1.cv IS NOT NULL

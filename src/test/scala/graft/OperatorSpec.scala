@@ -944,6 +944,126 @@ class OperatorSpec extends AnyFunSuite {
     assert(sizes.values.toSeq.sorted === Seq(60L, 60L, 60L, 60L))
   }
 
+  test("split fixpoint properties over randomized clustered frames: membership, parents, convergence-or-clones") {
+    import graft.queries.LlmSim
+    import spark.implicits._
+    // scalacheck-Gen-driven like RetractionJoinSpec: random cluster
+    // layouts (count, size, spread, including bit-identical CLONE
+    // clusters the operator can never shrink) through the EXACT
+    // bounded fixpoint the commit persists. Invariants per case:
+    // vec_id multiset preserved through every round; every final cid
+    // recovers its parent (all offsets are multiples of the base, so
+    // cid % SplitCidOffset = the original cell); and every cell still
+    // overgrown at the end is either an unsplittable clone mass or
+    // the bound fired (rounds == maxRounds) — never silent residue.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val dims = 16
+    val caseGen = for {
+      nClusters <- Gen.choose(1, 4)
+      sizes <- Gen.listOfN(nClusters, Gen.choose(20, 140))
+      clone <- Gen.oneOf(true, false) // one cluster bit-identical?
+    } yield (sizes, clone)
+    def mk(params: (List[Int], Boolean)): Seq[(Int, Long, Seq[Double])] = {
+      val (sizes, clone) = params
+      var id = 0L
+      sizes.zipWithIndex.flatMap { case (n, c) =>
+        (0 until n).map { i =>
+          id += 1
+          val jitter = if (clone && c == 0) 0.0 else id * 1e-6
+          (0, id, Seq.tabulate(dims)(d =>
+            (if (d == c) 1.0 else 0.0) + (if (d == dims - 1) jitter
+            else 0.0)))
+        }
+      }
+    }
+    val threshold = 100L
+    (1 to 8).foreach { k =>
+      val params = caseGen(Gen.Parameters.default, Seed(k.toLong)).get
+      val rows = mk(params)
+      val cells = rows.toDF("cid", "vec_id", "v")
+      val (out, r) = LlmSim.splitCellsFixpoint(cells, threshold,
+        maxRounds = LlmSim.MaintSplitRounds)
+      val got = out.select($"cid", $"vec_id")
+        .as[(Int, Long)].collect()
+      // membership: nothing lost, nothing duplicated
+      assert(got.map(_._2).sorted.toSeq ===
+        rows.map(_._2).sorted.toSeq, s"case $k: multiset broken")
+      // parent recovery through multi-round offsets
+      assert(got.forall(_._1 % LlmSim.SplitCidOffset == 0),
+        s"case $k: a cid lost its parent")
+      // residue accounting: an overgrown survivor must be a clone
+      // mass (its rows bit-identical) or the round bound must have
+      // fired — the loop never stops early with splittable residue
+      val byCell = got.groupBy(_._1).view.mapValues(_.length).toMap
+      val vecsOf = out.select($"cid", $"v")
+        .as[(Int, Seq[Double])].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      byCell.filter(_._2 > threshold).keys.foreach { cid =>
+        assert(vecsOf(cid) == 1 || r == LlmSim.MaintSplitRounds,
+          s"case $k: splittable overgrown cell $cid survived with " +
+            s"rounds=$r < bound")
+      }
+    }
+    // the regression frame the sweep originally surfaced, pinned
+    // explicitly: a DUPLICATE HEAD (the two smallest ids carry
+    // bit-identical vectors) atop distinct splittable mass — the
+    // r13 second-smallest-id seeding made every round a no-op (s0 ==
+    // s1) and wedged the cell overgrown forever; the distinct-vector
+    // s1 seeding must split it
+    val dup = (1L to 2L).map(i =>
+        (0, i, Seq.tabulate(dims)(d => if (d == 0) 1.0 else 0.0))) ++
+      (10L to 69L).map(i =>
+        (0, i, Seq.tabulate(dims)(d =>
+          (if (d == 0) 1.0 else 0.0) + (if (d == 14) i * 1e-6 else 0.0)))) ++
+      (100L to 159L).map(i =>
+        (0, i, Seq.tabulate(dims)(d =>
+          (if (d == 1) 1.0 else 0.0) + (if (d == 15) i * 1e-6 else 0.0))))
+    val (dOut, dR) = LlmSim.splitCellsFixpoint(
+      dup.toDF("cid", "vec_id", "v"), threshold,
+      maxRounds = LlmSim.MaintSplitRounds)
+    val dSizes = dOut.groupBy($"cid").count()
+      .as[(Int, Long)].collect().toMap
+    assert(dSizes.values.forall(_ <= threshold),
+      s"duplicate-head cell stayed wedged ($dR rounds): $dSizes")
+  }
+
+  test("bitmap probe expressions: codegen and interpreted agree on word-boundary ids") {
+    import graft.plans.{BitmapContains, BitmapContainsLit, BitmapFirstLevel}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val maxId = 200L
+    val words = new Array[Long](4) // 256 bits
+    Seq(0L, 63L, 64L, 127L, 128L, 199L).foreach(i =>
+      words((i >> 6).toInt) |= 1L << (i & 63))
+    val ids = (0L until maxId).toDF("id")
+    val bc = spark.sparkContext.broadcast(words)
+    // codegen path (whole-stage over the projection)
+    val viaBc = ids.select($"id",
+        BitmapContains($"id", bc, maxId).as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    val viaLit = ids.select($"id",
+        BitmapContainsLit($"id", words, maxId).as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    // interpreted path (expression evaluated outside codegen)
+    val expected = (0L until maxId)
+      .map(i => i -> ((words((i >> 6).toInt) & (1L << (i & 63))) != 0L))
+      .toMap
+    assert(viaBc === expected, "broadcast probe diverges")
+    assert(viaLit === expected, "literal probe diverges")
+    // first-level: levels 0/1 split across a word boundary; ids in
+    // neither level are NULL
+    val l0 = new Array[Long](4); l0(0) = 1L | (1L << 63)
+    val l1 = new Array[Long](4); l1(1) = 1L // id 64
+    val lvBc = spark.sparkContext.broadcast(Array(l0, l1))
+    val lv = ids.select($"id", BitmapFirstLevel($"id", lvBc).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(lv(0L) === 0 && lv(63L) === 0 && lv(64L) === 1)
+    assert(lv(1L) === -1 && lv(199L) === -1)
+    bc.destroy(); lvBc.destroy()
+  }
+
   test("maintained chain commits the FIXPOINT: a pathological 2-round cell lands un-overgrown in the epoch") {
     import graft.queries.LlmSim
     import spark.implicits._
