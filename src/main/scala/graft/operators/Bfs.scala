@@ -82,11 +82,15 @@ object Bfs {
     * into every task's plan, the r13 typedLit form's hidden cost) —
     * projects `dst`, and
     * OR-folds it into a round bitmap via [[graft.plans.BitmapOrAgg]]
-    * — NO join, NO distinct, NO anti-join, NO shuffle: the only
-    * cross-worker traffic is one torrent broadcast of the frontier
-    * (≤ 32 MB at the cap, once per executor) plus one fixed-size
-    * bitmap buffer per partition into the final merge, independent of
-    * frontier cardinality. The driver clears already-settled bits
+    * — NO join, NO distinct, NO anti-join. Below the shipping
+    * threshold there is NO shuffle either: one whole-domain buffer
+    * per partition into a single merge. Above it the fold is SLICED
+    * (see the round body): one slice-bitmap shuffle per round —
+    * ≤ nSlices × 512 KB, spread across reducers, still independent
+    * of frontier cardinality — replaces funneling every partition's
+    * full-domain buffer through one reducer, and the frontier moves
+    * as one torrent broadcast (≤ 32 MB at the cap, once per
+    * executor). The driver clears already-settled bits
     * (exact — a bitmap, not a sketch, so no false positive can drop a
     * node) and the result materializes OFF the driver as one range
     * scan over the domain with d = the first level bitmap holding the
@@ -104,8 +108,10 @@ object Bfs {
     * (32 MB/bitmap, ≤ (maxHops+1)·32 MB for the one levels broadcast)
     * is the operator's working range, enforced loudly. EXECUTOR-side
     * the large-domain path is already sub-range: the fold is SLICED
-    * (each 2^21-bit id slice ORs into its own 256 KB bitmap, slices
-    * spread across reducers — see the round body), so no executor
+    * (each [[BitmapSliceWords]]-word id slice ORs into its own 512 KB
+    * bitmap, slices spread across reducers — see the round body,
+    * sized to stay under ObjectHashAggregate's sort-based fallback
+    * at the cap), so no executor
     * ever holds or funnels a whole-domain buffer; what pins the cap
     * is the driver's own arrays. Past it, densify ids first or use
     * [[hopDistance]], which is frontier-proportional. Below the
@@ -168,20 +174,21 @@ object Bfs {
         w
       }
     }
-    // SLICED fold for large domains: dst grouped by its 2^21-bit id
-    // slice, each slice OR'd into a slice-LOCAL bitmap (the same
-    // BitmapOrAgg over a 256 KB sub-domain), ≤ touched-slice rows
-    // collected and assembled driver-side. Per-partition state is
-    // per-touched-slice hash-agg entries (spillable) instead of one
-    // unspillable 32 MB whole-domain buffer at the cap, and the merge
-    // spreads slices across reducers instead of funneling every
-    // partition's full-domain buffer through ONE reducer (32
-    // partitions × 32 MB = 1 GB through a single point at the cap).
-    // Costs one slice-bitmap shuffle per round — ≤ nSlices × 256 KB,
-    // still frontier-cardinality-independent. dst stays domain-guarded
-    // by the assert_true filter BEFORE the slice mask (the mask would
+    // SLICED fold for large domains: dst grouped by its
+    // [[BitmapSliceWords]]-word id slice, each slice OR'd into a
+    // slice-LOCAL bitmap (the same BitmapOrAgg over a 512 KB
+    // sub-domain), ≤ touched-slice rows collected and assembled
+    // driver-side. Per-partition state is per-touched-slice hash-agg
+    // entries (spillable) instead of one unspillable 32 MB
+    // whole-domain buffer at the cap, and the merge spreads slices
+    // across reducers instead of funneling every partition's
+    // full-domain buffer through ONE reducer (32 partitions × 32 MB
+    // = 1 GB through a single point at the cap). Costs one
+    // slice-bitmap shuffle per round — ≤ nSlices × 512 KB, still
+    // frontier-cardinality-independent. dst stays domain-guarded by
+    // the assert_true filter BEFORE the slice mask (the mask would
     // otherwise alias an out-of-domain id into a valid slice offset).
-    val sliceWords = BitmapBroadcastWords
+    val sliceWords = BitmapSliceWords
     val sliceBits = sliceWords.toLong * 64
     val sliceShift = java.lang.Long.numberOfTrailingZeros(sliceBits)
     def slicedFold(cand: DataFrame): Array[Long] = {
@@ -263,6 +270,21 @@ object Bfs {
     * (32 MB at the 2^28 cap, times every task, where a broadcast
     * moves once per executor) and each round broadcasts. */
   private[graft] val BitmapBroadcastWords: Int = 1 << 15
+
+  /** Words per id slice of the SLICED large-domain fold — its own
+    * tunable, deliberately NOT the shipping threshold above (the two
+    * crossovers are unrelated; sharing a constant couples them). MUST
+    * be a power of two: the slice id comes from a shift and the
+    * in-slice offset from a low-bit mask, which disagree on any other
+    * value and would silently alias ids across slices. 2^16 words
+    * (512 KB, 2^22 ids) keeps the slice count at the 2^28-id cap to
+    * 64 — safely under ObjectHashAggregate's default 128-key
+    * sort-based fallback threshold, so the per-partition fold stays
+    * HASH-based (a 128-slice layout would quietly sort every round's
+    * candidate dst stream at exactly the cap). */
+  private[graft] val BitmapSliceWords: Int = 1 << 16
+  require(Integer.bitCount(BitmapSliceWords) == 1,
+    "BitmapSliceWords must be a power of two (shift/mask slice math)")
 
   // private[graft] so the job-count test can run both postures and
   // measure the submission gap the adaptive=false wrapper exists for

@@ -2949,10 +2949,15 @@ object LlmSim extends QueryModule {
     // every round a no-op while the cell still holds distinct,
     // splittable mass — the r14 property sweep surfaced exactly that
     // frame. With a distinct s1, s1's own row is always strictly
-    // closer to s1 (d2 = 0 < d2(s1, s0)), so a round on an overgrown
-    // non-all-clone cell ALWAYS moves at least one row — the only
-    // cell the fixpoint can leave overgrown is a true all-clone
-    // mass. Still O(Σ|overgrown|): one bounded-heap top-1 plus one
+    // closer to s1 (d2 = 0 < d2(s1, s0)) WHENEVER the expanded-d2
+    // arithmetic can tell the seeds apart, so a round on such a cell
+    // always moves at least one row — the only cell the fixpoint can
+    // leave overgrown is a clone mass in the arithmetic's eyes:
+    // bit-identical rows, or rows so close (|s1−s0|² below the
+    // dot−2·dot+dot cancellation floor, ~eps·|v|²) that d2 computes
+    // to exactly 0.0 both ways — a mass a d2-based splitter cannot
+    // separate by construction, and the honest boundary of the
+    // claim. Still O(Σ|overgrown|): one bounded-heap top-1 plus one
     // top-1 over the s0-mismatched rows.
     val s0 = rankedTopK(ranked, "cid", Seq(("vec_id", false)), 1)
       .select($"cid", $"v".as("s0"))

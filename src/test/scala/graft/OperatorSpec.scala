@@ -1045,12 +1045,21 @@ class OperatorSpec extends AnyFunSuite {
     val viaLit = ids.select($"id",
         BitmapContainsLit($"id", words, maxId).as("m"))
       .as[(Long, Boolean)].collect().toMap
-    // interpreted path (expression evaluated outside codegen)
     val expected = (0L until maxId)
       .map(i => i -> ((words((i >> 6).toInt) & (1L << (i & 63))) != 0L))
       .toMap
     assert(viaBc === expected, "broadcast probe diverges")
     assert(viaLit === expected, "literal probe diverges")
+    // the INTERPRETED path (Expression.eval — what codegen-fallback
+    // mode would run), evaluated directly rather than trusting the
+    // codegen'd DataFrame runs above to cover it
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    (0L until maxId).foreach { i =>
+      assert(graft.plans.BitmapContains(Literal(i), bc, maxId)
+        .eval(null) === expected(i), s"interpreted bc probe at $i")
+      assert(graft.plans.BitmapContainsLit(Literal(i), words, maxId)
+        .eval(null) === expected(i), s"interpreted lit probe at $i")
+    }
     // first-level: levels 0/1 split across a word boundary; ids in
     // neither level are NULL
     val l0 = new Array[Long](4); l0(0) = 1L | (1L << 63)
@@ -1061,6 +1070,13 @@ class OperatorSpec extends AnyFunSuite {
         (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
     assert(lv(0L) === 0 && lv(63L) === 0 && lv(64L) === 1)
     assert(lv(1L) === -1 && lv(199L) === -1)
+    // interpreted first-level, including the null (no-level) branch
+    Seq(0L -> 0, 63L -> 0, 64L -> 1).foreach { case (i, d) =>
+      assert(BitmapFirstLevel(Literal(i), lvBc).eval(null) === d,
+        s"interpreted first-level at $i")
+    }
+    assert(BitmapFirstLevel(Literal(199L), lvBc).eval(null) == null,
+      "interpreted first-level must be NULL when no level holds the id")
     bc.destroy(); lvBc.destroy()
   }
 
@@ -2634,12 +2650,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(e4.getMessage != null)
     // the LARGE-DOMAIN path (past BitmapBroadcastWords: broadcast
     // frontier shipping + the SLICED fold — the small-domain runs
-    // above ride raw plan references + the whole-domain fold): same
-    // graph plus one edge landing in the SECOND id slice, so the
-    // slice assembly (base offset, last-slice word clamp) is
-    // exercised, distances byte-identical where the graphs overlap
-    val bigMax = (Bfs.BitmapBroadcastWords.toLong + 1) * 64
-    val hi = bigMax - 3 // lives in slice 1
+    // above ride raw plan references + the whole-domain fold): the
+    // domain spans MULTIPLE BitmapSliceWords-wide slices and one edge
+    // lands in the last, PARTIAL slice, so the slice assembly (base
+    // offset, last-slice word clamp) is exercised end to end,
+    // distances byte-identical where the graphs overlap
+    val bigMax = (Bfs.BitmapSliceWords.toLong * 2 + 1) * 64
+    val hi = bigMax - 3 // lives in the third (partial) slice
     val big = Bfs.hopDistanceBitmap(
         edges.unionByName(Seq((1L, hi)).toDF("src", "dst")),
         Seq(0L).toDF("node"), maxHops = 8, maxId = bigMax)
