@@ -251,7 +251,14 @@ object Bfs {
     // distributed materialization: d = the first level bitmap holding
     // the id — all levels ride ONE broadcast (or, small, one raw
     // plan reference), probed inside one codegen range scan; no
-    // driver-side row build, no boxed nested literal
+    // driver-side row build, no boxed nested literal.
+    // This broadcast is INTENTIONALLY not destroyed here: the returned
+    // frame is lazy, so the broadcast must outlive this call — it can
+    // only be released after the caller's action, which the caller
+    // owns. ContextCleaner reclaims it with the frame (unlike the
+    // per-ROUND frontier broadcasts above, which die inside this call
+    // and are destroyed explicitly, success or failure). Worst case
+    // pinned until then: (maxHops+1) x 32 MB at the 2^28 cap.
     val dCol =
       if (useBc)
         graft.plans.BitmapFirstLevel(col("id"), sc.broadcast(levels.toArray))

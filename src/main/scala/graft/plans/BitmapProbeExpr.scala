@@ -2,9 +2,11 @@ package graft.plans
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
 
@@ -26,7 +28,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
   * from inside the probe itself — not from a sibling `assert_true`
   * conjunct whose left-to-right evaluation Catalyst is free to
   * reorder (a reordered And could let a negative id's word/bit
-  * arithmetic silently alias another node's frontier bit).
+  * arithmetic silently alias another node's frontier bit). A NULL id
+  * throws by the same rule (not null-safe NULL-out, which as a filter
+  * predicate would SILENTLY drop the edge — the declared domain
+  * [0, maxId) has no NULL member, so a NULL src is out of domain like
+  * any other foreign id; pre-filter NULL edges if dropping is meant).
   */
 case class BitmapContains(child: Expression,
                           bm: Broadcast[Array[Long]],
@@ -34,13 +40,18 @@ case class BitmapContains(child: Expression,
 
   override def dataType: DataType = BooleanType
 
+  override def nullable: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"bitmap_contains requires a bigint id, got ${child.dataType.simpleString}")
 
-  override def nullSafeEval(input: Any): Any =
-    BitmapContains.probe(bm.value, input.asInstanceOf[Long], maxId)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) BitmapContains.nullId()
+    else BitmapContains.probe(bm.value, v.asInstanceOf[Long], maxId)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
@@ -48,8 +59,13 @@ case class BitmapContains(child: Expression,
       classOf[Broadcast[Array[Long]]].getName)
     val words = ctx.addMutableState("long[]", "bmWords",
       v => s"$v = (long[]) $ref.value();")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.BitmapContains.probe($words, $c, ${maxId}L);")
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      if (${childGen.isNull}) graft.plans.BitmapContains.nullId();
+      boolean ${ev.value} = graft.plans.BitmapContains.probe(
+        $words, ${childGen.value}, ${maxId}L);""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(
@@ -63,6 +79,15 @@ object BitmapContains {
         s"bitmap BFS: id $id outside the declared domain [0, $maxId)")
     (words((id >> 6).toInt) & (1L << (id & 63))) != 0L
   }
+
+  /** The NULL branch of the structural guard — a named method so the
+    * generated code throws the same exception interpreted and
+    * compiled. Return type Boolean keeps the call-site a plain
+    * statement in the generated Java. */
+  def nullId(): Boolean =
+    throw new IllegalArgumentException(
+      "bitmap BFS: NULL id — the declared domain has no NULL member; " +
+        "filter NULL edges out before the probe")
 
   /** Column-level entry point. */
   def apply(id: Column, bm: Broadcast[Array[Long]], maxId: Long): Column =
@@ -79,26 +104,42 @@ object BitmapContains {
   * replaced boxed through GenericArrayData); past
   * [[graft.operators.Bfs.BitmapBroadcastWords]] the per-task bytes
   * dominate and the broadcast form takes over. Same structural
-  * domain guard. */
+  * domain guard, including the NULL-id throw.
+  *
+  * The `words` field is a raw array, so two semantically identical
+  * probes never compare equal (case-class equality is reference
+  * equality on arrays) — canonicalization/subexpression elimination
+  * will not unify them. Harmless here (one probe per BFS round) but
+  * do NOT build anything that relies on two of these deduplicating. */
 case class BitmapContainsLit(child: Expression,
                              words: Array[Long],
                              maxId: Long) extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
 
+  override def nullable: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"bitmap_contains requires a bigint id, got ${child.dataType.simpleString}")
 
-  override def nullSafeEval(input: Any): Any =
-    BitmapContains.probe(words, input.asInstanceOf[Long], maxId)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) BitmapContains.nullId()
+    else BitmapContains.probe(words, v.asInstanceOf[Long], maxId)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bmWords", words, "long[]")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.BitmapContains.probe($ref, $c, ${maxId}L);")
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      if (${childGen.isNull}) graft.plans.BitmapContains.nullId();
+      boolean ${ev.value} = graft.plans.BitmapContains.probe(
+        $ref, ${childGen.value}, ${maxId}L);""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(
@@ -179,7 +220,10 @@ object BitmapFirstLevel {
 /** [[BitmapFirstLevel]] with the levels carried directly as a plan
   * reference — the small-domain twin of [[BitmapContainsLit]] (the
   * materialization is ONE job, so the only cost is its tasks' plan
-  * bytes: ≤ (maxHops+1)·256 KB at the literal threshold). */
+  * bytes: ≤ (maxHops+1)·256 KB at the literal threshold). As there,
+  * the raw-array field makes case-class equality reference equality —
+  * two identical probes never unify under subexpression elimination
+  * (harmless: one materialization per BFS call). */
 case class BitmapFirstLevelLit(child: Expression,
                                levels: Array[Array[Long]])
     extends UnaryExpression {

@@ -306,6 +306,82 @@ object Extras extends QueryModule {
         FROM (SELECT node, min(d) AS d FROM walk GROUP BY node)
         GROUP BY d""")),
 
+    // BFS OVER A SPARSE ID SPACE — the densification path the bitmap
+    // formulation's 2^28 cap points to ("densify ids first"), now an
+    // operator instead of user homework (the r14 verdict's #3): node
+    // ids here are SPARSE by construction (id·1000003 + 17 — max ~1.5
+    // e9 at sf0.01, past the bitmap cap, the shape a hash- or
+    // UUID-keyed graph has). Pipeline: Densify.mapping builds the
+    // deterministic ascending-rank bijection onto [0, N) WITHOUT a
+    // global window (range-repartition + per-partition zipWithIndex),
+    // persisted once as a bucketed artifact; edges encode through it
+    // (two joins — at 100 TB both co-bucketed on the artifact's key);
+    // the bitmap BFS runs on the dense domain (N = |nodes|, the
+    // smallest domain any id space can densify to); the INVERSE
+    // mapping decodes the result back to original ids. The oracle
+    // never sees the mapping — it walks the sparse graph directly —
+    // so the gate proves the round-trip is lossless, not merely
+    // self-consistent.
+    "q_graph_bfs_dense" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val n = Engine.table(s, dir, "customer").count()
+        val raw = Engine.table(s, dir, "orders")
+          .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+            greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+          .filter($"a" =!= $"b")
+          .distinct()
+        def sp(c: org.apache.spark.sql.Column) =
+          c * lit(1000003L) + lit(17L)
+        val sraw = raw.select(sp($"a").as("a"), sp($"b").as("b"))
+        val sedges = sraw.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(sraw.select($"b".as("src"), $"a".as("dst")))
+        val sources = s.range(1, 2).select(sp($"id").as("node"))
+        // node set = edge endpoints ∪ sources (a source outside the
+        // edge relation must still densify — it settles at d=0)
+        val nodes = sedges.select($"src".as("id"))
+          .unionByName(sedges.select($"dst".as("id")))
+          .unionByName(sources.select($"node".as("id")))
+        val mapT = LlmText.writeOnceTable(s,
+          s"graft_dense_map_${math.abs(dir.hashCode)}", Seq("orig"),
+          graft.operators.Densify.mapping(nodes, "id"))
+        val enc = sedges
+          .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),
+            Seq("src"))
+          .join(mapT.select($"orig".as("dst"), $"dense_id".as("ddst")),
+            Seq("dst"))
+          .select($"dsrc".as("src"), $"ddst".as("dst"))
+        val dsrc = sources
+          .join(mapT, sources("node") === mapT("orig"))
+          .select($"dense_id".as("node"))
+        val dres = graft.operators.Bfs.hopDistanceBitmap(enc, dsrc,
+          maxHops = 8, maxId = mapT.count())
+        dres.join(mapT, dres("node") === mapT("dense_id"))
+          .select($"orig".as("node"), $"d")
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE raw AS (
+          SELECT DISTINCT
+            least(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS a,
+            greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS b
+          FROM orders
+          WHERE least(o_custkey, o_orderkey % (SELECT count(*) FROM customer))
+            <> greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer))),
+        edges AS (
+          SELECT a * 1000003 + 17 AS src, b * 1000003 + 17 AS dst FROM raw
+          UNION ALL SELECT b * 1000003 + 17, a * 1000003 + 17 FROM raw),
+        walk(node, d) AS (
+          SELECT CAST(1000020 AS BIGINT) AS node, 0 AS d
+          UNION
+          SELECT e.dst, w.d + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.d < 8)
+        SELECT d, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_node
+        FROM (SELECT node, min(d) AS d FROM walk GROUP BY node)
+        GROUP BY d""")),
+
     // The SQL entry path (E2' with spark.sql): scalar subquery, IN
     // subquery, and correlated EXISTS — Catalyst decorrelates all three.
     "q_sql_subqueries" -> QueryDef(

@@ -1317,42 +1317,103 @@ class OperatorSpec extends AnyFunSuite {
     assert(joinIdx >= 0 && joinIdx < scanIdx)
     assert(!lines.slice(joinIdx + 1, scanIdx).exists(_.contains("Exchange")),
       "an exchange crept in between the broadcast join and the postings scan")
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles === 3, // qterms distinct + (q_id,doc_id) agg + GroupTopK
-      s"lexical arm pays $shuffles shuffles (expected 3):\n$plan")
+    // the load-bearing claim is the TABLE side moving nothing — pin
+    // the absence of an exchange below the join (above), not a global
+    // shuffle count (which couples the test to the Spark version's
+    // planning of the query-side frame — the r14 ADVICE brittleness)
   }
 
-  test("postings upsert: exactly-once append, incremental df equals from-scratch, exchange-free probe") {
+  test("postings epochs: two batches land exactly-once, as-of reads prune, incremental df equals from-scratch, exchange-free probe") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val (post, df2) = LlmSim.persistedPostingsUpserted(spark, sf)
-    val n1 = post.count()
-    // a second delivery (same JVM, marker committed) changes nothing
-    val (postB, _) = LlmSim.persistedPostingsUpserted(spark, sf)
-    assert(postB.count() === n1, "second delivery duplicated the batch")
-    // the arrival batch really landed
-    assert(post.filter($"doc_id" >= LlmSim.ArrivalIdBase).count() > 0,
-      "no arrival postings present after the upsert")
-    // incremental df (old ⊕ delta counts) equals a from-scratch df
-    // over the upserted postings — the disjoint-doc-sets argument,
-    // asserted rather than assumed
-    val scratch = post.groupBy($"w").agg(count(lit(1)).as("df"))
+    val (post1, df1) = LlmSim.postingsEpoch(spark, sf, 1)
+    val (post2, df2) = LlmSim.postingsEpoch(spark, sf, 2)
+    val n1 = post1.count()
+    val n2 = post2.count()
+    // batch 2 really landed beyond batch 1, in its own id range
+    assert(n2 > n1, "epoch 2 added no postings")
+    assert(post2.filter($"doc_id" >= 2 * LlmSim.ArrivalIdBase).count() > 0,
+      "no batch-2 postings present")
+    // as-of-1 read excludes batch 2 even though its files are on disk
+    assert(post1.filter($"doc_id" >= 2 * LlmSim.ArrivalIdBase).count() === 0L,
+      "as-of-epoch-1 read leaked batch-2 rows")
+    // a second delivery of BOTH epochs (same JVM, markers committed)
+    // changes nothing — the r14 single-shot txn was exactly-once for
+    // batch 1 and exactly-never for batch 2; this pins both
+    val (postB, _) = LlmSim.postingsEpoch(spark, sf, 2)
+    assert(postB.count() === n2, "second delivery duplicated a batch")
+    assert(LlmSim.postEpochOf(spark, sf) === 2,
+      "pointer not published at epoch 2")
+    // incremental df (epoch b-1 ⊕ delta counts, chained twice) equals
+    // a from-scratch df over the full estate — the disjoint-doc-sets
+    // argument, asserted rather than assumed; and as-of-1 df equals a
+    // from-scratch derive over the as-of-1 estate
+    val scratch2 = post2.groupBy($"w").agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
-    val inc = df2.as[(String, Long)].collect().toMap
-    assert(inc === scratch,
-      "incrementally merged df diverges from a from-scratch derive")
+    assert(df2.as[(String, Long)].collect().toMap === scratch2,
+      "epoch-2 incrementally merged df diverges from a from-scratch derive")
+    val scratch1 = post1.groupBy($"w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(df1.as[(String, Long)].collect().toMap === scratch1,
+      "epoch-1 df (grace window) diverges from its as-of estate")
     // probe plan: broadcast qterms onto the bucketed postings scan,
-    // co-bucketed join to df — no exchange on either table side; the
-    // only shuffles are qterms distinct + pair agg + GroupTopK
-    val q = SparkEntry.queries("q_llm_postings_upsert")(spark, sf)
+    // co-bucketed join to the epoch df — no exchange on either TABLE
+    // side (pinned as absence-of-exchange below each scan, not a
+    // global shuffle count — the r14 ADVICE brittleness)
+    val q = SparkEntry.queries("q_llm_postings_upsert2")(spark, sf)
     q.write.format("noop").mode("overwrite").save()
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_postings_wo_") &&
-      plan.contains("graft_postings_df2_"))
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles === 3,
-      s"postings probe pays $shuffles shuffles (expected 3):\n$plan")
+    assert(plan.contains("graft_post_ep_") &&
+      plan.contains("graft_post_df_pe2_"))
+    val lines = plan.linesIterator.toVector
+    Seq("graft_post_ep_", "graft_post_df_pe2_").foreach { t =>
+      val i = lines.indexWhere(l => l.contains("FileScan") && l.contains(t))
+      assert(i >= 0, s"probe no longer scans $t")
+      assert(lines(i).contains("Bucketed: true"), s"$t scan lost bucketing")
+    }
+    assert(!plan.contains("SortMergeJoin"),
+      "a table side was shuffled into a sort-merge join")
+  }
+
+  test("postings delete: tombstones judged over the estate, df decrement exact, compaction row-exact, both read paths agree") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (post, df) = LlmSim.postingsEpoch(spark, sf, 2)
+    val tomb = LlmSim.persistedPostingsTombstones(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(tomb.nonEmpty, "no curation drops over the estate")
+    val estateIds = post.select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(tomb.subsetOf(estateIds), "tombstone outside the estate")
+    // keep-newest: every arrival's SOURCE doc is superseded by its
+    // re-crawl, so batch sources are tombstoned and arrivals survive
+    assert(tomb.exists(_ < LlmSim.ArrivalIdBase),
+      "no base doc superseded — keep-newest never fired")
+    val (postL, dfL) = LlmSim.persistedPostingsCompacted(spark, sf)
+    // row-exact fold: compacted postings = estate minus deleted docs' rows
+    val deadRows = post.filter($"doc_id".isInCollection(tomb)).count()
+    assert(postL.count() === post.count() - deadRows,
+      "compaction dropped or kept the wrong posting rows")
+    assert(postL.filter($"doc_id".isInCollection(tomb)).count() === 0L)
+    // df decrement exact: compacted df equals a from-scratch df over
+    // the compacted postings (zero-df words dropped)
+    val scratch = postL.groupBy($"w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(dfL.as[(String, Long)].collect().toMap === scratch,
+      "decremented df diverges from a from-scratch derive over survivors")
+    assert(df.count() >= dfL.count(), "compacted vocab grew")
+    // both read paths return identical rows
+    val live = LlmSim.postingsTombProbe(spark, sf, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val viaCompact = SparkEntry.queries("q_llm_postings_compact")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(live === viaCompact,
+      "live-tombstone and compacted probes disagree")
   }
 
   test("maintained-epoch deletes: tombstones within the epoch, compaction row-exact, plans differ") {
@@ -3090,6 +3151,92 @@ class OperatorSpec extends AnyFunSuite {
     // re-shuffled data already clustered by c_custkey from the join.
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 3, s"$shuffles shuffles:\n" + plan.take(1500))
+  }
+
+  test("maintenance epoch ledger: published epoch servable, grace window bounded, zero vacuum debt") {
+    import graft.queries.LlmSim
+    // The vector side's epoch/grace/vacuum counters are NOT in the
+    // gated health report: the ledger survives catalog resets by
+    // design, so their absolute values depend on how many processes
+    // have visited the warehouse. Pin them RELATIVELY instead —
+    // invariants that hold at any visit count.
+    LlmSim.maintainIvfCommit(spark, sf)
+    val p = LlmSim.maintEpochOf(spark, sf)
+    assert(p >= 1, "commit returned without publishing an epoch")
+    // the published epoch is fully servable from this catalog
+    LlmSim.maintainedTablesFor(sf, p).foreach { t =>
+      assert(spark.catalog.tableExists(t),
+        s"published epoch $p missing its table $t")
+    }
+    // zero vacuum debt: every epoch older than the grace window is
+    // gone — tables deregistered AND directories reclaimed
+    (1 until p - 1).foreach { e =>
+      LlmSim.maintainedTablesFor(sf, e).foreach { t =>
+        assert(!spark.catalog.tableExists(t),
+          s"vacuumed epoch $e still registered: $t")
+        assert(!graft.operators.TxnMarker
+          .managedTableDir(spark, t).exists(),
+          s"vacuumed epoch $e still on disk: $t")
+      }
+    }
+    // a second delivery neither bumps the epoch nor unpublishes it
+    LlmSim.maintainIvfCommit(spark, sf)
+    assert(LlmSim.maintEpochOf(spark, sf) === p,
+      "idempotent re-delivery moved the epoch pointer")
+  }
+
+  test("tokenRuns: sorted-runs tokenizer equals explode+groupBy on adversarial docs, and beats the naive form on a long doc") {
+    import spark.implicits._
+    import graft.queries.LlmSim
+    val rnd = new scala.util.Random(15)
+    val vocab = Vector("a", "bb", "ccc", "a", "zz", "√", "a-b", "", "q")
+    val adversarial = Seq(
+      "", " ", "a", "a a a", "x y x y x", "  double  spaces ",
+      "same same same same") ++
+      (0 until 50).map(_ => Seq.fill(rnd.nextInt(40) + 1)(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = adversarial.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .localCheckpoint()
+    val viaRuns = docs
+      .select($"doc_id", explode(LlmSim.tokenRuns($"text")).as("p"))
+      .select($"doc_id", $"p.w".as("w"), $"p.tf".as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val viaGroup = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(viaRuns === viaGroup,
+      "sorted-runs tokenizer diverges from the batch tokenizer")
+    // the r14 verdict's straggler warning, measured: one 10^4-token
+    // document through each per-row form. The naive distinct×filter
+    // scan is O(distinct·L); the sorted-runs form O(L log L). Assert
+    // a conservative 3× so box noise can't flake the test; the
+    // measured gap is recorded in PLANS.md r15 (~50×).
+    val longDoc = Seq((0L, Seq.fill(10000)(
+      vocab(rnd.nextInt(vocab.size)) + rnd.nextInt(500))
+      .mkString(" "))).toDF("doc_id", "text").localCheckpoint()
+    def timeIt(f: => Unit): Long = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000
+    }
+    def naive(text: org.apache.spark.sql.Column) = {
+      val words = split(text, " ")
+      transform(array_distinct(words), w => struct(w.as("w"),
+        size(filter(words, x => x === w)).cast("long").as("tf")))
+    }
+    // warm both codegen paths once, then time
+    longDoc.select(explode(LlmSim.tokenRuns($"text"))).count()
+    longDoc.select(explode(naive($"text"))).count()
+    val tRuns = timeIt(
+      longDoc.select(explode(LlmSim.tokenRuns($"text"))).count())
+    val tNaive = timeIt(
+      longDoc.select(explode(naive($"text"))).count())
+    info(s"10^4-token doc: sorted-runs ${tRuns}ms vs naive ${tNaive}ms")
+    assert(tNaive > tRuns * 3,
+      s"sorted-runs ($tRuns ms) should beat the naive form " +
+        s"($tNaive ms) by >3x on a 10^4-token document")
   }
 }
 
