@@ -57,36 +57,46 @@ object LlmSim extends QueryModule {
   private val planeLitCache =
     scala.collection.concurrent.TrieMap.empty[Int, Seq[Double]]
 
-  /** [[planeW]]'s weights folded ONCE per (JVM, plane) to a plain
-    * 64-double literal. The weight vector is a constant, but spelled
+  /** [[planeW]]'s weights folded ONCE per (JVM, plane) to plain
+    * driver doubles. The weight vector is a constant, but spelled
     * as a 64-term md5 fold it makes every consumer's plan carry — and
     * Catalyst re-fold on every run — thousands of expression nodes
     * per bucket column: the r11 stage table attributes ~2 s of the
-    * 2.8 s gated lsh_persisted median to pure driver planning
-    * (job wall 0.8 s/run), a corpus-independent floor that would
-    * also tax every 100 TB probe's plan compile. Folding through a
-    * 1-row select — Catalyst's OWN evaluation of the exact [[planeW]]
-    * tree the oracle SQL mirrors — keeps the values definitionally
-    * bit-exact while plans shrink to array literals. Pure-collect
-    * cache (same class as pqCbCache): recomputation is harmless and
-    * side-effect-free. */
-  private def planeLitW(p: Int): Column = typedLit(
+    * then-2.8 s gated lsh_persisted median to pure driver planning,
+    * a corpus-independent floor that would also tax every 100 TB
+    * probe's plan compile. Folding through a 1-row select —
+    * Catalyst's OWN evaluation of the exact [[planeW]] tree the
+    * oracle SQL mirrors — keeps the values definitionally bit-exact.
+    * (r11 shrank the trees to array LITERALS; r15 takes the values
+    * out of the plan entirely via [[planesArr]] → LshSig reference
+    * objects.) Pure-collect cache (same class as pqCbCache):
+    * recomputation is harmless and side-effect-free. */
+  private def planeVals(p: Int): Seq[Double] =
     planeLitCache.getOrElseUpdate(p,
       SparkSession.active.range(1).select(planeW(p).as("w"))
-        .head.getSeq[Double](0)))
+        .head.getSeq[Double](0))
 
-  private def bucketCol(v: Column): Column = (0 until Planes).map(p =>
-    when(V.dot(v, planeLitW(p)) >= 0, lit(1L << p)).otherwise(lit(0L)))
-    .reduce(_ + _)
+  /** The plane matrix [pFrom, pFrom + n) as driver arrays for
+    * [[graft.plans.LshSig]]. r15: the r11 step above folded the
+    * md5 TREES to array literals; this folds the literals to ONE
+    * reference object per signature column — even array literals were
+    * re-walked by every AQE stage re-optimization, measured as the
+    * whole q_llm_ann_lsh_persisted floor (3.5 s wall vs 0.43 s task
+    * time; PLANS.md r15). */
+  private def planesArr(pFrom: Int, n: Int): Array[Array[Double]] =
+    (0 until n).map(b => planeVals(pFrom + b).toArray).toArray
+
+  private def bucketCol(v: Column): Column =
+    graft.plans.LshSig(v, planesArr(0, Planes))
 
   /** Generalized LSH bucket over planes [pFrom, pFrom + nPlanes): the
     * multi-table variant draws table t's planes from a disjoint index
-    * range so tables are independent hash functions. */
+    * range so tables are independent hash functions. Bit b of the
+    * signature = (v · plane(pFrom+b) >= 0) — one native [[graft.plans
+    * .LshSig]] loop, arithmetic bit-identical to the composed
+    * when(dot >= 0) sum it replaced (scaladoc there). */
   private def bucketColT(v: Column, pFrom: Int, nPlanes: Int): Column =
-    (0 until nPlanes).map(b =>
-      when(V.dot(v, planeLitW(pFrom + b)) >= 0, lit(1L << b))
-        .otherwise(lit(0L)))
-      .reduce(_ + _)
+    graft.plans.LshSig(v, planesArr(pFrom, nPlanes))
 
   private def bucketSqlT(v: String, pFrom: Int, nPlanes: Int): String =
     (0 until nPlanes).map(b =>
@@ -2791,8 +2801,26 @@ object LlmSim extends QueryModule {
         (0 until T).map(t0 => lit(t0.toLong * (1L << P)) +
           col(s"b$t0").bitwiseXOR($"mask")): _*)).as("tb"))
     val tbs = probes.select($"tb").distinct().as[Long].collect().sorted
+    // Push the routed-bucket literal set into the index scan ONLY
+    // when it can actually prune. Spark's bucket-pruning planner maps
+    // EVERY IN-set literal to its bucket id by building a fresh
+    // codegen'd UnsafeProjection per value
+    // (FileSourceStrategy.genBucketSet → BucketingUtils
+    // .getBucketIdFromValue) — measured ~3 s of driver time for this
+    // probe's 3,072-value set (driver stack sampling, PLANS.md r15),
+    // which covered the whole T·2^P signature domain (radius-4
+    // multi-probe of 5 queries) and therefore kept every bucket: all
+    // cost, zero pruning. The join's own tb equality already
+    // restricts rows, so the filter is semantically redundant — keep
+    // it only when the set hits at most a quarter of the domain,
+    // where file-level pruning pays for its plan-time codegen (the
+    // IVF/PQ probes' ≤ nprobe·|q| cid sets stay far under this and
+    // keep their SelectedBucketsCount pruning).
+    val sigDomain = T.toLong * (1L << P)
+    val idxSide = if (tbs.length * 4L >= sigDomain) idx
+      else idx.filter(inSetCol($"tb", tbs))
     val cand = broadcast(probes)
-      .join(idx.filter(inSetCol($"tb", tbs)), Seq("tb"))
+      .join(idxSide, Seq("tb"))
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id").distinct()
     rankedTopK(

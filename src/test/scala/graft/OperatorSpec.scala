@@ -3153,6 +3153,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(shuffles <= 3, s"$shuffles shuffles:\n" + plan.take(1500))
   }
 
+  test("LshSig equals the composed when(dot>=0) sum bit-for-bit, codegen and interpreted, including the NULL-input quirk") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 7
+    val planes = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 200).map { i =>
+      (i.toLong, if (i % 17 == 0) null
+        else if (i % 23 == 0) Seq.fill(dim - 2)(rnd.nextGaussian()) // length mismatch
+        else Seq.fill(dim)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "v").localCheckpoint()
+    // the composed form LshSig replaced — built inline so the pin
+    // outlives any main-source refactor
+    val composed = planes.zipWithIndex.map { case (w, b) =>
+      when(graft.operators.VectorOps.dot($"v", typedLit(w.toSeq)) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val got = df.select($"id", graft.plans.LshSig($"v", planes).as("s"),
+        composed.as("c"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, s, c) =>
+      assert(s === c, s"LshSig diverges from the composed form at id=$id")
+    }
+    // NULL input and length mismatch hash to bucket 0 (the composed
+    // form's when(NULL>=0).otherwise(0) path) — NOT NULL
+    assert(got.filter(_._1 % 17 == 0).forall(_._2 === 0L))
+    assert(got.filter(r => r._1 % 23 == 0 && r._1 % 17 != 0)
+      .forall(_._2 === 0L))
+    // interpreted path (Expression.eval), evaluated directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    rows.take(60).foreach { case (id, v) =>
+      val litV = if (v == null) Literal.create(null, ArrayType(DoubleType))
+        else Literal.create(ArrayData.toArrayData(v.toArray),
+          ArrayType(DoubleType))
+      val expect = got.find(_._1 == id).get._2
+      assert(graft.plans.LshSig(litV, planes).eval(null) === expect,
+        s"interpreted LshSig diverges at id=$id")
+    }
+  }
+
   test("maintenance epoch ledger: published epoch servable, grace window bounded, zero vacuum debt") {
     import graft.queries.LlmSim
     // The vector side's epoch/grace/vacuum counters are NOT in the
