@@ -3267,10 +3267,21 @@ object LlmSim extends QueryModule {
     var over = overSet(cur)
     var progress = true
     while (r < maxRounds && over.nonEmpty && progress) {
+      val prev = cur
       cur = splitCells(cur, threshold, offset = SplitCidOffset << r)
         .localCheckpoint()
       r += 1
-      val next = overSet(cur)
+      val next = overSet(cur) // materializes the new checkpoint
+      // release the superseded round's blocks (the Bfs/CC loop
+      // discipline — r15 sweep). Round 1 is SKIPPED deliberately:
+      // its prev is the caller's input frame, and checkpointRdd
+      // collects the first LogicalRDD anywhere in the analyzed tree —
+      // on the input that could be an UPSTREAM checkpoint the caller
+      // still serves; from round 2 on, prev is this loop's own
+      // checkpoint (the analyzed plan IS that LogicalRDD).
+      if (r > 1)
+        org.apache.spark.sql.graftbridge.SqlBridge.checkpointRdd(prev)
+          .foreach(_.unpersist(blocking = false))
       progress = next != over
       over = next
     }
