@@ -43,6 +43,16 @@ object Densify {
     val sorted = src.repartitionByRange(par, col("orig"))
       .sortWithinPartitions(col("orig"))
     val mapped = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      // fail-loudly NULL guard (the BitmapContains.nullId discipline):
+      // the dense domain [0, N) has no NULL member, and silently
+      // ranking NULL (ascending sort puts it FIRST, shifting every
+      // real id's rank by one) would diverge from the documented
+      // row_number() ORDER BY mirror, which sorts NULLS LAST. Checked
+      // executor-side in the assignment pass — no extra job.
+      require(!r.isNullAt(0),
+        "Densify.mapping: NULL id — the dense domain [0, N) has no " +
+          "NULL member; filter NULL ids (or fix the upstream outer " +
+          "join) before densifying")
       Row(r.get(0), i)
     }
     spark.createDataFrame(mapped, StructType(Seq(

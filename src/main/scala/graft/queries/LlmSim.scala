@@ -1241,14 +1241,7 @@ object LlmSim extends QueryModule {
         val vrank = rankedTopK(vsc, "q_id",
             Seq(("cos", true), ("vec_id", false)), 20)
           .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vr"))
-        val fused = trank.join(vrank, Seq("q_id", "doc_id"), "full")
-          .select($"q_id", $"doc_id",
-            (coalesce(lit(1.0) / ($"tr" + lit(60)), lit(0.0)) +
-              coalesce(lit(1.0) / ($"vr" + lit(60)), lit(0.0)))
-              .as("rrf"))
-        rankedTopK(fused, "q_id",
-            Seq(("rrf", true), ("doc_id", false)), 5)
-          .select($"q_id", $"rank", $"doc_id", $"rrf")
+        rrfFuse(trank, vrank)
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
@@ -1328,14 +1321,7 @@ object LlmSim extends QueryModule {
           .select($"q_id", $"doc_id", $"rank".as("tr"))
         val vrank = maintTombProbe(s, dir, 0L, 5L, k = 20)
           .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vr"))
-        val fused = trank.join(vrank, Seq("q_id", "doc_id"), "full")
-          .select($"q_id", $"doc_id",
-            (coalesce(lit(1.0) / ($"tr" + lit(60)), lit(0.0)) +
-              coalesce(lit(1.0) / ($"vr" + lit(60)), lit(0.0)))
-              .as("rrf"))
-        rankedTopK(fused, "q_id",
-            Seq(("rrf", true), ("doc_id", false)), 5)
-          .select($"q_id", $"rank", $"doc_id", $"rrf")
+        rrfFuse(trank, vrank)
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
@@ -4078,20 +4064,22 @@ object LlmSim extends QueryModule {
     new java.io.File(graft.operators.TxnMarker.managedTableDir(s,
       s"graft_ivf_maint_${math.abs(dir.hashCode)}"), "_graft_epoch")
 
-  /** The published maintenance epoch (0 = none yet). */
-  private[graft] def maintEpochOf(s: SparkSession, dir: String): Int = {
-    val f = maintPointerFile(s, dir)
+  /** Read an epoch-pointer file (0 = none yet) — ONE copy of the
+    * read half of the pointer protocol, shared by the vector
+    * maintenance ledger and the postings ingest pointer (they differ
+    * only in where the file lives and whether it survives catalog
+    * resets). */
+  private def epochPointerOf(f: java.io.File): Int =
     if (f.isFile)
       new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim.toInt
     else 0
-  }
 
   /** Atomic pointer swap: write-temp + ATOMIC_MOVE, so a reader sees
-    * the old epoch or the new one, never a torn write. */
-  private def publishMaintEpoch(s: SparkSession, dir: String,
-                                epoch: Int): Unit = {
-    val f = maintPointerFile(s, dir)
+    * the old epoch or the new one, never a torn write. ONE copy of
+    * the write half (any future hardening — fsync, tmp collision
+    * handling — lands once for both index families). */
+  private def publishEpochPointer(f: java.io.File, epoch: Int): Unit = {
     f.getParentFile.mkdirs()
     val tmp = new java.io.File(f.getParentFile, s"_graft_epoch.tmp.$epoch")
     java.nio.file.Files.write(tmp.toPath, epoch.toString.getBytes(
@@ -4100,6 +4088,14 @@ object LlmSim extends QueryModule {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
+
+  /** The published maintenance epoch (0 = none yet). */
+  private[graft] def maintEpochOf(s: SparkSession, dir: String): Int =
+    epochPointerOf(maintPointerFile(s, dir))
+
+  private def publishMaintEpoch(s: SparkSession, dir: String,
+                                epoch: Int): Unit =
+    publishEpochPointer(maintPointerFile(s, dir), epoch)
 
   private val maintLock = new Object
 
@@ -4462,6 +4458,20 @@ object LlmSim extends QueryModule {
     * with the same spec, so the probe-time postings⋈df join is
     * exchange-free.
     *
+    * CONCURRENCY BOUNDARY, stated precisely: the REBUILD path (the
+    * `!tableExists` rmTree+rewrite below) assumes ONE writer per
+    * warehouse per catalog generation — a second JVM whose in-memory
+    * catalog lacks the table would wipe a first JVM's in-flight
+    * build. This is the repo-wide writeOnceTable posture, and it is
+    * structural: a BUCKETED table's bucket spec lives only in the
+    * session catalog, so a fresh catalog cannot re-adopt on-disk
+    * files without losing the exchange-free probe plan — rebuild is
+    * the only correct path. The marker protocol guards the narrower
+    * (and real) hazard: RE-DELIVERY of an ingest batch, from this or
+    * any process that can see the table — batches land exactly-once
+    * per epoch there. Do not read the markers as making the rebuild
+    * itself multi-writer-safe.
+    *
     * Returns (postings AS OF `upTo` — `ep` pruned off, df at epoch
     * `upTo`), minting any missing epoch ≤ `upTo` on the way. As-of
     * reads reach back exactly as far as the grace window keeps df
@@ -4541,29 +4551,18 @@ object LlmSim extends QueryModule {
   private def postDfTableName(dir: String, epoch: Int): String =
     s"graft_post_df_pe${epoch}_${math.abs(dir.hashCode)}"
 
+  private def postPointerFile(s: SparkSession, dir: String): java.io.File =
+    new java.io.File(graft.operators.TxnMarker
+      .managedTableDir(s, postTableName(dir)), "_graft_epoch")
+
   /** The published postings epoch (0 = base only). Lives under the
     * postings table dir — derived state, reset with the table. */
-  private[graft] def postEpochOf(s: SparkSession, dir: String): Int = {
-    val f = new java.io.File(graft.operators.TxnMarker
-      .managedTableDir(s, postTableName(dir)), "_graft_epoch")
-    if (f.isFile)
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-    else 0
-  }
+  private[graft] def postEpochOf(s: SparkSession, dir: String): Int =
+    epochPointerOf(postPointerFile(s, dir))
 
   private def publishPostEpoch(s: SparkSession, dir: String,
-                               epoch: Int): Unit = {
-    val f = new java.io.File(graft.operators.TxnMarker
-      .managedTableDir(s, postTableName(dir)), "_graft_epoch")
-    f.getParentFile.mkdirs()
-    val tmp = new java.io.File(f.getParentFile, s"_graft_epoch.tmp.$epoch")
-    java.nio.file.Files.write(tmp.toPath, epoch.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-  }
+                               epoch: Int): Unit =
+    publishEpochPointer(postPointerFile(s, dir), epoch)
 
   /** The one tokenizer of the postings lifecycle: (w, doc_id, tf) via
     * explode + count — base build and every delta share it. */
@@ -4784,6 +4783,24 @@ object LlmSim extends QueryModule {
       .select($"doc_id".as("q_id"),
         explode(slice(split($"text", " "), 1, 8)).as("w"))
       .distinct()
+  }
+
+  /** The RRF fusion tail shared by BOTH hybrid queries (snapshot and
+    * live): full-outer merge of a lexical top-20 (q_id, doc_id, tr)
+    * and a vector top-20 (q_id, doc_id, vr), rrf = Σ 1/(60 + rank)
+    * over the sides a doc appears in, top-5 by rrf. ONE derivation so
+    * the fusion constant, tie-break, and output shape cannot drift
+    * between the two gated queries (the postingsDeltaDocs one-fixture
+    * discipline applied to the fusion arithmetic). */
+  private def rrfFuse(trank: DataFrame, vrank: DataFrame): DataFrame = {
+    import trank.sparkSession.implicits._
+    val fused = trank.join(vrank, Seq("q_id", "doc_id"), "full")
+      .select($"q_id", $"doc_id",
+        (coalesce(lit(1.0) / ($"tr" + lit(60)), lit(0.0)) +
+          coalesce(lit(1.0) / ($"vr" + lit(60)), lit(0.0)))
+          .as("rrf"))
+    rankedTopK(fused, "q_id", Seq(("rrf", true), ("doc_id", false)), 5)
+      .select($"q_id", $"rank", $"doc_id", $"rrf")
   }
 
   /** The lexical scoring CORE shared by [[lexicalTopK]] and the
