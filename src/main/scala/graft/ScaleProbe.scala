@@ -287,6 +287,98 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** POSTINGS-LIFECYCLE shape: the write-optimized pair's O(delta)
+    * ingest claim, measured. Builds the epoch-partitioned postings
+    * table at 1× and N× corpus (replica docs carry a replica token so
+    * texts stay distinct), then times — with the SAME fixed-size
+    * delta batch — the partition append, the df merge
+    * (vocab ⊕ delta), and the broadcast-qterm probe at both scales.
+    * O(delta) ingest ⇒ append/merge ratios ~1 while the base grows
+    * N×; the probe's bucket scan is corpus-sized, so its ratio is
+    * expected sub-linear-in-N but not flat (reported honestly).
+    * Usage: tools/run.sh graft.ScaleProbe postings [sfDir] [n] */
+  private def postingsShapeProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = Engine.session("graft-postshape")
+    import spark.implicits._
+    val d1 = Engine.table(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    def corpus(reps: Int): DataFrame =
+      if (reps == 1) d1
+      else (0 until reps).map(i => d1
+          .withColumn("doc_id", $"doc_id" + lit(i * 100000000L))
+          .withColumn("text", concat(lit(s"r$i "), $"text")))
+        .reduce(_ unionByName _)
+    def tok(docs: DataFrame): DataFrame = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+    // FIXED delta across scales — the engine's batch-1 fixture shape
+    val delta = tok(d1.filter($"doc_id" % 7 === 3)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+      .localCheckpoint()
+    val deltaRows = delta.count()
+    def mk(tag: String, reps: Int): (String, String, Long) = {
+      val t = s"sp_po_$tag"; val dt = s"sp_podf_$tag"
+      Seq(t, dt).foreach { x =>
+        if (spark.catalog.tableExists(x)) spark.sql(s"DROP TABLE $x"): Unit
+        graft.operators.TxnMarker.rmTree(
+          graft.operators.TxnMarker.managedTableDir(spark, x))
+      }
+      tok(corpus(reps)).withColumn("ep", lit(0))
+        .write.mode("overwrite").format("parquet").partitionBy("ep")
+        .bucketBy(8, "w").sortBy("w").saveAsTable(t)
+      spark.table(t).filter($"ep" === 0)
+        .groupBy($"w").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").bucketBy(8, "w").sortBy("w")
+        .saveAsTable(dt)
+      (t, dt, spark.table(t).count())
+    }
+    val (t1, df1, r1) = mk("1", 1)
+    val (tN, dfN, rN) = mk(s"n$n", n)
+    var ep = 0
+    def appendT(t: String): Double = {
+      ep += 1
+      time(delta.withColumn("ep", lit(ep))
+        .write.mode("append").format("parquet").partitionBy("ep")
+        .bucketBy(8, "w").sortBy("w").saveAsTable(t))
+    }
+    def mergeT(dt: String): Double = time {
+      spark.table(dt).select($"w", $"df".as("df0"))
+        .join(delta.groupBy($"w").agg(count(lit(1)).as("dfd")),
+          Seq("w"), "full")
+        .select($"w",
+          (coalesce($"df0", lit(0L)) + coalesce($"dfd", lit(0L)))
+            .as("df"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val qt = d1.filter($"doc_id" < 5)
+      .select($"doc_id".as("q_id"),
+        explode(slice(split($"text", " "), 1, 8)).as("w"))
+      .distinct().localCheckpoint()
+    qt.count()
+    def probeT(t: String, dt: String): Double = time {
+      spark.table(t).drop("ep").join(broadcast(qt), Seq("w"))
+        .join(spark.table(dt), Seq("w"))
+        .filter($"q_id" =!= $"doc_id")
+        .groupBy($"q_id", $"doc_id")
+        .agg(sum(expr("tf * 1000000 div df")).as("su"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    appendT(t1); appendT(tN); mergeT(df1); mergeT(dfN)
+    probeT(t1, df1); probeT(tN, dfN) // warmup
+    def med(f: => Double): Double = Seq.fill(3)(f).sorted.apply(1)
+    val (a1, aN) = (med(appendT(t1)), med(appendT(tN)))
+    val (m1, mN) = (med(mergeT(df1)), med(mergeT(dfN)))
+    val (p1, pN) = (med(probeT(t1, df1)), med(probeT(tN, dfN)))
+    println(f"""{"postings_shape":"$sfDir","scale":$n,""" +
+      s""""base_rows_1x":$r1,"base_rows_Nx":$rN,"delta_rows":$deltaRows,""" +
+      f""""append_1x":$a1%.3f,"append_Nx":$aN%.3f,"append_ratio":${aN / a1}%.2f,""" +
+      f""""merge_1x":$m1%.3f,"merge_Nx":$mN%.3f,"merge_ratio":${mN / m1}%.2f,""" +
+      f""""probe_1x":$p1%.3f,"probe_Nx":$pN%.3f,"probe_ratio":${pN / p1}%.2f}""")
+    spark.stop()
+  }
+
   /** BFS A/B on the GATED q_graph_bfs graph: the join-frontier
     * formulation vs the bitmap-frontier one (domain = the graph's own
     * max node id — ~n_customers, so the bitmap is KBs). Median of 3
@@ -458,6 +550,8 @@ object ScaleProbe {
       return bfsAbProbe(args.drop(1))
     if (args.headOption.contains("maint"))
       return maintShapeProbe(args.drop(1))
+    if (args.headOption.contains("postings"))
+      return postingsShapeProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     // optional args 3+: probe only the named shapes (local fast loop)
