@@ -2147,6 +2147,52 @@ object LlmSim extends QueryModule {
         FROM agg0 CROSS JOIN tq CROSS JOIN pstat CROSS JOIN ptq
           CROSS JOIN plr""")),
 
+    // MAINTENANCE CYCLE 2 — the health report's finding RESOLVED as a
+    // gate, not prose: the committed epoch can hold overgrown merge
+    // RECEIVERS (merge runs after the split; the report caught one on
+    // this corpus), and the claimed remedy was "the next cycle's
+    // split resolves it". This query runs that next cycle — the same
+    // bounded split fixpoint over the committed cells, child cids in
+    // the post-cycle-1 offset space — and reports the health numbers
+    // over the result. `overgrown_cells` is the load-bearing column
+    // again, now an UNCONDITIONAL 0: no merge follows, so the
+    // fixpoint guarantee holds with no receiver caveat (and
+    // `resplit_rows` counts exactly the rows cycle 2 touched — the
+    // O(Σ|overgrown|) claim as a number). The oracle re-derives the
+    // whole cycle-1 chain AND unrolls cycle 2's rounds over it.
+    "q_llm_maint_cycle2" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c2 = persistedMaintCycle2(s, dir)
+        c2.groupBy($"cid").agg(count(lit(1)).as("cn"))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            sum($"cn").as("n_rows"),
+            max($"cn").as("max_cell"),
+            sum(when($"cn" > IvfPSplitRows, 1L).otherwise(0L))
+              .as("overgrown_cells"))
+          .crossJoin(c2.filter($"split")
+            .agg(count(lit(1)).as("resplit_rows")))
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        ${splitRoundsSql(MaintSplitRounds, roundBase = MaintSplitRounds,
+          input = "relab", pfx = "t", out = "post2")},
+        c2s AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
+          FROM post2 GROUP BY cid),
+        c2agg AS (SELECT
+            CAST(count(*) AS BIGINT) AS n_cells,
+            CAST(sum(cn) AS BIGINT) AS n_rows,
+            CAST(max(cn) AS BIGINT) AS max_cell,
+            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
+              AS BIGINT) AS overgrown_cells
+          FROM c2s),
+        c2r AS (SELECT CAST(count(*) AS BIGINT) AS resplit_rows
+          FROM post2 WHERE split)
+        SELECT n_cells, n_rows, max_cell, overgrown_cells, resplit_rows
+        FROM c2agg CROSS JOIN c2r""")),
+
     // STREAMING POSTINGS ENCODE — the lexical twin of the PQ encode
     // stream, completing the verb symmetry between the two index
     // families (build → probe → upsert → STREAM-ENCODE): arriving
@@ -3238,10 +3284,16 @@ object LlmSim extends QueryModule {
     * metadata-sized driver collect. Returns (maintained frame with
     * its cumulative ever-overgrown `split` flag — the [[splitCells]]
     * flag OR'd across rounds, so the commit chain refreshes exactly
-    * the touched families — and the rounds run). */
+    * the touched families — and the rounds run). `roundBase` shifts
+    * the child-cid offset space (round r uses SplitCidOffset <<
+    * (roundBase + r)): a LATER maintenance cycle re-splitting already-
+    * split cells passes the previous cycle's round count so its child
+    * cids land in a provably disjoint range (same injectivity
+    * argument as the per-round offsets; max shift at two 3-round
+    * cycles = 2^25, Int-safe). */
   private[graft] def splitCellsFixpoint(
       cells0: DataFrame, threshold: Long,
-      maxRounds: Int = 8): (DataFrame, Int) = {
+      maxRounds: Int = 8, roundBase: Int = 0): (DataFrame, Int) = {
     import cells0.sparkSession.implicits._
     var cur = cells0.select($"cid", $"vec_id", $"v")
       .withColumn("split", lit(false))
@@ -3254,7 +3306,8 @@ object LlmSim extends QueryModule {
     var progress = true
     while (r < maxRounds && over.nonEmpty && progress) {
       val prev = cur
-      cur = splitCells(cur, threshold, offset = SplitCidOffset << r)
+      cur = splitCells(cur, threshold,
+          offset = SplitCidOffset << (roundBase + r))
         .localCheckpoint()
       r += 1
       val next = overSet(cur) // materializes the new checkpoint
@@ -3786,38 +3839,42 @@ object LlmSim extends QueryModule {
     * the unconditional K-round unroll equals the engine's
     * early-stopped loop whenever both bound at K. Defines
     * `post` = (vec_id, v, cid, split). */
-  private def splitRoundsSql(rounds: Int): String = {
-    def one(r: Int, in: String, out: String): String = s"""ssz$r AS (
+  private def splitRoundsSql(rounds: Int, roundBase: Int = 0,
+                             input: String = "allcells",
+                             pfx: String = "s",
+                             out: String = "post"): String = {
+    def one(r: Int, in: String, outName: String): String = s"""${pfx}sz$r AS (
           SELECT cid, count(*) AS cn FROM $in GROUP BY cid),
-        sov$r AS (SELECT cid FROM ssz$r WHERE cn > $IvfPSplitRows),
-        srk$r AS (
+        ${pfx}ov$r AS (SELECT cid FROM ${pfx}sz$r WHERE cn > $IvfPSplitRows),
+        ${pfx}rk$r AS (
           SELECT a.cid, a.vec_id, a.v,
             row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id)
               AS rn
-          FROM $in a JOIN sov$r USING (cid)),
-        sa$r AS (SELECT cid, v AS cv FROM srk$r WHERE rn = 1),
-        sb$r AS (
+          FROM $in a JOIN ${pfx}ov$r USING (cid)),
+        ${pfx}a$r AS (SELECT cid, v AS cv FROM ${pfx}rk$r WHERE rn = 1),
+        ${pfx}b$r AS (
           SELECT cid, cv FROM (
             SELECT s.cid, s.v AS cv,
               row_number() OVER (PARTITION BY s.cid
                 ORDER BY s.vec_id) AS rn2
-            FROM srk$r s JOIN sa$r a ON a.cid = s.cid
+            FROM ${pfx}rk$r s JOIN ${pfx}a$r a ON a.cid = s.cid
             WHERE s.v <> a.cv)
           WHERE rn2 = 1),
-        $out AS MATERIALIZED (
+        $outName AS MATERIALIZED (
           SELECT a.vec_id, a.v, (a.split OR s0.cid IS NOT NULL) AS split,
             CASE WHEN s1.cv IS NOT NULL
                 AND ${d2Sql("a.v", "s1.cv")} < ${d2Sql("a.v", "s0.cv")}
-              THEN a.cid + ${SplitCidOffset << r} ELSE a.cid END AS cid
+              THEN a.cid + ${SplitCidOffset << (roundBase + r)}
+              ELSE a.cid END AS cid
           FROM $in a
-            LEFT JOIN sa$r s0 ON s0.cid = a.cid
-            LEFT JOIN sb$r s1 ON s1.cid = a.cid)"""
+            LEFT JOIN ${pfx}a$r s0 ON s0.cid = a.cid
+            LEFT JOIN ${pfx}b$r s1 ON s1.cid = a.cid)"""
     val body = (0 until rounds).map { r =>
-      one(r, if (r == 0) "allcells0" else s"post${r - 1}",
-        if (r == rounds - 1) "post" else s"post$r")
+      one(r, if (r == 0) s"${input}0" else s"$out${r - 1}",
+        if (r == rounds - 1) out else s"$out$r")
     }.mkString(",\n        ")
-    s"""allcells0 AS (
-          SELECT vec_id, v, cid, FALSE AS split FROM allcells),
+    s"""${input}0 AS (
+          SELECT vec_id, v, cid, FALSE AS split FROM $input),
         $body"""
   }
 
@@ -4236,10 +4293,12 @@ object LlmSim extends QueryModule {
         (1 until cur).foreach { e =>
           val h = math.abs(dir.hashCode)
           (maintainedTablesFor(dir, e) ++ Seq(
-            // epoch-named delete-layer artifacts version with the
-            // cascade they were judged against — vacuum them together
+            // epoch-named delete-layer + cycle-2 artifacts version
+            // with the cascade they were judged against — vacuum them
+            // together
             s"graft_ivf_mtomb_me${e}_$h",
-            s"graft_ivf_mcells_d1_me${e}_$h")).foreach { t =>
+            s"graft_ivf_mcells_d1_me${e}_$h",
+            s"graft_ivf_c2_me${e}_$h")).foreach { t =>
             if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
             else graft.operators.TxnMarker.rmTree(
               graft.operators.TxnMarker.managedTableDir(s, t))
@@ -4313,6 +4372,29 @@ object LlmSim extends QueryModule {
       s"graft_ivf_mtomb_me${e}_${math.abs(dir.hashCode)}", Seq("cid"),
       semdedupOf(cells, CurationTheta)
         .filter(!$"kept").select($"cid", $"vec_id"))
+  }
+
+  /** MAINTENANCE CYCLE 2: the bounded split fixpoint RE-RUN over the
+    * COMMITTED epoch's cells — the verb that resolves the r14 health
+    * report's finding. The chain runs merge AFTER the split, so a
+    * receiver can cross the threshold absorbing an underfull cell and
+    * end its epoch overgrown (the report caught exactly one such cell
+    * on the gated corpus); "the next cycle's split resolves it" was
+    * prose until now — this artifact IS that next cycle. Child cids
+    * draw from the offset space AFTER cycle 1's rounds
+    * (roundBase = MaintSplitRounds), so a cycle-2 child can never
+    * collide with a cycle-1 child. Epoch-named; O(Σ|overgrown|) work
+    * — cycle 2 touches only the cells cycle 1 left overgrown. */
+  private[graft] def persistedMaintCycle2(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = maintainIvfCommit(s, dir)._1
+    val e = maintEpochOf(s, dir)
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_c2_me${e}_${math.abs(dir.hashCode)}", Seq("cid"),
+      splitCellsFixpoint(cells.select($"cid", $"vec_id", $"v"),
+        IvfPSplitRows, maxRounds = MaintSplitRounds,
+        roundBase = MaintSplitRounds)._1)
   }
 
   /** The maintained epoch with its tombstones FOLDED — compaction at

@@ -1338,6 +1338,14 @@ class OperatorSpec extends AnyFunSuite {
     // as-of-1 read excludes batch 2 even though its files are on disk
     assert(post1.filter($"doc_id" >= 2 * LlmSim.ArrivalIdBase).count() === 0L,
       "as-of-epoch-1 read leaked batch-2 rows")
+    // ...and excludes it by PARTITION PRUNING, not a post-scan filter:
+    // the epoch predicate must reach the scan's PartitionFilters (the
+    // snapshot-while-landing claim rests on files never being opened)
+    val p1plan = post1.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*ep[^\\]]*\\]".r
+      .findFirstIn(p1plan)
+    assert(pf.nonEmpty && !pf.get.contains("PartitionFilters: []"),
+      s"epoch predicate not in PartitionFilters:\n${p1plan.take(1500)}")
     // a second delivery of BOTH epochs (same JVM, markers committed)
     // changes nothing — the r14 single-shot txn was exactly-once for
     // batch 1 and exactly-never for batch 2; this pins both
@@ -1482,6 +1490,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(overgrown.subsetOf(receivers),
       s"overgrown cells ${overgrown -- receivers} are not merge " +
         "receivers — split residue leaked into the epoch")
+    // ...and the documented remedy, pinned as code (r15): the NEXT
+    // cycle's split resolves every merge-induced overgrown cell —
+    // cycle 2 ends with ZERO overgrown (no merge follows it, so the
+    // fixpoint guarantee holds with no receiver caveat), touches only
+    // the overgrown cells' rows, and its child cids live in the
+    // post-cycle-1 offset space (collision with a cycle-1 child is
+    // structurally impossible)
+    val c2 = LlmSim.persistedMaintCycle2(spark, sf)
+    assert(c2.groupBy($"cid").count()
+      .filter($"count" > LlmSim.IvfPSplitRows).count() === 0L,
+      "cycle-2 split left an overgrown cell")
+    assert(c2.count() === mCells.count(),
+      "cycle 2 gained or lost rows — it may only relabel")
+    val c1Cids = mCells.select($"cid").distinct().as[Int].collect().toSet
+    val newCids = c2.select($"cid").distinct().as[Int].collect().toSet
+      .diff(c1Cids)
+    assert(newCids.forall(_ >=
+      (LlmSim.SplitCidOffset << LlmSim.MaintSplitRounds)),
+      s"cycle-2 child cid collided with cycle-1 space: $newCids")
+    if (overgrown.nonEmpty)
+      assert(newCids.nonEmpty, "epoch had overgrown cells but cycle 2 split nothing")
     assert(health.getAs[Long]("n_rows") === mIds.size.toLong)
     assert(health.getAs[Long]("n_tomb") === tomb.size.toLong)
     assert(health.getAs[Long]("live_rows") ===
