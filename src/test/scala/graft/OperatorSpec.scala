@@ -3182,6 +3182,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(shuffles <= 3, s"$shuffles shuffles:\n" + plan.take(1500))
   }
 
+  test("Densify.mapping: bijection onto [0,N), rank-deterministic across recomputes, string ids, NULL throws") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Densify
+    val rnd = new scala.util.Random(7)
+    // sparse longs with duplicates in the input (mapping is over the
+    // distinct SET) and adversarial ordering
+    val ids = (0 until 500).map(_ => rnd.nextLong() % 1000000007L)
+    val df = rnd.shuffle(ids ++ ids.take(100)).toDF("id")
+    val m = Densify.mapping(df, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = ids.distinct.size
+    assert(m.length === n, "mapping size != distinct id count")
+    assert(m.map(_._2).sorted.toSeq === (0L until n), "not onto [0, N)")
+    // rank semantics: dense_id = ascending rank of the id — the
+    // documented row_number() ORDER BY mirror
+    val expected = ids.distinct.sorted.zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toMap
+    m.foreach { case (o, d) =>
+      assert(expected(o) === d, s"rank diverges at id=$o") }
+    // deterministic across an independent recompute on a differently
+    // partitioned input (rank is a function of the id SET)
+    val m2 = Densify.mapping(df.repartition(7), "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m.toMap === m2, "mapping not reproducible across partitionings")
+    // string ids: lexicographic rank
+    val sIds = Seq("pear", "apple", "fig", "apple", "banana")
+    val sm = Densify.mapping(sIds.toDF("id"), "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sm === Map("apple" -> 0L, "banana" -> 1L, "fig" -> 2L,
+      "pear" -> 3L))
+    // NULL ids throw loudly (executor-side), never rank silently
+    val ex = intercept[org.apache.spark.SparkException] {
+      Densify.mapping(
+        Seq(Some(3L), None, Some(1L)).toDF("id"), "id").collect()
+    }
+    assert(ex.getMessage.contains("NULL id") ||
+      Option(ex.getCause).exists(_.getMessage.contains("NULL id")),
+      s"wrong failure: ${ex.getMessage.take(200)}")
+  }
+
   test("LshSig equals the composed when(dot>=0) sum bit-for-bit, codegen and interpreted, including the NULL-input quirk") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
