@@ -1384,6 +1384,46 @@ class OperatorSpec extends AnyFunSuite {
       "a table side was shuffled into a sort-merge join")
   }
 
+  test("hybrid live: both index sides are probes of persisted artifacts, exchange-free below their joins") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("q_llm_hybrid_search_live")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    // both arms read bucketed persisted artifacts: the epoch postings
+    // table + its epoch df on the lexical side, the maintained-epoch
+    // cells on the vector side — and none of those scans sits under a
+    // sort-merge join or takes an exchange (the probe-of-artifact
+    // discipline both chains are built on)
+    Seq("graft_post_ep_", "graft_post_df_pe", "graft_ivf_cells_me")
+      .foreach { t =>
+        val i = lines.indexWhere(l =>
+          l.contains("FileScan") && l.contains(t))
+        assert(i >= 0, s"hybrid-live no longer scans $t:\n${plan.take(1500)}")
+        assert(lines(i).contains("Bucketed: true"),
+          s"$t scan lost its bucketing")
+      }
+    // the ONE sort-merge join allowed is the RRF fusion's FULL OUTER
+    // over two ≤20·|q| rank frames (full outer cannot broadcast; the
+    // frames are query-sized by construction) — the INDEX sides must
+    // never SMJ, which the per-scan exchange check below pins
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1,
+      s"$smj sort-merge joins — an index side was shuffled:\n" +
+        plan.take(2000))
+    // no exchange may sit between a join and a persisted-artifact
+    // scan: the scans are leaves directly under their joins in this
+    // plan, so a two-line window above each scan suffices and stays
+    // robust to unrelated plan churn
+    Seq("graft_post_ep_", "graft_ivf_cells_me").foreach { t =>
+      val i = lines.indexWhere(l =>
+        l.contains("FileScan") && l.contains(t))
+      val above = lines.slice(math.max(0, i - 2), i)
+      assert(!above.exists(_.contains("Exchange")),
+        s"an exchange feeds the $t scan:\n${above.mkString("\n")}")
+    }
+  }
+
   test("postings delete: tombstones judged over the estate, df decrement exact, compaction row-exact, both read paths agree") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
