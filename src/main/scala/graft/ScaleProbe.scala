@@ -21,15 +21,23 @@ object ScaleProbe {
   /** Per-scale artifact writer (stale-dir cleanup + bucketed
     * saveAsTable) shared by every probe that materializes an index —
     * one home for the warehouse-cleanup logic. Returns the table
-    * name so callers can thread it. */
+    * name so callers can thread it. `partitionEp` additionally
+    * partitions by that column (the epoch-partitioned postings
+    * layout); `force = true` drops a cataloged table and rebuilds
+    * (probes that must re-measure a fresh build). */
   private def writeBucketed(spark: org.apache.spark.sql.SparkSession,
                             tbl: String, key: String,
-                            df: => DataFrame): String = {
+                            df: => DataFrame,
+                            partitionEp: Option[String] = None,
+                            force: Boolean = false): String = {
+    if (force && spark.catalog.tableExists(tbl))
+      spark.sql(s"DROP TABLE $tbl"): Unit
     if (!spark.catalog.tableExists(tbl)) {
       val wh = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath)
       graft.operators.TxnMarker.rmTree(new java.io.File(wh, tbl))
-      df.write.mode("overwrite")
+      val w = df.write.mode("overwrite").format("parquet")
+      partitionEp.fold(w)(w.partitionBy(_))
         .bucketBy(8, key).sortBy(key).saveAsTable(tbl)
     }
     tbl
@@ -319,19 +327,14 @@ object ScaleProbe {
       .localCheckpoint()
     val deltaRows = delta.count()
     def mk(tag: String, reps: Int): (String, String, Long) = {
-      val t = s"sp_po_$tag"; val dt = s"sp_podf_$tag"
-      Seq(t, dt).foreach { x =>
-        if (spark.catalog.tableExists(x)) spark.sql(s"DROP TABLE $x"): Unit
-        graft.operators.TxnMarker.rmTree(
-          graft.operators.TxnMarker.managedTableDir(spark, x))
-      }
-      tok(corpus(reps)).withColumn("ep", lit(0))
-        .write.mode("overwrite").format("parquet").partitionBy("ep")
-        .bucketBy(8, "w").sortBy("w").saveAsTable(t)
-      spark.table(t).filter($"ep" === 0)
-        .groupBy($"w").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").bucketBy(8, "w").sortBy("w")
-        .saveAsTable(dt)
+      // force: this probe times the appends it makes, so a stale
+      // same-name table from a prior sitting must rebuild
+      val t = writeBucketed(spark, s"sp_po_$tag", "w",
+        tok(corpus(reps)).withColumn("ep", lit(0)),
+        partitionEp = Some("ep"), force = true)
+      val dt = writeBucketed(spark, s"sp_podf_$tag", "w",
+        spark.table(t).filter($"ep" === 0)
+          .groupBy($"w").agg(count(lit(1)).as("df")), force = true)
       (t, dt, spark.table(t).count())
     }
     val (t1, df1, r1) = mk("1", 1)

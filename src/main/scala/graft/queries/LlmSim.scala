@@ -2155,11 +2155,16 @@ object LlmSim extends QueryModule {
     // bounded split fixpoint over the committed cells, child cids in
     // the post-cycle-1 offset space — and reports the health numbers
     // over the result. `overgrown_cells` is the load-bearing column
-    // again, now an UNCONDITIONAL 0: no merge follows, so the
-    // fixpoint guarantee holds with no receiver caveat (and
-    // `resplit_rows` counts exactly the rows cycle 2 touched — the
-    // O(Σ|overgrown|) claim as a number). The oracle re-derives the
-    // whole cycle-1 chain AND unrolls cycle 2's rounds over it.
+    // again: 0 here, with no merge-receiver caveat (no merge follows
+    // the re-split) — but the zero is CORPUS-measured, not
+    // structural: the fixpoint's honest boundary still applies (a
+    // mass the d2 arithmetic cannot separate, or a cell past
+    // ~2^rounds× the threshold, can stay overgrown — the
+    // splitCellsFixpoint scaladoc's boundary). The hash gate proves
+    // engine == oracle on the numbers; the SPEC pins the 0 on this
+    // corpus; `resplit_rows` counts exactly the rows cycle 2 touched
+    // — the O(Σ|overgrown|) claim as a number. The oracle re-derives
+    // the whole cycle-1 chain AND unrolls cycle 2's rounds over it.
     "q_llm_maint_cycle2" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
@@ -2178,9 +2183,13 @@ object LlmSim extends QueryModule {
         WITH $ivfCellsSql,
         $maintChainSql,
         ${splitRoundsSql(MaintSplitRounds, roundBase = MaintSplitRounds,
-          input = "relab", pfx = "t", out = "post2")},
+          // out name deliberately OUTSIDE the default chain's
+          // "post<r>" namespace: out="post2" would collide with
+          // maintChainSql's intermediate post2 the moment
+          // MaintSplitRounds reaches 4 (a documented-as-tunable bound)
+          input = "relab", pfx = "t", out = "c2post")},
         c2s AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
-          FROM post2 GROUP BY cid),
+          FROM c2post GROUP BY cid),
         c2agg AS (SELECT
             CAST(count(*) AS BIGINT) AS n_cells,
             CAST(sum(cn) AS BIGINT) AS n_rows,
@@ -2189,7 +2198,7 @@ object LlmSim extends QueryModule {
               AS BIGINT) AS overgrown_cells
           FROM c2s),
         c2r AS (SELECT CAST(count(*) AS BIGINT) AS resplit_rows
-          FROM post2 WHERE split)
+          FROM c2post WHERE split)
         SELECT n_cells, n_rows, max_cell, overgrown_cells, resplit_rows
         FROM c2agg CROSS JOIN c2r""")),
 
@@ -4390,11 +4399,22 @@ object LlmSim extends QueryModule {
     import s.implicits._
     val cells = maintainIvfCommit(s, dir)._1
     val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_c2_me${e}_${math.abs(dir.hashCode)}", Seq("cid"),
-      splitCellsFixpoint(cells.select($"cid", $"vec_id", $"v"),
+    val tbl = s"graft_ivf_c2_me${e}_${math.abs(dir.hashCode)}"
+    if (!s.catalog.tableExists(tbl)) {
+      // the fixpoint's FINAL round is a localCheckpoint; once the
+      // table is written every read goes through it, so release the
+      // checkpoint blocks instead of pinning cells-sized vectors for
+      // the session (the r15 sweep's discipline, applied to the
+      // returned frame too — rounds==0 leaves no checkpoint and the
+      // release no-ops)
+      val fx = splitCellsFixpoint(cells.select($"cid", $"vec_id", $"v"),
         IvfPSplitRows, maxRounds = MaintSplitRounds,
-        roundBase = MaintSplitRounds)._1)
+        roundBase = MaintSplitRounds)._1
+      try LlmText.writeOnceTable(s, tbl, Seq("cid"), fx): Unit
+      finally org.apache.spark.sql.graftbridge.SqlBridge
+        .checkpointRdd(fx).foreach(_.unpersist(blocking = false))
+    }
+    s.table(tbl)
   }
 
   /** The maintained epoch with its tombstones FOLDED — compaction at

@@ -1392,36 +1392,41 @@ class OperatorSpec extends AnyFunSuite {
     val lines = plan.linesIterator.toVector
     // both arms read bucketed persisted artifacts: the epoch postings
     // table + its epoch df on the lexical side, the maintained-epoch
-    // cells on the vector side — and none of those scans sits under a
-    // sort-merge join or takes an exchange (the probe-of-artifact
-    // discipline both chains are built on)
+    // cells on the vector side — and EVERY occurrence of those scans
+    // (the postings table is read twice: the live anti-join AND the
+    // df-decrement semi-join) is bucketed and exchange-free (the
+    // probe-of-artifact discipline both chains are built on). The
+    // exchange window above each scan is FIVE lines so an
+    // AQE-inserted stack (ShuffleQueryStage / AQEShuffleRead / Sort /
+    // ColumnarToRow wrappers) cannot hide one.
+    def scanIdxs(t: String): Seq[Int] = lines.zipWithIndex
+      .collect { case (l, i) if l.contains("FileScan") && l.contains(t) => i }
     Seq("graft_post_ep_", "graft_post_df_pe", "graft_ivf_cells_me")
       .foreach { t =>
-        val i = lines.indexWhere(l =>
-          l.contains("FileScan") && l.contains(t))
-        assert(i >= 0, s"hybrid-live no longer scans $t:\n${plan.take(1500)}")
-        assert(lines(i).contains("Bucketed: true"),
-          s"$t scan lost its bucketing")
+        val is = scanIdxs(t)
+        assert(is.nonEmpty,
+          s"hybrid-live no longer scans $t:\n${plan.take(1500)}")
+        is.foreach { i =>
+          assert(lines(i).contains("Bucketed: true"),
+            s"a $t scan lost its bucketing")
+          // forbid SHUFFLE exchanges only — a BroadcastExchange in
+          // the window is the intended shipping of a query-sized
+          // frame onto the artifact scan, not a table-side move
+          val above = lines.slice(math.max(0, i - 5), i)
+          assert(!above.exists(_.contains("Exchange hashpartitioning")),
+            s"a shuffle feeds a $t scan:\n${above.mkString("\n")}")
+        }
       }
+    assert(scanIdxs("graft_post_ep_").size >= 2,
+      "expected both postings reads (live anti-join + df decrement)")
     // the ONE sort-merge join allowed is the RRF fusion's FULL OUTER
     // over two ≤20·|q| rank frames (full outer cannot broadcast; the
     // frames are query-sized by construction) — the INDEX sides must
-    // never SMJ, which the per-scan exchange check below pins
+    // never SMJ, which the per-scan exchange check above pins
     val smj = "SortMergeJoin".r.findAllIn(plan).size
     assert(smj <= 1,
       s"$smj sort-merge joins — an index side was shuffled:\n" +
         plan.take(2000))
-    // no exchange may sit between a join and a persisted-artifact
-    // scan: the scans are leaves directly under their joins in this
-    // plan, so a two-line window above each scan suffices and stays
-    // robust to unrelated plan churn
-    Seq("graft_post_ep_", "graft_ivf_cells_me").foreach { t =>
-      val i = lines.indexWhere(l =>
-        l.contains("FileScan") && l.contains(t))
-      val above = lines.slice(math.max(0, i - 2), i)
-      assert(!above.exists(_.contains("Exchange")),
-        s"an exchange feeds the $t scan:\n${above.mkString("\n")}")
-    }
   }
 
   test("postings delete: tombstones judged over the estate, df decrement exact, compaction row-exact, both read paths agree") {
@@ -1531,9 +1536,10 @@ class OperatorSpec extends AnyFunSuite {
       s"overgrown cells ${overgrown -- receivers} are not merge " +
         "receivers — split residue leaked into the epoch")
     // ...and the documented remedy, pinned as code (r15): the NEXT
-    // cycle's split resolves every merge-induced overgrown cell —
-    // cycle 2 ends with ZERO overgrown (no merge follows it, so the
-    // fixpoint guarantee holds with no receiver caveat), touches only
+    // cycle's split resolves every merge-induced overgrown cell ON
+    // THIS CORPUS — cycle 2 ends with zero overgrown (no merge
+    // follows it; the fixpoint's unsplittable-mass boundary is the
+    // structural limit and is stated at the operator), touches only
     // the overgrown cells' rows, and its child cids live in the
     // post-cycle-1 offset space (collision with a cycle-1 child is
     // structurally impossible)
