@@ -2218,8 +2218,9 @@ object LlmSim extends QueryModule {
     // PLANS.md r15). The rows are exactly what the batch upsert's
     // tokenizer lands (emission order differs — sorted vs
     // first-occurrence — but the ROW SET is identical), so a
-    // foreachBatch appender could feed the write-optimized postings
-    // pair shard-by-shard. Converges to the identical delta-postings
+    // foreachBatch appender can feed the write-optimized postings
+    // pair shard-by-shard — q_stream_postings_ingest below is that
+    // appender, made real. Converges to the identical delta-postings
     // relation the batch oracle derives.
     "q_stream_postings_encode" -> QueryDef(
       fn = (s, dir) => {
@@ -2237,6 +2238,181 @@ object LlmSim extends QueryModule {
         SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM nd)
         GROUP BY doc_id, w""")),
+
+    // STREAMING POSTINGS INGEST — the batch/stream seam CLOSED: where
+    // the encode query above stops at rows-in-flight, this one lands
+    // a third arrival wave through readStream → foreachBatch →
+    // exactly-once marker-guarded appends into the REAL
+    // epoch-partitioned postings table, then merges df and swings the
+    // stream high-water pointer (two ingest fronts, two pointers —
+    // the lambda-architecture seam; see streamedPostingsIngest: the
+    // batch front's gated pointer never moves, and every `ep <= 2`
+    // reader is partition-pruned away from the streamed rows, so all
+    // existing gates stay byte-identical whichever runs first). The
+    // probe reads the live tail: postings as of the streamed epoch
+    // joined co-bucketed to df epoch 3 — gated against a from-scratch
+    // derive over base ∪ batch1 ∪ batch2 ∪ streamed-wave. Restart
+    // honesty: the checkpoint is durable under the table dir and the
+    // markers make re-delivered batches no-ops; the mid-wave
+    // crash+resume path is driven in PostingsStreamSpec through the
+    // chaos seam.
+    "q_stream_postings_ingest" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (post, df3) = streamedPostingsIngest(s, dir)
+        lexRank(post, lexQterms(s, dir), _.join(df3, Seq("w")), 5)
+          .select($"q_id", $"rank", $"doc_id", $"su")
+      },
+      oracle = Some(s"""
+        WITH $postingsEstateStreamSql,
+        dfq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        qw AS (SELECT DISTINCT doc_id AS q_id,
+            unnest(string_split(text, ' ')[1:8]) AS w
+          FROM documents WHERE doc_id < 5),
+        tsc AS (
+          SELECT q_id, doc_id,
+            CAST(sum(tf * 1000000 // df) AS BIGINT) AS su
+          FROM tok JOIN dfq USING (w) JOIN qw USING (w)
+          WHERE q_id <> doc_id
+          GROUP BY q_id, doc_id)
+        SELECT q_id, rank, doc_id, su FROM (
+          SELECT q_id, doc_id, su, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY su DESC, doc_id) AS INT) AS rank
+          FROM tsc)
+        WHERE rank <= 5""")),
+
+    // STREAMING VECTOR INGEST — the vector index takes the same
+    // streamed tail the lexical one just did, with the isolation
+    // carried by a REALTIME SEGMENT instead of an epoch partition
+    // (cells rows have no epoch column a partition predicate could
+    // pin; a separate cid-bucketed table beside the committed cells
+    // is the honest equivalent — the realtime-segment posture of
+    // production OLAP stores). Each micro-batch routes with the
+    // frozen broadcast centroids IN FLIGHT (map-only, zero shuffle)
+    // and appends exactly-once under its own marker; a sealed pointer
+    // publishes the drained wave. The probe reads committed ∪
+    // segment — both sides bucket-pruned by the same literal-cid
+    // pushdown — through a query window containing a streamed
+    // vector's source (vec_id 19 ≡ 5 mod 7), so its perturbed twin
+    // at 19 + 2·ArrivalIdBase must surface among the top-3: content
+    // proof the stream reached the index, hash-gated against an
+    // oracle that unions base and routed-wave assignments. Mid-wave
+    // crash+resume is driven in PostingsStreamSpec's vector twin via
+    // the chaos seam.
+    "q_stream_ivf_ingest" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = persistedIvfCells(s, dir)
+          .unionByName(streamedIvfSegment(s, dir))
+        ivfProbeOf(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          persistedIvfCent(s, dir), cells, nprobe = IvfPNprobe)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        ns AS (
+          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
+            list_transform(v, x -> x * 0.9 + 0.01) AS v
+          FROM e WHERE vec_id % 7 = 5),
+        nscells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT ns.vec_id, ns.v, c.cid,
+              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
+                ${d2Sql("ns.v", "c.cv")}, c.cid) AS rn
+            FROM ns CROSS JOIN cent c)
+          WHERE rn = 1),
+        allcells AS (
+          SELECT * FROM cells UNION ALL SELECT * FROM nscells),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${d2Sql("e.v", "c.cv")}, c.cid) AS rn
+            FROM e CROSS JOIN cent c
+            WHERE e.vec_id >= 19 AND e.vec_id < 24)
+          WHERE rn <= $IvfPNprobe),
+        scored AS (
+          SELECT p.q_id, a.vec_id, ${V.cosineSql("p.qv", "a.v")} AS cos
+          FROM probes p JOIN allcells a
+            ON p.cid = a.cid AND p.q_id <> a.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
+    // SEGMENT FOLD — the background-merge half of the realtime-
+    // segment posture, as a gate instead of prose: the streamed
+    // segment's vectors RE-ROUTE against the committed epoch's
+    // maintained centroids (their stream-time cids were provisional —
+    // routed with the frozen base centroids; the fold re-assigns them
+    // where the committed epoch actually wants them, one map-only
+    // broadcast pass), union with the committed cells, and the
+    // bounded split fixpoint re-splits exactly what the fold grew
+    // past threshold (O(Σ|overgrown|), child cids in the THIRD
+    // offset namespace — roundBase 2·MaintSplitRounds, disjoint from
+    // both prior cycles, Int-safe). seg_rows counts the absorbed
+    // segment inside the folded frame (row conservation: committed +
+    // segment, nothing lost or doubled); resplit_rows = exactly the
+    // rows the fold's splits touched. The oracle re-derives the FULL
+    // chain — build → upsert → split-fixpoint → merge → commit →
+    // wave-route → fold → re-split — under one hash.
+    "q_llm_seg_fold" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val f = persistedSegFold(s, dir)
+        f.groupBy($"cid").agg(count(lit(1)).as("cn"))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            sum($"cn").as("n_rows"),
+            max($"cn").as("max_cell"),
+            sum(when($"cn" > IvfPSplitRows, 1L).otherwise(0L))
+              .as("overgrown_cells"))
+          .crossJoin(f.agg(
+            sum(when($"vec_id" >= 2 * ArrivalIdBase, 1L).otherwise(0L))
+              .as("seg_rows"),
+            sum(when($"split", 1L).otherwise(0L)).as("resplit_rows")))
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        ns AS (
+          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
+            list_transform(v, x -> x * 0.9 + 0.01) AS v
+          FROM e WHERE vec_id % 7 = 5),
+        fsc AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT ns.vec_id, ns.v, m.cid,
+              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
+                ${d2Sql("ns.v", "m.cv")}, m.cid) AS rn
+            FROM ns CROSS JOIN mcent m)
+          WHERE rn = 1),
+        fall AS MATERIALIZED (
+          SELECT cid, vec_id, v FROM relab
+          UNION ALL SELECT cid, vec_id, v FROM fsc),
+        ${splitRoundsSql(MaintSplitRounds,
+          roundBase = 2 * MaintSplitRounds,
+          input = "fall", pfx = "g", out = "gpost")},
+        gsz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
+          FROM gpost GROUP BY cid),
+        gagg AS (SELECT
+            CAST(count(*) AS BIGINT) AS n_cells,
+            CAST(sum(cn) AS BIGINT) AS n_rows,
+            CAST(max(cn) AS BIGINT) AS max_cell,
+            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
+              AS BIGINT) AS overgrown_cells
+          FROM gsz),
+        gseg AS (SELECT
+            CAST(sum(CASE WHEN vec_id >= ${2 * ArrivalIdBase}
+              THEN 1 ELSE 0 END) AS BIGINT) AS seg_rows,
+            CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
+              AS resplit_rows
+          FROM gpost)
+        SELECT n_cells, n_rows, max_cell, overgrown_cells, seg_rows,
+          resplit_rows
+        FROM gagg CROSS JOIN gseg""")),
 
     // STREAMING RESIDUAL ENCODE — the online form of the TEXTBOOK
     // IVF-PQ ingest: route each arrival to its cell (NearestCell
@@ -3299,7 +3475,8 @@ object LlmSim extends QueryModule {
     * split cells passes the previous cycle's round count so its child
     * cids land in a provably disjoint range (same injectivity
     * argument as the per-round offsets; max shift at two 3-round
-    * cycles = 2^25, Int-safe). */
+    * cycles = 2^25, at three — the segment fold runs as the third —
+    * 2^28, both Int-safe: Σ offsets + nlist < 2^29). */
   private[graft] def splitCellsFixpoint(
       cells0: DataFrame, threshold: Long,
       maxRounds: Int = 8, roundBase: Int = 0): (DataFrame, Int) = {
@@ -4003,6 +4180,108 @@ object LlmSim extends QueryModule {
     s.table(tbl)
   }
 
+  /** The STREAMED vector wave — the vector twin of the lexical
+    * stream fixture: residue-5 corpus vectors, ids shifted by
+    * 2·[[ArrivalIdBase]] (disjoint from the batch arrivals' +1·base
+    * range), values perturbed with the SAME 0.9x+0.01 arithmetic the
+    * batch arrival fixture uses (one cross-engine float recipe, no
+    * new transcendental hazards). */
+  private[graft] def ivfStreamWave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embDoubles(s, dir).filter($"vec_id" % 7 === 5)
+      .select(($"vec_id" + lit(2 * ArrivalIdBase)).as("vec_id"),
+        transform($"v", x => x * lit(0.9) + lit(0.01)).as("v"))
+  }
+
+  private def ivfSegTableName(dir: String): String =
+    s"graft_ivf_seg_${math.abs(dir.hashCode)}"
+
+  private val ivfSegLock = new Object
+  private val ivfSegWave = scala.collection.concurrent.TrieMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** STREAMING INGEST of the vector index — a REALTIME SEGMENT beside
+    * the committed cells artifact (the segment-and-background-merge
+    * posture real realtime OLAP stores take, done with this repo's
+    * own primitives): arrival vectors flow readStream → foreachBatch,
+    * each micro-batch ROUTED with the frozen broadcast centroids (the
+    * same map-only [[ivfCellsOf]] pass every batch ingest uses — the
+    * stream pays no shuffle) and appended exactly-once into a
+    * cid-bucketed segment table under a per-batch txn marker. The
+    * COMMITTED index never moves: probes that want the live tail read
+    * committed ∪ segment (both sides cid-bucketed, both pruned by the
+    * same literal-cid pushdown); everyone else is untouched — the
+    * vector twin of the postings table's two-front split, with the
+    * isolation carried by a separate TABLE here because cells rows
+    * carry no epoch column a partition predicate could pin (and a
+    * maintenance cycle would FOLD the segment, exactly as its
+    * split/merge verbs fold the batch arrivals — left as the
+    * documented next cycle, not run here). After the wave drains, an
+    * atomic SEALED pointer publishes the segment; re-entry and
+    * re-delivery no-op against it and the markers. Restart honesty
+    * matches [[streamedPostingsIngest]]: durable checkpoint under the
+    * table dir, wiped with the segment by the fresh-catalog rebuild;
+    * `chaos` is the same fault-injection seam, and the mid-wave
+    * crash+resume path is driven in the spec. */
+  private[graft] def streamedIvfSegment(
+      s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => ()): DataFrame =
+    ivfSegLock.synchronized {
+      import s.implicits._
+      val segT = ivfSegTableName(dir)
+      val segDir = graft.operators.TxnMarker.managedTableDir(s, segT)
+      val sealedF = new java.io.File(segDir, "_graft_seg_sealed")
+      val cent = persistedIvfCent(s, dir)
+      if (!s.catalog.tableExists(segT)) {
+        // fresh catalog: wipe any stale segment — files, markers,
+        // sealed pointer, checkpoint reset as one (the postings
+        // rebuild discipline) — then pre-create the EMPTY bucketed
+        // table so every appender (and the durable checkpoint under
+        // the dir) extends a registered bucket spec
+        graft.operators.TxnMarker.rmTree(segDir)
+        ivfCellsOf(ivfStreamWave(s, dir).limit(0), cent)
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "cid").sortBy("cid").saveAsTable(segT)
+      }
+      if (epochPointerOf(sealedF) < 1) {
+        val (waveDir, schema) = ivfSegWave.getOrElseUpdate(dir, {
+          val d = Engine.scratchDir("graft_ivf_wave")
+          ivfStreamWave(s, dir).repartition(4)
+            .write.mode("overwrite").parquet(s"$d/in")
+          (d, s.read.parquet(s"$d/in").schema)
+        })
+        val ckpt = new java.io.File(segDir, "_graft_stream_ckpt")
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$waveDir/in")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+            val routed = ivfCellsOf(bdf, cent).localCheckpoint()
+            try
+              graft.operators.TxnMarker.appendOnce(segDir,
+                txn = s"ivf-stream-seg-b$batchId",
+                doAppend = () => routed
+                  .write.mode("append").format("parquet")
+                  .bucketBy(8, "cid").sortBy("cid").saveAsTable(segT),
+                presentRows = () => s.table(segT)
+                  .join(routed.select($"vec_id").distinct(),
+                    Seq("vec_id"), "semi").count(),
+                expectedRows = () => routed.count())
+            finally
+              org.apache.spark.sql.graftbridge.SqlBridge
+                .checkpointRdd(routed)
+                .foreach(_.unpersist(blocking = false))
+            chaos(batchId)
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        publishEpochPointer(sealedF, 1)
+      }
+      s.table(segT)
+    }
+
   // ---- Committed index maintenance (split/merge writeback) ----------
 
   /** The post-split frame — upsert → [[splitCellsFixpoint]] bounded
@@ -4417,6 +4696,44 @@ object LlmSim extends QueryModule {
     s.table(tbl)
   }
 
+  /** The SEGMENT FOLD — the maintenance cycle that absorbs the
+    * streamed realtime segment into the committed index (the
+    * "background merge" half of the segment-and-merge posture
+    * [[streamedIvfSegment]] documents; until this verb it was prose):
+    * segment vectors RE-ROUTE against the COMMITTED epoch's
+    * maintained centroids (their segment-table cids were provisional
+    * — routed with the frozen BASE centroids at stream time; the fold
+    * re-assigns them where the committed epoch actually wants them —
+    * a map-only broadcast pass, O(|segment|)), union with the
+    * committed cells, and the bounded split fixpoint re-splits
+    * exactly the cells the fold grew past threshold —
+    * O(Σ|overgrown|), the cycle-2 discipline. Child cids land at
+    * roundBase 2·[[MaintSplitRounds]] — the THIRD offset namespace,
+    * provably disjoint from both prior cycles and Int-safe (the
+    * [[splitCellsFixpoint]] scaladoc's bound). Epoch-named like every
+    * maintenance artifact; cells-only like cycle 2 (tombstones keep
+    * riding the probe-side anti-join). */
+  private[graft] def persistedSegFold(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (mCells, mCent) = maintainIvfCommit(s, dir)
+    val seg = streamedIvfSegment(s, dir)
+    val e = maintEpochOf(s, dir)
+    val tbl = s"graft_ivf_segf_me${e}_${math.abs(dir.hashCode)}"
+    if (!s.catalog.tableExists(tbl)) {
+      val routed = ivfCellsOf(seg.select($"vec_id", $"v"), mCent)
+      val fx = splitCellsFixpoint(
+        mCells.select($"cid", $"vec_id", $"v")
+          .unionByName(routed.select($"cid", $"vec_id", $"v")),
+        IvfPSplitRows, maxRounds = MaintSplitRounds,
+        roundBase = 2 * MaintSplitRounds)._1
+      try LlmText.writeOnceTable(s, tbl, Seq("cid"), fx): Unit
+      finally org.apache.spark.sql.graftbridge.SqlBridge
+        .checkpointRdd(fx).foreach(_.unpersist(blocking = false))
+    }
+    s.table(tbl)
+  }
+
   /** The maintained epoch with its tombstones FOLDED — compaction at
     * the epoch layer, same survivor set as the live-tombstone read
     * path by construction (the two maintained delete probes share one
@@ -4676,17 +4993,19 @@ object LlmSim extends QueryModule {
 
   /** The document ARRIVAL-BATCH fixtures shared by the batch postings
     * ingest and (batch 1) its streaming encode twin: batch `b` is
-    * every 7th document at residue 2b+1, ids shifted by
+    * every 7th document at residue (2b+1) mod 7, ids shifted by
     * b·[[ArrivalIdBase]] — disjoint id ranges and disjoint source
     * docs per batch, the same shape the vector index's ingest delta
-    * has. ONE derivation, so the documented batch/stream convergence
+    * has (the mod keeps batch [[PostingsStreamEpoch]] = 3, the
+    * STREAMED wave, on the same formula: residue 0).
+    * ONE derivation, so the documented batch/stream convergence
     * ("the stream lands exactly the delta-postings relation the
     * upsert writes") cannot silently drift apart. */
   private def postingsDeltaDocs(s: SparkSession, dir: String,
                                 batch: Int = 1): DataFrame = {
     import s.implicits._
     Engine.table(s, dir, "documents")
-      .filter($"doc_id" % 7 === (2 * batch + 1))
+      .filter($"doc_id" % 7 === ((2 * batch + 1) % 7))
       .select(($"doc_id" + lit(batch * ArrivalIdBase)).as("doc_id"),
         $"text")
   }
@@ -4700,6 +5019,179 @@ object LlmSim extends QueryModule {
       .select($"doc_id", $"text")
     (1 to PostingsBatches).map(postingsDeltaDocs(s, dir, _))
       .foldLeft(base)(_.unionByName(_))
+  }
+
+  /** The STREAMED ingest wave's epoch number: one past the last batch
+    * wave. The two fronts share the epoch NUMBER LINE (a reader's
+    * `ep <= E` predicate means the same thing whichever front landed
+    * an epoch) but publish SEPARATE high-water pointers — see
+    * [[streamedPostingsIngest]]. */
+  private[graft] val PostingsStreamEpoch = PostingsBatches + 1
+
+  private def postStreamPointerFile(
+      s: SparkSession, dir: String): java.io.File =
+    new java.io.File(graft.operators.TxnMarker
+      .managedTableDir(s, postTableName(dir)), "_graft_epoch_stream")
+
+  /** The published STREAM high-water epoch (0 = no streamed wave).
+    * Derived state of the postings table, reset with it. */
+  private[graft] def postStreamEpochOf(s: SparkSession, dir: String): Int =
+    epochPointerOf(postStreamPointerFile(s, dir))
+
+  /** Land ONE streaming micro-batch of arrival documents into the
+    * postings table: tokenize with the lifecycle's one tokenizer
+    * ([[postTok]]) and append into the stream epoch's partition under
+    * a per-batch txn marker. Idempotent in `batchId` — foreachBatch's
+    * at-least-once re-delivery (a restart replays the in-flight
+    * batch, with the SAME id, per the checkpoint contract) hits the
+    * committed marker and no-ops, which is exactly the conversion
+    * exactly-once sinks are built from. The recovery-path row count
+    * identifies THIS batch's rows inside the shared partition by
+    * doc_id semi-join (micro-batches split the wave by FILE and a
+    * document lives in exactly one file, so doc sets are disjoint
+    * across batches; the probe scans only the delta-sized stream
+    * partition — partition-pruned, never the corpus). */
+  private[graft] def landPostingsMicroBatch(
+      s: SparkSession, dir: String, bdf: DataFrame,
+      batchId: Long): Unit = {
+    import s.implicits._
+    val postT = postTableName(dir)
+    val tdir = graft.operators.TxnMarker.managedTableDir(s, postT)
+    // one materialization feeds the append, the recovery count, and
+    // the expected count; released after the marker settles
+    val delta = postTok(bdf).localCheckpoint()
+    try
+      graft.operators.TxnMarker.appendOnce(tdir,
+        txn = s"postings-stream-e$PostingsStreamEpoch-b$batchId",
+        doAppend = () => delta
+          .withColumn("ep", lit(PostingsStreamEpoch))
+          .write.mode("append").format("parquet").partitionBy("ep")
+          .bucketBy(8, "w").sortBy("w").saveAsTable(postT),
+        presentRows = () => s.table(postT)
+          .filter($"ep" === PostingsStreamEpoch)
+          .join(delta.select($"doc_id").distinct(), Seq("doc_id"), "semi")
+          .count(),
+        expectedRows = () => delta.count())
+    finally
+      org.apache.spark.sql.graftbridge.SqlBridge
+        .checkpointRdd(delta).foreach(_.unpersist(blocking = false))
+  }
+
+  // Materialized stream-wave input (dir + schema) per sfDir — the
+  // Replay.inputCache pattern: the wave parquet is identical across
+  // re-runs in one JVM, so write + footer read are paid once, and a
+  // resumed checkpoint always sees the same source path and files.
+  private val postStreamWave = scala.collection.concurrent.TrieMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** STREAMING INGEST of the lexical index — the verb that closes the
+    * batch/stream seam: arrival documents flow readStream →
+    * foreachBatch → [[landPostingsMicroBatch]], each micro-batch an
+    * exactly-once marker-guarded append into the `ep=3` partition of
+    * the SAME epoch-partitioned postings table the batch waves own;
+    * after the wave drains, df epoch 3 = df epoch 2 ⊕ streamed
+    * per-word doc counts (one vocab ⊕ delta merge — the batch verb's
+    * own discipline) and the STREAM pointer swings atomically.
+    *
+    * TWO INGEST FRONTS, two pointers (the lambda-architecture seam,
+    * done honestly): the batch front's published epoch
+    * ([[postEpochOf]]) is a gated surface (the health report pins it
+    * to [[PostingsBatches]]) and MUST NOT move when a streamed tail
+    * lands — so the stream publishes its own `_graft_epoch_stream`
+    * high-water mark. Every batch-front reader pins `ep <= 2` and is
+    * partition-pruned away from the streamed rows (append-only plus
+    * an epoch predicate: the cheap half of MVCC, again); a reader
+    * that wants the live tail reads `ep <= `[[PostingsStreamEpoch]]
+    * with df epoch 3. Exactly-once across RESTARTS rests on three
+    * legs, each held elsewhere: the checkpoint is DURABLE and lives
+    * UNDER the table dir (`_graft_stream_ckpt` — wiped with the
+    * table by the fresh-catalog rebuild, so checkpoint, markers, and
+    * partitions reset as one), Spark re-delivers a replayed batch
+    * with the same batchId against the same source files (the cached
+    * wave dir), and the marker protocol makes re-delivery a no-op.
+    * `chaos` is the fault-injection seam (the [[graft.operators
+    * .TxnMarker.MarkerCreate]] precedent): called after each landed
+    * batch, tests throw from it to cut the stream mid-wave and prove
+    * the resume path — production callers leave the default no-op.
+    *
+    * Returns (postings as of the streamed epoch — `ep` pruned off,
+    * df at the streamed epoch). df epochs 2 and 3 both stay
+    * readable: 2 is the batch front's published artifact, not a
+    * grace-window survivor — the stream vacuums nothing it does not
+    * own (df epoch 1 remains pinned by the gated as-of probe; a
+    * production deployment would let the next batch compaction
+    * reclaim it). */
+  private[graft] def streamedPostingsIngest(
+      s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => ()): (DataFrame, DataFrame) =
+    postLock.synchronized {
+      import s.implicits._
+      val e = PostingsStreamEpoch
+      // the batch front publishes first: the streamed wave is a TAIL
+      // on top of a fully-committed batch estate, not a racer
+      postingsEpoch(s, dir, PostingsBatches)
+      val postT = postTableName(dir)
+      val dfT = postDfTableName(dir, e)
+      if (postStreamEpochOf(s, dir) < e || !s.catalog.tableExists(dfT)) {
+        val (waveDir, schema) = postStreamWave.getOrElseUpdate(dir, {
+          val d = Engine.scratchDir("graft_post_wave")
+          postingsDeltaDocs(s, dir, e).repartition(4)
+            .write.mode("overwrite").parquet(s"$d/in")
+          (d, s.read.parquet(s"$d/in").schema)
+        })
+        val ckpt = new java.io.File(graft.operators.TxnMarker
+          .managedTableDir(s, postT), "_graft_stream_ckpt")
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$waveDir/in")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+            landPostingsMicroBatch(s, dir, bdf, batchId)
+            chaos(batchId)
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        LlmText.writeOnceTable(s, dfT, Seq("w"),
+          s.table(postDfTableName(dir, PostingsBatches))
+            .select($"w", $"df".as("df0"))
+            .join(s.table(postT).filter($"ep" === e)
+              .groupBy($"w").agg(count(lit(1)).as("dfd")),
+              Seq("w"), "full")
+            .select($"w",
+              (coalesce($"df0", lit(0L)) + coalesce($"dfd", lit(0L)))
+                .as("df")))
+        if (postStreamEpochOf(s, dir) < e)
+          publishEpochPointer(postStreamPointerFile(s, dir), e)
+      }
+      (s.table(postT).filter($"ep" <= e).drop("ep"), s.table(dfT))
+    }
+
+  /** Oracle-side document estate INCLUDING the streamed wave: the
+    * [[postingsEstateSql]] shape generated over batches
+    * 1..[[PostingsStreamEpoch]] from the one fixture formula
+    * ([[postingsDeltaDocs]]'s residue (2b+1) mod 7, shift
+    * b·[[ArrivalIdBase]]). Kept separate from the hand-written
+    * 2-batch CTE so the four oracles already gated on it stay
+    * byte-identical. */
+  private def postingsEstateStreamSql: String = {
+    val nds = (1 to PostingsStreamEpoch).map(b => s"""nd$b AS (
+          SELECT doc_id + ${b * ArrivalIdBase} AS doc_id, text
+          FROM documents WHERE doc_id % 7 = ${(2 * b + 1) % 7})""")
+      .mkString(",\n        ")
+    val unions = (1 to PostingsStreamEpoch)
+      .map(b => s"UNION ALL SELECT doc_id, text FROM nd$b")
+      .mkString("\n          ")
+    s"""$nds,
+        alld AS (
+          SELECT doc_id, text FROM documents
+          $unions),
+        tok AS (
+          SELECT w, doc_id, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM alld)
+          GROUP BY w, doc_id)"""
   }
 
   /** Document TOMBSTONES for the lexical index — the delete verb of

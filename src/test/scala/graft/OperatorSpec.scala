@@ -1469,6 +1469,149 @@ class OperatorSpec extends AnyFunSuite {
       "live-tombstone and compacted probes disagree")
   }
 
+  /** The streamed-ingest crash tests drive a FRESH wave from scratch,
+    * but CorpusSpec's run-every-query smoke may already have ingested
+    * (suite order is not ours to pin) — so they run against an ALIAS
+    * of the sf dir: a different path string keys a fully separate
+    * lifecycle (tables, markers, pointers hash on the dir string),
+    * making the crash paths order-independent without surgery on the
+    * shared artifacts. */
+  private lazy val sfStreamAlias: String = {
+    val d = new java.io.File("/tmp/graft_sf_stream_alias")
+    if (!java.nio.file.Files.isSymbolicLink(d.toPath))
+      java.nio.file.Files.createSymbolicLink(d.toPath,
+        java.nio.file.Paths.get(sf)): Unit
+    d.getAbsolutePath
+  }
+
+  test("streamed postings ingest: crash mid-wave resumes exactly-once, batch front isolated, df merge exact") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = sfStreamAlias // shadow: isolated lifecycle for the crash
+    val (post2, _) = LlmSim.postingsEpoch(spark, sf, 2)
+    val n2 = post2.count()
+    // cut the stream AFTER batch 1 LANDED (marker committed) but
+    // BEFORE its checkpoint commit — the at-least-once window the
+    // exactly-once claim must survive
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[Exception] {
+      LlmSim.streamedPostingsIngest(spark, sf, chaos = id =>
+        if (id == 1 && boom.compareAndSet(false, true))
+          throw new RuntimeException("graft-chaos: cut after batch 1"))
+    }
+    assert(boom.get, "chaos never fired — the wave had fewer batches")
+    assert(LlmSim.postStreamEpochOf(spark, sf) === 0,
+      "stream pointer published despite the mid-wave crash")
+    // resume from the durable checkpoint: batch 1 re-delivers with
+    // the same id, hits its committed marker, no-ops; the remaining
+    // batches land; df merges; the pointer swings
+    val (post3, df3) = LlmSim.streamedPostingsIngest(spark, sf)
+    val streamedRows = post3
+      .filter($"doc_id" >= 3 * LlmSim.ArrivalIdBase).count()
+    assert(streamedRows > 0, "no streamed rows landed")
+    assert(post3.count() === n2 + streamedRows,
+      "streamed epoch disturbed the batch partitions")
+    // exactly-once through the crash: no (w, doc_id) posting landed twice
+    assert(post3.groupBy($"w", $"doc_id").count()
+      .filter($"count" > 1).count() === 0L,
+      "a re-delivered micro-batch double-appended")
+    // two fronts, two pointers: the batch front's gated surface is
+    // untouched, and an ep<=2 reader never sees the streamed tail
+    assert(LlmSim.postEpochOf(spark, sf) === 2,
+      "streamed ingest moved the BATCH front's pointer")
+    assert(LlmSim.postStreamEpochOf(spark, sf) === 3)
+    val (postB, _) = LlmSim.postingsEpoch(spark, sf, 2)
+    assert(postB.filter($"doc_id" >= 3 * LlmSim.ArrivalIdBase)
+      .count() === 0L, "batch-front read leaked streamed rows")
+    // df epoch 3 = from-scratch df over the streamed-epoch postings
+    val scratch = post3.groupBy($"w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(df3.as[(String, Long)].collect().toMap === scratch,
+      "merged df epoch 3 diverges from a from-scratch derive")
+    // idempotent re-entry AND raw marker-level re-delivery both no-op
+    val (postC, _) = LlmSim.streamedPostingsIngest(spark, sf)
+    assert(postC.count() === post3.count(), "re-entry re-landed the wave")
+    LlmSim.landPostingsMicroBatch(spark, sf,
+      Engine.table(spark, sf, "documents").limit(3)
+        .select($"doc_id", $"text"), batchId = 0L)
+    assert(LlmSim.streamedPostingsIngest(spark, sf)._1.count()
+      === post3.count(), "a re-delivered batch id re-appended")
+  }
+
+  test("streamed vector segment: crash mid-wave resumes exactly-once, committed cells untouched, twin surfaces") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = sfStreamAlias // shadow: isolated lifecycle for the crash
+    val committed = LlmSim.persistedIvfCells(spark, sf)
+    val nCommitted = committed.count()
+    val waveN = LlmSim.ivfStreamWave(spark, sf).count()
+    assert(waveN > 0, "empty vector wave fixture")
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[Exception] {
+      LlmSim.streamedIvfSegment(spark, sf, chaos = id =>
+        if (id == 1 && boom.compareAndSet(false, true))
+          throw new RuntimeException("graft-chaos: cut after batch 1"))
+    }
+    assert(boom.get, "chaos never fired — the wave had fewer batches")
+    // resume: re-delivered batch no-ops on its marker, rest lands,
+    // the segment seals
+    val seg = LlmSim.streamedIvfSegment(spark, sf)
+    assert(seg.count() === waveN,
+      "segment row count diverges from the wave (dup or loss)")
+    assert(seg.select($"vec_id").distinct().count() === waveN,
+      "a re-delivered micro-batch double-appended a vector")
+    assert(seg.filter($"vec_id" < 2 * LlmSim.ArrivalIdBase).count() === 0L,
+      "a non-wave row landed in the segment")
+    // the committed artifact never moves — segment isolation is the
+    // whole point of the realtime-segment posture
+    assert(LlmSim.persistedIvfCells(spark, sf).count() === nCommitted,
+      "streamed segment mutated the committed cells table")
+    // sealed: re-entry is a no-op
+    assert(LlmSim.streamedIvfSegment(spark, sf).count() === waveN)
+    // content claim from the gate's comment, ASSERTED: query 19
+    // (residue 5 — a wave source) must see its perturbed twin at
+    // rank 1 of the committed ∪ segment probe
+    val top = SparkEntry.queries("q_stream_ivf_ingest")(spark, sf)
+      .filter($"q_id" === 19 && $"rank" === 1)
+      .select($"vec_id").as[Long].collect()
+    assert(top.sameElements(Array(19L + 2 * LlmSim.ArrivalIdBase)),
+      s"query 19's streamed twin not at rank 1: ${top.mkString(",")}")
+  }
+
+  test("segment fold: row conservation, segment absorbed whole, parent recovery stays in the committed space") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (mCells, _) = LlmSim.maintainIvfCommit(spark, sf)
+    val seg = LlmSim.streamedIvfSegment(spark, sf)
+    val f = LlmSim.persistedSegFold(spark, sf)
+    // conservation: committed + segment, nothing lost or doubled
+    assert(f.count() === mCells.count() + seg.count(),
+      "fold lost or duplicated rows")
+    assert(f.filter($"vec_id" >= 2 * LlmSim.ArrivalIdBase).count()
+      === seg.count(), "segment not absorbed whole")
+    assert(f.select($"vec_id").distinct().count() === f.count(),
+      "a vector appears in two cells after the fold")
+    // cid namespace: every folded cid recovers a parent the committed
+    // epoch already had (offsets are multiples of the base offset, so
+    // % recovers the original cell; the fold routes only to mcent
+    // cells and splits only existing ones — it can invent no parent)
+    val parents = f.select(($"cid" % LlmSim.SplitCidOffset).as("p"))
+      .distinct().as[Int].collect().toSet
+    val commParents = mCells
+      .select(($"cid" % LlmSim.SplitCidOffset).as("p"))
+      .distinct().as[Int].collect().toSet
+    assert(parents.subsetOf(commParents), "fold invented a parent cell")
+    // no folded cell is left above the split threshold unless the
+    // fixpoint's honest boundary applies — pin what THIS corpus shows
+    val over = f.groupBy($"cid").agg(count(lit(1)).as("cn"))
+      .filter($"cn" > LlmSim.IvfPSplitRows).count()
+    assert(over === 0L,
+      s"fold left $over overgrown cells on a corpus where cycle 2 left none")
+  }
+
   test("maintained-epoch deletes: tombstones within the epoch, compaction row-exact, plans differ") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
