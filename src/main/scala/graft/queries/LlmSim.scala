@@ -2064,7 +2064,11 @@ object LlmSim extends QueryModule {
     // base snapshot (= the delta's (w,doc) pairs — how far the
     // write-optimized df has walked from the denormalized snapshot),
     // and the lexical delete debt (tombstoned docs + the live-row
-    // count compaction would leave — the compaction trigger). Every
+    // count compaction would leave — the compaction trigger). The
+    // r15 streaming addendum adds the STREAM fronts: the published
+    // stream epoch, the streamed postings wave's rows, and the
+    // realtime vector segment's rows — how much tail is riding ahead
+    // of the next fold/compaction. Every
     // added column is DATA-derived and oracle-gated; the vector
     // side's epoch/grace/vacuum counters are deliberately NOT here —
     // their values depend on how many processes have visited the
@@ -2079,6 +2083,8 @@ object LlmSim extends QueryModule {
         val (post, dfN) = postingsEpoch(s, dir, PostingsBatches)
         val df0 = s.table(postDfTableName(dir, 0))
         val ptomb = persistedPostingsTombstones(s, dir)
+        val (post3, _) = streamedPostingsIngest(s, dir)
+        val seg = streamedIvfSegment(s, dir)
         mCells.groupBy($"cid").agg(count(lit(1)).as("cn"))
           .agg(
             count(lit(1)).as("n_cells"),
@@ -2097,6 +2103,8 @@ object LlmSim extends QueryModule {
           .crossJoin(post.join(broadcast(ptomb.select($"doc_id")),
               Seq("doc_id"), "left_semi")
             .agg(count(lit(1)).as("post_dead_rows")))
+          .crossJoin(post3.agg(count(lit(1)).as("post3_rows")))
+          .crossJoin(seg.agg(count(lit(1)).as("seg_rows")))
           .select($"n_cells", $"n_rows", $"n_tomb",
             ($"n_rows" - $"n_tomb").as("live_rows"),
             $"max_cell", $"overgrown_cells", $"split_children",
@@ -2104,7 +2112,10 @@ object LlmSim extends QueryModule {
             $"posting_rows", $"vocab_size",
             ($"dfsum_n" - $"dfsum_0").as("df_drift"),
             $"post_tomb",
-            ($"posting_rows" - $"post_dead_rows").as("post_live_rows"))
+            ($"posting_rows" - $"post_dead_rows").as("post_live_rows"),
+            lit(postStreamEpochOf(s, dir).toLong).as("stream_epoch"),
+            ($"post3_rows" - $"posting_rows").as("stream_rows"),
+            $"seg_rows")
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
@@ -2139,13 +2150,31 @@ object LlmSim extends QueryModule {
           FROM alld d JOIN keepx k ON k.text = d.text
           WHERE d.doc_id <> k.keep_id),
         plr AS (SELECT CAST(count(*) AS BIGINT) AS post_live_rows
-          FROM tok WHERE doc_id IN (SELECT keep_id FROM keepx))
+          FROM tok WHERE doc_id IN (SELECT keep_id FROM keepx)),
+        -- the STREAM fronts (r15): the streamed postings wave's rows
+        -- (distinct (w, doc) pairs of the wave docs = the ep=3
+        -- partition) and the realtime vector segment's rows — the
+        -- dashboard's "how much tail is riding ahead of the next
+        -- fold/compaction" numbers
+        swd AS (SELECT doc_id + ${PostingsStreamEpoch * ArrivalIdBase}
+            AS doc_id, text
+          FROM documents
+          WHERE doc_id % 7 = ${(2 * PostingsStreamEpoch + 1) % 7}),
+        ssr AS (SELECT CAST(count(*) AS BIGINT) AS stream_rows FROM (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM swd)
+          GROUP BY doc_id, w)),
+        sgr AS (SELECT CAST(count(*) AS BIGINT) AS seg_rows
+          FROM e WHERE vec_id % 7 = 5)
         SELECT n_cells, n_rows, n_tomb, n_rows - n_tomb AS live_rows,
           max_cell, overgrown_cells, split_children,
           CAST($PostingsBatches AS BIGINT) AS post_epoch,
-          posting_rows, vocab_size, df_drift, post_tomb, post_live_rows
+          posting_rows, vocab_size, df_drift, post_tomb, post_live_rows,
+          CAST($PostingsStreamEpoch AS BIGINT) AS stream_epoch,
+          stream_rows, seg_rows
         FROM agg0 CROSS JOIN tq CROSS JOIN pstat CROSS JOIN ptq
-          CROSS JOIN plr""")),
+          CROSS JOIN plr CROSS JOIN ssr CROSS JOIN sgr""")),
 
     // MAINTENANCE CYCLE 2 — the health report's finding RESOLVED as a
     // gate, not prose: the committed epoch can hold overgrown merge
