@@ -382,6 +382,89 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** STREAMED-INGEST shape: the streaming tail's claim is that a
+    * micro-batch landing costs DELTA-sized work — trigger machinery,
+    * in-flight tokenize, marker-guarded append — independent of the
+    * index it lands beside. Builds the epoch-partitioned postings
+    * table at 1× and N× corpus (the postings_shape bases), then
+    * drains the SAME fixed 4-file wave through readStream →
+    * foreachBatch → exactly-once appends into each, timing the full
+    * drain. Flat ratio = the streaming machinery adds no corpus-sized
+    * term on top of the (already-measured-flat) batch append.
+    * Usage: tools/run.sh graft.ScaleProbe stream [sfDir] [n] */
+  private def streamShapeProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = Engine.session("graft-streamshape")
+    import spark.implicits._
+    val d1 = Engine.table(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    def corpus(reps: Int): DataFrame =
+      if (reps == 1) d1
+      else (0 until reps).map(i => d1
+          .withColumn("doc_id", $"doc_id" + lit(i * 100000000L))
+          .withColumn("text", concat(lit(s"r$i "), $"text")))
+        .reduce(_ unionByName _)
+    def tok(docs: DataFrame): DataFrame = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+    def mk(tag: String, reps: Int): (String, Long) = {
+      val t = writeBucketed(spark, s"sp_st_$tag", "w",
+        tok(corpus(reps)).withColumn("ep", lit(0)),
+        partitionEp = Some("ep"), force = true)
+      (t, spark.table(t).count())
+    }
+    val (t1, r1) = mk("1", 1)
+    val (tN, rN) = mk(s"n$n", n)
+    // the streamed wave: the gated fixture's residue-0 shape, 4 files
+    // → 4 micro-batches at maxFilesPerTrigger=1
+    val wave = d1.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 1500000L).as("doc_id"), $"text")
+    val waveRows = wave.count()
+    val wdir = Engine.scratchDir("sp_wave")
+    wave.repartition(4).write.mode("overwrite").parquet(s"$wdir/in")
+    val schema = spark.read.parquet(s"$wdir/in").schema
+    var run = 0
+    def drain(t: String): Double = {
+      run += 1
+      val ep = 100 + run // fresh epoch + marker namespace per drain
+      val tdir = graft.operators.TxnMarker.managedTableDir(spark, t)
+      time {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$wdir/in")
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, id: Long) =>
+            val delta = tok(bdf).localCheckpoint()
+            try graft.operators.TxnMarker.appendOnce(tdir,
+              txn = s"sp-stream-e$ep-b$id",
+              doAppend = () => delta.withColumn("ep", lit(ep))
+                .write.mode("append").format("parquet").partitionBy("ep")
+                .bucketBy(8, "w").sortBy("w").saveAsTable(t),
+              presentRows = () => spark.table(t).filter($"ep" === ep)
+                .join(delta.select($"doc_id").distinct(),
+                  Seq("doc_id"), "semi").count(),
+              expectedRows = () => delta.count())
+            finally org.apache.spark.sql.graftbridge.SqlBridge
+              .checkpointRdd(delta)
+              .foreach(_.unpersist(blocking = false))
+          }
+          .option("checkpointLocation", Engine.scratchDir("sp_ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    drain(t1); drain(tN) // warmup (session + codegen caches)
+    def med(f: => Double): Double = Seq.fill(3)(f).sorted.apply(1)
+    val (s1, sN) = (med(drain(t1)), med(drain(tN)))
+    println(f"""{"stream_shape":"$sfDir","scale":$n,""" +
+      s""""base_rows_1x":$r1,"base_rows_Nx":$rN,"wave_docs":$waveRows,""" +
+      f""""drain_1x":$s1%.3f,"drain_Nx":$sN%.3f,""" +
+      f""""drain_ratio":${sN / s1}%.2f}""")
+    spark.stop()
+  }
+
   /** BFS A/B on the GATED q_graph_bfs graph: the join-frontier
     * formulation vs the bitmap-frontier one (domain = the graph's own
     * max node id — ~n_customers, so the bitmap is KBs). Median of 3
@@ -555,6 +638,8 @@ object ScaleProbe {
       return maintShapeProbe(args.drop(1))
     if (args.headOption.contains("postings"))
       return postingsShapeProbe(args.drop(1))
+    if (args.headOption.contains("stream"))
+      return streamShapeProbe(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.lift(1).map(_.toInt).getOrElse(8)
     // optional args 3+: probe only the named shapes (local fast loop)
