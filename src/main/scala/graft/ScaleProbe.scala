@@ -405,9 +405,10 @@ object ScaleProbe {
           .withColumn("doc_id", $"doc_id" + lit(i * 100000000L))
           .withColumn("text", concat(lit(s"r$i "), $"text")))
         .reduce(_ unionByName _)
-    def tok(docs: DataFrame): DataFrame = docs
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+    // the gated lifecycle's OWN tokenizer and landing protocol — the
+    // probe must measure the shipped machinery, not a re-implementation
+    def tok(docs: DataFrame): DataFrame =
+      graft.queries.LlmSim.postTok(docs)
     def mk(tag: String, reps: Int): (String, Long) = {
       val t = writeBucketed(spark, s"sp_st_$tag", "w",
         tok(corpus(reps)).withColumn("ep", lit(0)),
@@ -428,26 +429,14 @@ object ScaleProbe {
     def drain(t: String): Double = {
       run += 1
       val ep = 100 + run // fresh epoch + marker namespace per drain
-      val tdir = graft.operators.TxnMarker.managedTableDir(spark, t)
       time {
         val q = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(s"$wdir/in")
           .writeStream
           .foreachBatch { (bdf: DataFrame, id: Long) =>
-            val delta = tok(bdf).localCheckpoint()
-            try graft.operators.TxnMarker.appendOnce(tdir,
-              txn = s"sp-stream-e$ep-b$id",
-              doAppend = () => delta.withColumn("ep", lit(ep))
-                .write.mode("append").format("parquet").partitionBy("ep")
-                .bucketBy(8, "w").sortBy("w").saveAsTable(t),
-              presentRows = () => spark.table(t).filter($"ep" === ep)
-                .join(delta.select($"doc_id").distinct(),
-                  Seq("doc_id"), "semi").count(),
-              expectedRows = () => delta.count())
-            finally org.apache.spark.sql.graftbridge.SqlBridge
-              .checkpointRdd(delta)
-              .foreach(_.unpersist(blocking = false))
+            graft.queries.LlmSim.landPostingsMicroBatchInto(
+              spark, t, ep, s"sp-stream-e$ep-b$id", bdf)
           }
           .option("checkpointLocation", Engine.scratchDir("sp_ckpt"))
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -108,6 +108,16 @@ object TxnMarker {
     * the losing delivery's wait-per-cycle AND the heartbeat staleness
     * threshold beyond which an in-flight writer is presumed dead.
     */
+  /** True iff `txn` already holds its durable commit record under
+    * `tableDir` — the cheap fast path a caller can consult BEFORE
+    * materializing the batch it would hand to [[appendOnce]] (which
+    * re-checks internally; this is an optimization seam, not a
+    * correctness one — a re-delivered streaming batch should not pay
+    * tokenize/route + a localCheckpoint just to be no-op'd). */
+  def isCommitted(tableDir: File, txn: String): Boolean =
+    Files.exists(new File(new File(tableDir, "_graft_txn"),
+      s"$txn.committed").toPath)
+
   def appendOnce(tableDir: File, txn: String,
                  doAppend: () => Unit,
                  presentRows: () => Long,

@@ -2283,7 +2283,7 @@ object LlmSim extends QueryModule {
     // derive over base ∪ batch1 ∪ batch2 ∪ streamed-wave. Restart
     // honesty: the checkpoint is durable under the table dir and the
     // markers make re-delivered batches no-ops; the mid-wave
-    // crash+resume path is driven in PostingsStreamSpec through the
+    // crash+resume path is driven in OperatorSpec through the
     // chaos seam.
     "q_stream_postings_ingest" -> QueryDef(
       fn = (s, dir) => {
@@ -2326,7 +2326,7 @@ object LlmSim extends QueryModule {
     // at 19 + 2·ArrivalIdBase must surface among the top-3: content
     // proof the stream reached the index, hash-gated against an
     // oracle that unions base and routed-wave assignments. Mid-wave
-    // crash+resume is driven in PostingsStreamSpec's vector twin via
+    // crash+resume is driven in OperatorSpec's vector twin via
     // the chaos seam.
     "q_stream_ivf_ingest" -> QueryDef(
       fn = (s, dir) => {
@@ -4285,21 +4285,29 @@ object LlmSim extends QueryModule {
           .parquet(s"$waveDir/in")
           .writeStream
           .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-            val routed = ivfCellsOf(bdf, cent).localCheckpoint()
-            try
-              graft.operators.TxnMarker.appendOnce(segDir,
-                txn = s"ivf-stream-seg-b$batchId",
-                doAppend = () => routed
-                  .write.mode("append").format("parquet")
-                  .bucketBy(8, "cid").sortBy("cid").saveAsTable(segT),
-                presentRows = () => s.table(segT)
-                  .join(routed.select($"vec_id").distinct(),
-                    Seq("vec_id"), "semi").count(),
-                expectedRows = () => routed.count())
-            finally
-              org.apache.spark.sql.graftbridge.SqlBridge
-                .checkpointRdd(routed)
-                .foreach(_.unpersist(blocking = false))
+            val txn = s"ivf-stream-seg-b$batchId"
+            // committed fast path: a re-delivered batch must not pay
+            // routing + a localCheckpoint just to be no-op'd
+            // (appendOnce re-checks under its mutex; no `return` here
+            // — a non-local return from a foreachBatch closure throws
+            // across the stream thread)
+            if (!graft.operators.TxnMarker.isCommitted(segDir, txn)) {
+              val routed = ivfCellsOf(bdf, cent).localCheckpoint()
+              try
+                graft.operators.TxnMarker.appendOnce(segDir,
+                  txn = txn,
+                  doAppend = () => routed
+                    .write.mode("append").format("parquet")
+                    .bucketBy(8, "cid").sortBy("cid").saveAsTable(segT),
+                  presentRows = () => s.table(segT)
+                    .join(routed.select($"vec_id").distinct(),
+                      Seq("vec_id"), "semi").count(),
+                  expectedRows = () => routed.count())
+              finally
+                org.apache.spark.sql.graftbridge.SqlBridge
+                  .checkpointRdd(routed)
+                  .foreach(_.unpersist(blocking = false))
+            }
             chaos(batchId)
           }
           .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -5013,8 +5021,9 @@ object LlmSim extends QueryModule {
     publishEpochPointer(postPointerFile(s, dir), epoch)
 
   /** The one tokenizer of the postings lifecycle: (w, doc_id, tf) via
-    * explode + count — base build and every delta share it. */
-  private def postTok(docs: DataFrame): DataFrame = {
+    * explode + count — base build, every delta, and ScaleProbe's
+    * stream-shape bases share it. */
+  private[graft] def postTok(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", explode(split($"text", " ")).as("w"))
       .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
@@ -5082,22 +5091,36 @@ object LlmSim extends QueryModule {
     * partition — partition-pruned, never the corpus). */
   private[graft] def landPostingsMicroBatch(
       s: SparkSession, dir: String, bdf: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    landPostingsMicroBatchInto(s, postTableName(dir),
+      PostingsStreamEpoch,
+      s"postings-stream-e$PostingsStreamEpoch-b$batchId", bdf)
+
+  /** The landing protocol parameterized over (table, epoch, txn) —
+    * ONE appender shared by the gated lifecycle and ScaleProbe's
+    * stream-shape measurement, so the probe can never silently
+    * measure stale machinery. The committed-marker FAST PATH runs
+    * before the batch is tokenized: a re-delivered batch (the common
+    * resume case) must not pay postTok + a localCheckpoint just to be
+    * no-op'd (appendOnce re-checks under its mutex — this check is an
+    * optimization, not the correctness point). */
+  private[graft] def landPostingsMicroBatchInto(
+      s: SparkSession, postT: String, ep: Int, txn: String,
+      bdf: DataFrame): Unit = {
     import s.implicits._
-    val postT = postTableName(dir)
     val tdir = graft.operators.TxnMarker.managedTableDir(s, postT)
+    if (graft.operators.TxnMarker.isCommitted(tdir, txn)) return
     // one materialization feeds the append, the recovery count, and
     // the expected count; released after the marker settles
     val delta = postTok(bdf).localCheckpoint()
     try
-      graft.operators.TxnMarker.appendOnce(tdir,
-        txn = s"postings-stream-e$PostingsStreamEpoch-b$batchId",
+      graft.operators.TxnMarker.appendOnce(tdir, txn = txn,
         doAppend = () => delta
-          .withColumn("ep", lit(PostingsStreamEpoch))
+          .withColumn("ep", lit(ep))
           .write.mode("append").format("parquet").partitionBy("ep")
           .bucketBy(8, "w").sortBy("w").saveAsTable(postT),
         presentRows = () => s.table(postT)
-          .filter($"ep" === PostingsStreamEpoch)
+          .filter($"ep" === ep)
           .join(delta.select($"doc_id").distinct(), Seq("doc_id"), "semi")
           .count(),
         expectedRows = () => delta.count())

@@ -1477,11 +1477,22 @@ class OperatorSpec extends AnyFunSuite {
     * making the crash paths order-independent without surgery on the
     * shared artifacts. */
   private lazy val sfStreamAlias: String = {
-    val d = new java.io.File("/tmp/graft_sf_stream_alias")
-    if (!java.nio.file.Files.isSymbolicLink(d.toPath))
-      java.nio.file.Files.createSymbolicLink(d.toPath,
-        java.nio.file.Paths.get(sf)): Unit
-    d.getAbsolutePath
+    val p = java.nio.file.Paths.get("/tmp/graft_sf_stream_alias")
+    val target = java.nio.file.Paths.get(sf)
+    // robust to a stale NON-symlink leftover, a symlink to an old
+    // target, and a concurrent creator (two test JVMs): wrong state
+    // is removed, a racing winner's identical link is accepted
+    if (java.nio.file.Files.isSymbolicLink(p) &&
+        java.nio.file.Files.readSymbolicLink(p) != target)
+      java.nio.file.Files.delete(p)
+    if (!java.nio.file.Files.isSymbolicLink(p)) {
+      graft.operators.TxnMarker.rmTree(p.toFile)
+      try java.nio.file.Files.createSymbolicLink(p, target): Unit
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    p.toString
   }
 
   test("streamed postings ingest: crash mid-wave resumes exactly-once, batch front isolated, df merge exact") {
