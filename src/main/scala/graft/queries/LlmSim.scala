@@ -1387,6 +1387,111 @@ object LlmSim extends QueryModule {
           FROM fused)
         WHERE rank <= 5""")),
 
+    // HYBRID SEARCH, STREAMED FRONTS — the fused probe over the SPEED
+    // layer: the lexical arm reads the streamed-epoch postings pair
+    // (base ∪ both batch waves ∪ the streamed wave, df at epoch 3),
+    // the vector arm reads committed cells ∪ the realtime segment —
+    // search results reflect documents that arrived MID-STREAM,
+    // before any batch maintenance cycle has run. Deliberately
+    // UNCURATED: tombstones are judged at the batch cadence (the
+    // maintained-epoch and keep-newest verdicts target the batch
+    // estate), so the speed layer serves raw arrivals — the honest
+    // lambda-architecture read, stated rather than hidden (the
+    // curated fused probe is q_llm_hybrid_search_live; a production
+    // deployment fuses curation in at the next fold/compaction).
+    // Both arms remain probes of persisted bucketed artifacts; the
+    // fusion still joins two ≤20·|q| frames. With _live and the base
+    // hybrid, all THREE serving tiers of the same index estate sit
+    // under oracle hashes: snapshot, curated-committed, streamed.
+    "q_llm_hybrid_search_stream" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (post3, df3) = streamedPostingsIngest(s, dir)
+        val trank = lexRank(post3, lexQterms(s, dir),
+            _.join(df3, Seq("w")), 20)
+          .select($"q_id", $"doc_id", $"rank".as("tr"))
+        val cells = persistedIvfCells(s, dir)
+          .unionByName(streamedIvfSegment(s, dir))
+        val q = embDoubles(s, dir).filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val routed = probeCells(q,
+          centArrOf(persistedIvfCent(s, dir)), IvfPNprobe)
+        val cids =
+          routed.select($"cid").distinct().as[Int].collect().sorted
+        val vsc = routed
+          .join(cells.filter(inSetCol($"cid", cids)), Seq("cid"))
+          .filter($"q_id" =!= $"vec_id")
+          .withColumn("cos", V.cosine($"qv", $"v"))
+        val vrank = rankedTopK(vsc, "q_id",
+            Seq(("cos", true), ("vec_id", false)), 20)
+          .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vr"))
+        rrfFuse(trank, vrank)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $postingsEstateStreamSql,
+        dfq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        qw AS (SELECT DISTINCT doc_id AS q_id,
+            unnest(string_split(text, ' ')[1:8]) AS w
+          FROM documents WHERE doc_id < 5),
+        tsc AS (
+          SELECT q_id, doc_id,
+            CAST(sum(tf * 1000000 // df) AS BIGINT) AS su
+          FROM tok JOIN dfq USING (w) JOIN qw USING (w)
+          WHERE q_id <> doc_id
+          GROUP BY q_id, doc_id),
+        trank AS (
+          SELECT q_id, doc_id, CAST(rn AS INT) AS tr FROM (
+            SELECT q_id, doc_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY su DESC, doc_id) AS rn
+            FROM tsc)
+          WHERE rn <= 20),
+        ns AS (
+          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
+            list_transform(v, x -> x * 0.9 + 0.01) AS v
+          FROM e WHERE vec_id % 7 = 5),
+        nscells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT ns.vec_id, ns.v, c.cid,
+              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
+                ${d2Sql("ns.v", "c.cv")}, c.cid) AS rn
+            FROM ns CROSS JOIN cent c)
+          WHERE rn = 1),
+        allcells AS (
+          SELECT * FROM cells UNION ALL SELECT * FROM nscells),
+        qv AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id < 5),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM qv q CROSS JOIN cent c)
+          WHERE rn <= $IvfPNprobe),
+        vsc AS (
+          SELECT p.q_id, cl.vec_id AS doc_id,
+            ${V.cosineSql("p.qv", "cl.v")} AS cos
+          FROM probes p JOIN allcells cl
+            ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
+        vrank AS (
+          SELECT q_id, doc_id, CAST(rn AS INT) AS vr FROM (
+            SELECT q_id, doc_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rn
+            FROM vsc)
+          WHERE rn <= 20),
+        fused AS (
+          SELECT COALESCE(t.q_id, v.q_id) AS q_id,
+            COALESCE(t.doc_id, v.doc_id) AS doc_id,
+            COALESCE(CAST(1 AS DOUBLE) / (t.tr + 60), 0.0) +
+              COALESCE(CAST(1 AS DOUBLE) / (v.vr + 60), 0.0) AS rrf
+          FROM trank t FULL JOIN vrank v
+            ON t.q_id = v.q_id AND t.doc_id = v.doc_id)
+        SELECT q_id, rank, doc_id, rrf FROM (
+          SELECT q_id, doc_id, rrf, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+          FROM fused)
+        WHERE rank <= 5""")),
+
     // POSTINGS UPSERT — the lexical index gets the SAME lifecycle
     // verbs the vector index has (build → probe → upsert): new
     // documents land in the WRITE-OPTIMIZED epoch-versioned postings

@@ -1429,6 +1429,43 @@ class OperatorSpec extends AnyFunSuite {
         plan.take(2000))
   }
 
+  test("hybrid stream: both streamed-front sides are bucketed artifact probes, exchange-free below their joins") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("q_llm_hybrid_search_stream")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    def scanIdxs(t: String): Seq[Int] = lines.zipWithIndex
+      .collect { case (l, i) if l.contains("FileScan") && l.contains(t) => i }
+    // the speed layer reads the same artifact classes: the streamed
+    // postings table + the epoch-3 df on the lexical side; BOTH cells
+    // relations (committed + realtime segment) on the vector side —
+    // every scan bucketed, no shuffle feeding any of them (the
+    // hybrid-live discipline carried to the streamed fronts)
+    Seq("graft_post_ep_", "graft_post_df_pe",
+        "graft_ivf_cells_", "graft_ivf_seg_")
+      .foreach { t =>
+        val is = scanIdxs(t)
+        assert(is.nonEmpty,
+          s"hybrid-stream no longer scans $t:\n${plan.take(1500)}")
+        is.foreach { i =>
+          assert(lines(i).contains("Bucketed: true"),
+            s"a $t scan lost its bucketing")
+          val above = lines.slice(math.max(0, i - 5), i)
+          assert(!above.exists(_.contains("Exchange hashpartitioning")),
+            s"a shuffle feeds a $t scan:\n${above.mkString("\n")}")
+        }
+      }
+    // literal-cid pruning engaged on both cells scans (committed and
+    // segment prune with the same routed-cid pushdown)
+    assert("SelectedBucketsCount".r.findAllIn(plan).size >= 2,
+      s"cells/segment scans lost bucket pruning:\n${plan.take(2000)}")
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1,
+      s"$smj sort-merge joins — an index side was shuffled:\n" +
+        plan.take(2000))
+  }
+
   test("postings delete: tombstones judged over the estate, df decrement exact, compaction row-exact, both read paths agree") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
