@@ -1613,6 +1613,28 @@ object LlmSim extends QueryModule {
       },
       oracle = Some(postingsDeleteOracleSql)),
 
+    // POSTINGS CATCH-UP COMPACTION — the batch-cadence curation cycle
+    // CATCHING UP with the streamed tail (the lexical analogue of the
+    // vector segment fold, and the verb that ends the speed layer's
+    // stated uncurated window): keep-newest re-judged over base ∪
+    // both batch waves ∪ the STREAMED wave (wave docs are re-crawls —
+    // their sources get superseded exactly like the batch arrivals'
+    // did), then ONE COW rewrite lands the live pair with epoch
+    // partitions 0..3 collapsed — absorption IS the fold on the
+    // lexical side, since partitions are the storage — and df
+    // decremented, zero-df words dropped. The oracle re-derives the
+    // whole streamed estate and the curation from scratch via the
+    // SAME keep-newest + survivor-probe tail the batch-cadence pair
+    // gates on (one derivation, two estates).
+    "q_llm_postings_stream_compact" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (postL, dfL) = persistedPostingsCompactedStream(s, dir)
+        lexRank(postL, lexQterms(s, dir), _.join(dfL, Seq("w")), 5)
+          .select($"q_id", $"rank", $"doc_id", $"su")
+      },
+      oracle = Some(postingsStreamCompactOracleSql)),
+
     // MMR DIVERSIFIED TOP-K — maximal marginal relevance (Carbonell &
     // Goldstein 1998, public) over the IVF-routed candidate pool: the
     // selection step a curation pipeline runs when it wants RELEVANT
@@ -5431,6 +5453,56 @@ object LlmSim extends QueryModule {
     (postL, dfL)
   }
 
+  /** Curation CATCH-UP over the streamed estate — the lexical
+    * analogue of the vector segment fold: the next batch-cadence
+    * curation cycle re-judges keep-newest over base ∪ both batch
+    * waves ∪ the STREAMED wave (the wave docs are re-crawls, so their
+    * sources get superseded exactly like the batch arrivals' did),
+    * landing the verdicts as an O(deleted) tombstone artifact named
+    * with the STREAM epoch it absorbed. This is the verb that ENDS
+    * the speed layer's stated uncurated window. */
+  private[graft] def persistedPostingsTombstonesStream(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    streamedPostingsIngest(s, dir) // verdicts target the streamed estate
+    LlmText.writeOnceTable(s,
+      s"graft_post_tomb_se${PostingsStreamEpoch}_${math.abs(dir.hashCode)}",
+      Seq("doc_id"), {
+        val docs = postingsEstateDocs(s, dir)
+          .unionByName(postingsDeltaDocs(s, dir, PostingsStreamEpoch))
+        docs.join(docs.groupBy($"text")
+            .agg(max($"doc_id").as("keep_id")), Seq("text"))
+          .filter($"doc_id" =!= $"keep_id")
+          .select($"doc_id")
+      })
+  }
+
+  /** COW compaction of the streamed estate: the catch-up verdicts
+    * folded into one live pair — epoch partitions 0..3 collapsed
+    * (the streamed partition included: absorption IS the fold on the
+    * lexical side), df decremented by the dropped docs' per-word
+    * counts, zero-df words gone. The [[persistedPostingsCompacted]]
+    * machinery over the larger estate, epoch-named with the stream
+    * epoch it absorbed. */
+  private[graft] def persistedPostingsCompactedStream(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val h = math.abs(dir.hashCode)
+    val (post, df) = streamedPostingsIngest(s, dir)
+    val tomb = persistedPostingsTombstonesStream(s, dir)
+      .select($"doc_id")
+    val postL = LlmText.writeOnceTable(s,
+      s"graft_post_live_se${PostingsStreamEpoch}_$h", Seq("w"),
+      post.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .select($"w", $"doc_id", $"tf"))
+    val dfL = LlmText.writeOnceTable(s,
+      s"graft_post_df_live_se${PostingsStreamEpoch}_$h", Seq("w"),
+      df.join(postingsDfDel(post, tomb), Seq("w"), "left")
+        .select($"w", ($"df" - coalesce($"dfd", lit(0L))).as("df"))
+        .filter($"df" > 0))
+    (postL, dfL)
+  }
+
   /** The full-estate CTE fragment shared by the epoch-2 probe, the
     * delete pair's oracle, and the health report: both arrival
     * batches re-derived, estate tokenized. Defines nd, nd2, alld,
@@ -5456,9 +5528,13 @@ object LlmSim extends QueryModule {
     * re-derived from scratch over the survivors (which equals
     * estate-postings − tombstoned rows and estate-df − decrements:
     * doc sets are disjoint, counts subtract exactly). */
-  private lazy val postingsDeleteOracleSql: String = s"""
-        WITH $postingsEstateSql,
-        live AS (
+  /** The keep-newest curation + survivor-probe TAIL shared by every
+    * lexical delete oracle — appended after an estate CTE set that
+    * defines `alld` (the judged doc estate) and `tok`: 2-batch estate
+    * for the batch-cadence pair, streamed estate for the catch-up
+    * compaction. ONE derivation so the curation rule and the survivor
+    * scoring cannot drift between the estates they are judged over. */
+  private val postingsKeepNewestProbeSql: String = s"""live AS (
           SELECT max(doc_id) AS doc_id, text FROM alld GROUP BY text),
         ltok AS (
           SELECT w, doc_id, count(*) AS tf FROM (
@@ -5480,6 +5556,16 @@ object LlmSim extends QueryModule {
             PARTITION BY q_id ORDER BY su DESC, doc_id) AS INT) AS rank
           FROM tsc)
         WHERE rank <= 5"""
+
+  private lazy val postingsDeleteOracleSql: String = s"""
+        WITH $postingsEstateSql,
+        $postingsKeepNewestProbeSql"""
+
+  /** The same curation + probe tail judged over the STREAMED estate
+    * — the catch-up compaction's oracle. */
+  private lazy val postingsStreamCompactOracleSql: String = s"""
+        WITH $postingsEstateStreamSql,
+        $postingsKeepNewestProbeSql"""
 
   /** Per-row (word, tf) pairs of one document via SORTED RUNS — the
     * shuffle-free tokenizer of the streaming postings encode.

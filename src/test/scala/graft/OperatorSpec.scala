@@ -1506,6 +1506,34 @@ class OperatorSpec extends AnyFunSuite {
       "live-tombstone and compacted probes disagree")
   }
 
+  test("postings catch-up compaction: streamed estate curated, verdicts extend the batch set, row-exact fold") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (post, df) = LlmSim.streamedPostingsIngest(spark, sf)
+    val batchTomb = LlmSim.persistedPostingsTombstones(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val tomb = LlmSim.persistedPostingsTombstonesStream(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    // the catch-up judges a SUPERSET estate with the same rule: every
+    // batch-cadence verdict stands, and the streamed wave's re-crawl
+    // sources join the drop set
+    assert(batchTomb.subsetOf(tomb),
+      "catch-up curation reversed a batch-cadence verdict")
+    assert((tomb -- batchTomb).nonEmpty,
+      "the streamed wave's sources were never superseded")
+    val (postL, dfL) = LlmSim.persistedPostingsCompactedStream(spark, sf)
+    val deadRows = post.filter($"doc_id".isInCollection(tomb)).count()
+    assert(postL.count() === post.count() - deadRows,
+      "catch-up compaction dropped or kept the wrong posting rows")
+    assert(postL.filter($"doc_id".isInCollection(tomb)).count() === 0L)
+    val scratch = postL.groupBy($"w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(dfL.as[(String, Long)].collect().toMap === scratch,
+      "catch-up df diverges from a from-scratch derive over survivors")
+    assert(df.count() >= dfL.count(), "compacted vocab grew")
+  }
+
   /** The streamed-ingest crash tests drive a FRESH wave from scratch,
     * but CorpusSpec's run-every-query smoke may already have ingested
     * (suite order is not ours to pin) — so they run against an ALIAS
