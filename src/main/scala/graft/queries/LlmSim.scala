@@ -1225,23 +1225,8 @@ object LlmSim extends QueryModule {
     // ≤20·|q|-row frames — metadata-sized at any corpus.
     "q_llm_hybrid_search" -> QueryDef(
       fn = (s, dir) => {
-        import s.implicits._
-        val trank = lexicalTopK(s, dir, 20)
-        val q = embDoubles(s, dir).filter($"vec_id" < 5)
-          .select($"vec_id".as("q_id"), $"v".as("qv"))
-        val routed = probeCells(q,
-          centArrOf(persistedIvfCent(s, dir)), IvfPNprobe)
-        val cids =
-          routed.select($"cid").distinct().as[Int].collect().sorted
-        val vsc = routed
-          .join(persistedIvfCells(s, dir).filter(inSetCol($"cid", cids)),
-            Seq("cid"))
-          .filter($"q_id" =!= $"vec_id")
-          .withColumn("cos", V.cosine($"qv", $"v"))
-        val vrank = rankedTopK(vsc, "q_id",
-            Seq(("cos", true), ("vec_id", false)), 20)
-          .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vr"))
-        rrfFuse(trank, vrank)
+        rrfFuse(lexicalTopK(s, dir, 20),
+          hybridVectorArm(s, dir, persistedIvfCells(s, dir), 20))
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
@@ -1410,22 +1395,9 @@ object LlmSim extends QueryModule {
         val trank = lexRank(post3, lexQterms(s, dir),
             _.join(df3, Seq("w")), 20)
           .select($"q_id", $"doc_id", $"rank".as("tr"))
-        val cells = persistedIvfCells(s, dir)
-          .unionByName(streamedIvfSegment(s, dir))
-        val q = embDoubles(s, dir).filter($"vec_id" < 5)
-          .select($"vec_id".as("q_id"), $"v".as("qv"))
-        val routed = probeCells(q,
-          centArrOf(persistedIvfCent(s, dir)), IvfPNprobe)
-        val cids =
-          routed.select($"cid").distinct().as[Int].collect().sorted
-        val vsc = routed
-          .join(cells.filter(inSetCol($"cid", cids)), Seq("cid"))
-          .filter($"q_id" =!= $"vec_id")
-          .withColumn("cos", V.cosine($"qv", $"v"))
-        val vrank = rankedTopK(vsc, "q_id",
-            Seq(("cos", true), ("vec_id", false)), 20)
-          .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vr"))
-        rrfFuse(trank, vrank)
+        rrfFuse(trank, hybridVectorArm(s, dir,
+          persistedIvfCells(s, dir)
+            .unionByName(streamedIvfSegment(s, dir)), 20))
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
@@ -5388,18 +5360,27 @@ object LlmSim extends QueryModule {
     * compaction cycle). */
   private[graft] def persistedPostingsTombstones(
       s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     postingsEpoch(s, dir, PostingsBatches) // verdicts target the full estate
-    LlmText.writeOnceTable(s,
+    keepNewestTombstones(s,
       s"graft_post_tomb_pe${PostingsBatches}_${math.abs(dir.hashCode)}",
-      Seq("doc_id"), {
-        val docs = postingsEstateDocs(s, dir)
-        docs.join(docs.groupBy($"text")
-            .agg(max($"doc_id").as("keep_id")), Seq("text"))
-          .filter($"doc_id" =!= $"keep_id")
-          .select($"doc_id")
-      })
+      postingsEstateDocs(s, dir))
   }
+
+  /** The ONE keep-newest verdict derivation, shared by both estates
+    * (the oracle tail's one-derivation discipline carried to the
+    * Scala side): per distinct text, every doc but the largest id
+    * drops — a fix to the curation rule lands on every estate or
+    * none. */
+  private def keepNewestTombstones(
+      s: SparkSession, tbl: String, docs: => DataFrame): DataFrame =
+    LlmText.writeOnceTable(s, tbl, Seq("doc_id"), {
+      import s.implicits._
+      val d = docs
+      d.join(d.groupBy($"text").agg(max($"doc_id").as("keep_id")),
+          Seq("text"))
+        .filter($"doc_id" =!= $"keep_id")
+        .select($"doc_id")
+    })
 
   /** The df DECREMENT of a tombstone set: per-word doc counts of the
     * deleted docs' postings — df is corpus-global, so a deleted doc
@@ -5438,15 +5419,28 @@ object LlmSim extends QueryModule {
   private[graft] def persistedPostingsCompacted(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val h = math.abs(dir.hashCode)
     val (post, df) = postingsEpoch(s, dir, PostingsBatches)
-    val tomb = persistedPostingsTombstones(s, dir).select($"doc_id")
+    compactedPostingsPair(s,
+      s"pe${PostingsBatches}_${math.abs(dir.hashCode)}", post, df,
+      persistedPostingsTombstones(s, dir).select($"doc_id"))
+  }
+
+  /** The ONE COW compaction of a postings pair against a tombstone
+    * set, shared by both estates: live postings (broadcast anti-join,
+    * epoch partitions collapsed) and decremented df (zero-df words
+    * dropped — no surviving posting can reach them). A change to the
+    * fold (the decrement, the broadcast escape hatch) lands on every
+    * estate or none. */
+  private def compactedPostingsPair(
+      s: SparkSession, tag: String, post: DataFrame, df: DataFrame,
+      tomb: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
     val postL = LlmText.writeOnceTable(s,
-      s"graft_post_live_pe${PostingsBatches}_$h", Seq("w"),
+      s"graft_post_live_$tag", Seq("w"),
       post.join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .select($"w", $"doc_id", $"tf"))
     val dfL = LlmText.writeOnceTable(s,
-      s"graft_post_df_live_pe${PostingsBatches}_$h", Seq("w"),
+      s"graft_post_df_live_$tag", Seq("w"),
       df.join(postingsDfDel(post, tomb), Seq("w"), "left")
         .select($"w", ($"df" - coalesce($"dfd", lit(0L))).as("df"))
         .filter($"df" > 0))
@@ -5463,18 +5457,11 @@ object LlmSim extends QueryModule {
     * the speed layer's stated uncurated window. */
   private[graft] def persistedPostingsTombstonesStream(
       s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     streamedPostingsIngest(s, dir) // verdicts target the streamed estate
-    LlmText.writeOnceTable(s,
+    keepNewestTombstones(s,
       s"graft_post_tomb_se${PostingsStreamEpoch}_${math.abs(dir.hashCode)}",
-      Seq("doc_id"), {
-        val docs = postingsEstateDocs(s, dir)
-          .unionByName(postingsDeltaDocs(s, dir, PostingsStreamEpoch))
-        docs.join(docs.groupBy($"text")
-            .agg(max($"doc_id").as("keep_id")), Seq("text"))
-          .filter($"doc_id" =!= $"keep_id")
-          .select($"doc_id")
-      })
+      postingsEstateDocs(s, dir)
+        .unionByName(postingsDeltaDocs(s, dir, PostingsStreamEpoch)))
   }
 
   /** COW compaction of the streamed estate: the catch-up verdicts
@@ -5487,20 +5474,10 @@ object LlmSim extends QueryModule {
   private[graft] def persistedPostingsCompactedStream(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val h = math.abs(dir.hashCode)
     val (post, df) = streamedPostingsIngest(s, dir)
-    val tomb = persistedPostingsTombstonesStream(s, dir)
-      .select($"doc_id")
-    val postL = LlmText.writeOnceTable(s,
-      s"graft_post_live_se${PostingsStreamEpoch}_$h", Seq("w"),
-      post.join(broadcast(tomb), Seq("doc_id"), "left_anti")
-        .select($"w", $"doc_id", $"tf"))
-    val dfL = LlmText.writeOnceTable(s,
-      s"graft_post_df_live_se${PostingsStreamEpoch}_$h", Seq("w"),
-      df.join(postingsDfDel(post, tomb), Seq("w"), "left")
-        .select($"w", ($"df" - coalesce($"dfd", lit(0L))).as("df"))
-        .filter($"df" > 0))
-    (postL, dfL)
+    compactedPostingsPair(s,
+      s"se${PostingsStreamEpoch}_${math.abs(dir.hashCode)}", post, df,
+      persistedPostingsTombstonesStream(s, dir).select($"doc_id"))
   }
 
   /** The full-estate CTE fragment shared by the epoch-2 probe, the
@@ -5523,11 +5500,6 @@ object LlmSim extends QueryModule {
             FROM alld)
           GROUP BY w, doc_id)"""
 
-  /** ONE oracle for BOTH lexical delete read paths: survivors =
-    * keep-newest per distinct text over the estate, postings + df
-    * re-derived from scratch over the survivors (which equals
-    * estate-postings − tombstoned rows and estate-df − decrements:
-    * doc sets are disjoint, counts subtract exactly). */
   /** The keep-newest curation + survivor-probe TAIL shared by every
     * lexical delete oracle — appended after an estate CTE set that
     * defines `alld` (the judged doc estate) and `tok`: 2-batch estate
@@ -5557,6 +5529,11 @@ object LlmSim extends QueryModule {
           FROM tsc)
         WHERE rank <= 5"""
 
+  /** ONE oracle for BOTH lexical delete read paths: survivors =
+    * keep-newest per distinct text over the estate, postings + df
+    * re-derived from scratch over the survivors (which equals
+    * estate-postings − tombstoned rows and estate-df − decrements:
+    * doc sets are disjoint, counts subtract exactly). */
   private lazy val postingsDeleteOracleSql: String = s"""
         WITH $postingsEstateSql,
         $postingsKeepNewestProbeSql"""
@@ -5629,6 +5606,30 @@ object LlmSim extends QueryModule {
     * the fusion constant, tie-break, and output shape cannot drift
     * between the two gated queries (the postingsDeltaDocs one-fixture
     * discipline applied to the fusion arithmetic). */
+  /** The hybrid queries' VECTOR ARM — route against the frozen base
+    * centroids, collect the metadata-sized cid set, bucket-pruned
+    * join onto `cells`, top-`k` rank: ONE derivation shared by the
+    * snapshot hybrid (committed cells) and the streamed-front hybrid
+    * (committed ∪ segment), the [[rrfFuse]]/[[lexQterms]]
+    * one-derivation discipline applied to the probe block itself.
+    * (The curated-committed hybrid rides [[maintTombProbe]] instead —
+    * its routing uses the MAINTAINED centroids and carries the
+    * tombstone anti-join.) */
+  private def hybridVectorArm(s: SparkSession, dir: String,
+                              cells: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val q = embDoubles(s, dir).filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val routed = probeCells(q,
+      centArrOf(persistedIvfCent(s, dir)), IvfPNprobe)
+    val cids = routed.select($"cid").distinct().as[Int].collect().sorted
+    val vsc = routed.join(cells.filter(inSetCol($"cid", cids)), Seq("cid"))
+      .filter($"q_id" =!= $"vec_id")
+      .withColumn("cos", V.cosine($"qv", $"v"))
+    rankedTopK(vsc, "q_id", Seq(("cos", true), ("vec_id", false)), k)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vr"))
+  }
+
   private def rrfFuse(trank: DataFrame, vrank: DataFrame): DataFrame = {
     import trank.sparkSession.implicits._
     val fused = trank.join(vrank, Seq("q_id", "doc_id"), "full")
