@@ -2542,6 +2542,124 @@ object LlmSim extends QueryModule {
           resplit_rows
         FROM gagg CROSS JOIN gseg""")),
 
+    // STREAMED TAIL ON THE COMPRESSED PATH — the ADC probe that can
+    // see mid-stream arrivals: the codes segment (streamedRpqSegment
+    // — the q_stream_rpq_encode chain LANDED exactly-once instead of
+    // only emitted) unions with the committed residual-PQ index, the
+    // cells segment unions with the committed cells for the exact
+    // rerank, and the standard two-stage probe (ADC top-R over 8-byte
+    // codes → exact cosine rerank) runs over both. At 100 TB the
+    // compressed path is what a probe actually scans — a streamed
+    // tail invisible to it would make the realtime story byte-hollow.
+    // Query 19's twin must surface THROUGH the ADC cut (the codes are
+    // good enough to shortlist it, not just the exact rerank); the
+    // oracle re-derives the frozen-codebook wave encoding in SQL and
+    // runs the same two stages over base ∪ wave.
+    "q_llm_rpq_stream_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val idx = persistedRpqIdx(s, dir)
+          .unionByName(streamedRpqSegment(s, dir))
+        val cells = persistedIvfCells(s, dir)
+          .unionByName(streamedIvfSegment(s, dir))
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          persistedIvfCent(s, dir), idx, cells, rpqCbArr(s, dir),
+          PqTopR, residual = true)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        resid AS (
+          SELECT cl.cid, cl.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> cl.v[i] - ct.cv[i]) AS v
+          FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
+        ${pqSqlFrom("resid")},
+        ns AS (
+          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
+            list_transform(v, x -> x * 0.9 + 0.01) AS v
+          FROM e WHERE vec_id % 7 = 5),
+        nscells AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT ns.vec_id, ns.v, c.cid,
+              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
+                ${d2Sql("ns.v", "c.cv")}, c.cid) AS rn
+            FROM ns CROSS JOIN cent c)
+          WHERE rn = 1),
+        nsresid AS (
+          SELECT nc.cid, nc.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> nc.v[i] - ct.cv[i]) AS v
+          FROM nscells nc JOIN cent ct ON ct.cid = nc.cid),
+        nssubs AS (
+          SELECT vec_id, m,
+            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM nsresid CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        nscodes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u0.vec_id, u0.m, c0.code,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM nssubs u0 JOIN pcb c0 ON u0.m = c0.m)
+          WHERE rn = 1
+          GROUP BY vec_id),
+        allidx AS (
+          SELECT vec_id, codes FROM pidx
+          UNION ALL SELECT vec_id, codes FROM nscodes),
+        allcells AS (
+          SELECT * FROM cells UNION ALL SELECT * FROM nscells),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= 19 AND vec_id < 24),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN cent c)
+          WHERE rn <= $IvfPNprobe),
+        qres AS (
+          SELECT p.q_id, p.cid,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> p.qv[i] - c.cv[i]) AS qr
+          FROM probes p JOIN cent c ON c.cid = p.cid),
+        cand AS (
+          SELECT p.q_id, p.qr, cl.vec_id
+          FROM qres p
+            JOIN allcells cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
+        candc AS (
+          SELECT c.q_id, c.qr, c.vec_id, i.codes
+          FROM cand c JOIN allidx i ON i.vec_id = c.vec_id),
+        aterms AS (
+          SELECT c.q_id, c.vec_id, t.m,
+            ${d2Sql(
+              s"c.qr[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
+              "pb.cv")} AS t
+          FROM candc c
+            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
+            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
+        adc AS (
+          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS adc
+          FROM aterms GROUP BY q_id, vec_id),
+        topr AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= $PqTopR),
+        scored AS (
+          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
+          FROM topr t
+            JOIN q ON q.q_id = t.q_id
+            JOIN allcells cl ON cl.vec_id = t.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3""")),
+
     // STREAMING RESIDUAL ENCODE — the online form of the TEXTBOOK
     // IVF-PQ ingest: route each arrival to its cell (NearestCell
     // against the centroid literal), subtract that cell's centroid,
@@ -4051,7 +4169,12 @@ object LlmSim extends QueryModule {
     * no state store, no shuffle (plan-asserted in OperatorSpec), so
     * it runs verbatim on a stream (q_stream_rpq_encode) and as a
     * map-only batch pass. */
-  private[graft] def rpqEncodeChain(s: SparkSession, dir: String,
+  /** Route → residual → frozen-codebook encode as (cid, vec_id,
+    * codes) — the landable form ([[persistedRpqIdx]]'s exact column
+    * shape, so the codes segment unions with the committed index);
+    * [[rpqEncodeChain]] is this plus the string join the streaming
+    * memory-sink gate hashes. */
+  private[graft] def rpqEncodeCodes(s: SparkSession, dir: String,
                                     df: DataFrame): DataFrame = {
     import s.implicits._
     val cbs = pqCbStructs(persistedRpqCb(s, dir))
@@ -4067,10 +4190,18 @@ object LlmSim extends QueryModule {
           IndexedSeq.fill(PqM * PqSubDim)(0.0)): Seq[Double]))
     df.select($"vec_id",
         graft.plans.NearestCell($"v", centsLit).as("cid"), $"v")
-      .select($"vec_id", $"cid",
-        array_join(pqEncodeCol(
+      .select($"cid", $"vec_id",
+        pqEncodeCol(
           zip_with($"v", cvLit($"cid"), (x, y) => x - y),
-          cbs), ",").as("codes_s"))
+          cbs).as("codes"))
+  }
+
+  private[graft] def rpqEncodeChain(s: SparkSession, dir: String,
+                                    df: DataFrame): DataFrame = {
+    import s.implicits._
+    rpqEncodeCodes(s, dir, df)
+      .select($"vec_id", $"cid",
+        array_join($"codes", ",").as("codes_s"))
   }
 
   /** One residual-PQ probe: [[pqProbeCore]] with `residual = true` —
@@ -4353,13 +4484,32 @@ object LlmSim extends QueryModule {
     * crash+resume path is driven in the spec. */
   private[graft] def streamedIvfSegment(
       s: SparkSession, dir: String,
-      chaos: Long => Unit = _ => ()): DataFrame =
+      chaos: Long => Unit = _ => ()): DataFrame = {
+    val cent = persistedIvfCent(s, dir)
+    streamedVectorSegment(s, dir, ivfSegTableName(dir),
+      "ivf-stream-seg", ivfCellsOf(_, cent), chaos)
+  }
+
+  /** The SEGMENT-LANDING skeleton shared by the exact-cells segment
+    * ([[streamedIvfSegment]]) and the compressed-codes segment
+    * ([[streamedRpqSegment]]) — one protocol, two encodings (the
+    * one-derivation discipline on the landing machinery itself):
+    * fresh-catalog wipe + empty bucketed pre-create, the shared wave
+    * materialization, per-micro-batch `encode` → marker-guarded
+    * exactly-once append (committed fast path first — a re-delivered
+    * batch pays no encode; no `return` in the closure, a non-local
+    * return from foreachBatch throws across the stream thread),
+    * durable checkpoint under the table dir, atomic sealed pointer
+    * after the drain. `encode` must emit (cid, vec_id, …) — cid the
+    * bucket key, vec_id the per-batch-disjoint recovery key. */
+  private def streamedVectorSegment(
+      s: SparkSession, dir: String, segT: String, txnPrefix: String,
+      encode: DataFrame => DataFrame,
+      chaos: Long => Unit): DataFrame =
     ivfSegLock.synchronized {
       import s.implicits._
-      val segT = ivfSegTableName(dir)
       val segDir = graft.operators.TxnMarker.managedTableDir(s, segT)
       val sealedF = new java.io.File(segDir, "_graft_seg_sealed")
-      val cent = persistedIvfCent(s, dir)
       if (!s.catalog.tableExists(segT)) {
         // fresh catalog: wipe any stale segment — files, markers,
         // sealed pointer, checkpoint reset as one (the postings
@@ -4367,7 +4517,7 @@ object LlmSim extends QueryModule {
         // table so every appender (and the durable checkpoint under
         // the dir) extends a registered bucket spec
         graft.operators.TxnMarker.rmTree(segDir)
-        ivfCellsOf(ivfStreamWave(s, dir).limit(0), cent)
+        encode(ivfStreamWave(s, dir).limit(0))
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "cid").sortBy("cid").saveAsTable(segT)
       }
@@ -4384,14 +4534,9 @@ object LlmSim extends QueryModule {
           .parquet(s"$waveDir/in")
           .writeStream
           .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-            val txn = s"ivf-stream-seg-b$batchId"
-            // committed fast path: a re-delivered batch must not pay
-            // routing + a localCheckpoint just to be no-op'd
-            // (appendOnce re-checks under its mutex; no `return` here
-            // — a non-local return from a foreachBatch closure throws
-            // across the stream thread)
+            val txn = s"$txnPrefix-b$batchId"
             if (!graft.operators.TxnMarker.isCommitted(segDir, txn)) {
-              val routed = ivfCellsOf(bdf, cent).localCheckpoint()
+              val routed = encode(bdf).localCheckpoint()
               try
                 graft.operators.TxnMarker.appendOnce(segDir,
                   txn = txn,
@@ -4417,6 +4562,27 @@ object LlmSim extends QueryModule {
       }
       s.table(segT)
     }
+
+  /** The COMPRESSED-codes segment: the same streamed wave landed on
+    * the residual-PQ read path — each micro-batch routes to its base
+    * cell, subtracts that centroid, and encodes against the FROZEN
+    * residual codebooks IN FLIGHT ([[rpqEncodeCodes]] — the
+    * q_stream_rpq_encode chain, now LANDED instead of only emitted),
+    * exactly-once into a cid-bucketed codes segment. With it the
+    * streamed tail is servable on BOTH vector read paths: exact
+    * cosine (cells segment) and ADC over 8-byte codes (this one) —
+    * at 100 TB the compressed path is the one a probe actually scans,
+    * so a tail invisible to it would make the realtime story
+    * byte-hollow. Shares [[streamedVectorSegment]] whole: protocol
+    * changes land on both encodings or neither. */
+  private[graft] def streamedRpqSegment(
+      s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => ()): DataFrame = {
+    persistedRpqIdx(s, dir): Unit // frozen codebooks + committed codes
+    streamedVectorSegment(s, dir,
+      s"graft_ivf_segrpq_${math.abs(dir.hashCode)}",
+      "ivf-stream-segrpq", rpqEncodeCodes(s, dir, _), chaos)
+  }
 
   // ---- Committed index maintenance (split/merge writeback) ----------
 

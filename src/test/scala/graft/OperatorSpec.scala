@@ -1688,6 +1688,34 @@ class OperatorSpec extends AnyFunSuite {
       s"fold left $over overgrown cells on a corpus where cycle 2 left none")
   }
 
+  test("streamed codes segment: landed codes equal the batch encode, twin shortlists through the ADC cut") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val segC = LlmSim.streamedRpqSegment(spark, sf)
+    val wave = LlmSim.ivfStreamWave(spark, sf)
+    assert(segC.count() === wave.count(),
+      "codes segment row count diverges from the wave")
+    // the landed codes ARE the frozen-codebook batch encode — the
+    // stream-time per-micro-batch encode and a one-shot batch encode
+    // of the whole wave must agree row for row
+    val landed = segC
+      .select($"cid", $"vec_id", array_join($"codes", ",").as("c"))
+      .as[(Int, Long, String)].collect().toSet
+    val batch = LlmSim.rpqEncodeCodes(spark, sf, wave)
+      .select($"cid", $"vec_id", array_join($"codes", ",").as("c"))
+      .as[(Int, Long, String)].collect().toSet
+    assert(landed === batch,
+      "stream-landed codes diverge from the batch frozen-codebook encode")
+    // the compressed read path sees the tail: query 19's streamed
+    // twin must survive the ADC shortlist and land at rank 1
+    val top = SparkEntry.queries("q_llm_rpq_stream_probe")(spark, sf)
+      .filter($"q_id" === 19 && $"rank" === 1)
+      .select($"vec_id").as[Long].collect()
+    assert(top.sameElements(Array(19L + 2 * LlmSim.ArrivalIdBase)),
+      s"query 19's twin lost by the ADC cut: ${top.mkString(",")}")
+  }
+
   test("maintained-epoch deletes: tombstones within the epoch, compaction row-exact, plans differ") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
