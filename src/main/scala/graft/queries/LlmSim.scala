@@ -1085,55 +1085,7 @@ object LlmSim extends QueryModule {
             FROM msubs u0 JOIN pcb c0 ON u0.m = c0.m)
           WHERE rn = 1
           GROUP BY vec_id),
-        q AS (SELECT vec_id AS q_id, v AS qv FROM e
-          WHERE vec_id >= 15 AND vec_id < 20),
-        probes AS (
-          SELECT q_id, qv, cid FROM (
-            SELECT q.q_id, q.qv, c.cid,
-              row_number() OVER (PARTITION BY q.q_id ORDER BY
-                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
-            FROM q CROSS JOIN mcent c)
-          WHERE rn <= $IvfPNprobe),
-        qres AS (
-          SELECT p.q_id, p.cid,
-            list_transform(range(1, ${PqM * PqSubDim + 1}),
-              i -> p.qv[i] - c.cv[i]) AS qr
-          FROM probes p JOIN mcent c ON c.cid = p.cid),
-        cand AS (
-          SELECT p.q_id, p.qr, cl.vec_id
-          FROM qres p
-            JOIN relab cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
-        candc AS (
-          SELECT c.q_id, c.qr, c.vec_id, i.codes
-          FROM cand c JOIN mcodes i ON i.vec_id = c.vec_id),
-        aterms AS (
-          SELECT c.q_id, c.vec_id, t.m,
-            ${d2Sql(
-              s"c.qr[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
-              "pb.cv")} AS t
-          FROM candc c
-            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
-            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
-        adc AS (
-          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
-            list(t ORDER BY m)), (x, y) -> x + y) AS adc
-          FROM aterms GROUP BY q_id, vec_id),
-        topr AS (
-          SELECT q_id, vec_id FROM (
-            SELECT q_id, vec_id, row_number() OVER (
-              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
-            FROM adc)
-          WHERE rn <= $PqTopR),
-        scored AS (
-          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
-          FROM topr t
-            JOIN q ON q.q_id = t.q_id
-            JOIN relab cl ON cl.vec_id = t.vec_id)
-        SELECT q_id, rank, vec_id, cos FROM (
-          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-          FROM scored)
-        WHERE rank <= 3""")),
+        ${rpqProbeTailSql("mcent", "relab", "mcodes", 15, 20)}""")),
 
     // INDEX DELETES — the lifecycle verb the chain lacked: curation
     // drops (the semdedup θ=0.30 verdicts — dedup feeding its own
@@ -1418,17 +1370,7 @@ object LlmSim extends QueryModule {
               PARTITION BY q_id ORDER BY su DESC, doc_id) AS rn
             FROM tsc)
           WHERE rn <= 20),
-        ns AS (
-          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
-            list_transform(v, x -> x * 0.9 + 0.01) AS v
-          FROM e WHERE vec_id % 7 = 5),
-        nscells AS (
-          SELECT vec_id, v, cid FROM (
-            SELECT ns.vec_id, ns.v, c.cid,
-              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
-                ${d2Sql("ns.v", "c.cv")}, c.cid) AS rn
-            FROM ns CROSS JOIN cent c)
-          WHERE rn = 1),
+        ${waveCellsSql()},
         allcells AS (
           SELECT * FROM cells UNION ALL SELECT * FROM nscells),
         qv AS (SELECT vec_id AS q_id, v AS qv FROM e
@@ -1836,54 +1778,7 @@ object LlmSim extends QueryModule {
               i -> cl.v[i] - ct.cv[i]) AS v
           FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
         ${pqSqlFrom("resid")},
-        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-        probes AS (
-          SELECT q_id, qv, cid FROM (
-            SELECT q.q_id, q.qv, c.cid,
-              row_number() OVER (PARTITION BY q.q_id ORDER BY
-                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
-            FROM q CROSS JOIN cent c)
-          WHERE rn <= $IvfPNprobe),
-        qres AS (
-          SELECT p.q_id, p.cid,
-            list_transform(range(1, ${PqM * PqSubDim + 1}),
-              i -> p.qv[i] - c.cv[i]) AS qr
-          FROM probes p JOIN cent c ON c.cid = p.cid),
-        cand AS (
-          SELECT p.q_id, p.qr, cl.vec_id
-          FROM qres p
-            JOIN cells cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
-        candc AS (
-          SELECT c.q_id, c.qr, c.vec_id, i.codes
-          FROM cand c JOIN pidx i ON i.vec_id = c.vec_id),
-        aterms AS (
-          SELECT c.q_id, c.vec_id, t.m,
-            ${d2Sql(
-              s"c.qr[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
-              "pb.cv")} AS t
-          FROM candc c
-            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
-            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
-        adc AS (
-          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
-            list(t ORDER BY m)), (x, y) -> x + y) AS adc
-          FROM aterms GROUP BY q_id, vec_id),
-        topr AS (
-          SELECT q_id, vec_id FROM (
-            SELECT q_id, vec_id, row_number() OVER (
-              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
-            FROM adc)
-          WHERE rn <= $PqTopR),
-        scored AS (
-          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
-          FROM topr t
-            JOIN q ON q.q_id = t.q_id
-            JOIN cells cl ON cl.vec_id = t.vec_id)
-        SELECT q_id, rank, vec_id, cos FROM (
-          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-          FROM scored)
-        WHERE rank <= 3""")),
+        ${rpqProbeTailSql("cent", "cells", "pidx", 0, 5)}""")),
 
     // PQ INDEX UPSERT — the maintenance half of the IVF-PQ lifecycle,
     // mirroring q_llm_ann_index_upsert on the CODED index: arrivals
@@ -2440,17 +2335,7 @@ object LlmSim extends QueryModule {
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
-        ns AS (
-          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
-            list_transform(v, x -> x * 0.9 + 0.01) AS v
-          FROM e WHERE vec_id % 7 = 5),
-        nscells AS (
-          SELECT vec_id, v, cid FROM (
-            SELECT ns.vec_id, ns.v, c.cid,
-              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
-                ${d2Sql("ns.v", "c.cv")}, c.cid) AS rn
-            FROM ns CROSS JOIN cent c)
-          WHERE rn = 1),
+        ${waveCellsSql()},
         allcells AS (
           SELECT * FROM cells UNION ALL SELECT * FROM nscells),
         probes AS (
@@ -2506,17 +2391,7 @@ object LlmSim extends QueryModule {
       oracle = Some(s"""
         WITH $ivfCellsSql,
         $maintChainSql,
-        ns AS (
-          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
-            list_transform(v, x -> x * 0.9 + 0.01) AS v
-          FROM e WHERE vec_id % 7 = 5),
-        fsc AS (
-          SELECT vec_id, v, cid FROM (
-            SELECT ns.vec_id, ns.v, m.cid,
-              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
-                ${d2Sql("ns.v", "m.cv")}, m.cid) AS rn
-            FROM ns CROSS JOIN mcent m)
-          WHERE rn = 1),
+        ${waveCellsSql("mcent", "fsc")},
         fall AS MATERIALIZED (
           SELECT cid, vec_id, v FROM relab
           UNION ALL SELECT cid, vec_id, v FROM fsc),
@@ -2577,17 +2452,7 @@ object LlmSim extends QueryModule {
               i -> cl.v[i] - ct.cv[i]) AS v
           FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
         ${pqSqlFrom("resid")},
-        ns AS (
-          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
-            list_transform(v, x -> x * 0.9 + 0.01) AS v
-          FROM e WHERE vec_id % 7 = 5),
-        nscells AS (
-          SELECT vec_id, v, cid FROM (
-            SELECT ns.vec_id, ns.v, c.cid,
-              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
-                ${d2Sql("ns.v", "c.cv")}, c.cid) AS rn
-            FROM ns CROSS JOIN cent c)
-          WHERE rn = 1),
+        ${waveCellsSql()},
         nsresid AS (
           SELECT nc.cid, nc.vec_id,
             list_transform(range(1, ${PqM * PqSubDim + 1}),
@@ -2610,55 +2475,7 @@ object LlmSim extends QueryModule {
           UNION ALL SELECT vec_id, codes FROM nscodes),
         allcells AS (
           SELECT * FROM cells UNION ALL SELECT * FROM nscells),
-        q AS (SELECT vec_id AS q_id, v AS qv FROM e
-          WHERE vec_id >= 19 AND vec_id < 24),
-        probes AS (
-          SELECT q_id, qv, cid FROM (
-            SELECT q.q_id, q.qv, c.cid,
-              row_number() OVER (PARTITION BY q.q_id ORDER BY
-                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
-            FROM q CROSS JOIN cent c)
-          WHERE rn <= $IvfPNprobe),
-        qres AS (
-          SELECT p.q_id, p.cid,
-            list_transform(range(1, ${PqM * PqSubDim + 1}),
-              i -> p.qv[i] - c.cv[i]) AS qr
-          FROM probes p JOIN cent c ON c.cid = p.cid),
-        cand AS (
-          SELECT p.q_id, p.qr, cl.vec_id
-          FROM qres p
-            JOIN allcells cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
-        candc AS (
-          SELECT c.q_id, c.qr, c.vec_id, i.codes
-          FROM cand c JOIN allidx i ON i.vec_id = c.vec_id),
-        aterms AS (
-          SELECT c.q_id, c.vec_id, t.m,
-            ${d2Sql(
-              s"c.qr[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
-              "pb.cv")} AS t
-          FROM candc c
-            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
-            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
-        adc AS (
-          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
-            list(t ORDER BY m)), (x, y) -> x + y) AS adc
-          FROM aterms GROUP BY q_id, vec_id),
-        topr AS (
-          SELECT q_id, vec_id FROM (
-            SELECT q_id, vec_id, row_number() OVER (
-              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
-            FROM adc)
-          WHERE rn <= $PqTopR),
-        scored AS (
-          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
-          FROM topr t
-            JOIN q ON q.q_id = t.q_id
-            JOIN allcells cl ON cl.vec_id = t.vec_id)
-        SELECT q_id, rank, vec_id, cos FROM (
-          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-          FROM scored)
-        WHERE rank <= 3""")),
+        ${rpqProbeTailSql("cent", "allcells", "allidx", 19, 24)}""")),
 
     // STREAMING RESIDUAL ENCODE — the online form of the TEXTBOOK
     // IVF-PQ ingest: route each arrival to its cell (NearestCell
@@ -4160,22 +3977,21 @@ object LlmSim extends QueryModule {
   private def rpqCbArr(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
     cbArrOf(s"rpq:$dir", persistedRpqCb(s, dir))
 
-  /** The whole residual ingest encode — route (NearestCell against
-    * the centroid literal) → subtract the routed centroid (dense
-    * 0-based cv lookup; a cid the Lloyd pass emptied holds a zero row
+  /** The residual ingest ENCODER, built once — collects the frozen
+    * centroid table and residual codebooks to the driver and bakes
+    * the three literals (argmin centroid array, dense 0-based cv
+    * lookup — a cid the Lloyd pass emptied holds a zero row
     * NearestCell can never pick, as it is absent from the argmin
-    * literal) → code the residual against the frozen residual
-    * codebooks — as ONE stateless select over a (vec_id, v) frame:
-    * no state store, no shuffle (plan-asserted in OperatorSpec), so
-    * it runs verbatim on a stream (q_stream_rpq_encode) and as a
-    * map-only batch pass. */
-  /** Route → residual → frozen-codebook encode as (cid, vec_id,
-    * codes) — the landable form ([[persistedRpqIdx]]'s exact column
-    * shape, so the codes segment unions with the committed index);
-    * [[rpqEncodeChain]] is this plus the string join the streaming
-    * memory-sink gate hashes. */
-  private[graft] def rpqEncodeCodes(s: SparkSession, dir: String,
-                                    df: DataFrame): DataFrame = {
+    * literal — and the codebook structs), returning the closure that
+    * applies route → subtract routed centroid → code against the
+    * frozen codebooks as ONE stateless select over a (vec_id, v)
+    * frame. Build-once matters for the codes segment: the per-batch
+    * foreachBatch encode must not re-collect codebooks per
+    * micro-batch. Output (cid, vec_id, codes) — [[persistedRpqIdx]]'s
+    * exact column shape, so the segment unions with the committed
+    * index. */
+  private[graft] def rpqEncoder(
+      s: SparkSession, dir: String): DataFrame => DataFrame = {
     import s.implicits._
     val cbs = pqCbStructs(persistedRpqCb(s, dir))
     val centRows = persistedIvfCent(s, dir)
@@ -4188,7 +4004,7 @@ object LlmSim extends QueryModule {
       IndexedSeq.tabulate(centRows.map(_._1).max + 1)(i =>
         byCid.getOrElse(i,
           IndexedSeq.fill(PqM * PqSubDim)(0.0)): Seq[Double]))
-    df.select($"vec_id",
+    df => df.select($"vec_id",
         graft.plans.NearestCell($"v", centsLit).as("cid"), $"v")
       .select($"cid", $"vec_id",
         pqEncodeCol(
@@ -4196,6 +4012,15 @@ object LlmSim extends QueryModule {
           cbs).as("codes"))
   }
 
+  /** One-shot form of [[rpqEncoder]] for batch callers. */
+  private[graft] def rpqEncodeCodes(s: SparkSession, dir: String,
+                                    df: DataFrame): DataFrame =
+    rpqEncoder(s, dir)(df)
+
+  /** [[rpqEncoder]]'s output plus the string join the streaming
+    * memory-sink gate hashes — no state store, no shuffle
+    * (plan-asserted in OperatorSpec), so it runs verbatim on a stream
+    * (q_stream_rpq_encode) and as a map-only batch pass. */
   private[graft] def rpqEncodeChain(s: SparkSession, dir: String,
                                     df: DataFrame): DataFrame = {
     import s.implicits._
@@ -4270,6 +4095,84 @@ object LlmSim extends QueryModule {
           SELECT vec_id + $ArrivalIdBase AS vec_id,
             list_transform(v, x -> x * 0.9 + 0.01) AS v
           FROM e WHERE vec_id % 7 = 3)"""
+
+  /** The STREAMED wave + nearest-centroid routing in SQL — the
+    * [[ivfStreamWave]] fixture (residue 5, +2·base shift, the shared
+    * 0.9x+0.01 perturbation) routed against centroid CTE `cent`
+    * into `out` (vec_id, v, cid). ONE derivation for every
+    * streamed-front oracle (ingest probe, hybrid stream, compressed
+    * probe, and — routed against `mcent` — the segment fold). */
+  private def waveCellsSql(cent: String = "cent",
+                           out: String = "nscells"): String = s"""ns AS (
+          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
+            list_transform(v, x -> x * 0.9 + 0.01) AS v
+          FROM e WHERE vec_id % 7 = 5),
+        $out AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT ns.vec_id, ns.v, c.cid,
+              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
+                ${d2Sql("ns.v", "c.cv")}, c.cid) AS rn
+            FROM ns CROSS JOIN $cent c)
+          WHERE rn = 1)"""
+
+  /** The residual-ADC probe TAIL in SQL — query window → route
+    * against centroid CTE `cent` → per-cell query residual →
+    * candidate ADC over `idx` codes → top-R cut → exact-cosine
+    * rerank against `cells` → rank 3. ONE derivation for all three
+    * residual-PQ probe oracles (base index, maintained epoch,
+    * streamed tail) — the tiebreak and arithmetic contract lives in
+    * exactly one place. */
+  private def rpqProbeTailSql(cent: String, cells: String, idx: String,
+                              lo: Long, hi: Long): String = s"""q AS (
+          SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id >= $lo AND vec_id < $hi),
+        probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT q.q_id, q.qv, c.cid,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${d2Sql("q.qv", "c.cv")}, c.cid) AS rn
+            FROM q CROSS JOIN $cent c)
+          WHERE rn <= $IvfPNprobe),
+        qres AS (
+          SELECT p.q_id, p.cid,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> p.qv[i] - c.cv[i]) AS qr
+          FROM probes p JOIN $cent c ON c.cid = p.cid),
+        cand AS (
+          SELECT p.q_id, p.qr, cl.vec_id
+          FROM qres p
+            JOIN $cells cl ON cl.cid = p.cid AND p.q_id <> cl.vec_id),
+        candc AS (
+          SELECT c.q_id, c.qr, c.vec_id, i.codes
+          FROM cand c JOIN $idx i ON i.vec_id = c.vec_id),
+        aterms AS (
+          SELECT c.q_id, c.vec_id, t.m,
+            ${d2Sql(
+              s"c.qr[t.m * $PqSubDim + 1 : t.m * $PqSubDim + $PqSubDim]",
+              "pb.cv")} AS t
+          FROM candc c
+            CROSS JOIN (SELECT unnest(range($PqM)) AS m) t
+            JOIN pcb pb ON pb.m = t.m AND pb.code = c.codes[t.m + 1]),
+        adc AS (
+          SELECT q_id, vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS adc
+          FROM aterms GROUP BY q_id, vec_id),
+        topr AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= $PqTopR),
+        scored AS (
+          SELECT t.q_id, t.vec_id, ${V.cosineSql("q.qv", "cl.v")} AS cos
+          FROM topr t
+            JOIN q ON q.q_id = t.q_id
+            JOIN $cells cl ON cl.vec_id = t.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3"""
 
   /** [[MaintSplitRounds]] unrolled rounds of [[splitCells]] in SQL
     * over a prior `allcells` CTE — the mirror of
@@ -4484,11 +4387,12 @@ object LlmSim extends QueryModule {
     * crash+resume path is driven in the spec. */
   private[graft] def streamedIvfSegment(
       s: SparkSession, dir: String,
-      chaos: Long => Unit = _ => ()): DataFrame = {
-    val cent = persistedIvfCent(s, dir)
+      chaos: Long => Unit = _ => ()): DataFrame =
     streamedVectorSegment(s, dir, ivfSegTableName(dir),
-      "ivf-stream-seg", ivfCellsOf(_, cent), chaos)
-  }
+      "ivf-stream-seg", () => {
+        val cent = persistedIvfCent(s, dir)
+        ivfCellsOf(_, cent)
+      }, chaos)
 
   /** The SEGMENT-LANDING skeleton shared by the exact-cells segment
     * ([[streamedIvfSegment]]) and the compressed-codes segment
@@ -4500,14 +4404,21 @@ object LlmSim extends QueryModule {
     * batch pays no encode; no `return` in the closure, a non-local
     * return from foreachBatch throws across the stream thread),
     * durable checkpoint under the table dir, atomic sealed pointer
-    * after the drain. `encode` must emit (cid, vec_id, …) — cid the
-    * bucket key, vec_id the per-batch-disjoint recovery key. */
+    * after the drain. `mkEncode` builds the per-batch encode ONCE,
+    * INSIDE the segment lock — so any driver-side literal baking
+    * (codebook collects) is paid once per build, not per micro-batch,
+    * and any first-time artifact creation it triggers
+    * (writeOnceTable's check-then-act) is serialized between
+    * concurrent segment entrants. The encode must emit
+    * (cid, vec_id, …) — cid the bucket key, vec_id the
+    * per-batch-disjoint recovery key. */
   private def streamedVectorSegment(
       s: SparkSession, dir: String, segT: String, txnPrefix: String,
-      encode: DataFrame => DataFrame,
+      mkEncode: () => DataFrame => DataFrame,
       chaos: Long => Unit): DataFrame =
     ivfSegLock.synchronized {
       import s.implicits._
+      val encode = mkEncode()
       val segDir = graft.operators.TxnMarker.managedTableDir(s, segT)
       val sealedF = new java.io.File(segDir, "_graft_seg_sealed")
       if (!s.catalog.tableExists(segT)) {
@@ -4575,13 +4486,15 @@ object LlmSim extends QueryModule {
     * so a tail invisible to it would make the realtime story
     * byte-hollow. Shares [[streamedVectorSegment]] whole: protocol
     * changes land on both encodings or neither. */
+  private def ivfSegRpqTableName(dir: String): String =
+    s"graft_ivf_segrpq_${math.abs(dir.hashCode)}"
+
   private[graft] def streamedRpqSegment(
       s: SparkSession, dir: String,
       chaos: Long => Unit = _ => ()): DataFrame = {
     persistedRpqIdx(s, dir): Unit // frozen codebooks + committed codes
-    streamedVectorSegment(s, dir,
-      s"graft_ivf_segrpq_${math.abs(dir.hashCode)}",
-      "ivf-stream-segrpq", rpqEncodeCodes(s, dir, _), chaos)
+    streamedVectorSegment(s, dir, ivfSegRpqTableName(dir),
+      "ivf-stream-segrpq", () => rpqEncoder(s, dir), chaos)
   }
 
   // ---- Committed index maintenance (split/merge writeback) ----------
