@@ -1615,6 +1615,44 @@ class OperatorSpec extends AnyFunSuite {
       === post3.count(), "a re-delivered batch id re-appended")
   }
 
+  test("streamed postings ingest: crash after the LAST batch — resume drains zero batches, still merges df and publishes") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a second alias: this crash needs its own fresh lifecycle (the
+    // first crash test already ingested the first alias's wave)
+    val p = java.nio.file.Paths.get("/tmp/graft_sf_stream_alias2")
+    if (!java.nio.file.Files.isSymbolicLink(p))
+      java.nio.file.Files.createSymbolicLink(p,
+        java.nio.file.Paths.get(sf)): Unit
+    val sf2 = p.toString
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[Exception] {
+      LlmSim.streamedPostingsIngest(spark, sf2, chaos = id =>
+        if (id == 3 && boom.compareAndSet(false, true))
+          throw new RuntimeException("graft-chaos: cut after last batch"))
+    }
+    assert(boom.get, "chaos never fired — the wave had fewer batches")
+    // every batch landed and committed its marker; only the df merge
+    // and the pointer are missing — the resume path that re-delivers
+    // NOTHING (AvailableNow over a fully-committed checkpoint) must
+    // still finish the publication
+    assert(LlmSim.postStreamEpochOf(spark, sf2) === 0,
+      "pointer published despite the post-drain crash")
+    val (post3, df3) = LlmSim.streamedPostingsIngest(spark, sf2)
+    assert(LlmSim.postStreamEpochOf(spark, sf2) === 3,
+      "zero-redelivery resume failed to publish")
+    assert(post3.filter($"doc_id" >= 3 * LlmSim.ArrivalIdBase)
+      .count() > 0)
+    assert(post3.groupBy($"w", $"doc_id").count()
+      .filter($"count" > 1).count() === 0L,
+      "the post-drain crash path double-appended")
+    val scratch = post3.groupBy($"w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(df3.as[(String, Long)].collect().toMap === scratch,
+      "df merged on the zero-redelivery path diverges from scratch")
+  }
+
   test("streamed vector segment: crash mid-wave resumes exactly-once, committed cells untouched, twin surfaces") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
