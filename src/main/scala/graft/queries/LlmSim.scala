@@ -699,23 +699,7 @@ object LlmSim extends QueryModule {
           WHERE rn = 1),
         allcells AS (
           SELECT * FROM cells UNION ALL SELECT * FROM nbcells),
-        probes AS (
-          SELECT q_id, qv, cid FROM (
-            SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                ${d2Sql("e.v", "c.cv")}, c.cid) AS rn
-            FROM e CROSS JOIN cent c
-            WHERE e.vec_id >= 10 AND e.vec_id < 15)
-          WHERE rn <= $IvfPNprobe),
-        scored AS (
-          SELECT p.q_id, a.vec_id, ${V.cosineSql("p.qv", "a.v")} AS cos
-          FROM probes p JOIN allcells a
-            ON p.cid = a.cid AND p.q_id <> a.vec_id)
-        SELECT q_id, rank, vec_id, cos FROM (
-          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-          FROM scored)
-        WHERE rank <= 3""")),
+        ${ivfProbeTailSql("cent", "allcells", 10, 15)}""")),
 
     // IVF CELL SPLIT — the index-maintenance op that closes the
     // lifecycle loop (build → probe → append → SPLIT): O(delta)
@@ -2338,23 +2322,7 @@ object LlmSim extends QueryModule {
         ${waveCellsSql()},
         allcells AS (
           SELECT * FROM cells UNION ALL SELECT * FROM nscells),
-        probes AS (
-          SELECT q_id, qv, cid FROM (
-            SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                ${d2Sql("e.v", "c.cv")}, c.cid) AS rn
-            FROM e CROSS JOIN cent c
-            WHERE e.vec_id >= 19 AND e.vec_id < 24)
-          WHERE rn <= $IvfPNprobe),
-        scored AS (
-          SELECT p.q_id, a.vec_id, ${V.cosineSql("p.qv", "a.v")} AS cos
-          FROM probes p JOIN allcells a
-            ON p.cid = a.cid AND p.q_id <> a.vec_id)
-        SELECT q_id, rank, vec_id, cos FROM (
-          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-          FROM scored)
-        WHERE rank <= 3""")),
+        ${ivfProbeTailSql("cent", "allcells", 19, 24)}""")),
 
     // SEGMENT FOLD — the background-merge half of the realtime-
     // segment posture, as a gate instead of prose: the streamed
@@ -2416,6 +2384,56 @@ object LlmSim extends QueryModule {
         SELECT n_cells, n_rows, max_cell, overgrown_cells, seg_rows,
           resplit_rows
         FROM gagg CROSS JOIN gseg""")),
+
+    // SERVABLE FOLD — the folded index answers queries DIRECTLY: the
+    // fold refreshes quantized-mean centroids for exactly the cells
+    // it touched (wave receivers + split families — the commit
+    // chain's incremental-refresh discipline, O(Σ|touched|)), the
+    // maintained centroids pass through untouched elsewhere, and the
+    // standard routed probe runs over (fold centroids, folded cells).
+    // Query 19's streamed twin must surface through FOLD routing —
+    // the absorbed segment is served by the index proper, not by a
+    // union bolt-on (q_stream_ivf_ingest's committed ∪ segment read
+    // is the pre-fold posture; this is the post-fold one). The oracle
+    // re-derives the whole chain INCLUDING the incremental centroid
+    // refresh under one hash.
+    "q_llm_seg_fold_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        ivfProbeOf(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          segFoldCentroids(s, dir), persistedSegFold(s, dir),
+          nprobe = IvfPNprobe)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        ${waveCellsSql("mcent", "fsc")},
+        fall AS MATERIALIZED (
+          SELECT cid, vec_id, v FROM relab
+          UNION ALL SELECT cid, vec_id, v FROM fsc),
+        ${splitRoundsSql(MaintSplitRounds,
+          roundBase = 2 * MaintSplitRounds,
+          input = "fall", pfx = "g", out = "gpost")},
+        fchg AS (SELECT DISTINCT cid FROM gpost
+          WHERE split OR vec_id >= ${2 * ArrivalIdBase}),
+        fref AS (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT g.cid, unnest(g.v) AS x,
+                    generate_subscripts(g.v, 1) - 1 AS dim
+                  FROM gpost g JOIN fchg USING (cid))
+            GROUP BY cid, dim)
+          GROUP BY cid),
+        fcent AS MATERIALIZED (
+          SELECT cid, cv FROM mcent
+           WHERE cid NOT IN (SELECT cid FROM fchg)
+          UNION ALL SELECT cid, cv FROM fref),
+        ${ivfProbeTailSql("fcent", "gpost", 19, 24)}""")),
 
     // STREAMED TAIL ON THE COMPRESSED PATH — the ADC probe that can
     // see mid-stream arrivals: the codes segment (streamedRpqSegment
@@ -4115,6 +4133,30 @@ object LlmSim extends QueryModule {
             FROM ns CROSS JOIN $cent c)
           WHERE rn = 1)"""
 
+  /** The EXACT-cosine probe TAIL in SQL — query window → route
+    * against centroid CTE `cent` → cosine over `cells` in the routed
+    * cids → rank 3. ONE derivation for the exact-probe oracles that
+    * parameterize their index side (the batch upsert, the streamed
+    * ingest, the servable fold). */
+  private def ivfProbeTailSql(cent: String, cells: String,
+                              lo: Long, hi: Long): String = s"""probes AS (
+          SELECT q_id, qv, cid FROM (
+            SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                ${d2Sql("e.v", "c.cv")}, c.cid) AS rn
+            FROM e CROSS JOIN $cent c
+            WHERE e.vec_id >= $lo AND e.vec_id < $hi)
+          WHERE rn <= $IvfPNprobe),
+        scored AS (
+          SELECT p.q_id, a.vec_id, ${V.cosineSql("p.qv", "a.v")} AS cos
+          FROM probes p JOIN $cells a
+            ON p.cid = a.cid AND p.q_id <> a.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 3"""
+
   /** The residual-ADC probe TAIL in SQL — query window → route
     * against centroid CTE `cent` → per-cell query residual →
     * candidate ADC over `idx` codes → top-R cut → exact-cosine
@@ -4947,6 +4989,35 @@ object LlmSim extends QueryModule {
         .checkpointRdd(fx).foreach(_.unpersist(blocking = false))
     }
     s.table(tbl)
+  }
+
+  /** Centroids that make the fold SERVABLE — refreshed quantized
+    * means for exactly the cells the fold TOUCHED (received a wave
+    * row, or carry the split flag: a split relabels membership on
+    * both sides of the cut), the committed epoch's maintained
+    * centroids passed through untouched everywhere else — the commit
+    * chain's incremental-refresh discipline (O(Σ|touched|), never a
+    * full recompute) applied to the fold. With these, a probe routes
+    * over the folded index directly: [[q_llm_seg_fold_probe]] is the
+    * gate. Epoch-named and vacuumed with its cascade. */
+  private[graft] def segFoldCentroids(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = persistedSegFold(s, dir)
+    val mCent = maintainIvfCommit(s, dir)._2
+    val e = maintEpochOf(s, dir)
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_segf_cent_me${e}_${math.abs(dir.hashCode)}",
+      Seq("cid"), {
+        val chg = f
+          .filter($"split" || $"vec_id" >= 2 * ArrivalIdBase)
+          .select($"cid").distinct()
+        refreshedCentroids(
+            f.join(chg, Seq("cid")).select($"cid", $"v"))
+          .unionByName(
+            mCent.join(chg, Seq("cid"), "left_anti")
+              .select($"cid", $"cv"))
+      })
   }
 
   /** The maintained epoch with its tombstones FOLDED — compaction at

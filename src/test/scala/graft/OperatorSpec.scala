@@ -1724,6 +1724,31 @@ class OperatorSpec extends AnyFunSuite {
       .filter($"cn" > LlmSim.IvfPSplitRows).count()
     assert(over === 0L,
       s"fold left $over overgrown cells on a corpus where cycle 2 left none")
+    // SERVABLE fold: the centroid refresh touched exactly the fold's
+    // changed families — untouched cells carry the maintained
+    // centroid BYTE-IDENTICAL (pass-through, not recompute), changed
+    // cells got fresh quantized means — and query 19's twin surfaces
+    // through FOLD routing (the index proper, not a union bolt-on)
+    val fcent = LlmSim.segFoldCentroids(spark, sf)
+    val chg = f.filter($"split" || $"vec_id" >= 2 * LlmSim.ArrivalIdBase)
+      .select($"cid").distinct().as[Int].collect().toSet
+    assert(chg.nonEmpty, "fold changed no cells")
+    val mcentMap = LlmSim.maintainIvfCommit(spark, sf)._2
+      .select($"cid", $"cv").as[(Int, Seq[Double])].collect().toMap
+    val fcentRows = fcent.select($"cid", $"cv")
+      .as[(Int, Seq[Double])].collect().toMap
+    fcentRows.foreach { case (cid, cv) =>
+      if (!chg(cid))
+        assert(cv === mcentMap(cid),
+          s"untouched cell $cid's centroid was recomputed")
+    }
+    assert(chg.exists(cid => fcentRows.contains(cid)),
+      "no changed cell has a refreshed centroid")
+    val top = SparkEntry.queries("q_llm_seg_fold_probe")(spark, sf)
+      .filter($"q_id" === 19 && $"rank" === 1)
+      .select($"vec_id").as[Long].collect()
+    assert(top.sameElements(Array(19L + 2 * LlmSim.ArrivalIdBase)),
+      s"query 19's twin not served by the folded index: ${top.mkString(",")}")
   }
 
   test("streamed codes segment: landed codes equal the batch encode, twin shortlists through the ADC cut") {
