@@ -2390,26 +2390,34 @@ object LlmSim extends QueryModule {
     // it touched (wave receivers + split families — the commit
     // chain's incremental-refresh discipline, O(Σ|touched|)), the
     // maintained centroids pass through untouched elsewhere, and the
-    // standard routed probe runs over (fold centroids, folded cells).
+    // standard routed probe runs over (fold centroids, folded cells)
+    // with the MAINTAINED TOMBSTONES anti-joined live — the fold is
+    // cells-only, so the delete layer keeps riding the probe-side
+    // anti-join exactly as maintTombProbe's does (a curated-away
+    // vector must not resurface just because the segment folded in).
     // Query 19's streamed twin must surface through FOLD routing —
     // the absorbed segment is served by the index proper, not by a
     // union bolt-on (q_stream_ivf_ingest's committed ∪ segment read
     // is the pre-fold posture; this is the post-fold one). The oracle
     // re-derives the whole chain INCLUDING the incremental centroid
-    // refresh under one hash.
+    // refresh and the curation drops under one hash.
     "q_llm_seg_fold_probe" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
+        val tomb = persistedMaintTombstones(s, dir).select($"vec_id")
         ivfProbeOf(
           embDoubles(s, dir)
             .filter($"vec_id" >= 19 && $"vec_id" < 24)
             .select($"vec_id".as("q_id"), $"v".as("qv")),
-          segFoldCentroids(s, dir), persistedSegFold(s, dir),
+          segFoldCentroids(s, dir),
+          persistedSegFold(s, dir)
+            .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
           nprobe = IvfPNprobe)
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
         $maintChainSql,
+        $maintDropsSql,
         ${waveCellsSql("mcent", "fsc")},
         fall AS MATERIALIZED (
           SELECT cid, vec_id, v FROM relab
@@ -2417,23 +2425,16 @@ object LlmSim extends QueryModule {
         ${splitRoundsSql(MaintSplitRounds,
           roundBase = 2 * MaintSplitRounds,
           input = "fall", pfx = "g", out = "gpost")},
-        fchg AS (SELECT DISTINCT cid FROM gpost
+        fchg AS MATERIALIZED (SELECT DISTINCT cid FROM gpost
           WHERE split OR vec_id >= ${2 * ArrivalIdBase}),
-        fref AS (
-          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
-            SELECT cid, dim,
-              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
-                / 10000000 / count(*) AS mn
-            FROM (SELECT g.cid, unnest(g.v) AS x,
-                    generate_subscripts(g.v, 1) - 1 AS dim
-                  FROM gpost g JOIN fchg USING (cid))
-            GROUP BY cid, dim)
-          GROUP BY cid),
+        ${quantMeanSql("gpost r JOIN fchg USING (cid)", "fref")},
         fcent AS MATERIALIZED (
           SELECT cid, cv FROM mcent
            WHERE cid NOT IN (SELECT cid FROM fchg)
           UNION ALL SELECT cid, cv FROM fref),
-        ${ivfProbeTailSql("fcent", "gpost", 19, 24)}""")),
+        glive AS (SELECT * FROM gpost
+          WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
+        ${ivfProbeTailSql("fcent", "glive", 19, 24)}""")),
 
     // STREAMED TAIL ON THE COMPRESSED PATH — the ADC probe that can
     // see mid-stream arrivals: the codes segment (streamedRpqSegment
@@ -4133,6 +4134,24 @@ object LlmSim extends QueryModule {
             FROM ns CROSS JOIN $cent c)
           WHERE rn = 1)"""
 
+  /** The quantized-mean centroid REFRESH in SQL — floor(x·1e7)
+    * integral sums per (cid, dim), dims reassembled in order: the ONE
+    * rounding contract behind every refreshed-centroid CTE (the split
+    * chain's `ncs`, the merge refresh `mref`, the fold refresh
+    * `fref`), mirroring the engine's [[refreshedCentroids]] exactly.
+    * `src` supplies the refreshed rows as a FROM clause binding alias
+    * `r` with (r.cid, r.v). */
+  private def quantMeanSql(src: String, out: String): String = s"""$out AS (
+          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cid, dim,
+              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
+                / 10000000 / count(*) AS mn
+            FROM (SELECT r.cid, unnest(r.v) AS x,
+                    generate_subscripts(r.v, 1) - 1 AS dim
+                  FROM $src)
+            GROUP BY cid, dim)
+          GROUP BY cid)"""
+
   /** The EXACT-cosine probe TAIL in SQL — query window → route
     * against centroid CTE `cent` → cosine over `cells` in the routed
     * cids → rank 3. ONE derivation for the exact-probe oracles that
@@ -4294,16 +4313,7 @@ object LlmSim extends QueryModule {
         ${splitRoundsSql(MaintSplitRounds)},
         scid AS MATERIALIZED (
           SELECT DISTINCT cid FROM post WHERE split),
-        ncs AS (
-          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
-            SELECT cid, dim,
-              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
-                / 10000000 / count(*) AS mn
-            FROM (SELECT cid, unnest(v) AS x,
-                    generate_subscripts(v, 1) - 1 AS dim
-                  FROM post WHERE split)
-            GROUP BY cid, dim)
-          GROUP BY cid),
+        ${quantMeanSql("post r WHERE r.split", "ncs")},
         hcent AS MATERIALIZED (
           SELECT cid, cv FROM cent
            WHERE cid NOT IN (SELECT cid FROM scid)
@@ -4335,16 +4345,7 @@ object LlmSim extends QueryModule {
           UNION
           SELECT cid FROM scid
            WHERE cid NOT IN (SELECT ucid FROM mapping)),
-        mref AS (
-          SELECT cid, list(mn ORDER BY dim) AS cv FROM (
-            SELECT cid, dim,
-              CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
-                / 10000000 / count(*) AS mn
-            FROM (SELECT r.cid, unnest(r.v) AS x,
-                    generate_subscripts(r.v, 1) - 1 AS dim
-                  FROM relab r JOIN chg USING (cid))
-            GROUP BY cid, dim)
-          GROUP BY cid),
+        ${quantMeanSql("relab r JOIN chg USING (cid)", "mref")},
         mcent AS MATERIALIZED (
           SELECT cid, cv FROM cent
            WHERE cid NOT IN (SELECT ucid FROM mapping)
@@ -4843,7 +4844,9 @@ object LlmSim extends QueryModule {
             // together
             s"graft_ivf_mtomb_me${e}_$h",
             s"graft_ivf_mcells_d1_me${e}_$h",
-            s"graft_ivf_c2_me${e}_$h")).foreach { t =>
+            s"graft_ivf_c2_me${e}_$h",
+            s"graft_ivf_segf_me${e}_$h",
+            s"graft_ivf_segf_cent_me${e}_$h")).foreach { t =>
             if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
             else graft.operators.TxnMarker.rmTree(
               graft.operators.TxnMarker.managedTableDir(s, t))
@@ -5009,13 +5012,16 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf_cent_me${e}_${math.abs(dir.hashCode)}",
       Seq("cid"), {
+        // chg is nlist-bounded (distinct cids) — broadcast both the
+        // fold-side semi and the mCent anti like every delta-sized
+        // set in the maintenance family
         val chg = f
           .filter($"split" || $"vec_id" >= 2 * ArrivalIdBase)
           .select($"cid").distinct()
         refreshedCentroids(
-            f.join(chg, Seq("cid")).select($"cid", $"v"))
+            f.join(broadcast(chg), Seq("cid")).select($"cid", $"v"))
           .unionByName(
-            mCent.join(chg, Seq("cid"), "left_anti")
+            mCent.join(broadcast(chg), Seq("cid"), "left_anti")
               .select($"cid", $"cv"))
       })
   }

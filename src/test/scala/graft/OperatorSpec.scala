@@ -1742,13 +1742,29 @@ class OperatorSpec extends AnyFunSuite {
         assert(cv === mcentMap(cid),
           s"untouched cell $cid's centroid was recomputed")
     }
-    assert(chg.exists(cid => fcentRows.contains(cid)),
-      "no changed cell has a refreshed centroid")
+    // every changed cell has a refreshed centroid, and the centroid
+    // set covers EXACTLY the folded cells — a cell without a centroid
+    // is unroutable (the twin-unreachable failure mode)
+    assert(chg.forall(fcentRows.contains),
+      s"changed cells without a refreshed centroid: ${
+        (chg -- fcentRows.keySet).take(5)}")
+    val foldCids = f.select($"cid").distinct().as[Int].collect().toSet
+    assert(fcentRows.keySet === foldCids ++ mcentMap.keySet,
+      "fold centroid set does not cover the folded cells")
+    assert(foldCids.subsetOf(fcentRows.keySet),
+      "a folded cell is unroutable (no centroid)")
     val top = SparkEntry.queries("q_llm_seg_fold_probe")(spark, sf)
       .filter($"q_id" === 19 && $"rank" === 1)
       .select($"vec_id").as[Long].collect()
     assert(top.sameElements(Array(19L + 2 * LlmSim.ArrivalIdBase)),
       s"query 19's twin not served by the folded index: ${top.mkString(",")}")
+    // a curated-away vector never resurfaces through the fold probe
+    val drops = LlmSim.persistedMaintTombstones(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val served = SparkEntry.queries("q_llm_seg_fold_probe")(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    assert((served & drops).isEmpty,
+      "a tombstoned vector surfaced from the servable fold")
   }
 
   test("streamed codes segment: landed codes equal the batch encode, twin shortlists through the ADC cut") {
