@@ -1765,6 +1765,28 @@ class OperatorSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert((served & drops).isEmpty,
       "a tombstoned vector surfaced from the servable fold")
+    // probe-plan discipline: the folded-cells scan stays a bucketed
+    // artifact read with literal-cid bucket pruning engaged and no
+    // shuffle feeding it (the probe-of-persisted-artifact contract)
+    val q = SparkEntry.queries("q_llm_seg_fold_probe")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val is = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("FileScan")
+        && l.contains("graft_ivf_segf_me") => i
+    }
+    assert(is.nonEmpty, s"fold probe no longer scans the fold table:\n${
+      plan.take(1500)}")
+    is.foreach { i =>
+      assert(lines(i).contains("Bucketed: true"),
+        "fold scan lost its bucketing")
+      val above = lines.slice(math.max(0, i - 5), i)
+      assert(!above.exists(_.contains("Exchange hashpartitioning")),
+        s"a shuffle feeds the fold scan:\n${above.mkString("\n")}")
+    }
+    assert(plan.contains("SelectedBucketsCount"),
+      s"fold scan lost bucket pruning:\n${plan.take(1500)}")
   }
 
   test("streamed codes segment: landed codes equal the batch encode, twin shortlists through the ADC cut") {
