@@ -101,13 +101,6 @@ object TxnMarker {
       catch { case _: FileAlreadyExistsException => false }
   }
 
-  /** Append `doAppend`'s batch into the table at `tableDir` exactly
-    * once under transaction id `txn`. `presentRows`/`expectedRows`
-    * are consulted only on the crash-recovery path (a stale-marker
-    * timeout for a dead writer's commit record). `pollMs` bounds both
-    * the losing delivery's wait-per-cycle AND the heartbeat staleness
-    * threshold beyond which an in-flight writer is presumed dead.
-    */
   /** True iff `txn` already holds its durable commit record under
     * `tableDir` — the cheap fast path a caller can consult BEFORE
     * materializing the batch it would hand to [[appendOnce]] (which
@@ -118,6 +111,13 @@ object TxnMarker {
     Files.exists(new File(new File(tableDir, "_graft_txn"),
       s"$txn.committed").toPath)
 
+  /** Append `doAppend`'s batch into the table at `tableDir` exactly
+    * once under transaction id `txn`. `presentRows`/`expectedRows`
+    * are consulted only on the crash-recovery path (a stale-marker
+    * timeout for a dead writer's commit record). `pollMs` bounds both
+    * the losing delivery's wait-per-cycle AND the heartbeat staleness
+    * threshold beyond which an in-flight writer is presumed dead.
+    */
   def appendOnce(tableDir: File, txn: String,
                  doAppend: () => Unit,
                  presentRows: () => Long,

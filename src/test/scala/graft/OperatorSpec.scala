@@ -1541,12 +1541,16 @@ class OperatorSpec extends AnyFunSuite {
     * lifecycle (tables, markers, pointers hash on the dir string),
     * making the crash paths order-independent without surgery on the
     * shared artifacts. */
-  private lazy val sfStreamAlias: String = {
-    val p = java.nio.file.Paths.get("/tmp/graft_sf_stream_alias")
+  private lazy val sfStreamAlias: String = mkAlias("graft_sf_stream_alias")
+
+  /** Symlink `/tmp/<name>` → the sf dir, robust to a stale NON-symlink
+    * leftover, a symlink to an old target, and a concurrent creator
+    * (two test JVMs): wrong state is removed, a racing winner's
+    * identical link is accepted. ONE helper for every alias the crash
+    * tests key their isolated lifecycles on. */
+  private def mkAlias(name: String): String = {
+    val p = java.nio.file.Paths.get(s"/tmp/$name")
     val target = java.nio.file.Paths.get(sf)
-    // robust to a stale NON-symlink leftover, a symlink to an old
-    // target, and a concurrent creator (two test JVMs): wrong state
-    // is removed, a racing winner's identical link is accepted
     if (java.nio.file.Files.isSymbolicLink(p) &&
         java.nio.file.Files.readSymbolicLink(p) != target)
       java.nio.file.Files.delete(p)
@@ -1621,11 +1625,7 @@ class OperatorSpec extends AnyFunSuite {
     import spark.implicits._
     // a second alias: this crash needs its own fresh lifecycle (the
     // first crash test already ingested the first alias's wave)
-    val p = java.nio.file.Paths.get("/tmp/graft_sf_stream_alias2")
-    if (!java.nio.file.Files.isSymbolicLink(p))
-      java.nio.file.Files.createSymbolicLink(p,
-        java.nio.file.Paths.get(sf)): Unit
-    val sf2 = p.toString
+    val sf2 = mkAlias("graft_sf_stream_alias2")
     val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
     intercept[Exception] {
       LlmSim.streamedPostingsIngest(spark, sf2, chaos = id =>
@@ -1815,6 +1815,76 @@ class OperatorSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect()
     assert(top.sameElements(Array(19L + 2 * LlmSim.ArrivalIdBase)),
       s"query 19's twin lost by the ADC cut: ${top.mkString(",")}")
+  }
+
+  test("fold cascade on the compressed path: codes re-based to fold centroids, coverage exact, twin through folded ADC") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val f = LlmSim.persistedSegFold(spark, sf)
+    val codes = LlmSim.segFoldRpqCodes(spark, sf)
+    // coverage: exactly one code row per folded row, cid-aligned —
+    // a code under a stale cid would be unreachable by the routed
+    // literal-cid pushdown (the silent-miss failure mode)
+    assert(codes.count() === f.count(),
+      "fold codes artifact does not cover the folded index")
+    assert(codes.join(f, Seq("cid", "vec_id"), "left_anti").count()
+      === 0L, "a fold code row carries a (cid, vec_id) the fold lacks")
+    // the incremental write equals the UNIFORM definition
+    // encode(v − foldCentroid(cid)) byte-for-byte — the same identity
+    // the oracle rides: untouched cells' kept maintained codes ARE
+    // the uniform codes (their fold centroid is their maintained
+    // centroid), touched cells re-encoded. A wrong keep/re-encode
+    // split surfaces here as a code mismatch.
+    val cbs = LlmSim.pqCbStructs(LlmSim.persistedRpqCb(spark, sf))
+    val uniform = f
+      .join(broadcast(LlmSim.segFoldCentroids(spark, sf)), Seq("cid"))
+      .select($"cid", $"vec_id",
+        LlmSim.pqEncodeCol(zip_with($"v", $"cv", (x, y) => x - y), cbs)
+          .as("codes"))
+    val landedC = codes
+      .select($"cid", $"vec_id", array_join($"codes", ",").as("c"))
+      .as[(Int, Long, String)].collect().toSet
+    val uniformC = uniform
+      .select($"cid", $"vec_id", array_join($"codes", ",").as("c"))
+      .as[(Int, Long, String)].collect().toSet
+    assert(landedC === uniformC,
+      "incremental fold codes diverge from the uniform re-encode")
+    // the folded ADC path serves the streamed twin at rank 1, and a
+    // curated-away vector never shortlists through it
+    val probe = SparkEntry.queries("q_llm_rpq_fold_probe")(spark, sf)
+    val top = probe.filter($"q_id" === 19 && $"rank" === 1)
+      .select($"vec_id").as[Long].collect()
+    assert(top.sameElements(Array(19L + 2 * LlmSim.ArrivalIdBase)),
+      s"query 19's twin lost by the folded ADC cut: ${top.mkString(",")}")
+    val drops = LlmSim.persistedMaintTombstones(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val served = probe.select($"vec_id").as[Long].collect().toSet
+    assert((served & drops).isEmpty,
+      "a tombstoned vector surfaced through the folded ADC path")
+    // probe-plan discipline: the fold-codes scan is a bucketed
+    // artifact read, literal-cid bucket pruning engaged, no shuffle
+    // feeding it (the probe-of-persisted-artifact contract on the
+    // compressed path)
+    val q = SparkEntry.queries("q_llm_rpq_fold_probe")(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val is = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("FileScan")
+        && l.contains("graft_ivf_segf_rpq_me") => i
+    }
+    assert(is.nonEmpty, s"fold probe no longer scans the fold codes:\n${
+      plan.take(1500)}")
+    is.foreach { i =>
+      assert(lines(i).contains("Bucketed: true"),
+        "fold-codes scan lost its bucketing")
+      val above = lines.slice(math.max(0, i - 5), i)
+      assert(!above.exists(_.contains("Exchange hashpartitioning")),
+        s"a shuffle feeds the fold-codes scan:\n${above.mkString("\n")}")
+    }
+    assert(plan.contains("SelectedBucketsCount"),
+      s"fold-codes scan lost bucket pruning:\n${plan.take(1500)}")
   }
 
   test("maintained-epoch deletes: tombstones within the epoch, compaction row-exact, plans differ") {
