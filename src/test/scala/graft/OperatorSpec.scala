@@ -1351,7 +1351,10 @@ class OperatorSpec extends AnyFunSuite {
     // batch 1 and exactly-never for batch 2; this pins both
     val (postB, _) = LlmSim.postingsEpoch(spark, sf, 2)
     assert(postB.count() === n2, "second delivery duplicated a batch")
-    assert(LlmSim.postEpochOf(spark, sf) === 2,
+    // high-water form: another test in this JVM may already have run
+    // the batch-after-stream verb on the shared sf (pointer 2 → 5);
+    // the claim here is "epoch 2 is published", not "nothing after it"
+    assert(LlmSim.postEpochOf(spark, sf) >= 2,
       "pointer not published at epoch 2")
     // incremental df (epoch b-1 ⊕ delta counts, chained twice) equals
     // a from-scratch df over the full estate — the disjoint-doc-sets
@@ -1651,6 +1654,93 @@ class OperatorSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(df3.as[(String, Long)].collect().toMap === scratch,
       "df merged on the zero-redelivery path diverges from scratch")
+  }
+
+  test("second streamed wave + batch-after-stream: pointer interplay in both orders, exactly-once across the resumed checkpoint") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf3 = mkAlias("graft_sf_stream_alias3")
+    // ORDER 1 (batch-then-stream): wave 1 lands, stream pointer 0→3,
+    // batch pointer untouched at 2
+    val (post3, _) = LlmSim.streamedPostingsIngest(spark, sf3)
+    val n3 = post3.count()
+    assert(LlmSim.postEpochOf(spark, sf3) === 2)
+    assert(LlmSim.postStreamEpochOf(spark, sf3) === 3)
+    // the wave source is the DETERMINISTIC dir under the table dir
+    // (not a per-JVM temp) — the cross-process exactly-once leg: a
+    // resumed checkpoint in ANY process pairs with this same path,
+    // and the fresh-catalog rmTree resets source + checkpoint +
+    // markers + partitions as one
+    val postT = s"graft_post_ep_${math.abs(sf3.hashCode)}"
+    val srcDir = new java.io.File(
+      graft.operators.TxnMarker.managedTableDir(spark, postT),
+      "_graft_stream_src/in")
+    assert(srcDir.isDirectory
+        && srcDir.listFiles().exists(_.getName.startsWith("w3_")),
+      s"wave source not at the deterministic path: $srcDir")
+    // WAVE 2 with a mid-wave crash: batch ids CONTINUE from the
+    // resumed checkpoint (wave 1 consumed ids 0..3), so the cut lands
+    // after wave 2's second batch — the same at-least-once window as
+    // the wave-1 chaos test, now across a checkpoint RESUME
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[Exception] {
+      LlmSim.streamedPostingsWave2(spark, sf3, chaos = id =>
+        if (id == 5 && boom.compareAndSet(false, true))
+          throw new RuntimeException("graft-chaos: cut mid wave 2"))
+    }
+    assert(boom.get, "chaos never fired — wave 2 had fewer batches")
+    assert(LlmSim.postStreamEpochOf(spark, sf3) === 3,
+      "wave-2 pointer published despite the mid-wave crash")
+    val (post4, df4) = LlmSim.streamedPostingsWave2(spark, sf3)
+    assert(LlmSim.postStreamEpochOf(spark, sf3) === 4,
+      "stream high-water did not advance to 4")
+    assert(LlmSim.postEpochOf(spark, sf3) === 2,
+      "wave 2 moved the BATCH front's pointer")
+    assert(srcDir.listFiles().exists(_.getName.startsWith("w4_")),
+      "wave 2's files did not land in the shared source dir")
+    val w4rows = post4
+      .filter($"doc_id" >= 4L * LlmSim.ArrivalIdBase).count()
+    assert(w4rows > 0, "no wave-2 rows landed")
+    assert(post4.count() === n3 + w4rows,
+      "wave 2 disturbed earlier partitions")
+    // exactly-once through the crash + resume: no posting landed twice
+    assert(post4.groupBy($"w", $"doc_id").count()
+      .filter($"count" > 1).count() === 0L,
+      "a re-delivered wave-2 micro-batch double-appended")
+    // df epoch 4 (merged 3 ⊕ wave) equals a from-scratch derive
+    val scratch4 = post4.groupBy($"w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(df4.as[(String, Long)].collect().toMap === scratch4,
+      "df epoch 4 diverges from a from-scratch derive")
+    // ORDER 2 (stream-then-batch): epoch 5 lands via the BATCH verb
+    // on the shared number line, batch pointer 2→5, stream stays 4
+    val (post5, df5) = LlmSim.postingsBatchAfterStream(spark, sf3)
+    assert(LlmSim.postEpochOf(spark, sf3) === 5,
+      "batch pointer did not advance past the streamed epochs")
+    assert(LlmSim.postStreamEpochOf(spark, sf3) === 4,
+      "batch-after-stream moved the STREAM front's pointer")
+    val b5rows = post5
+      .filter($"doc_id" >= 5L * LlmSim.ArrivalIdBase).count()
+    assert(b5rows > 0, "no epoch-5 rows landed")
+    assert(post5.count() === post4.count() + b5rows,
+      "epoch 5 disturbed earlier partitions")
+    // exactly-once on the batch verb too: re-entry no-ops
+    assert(LlmSim.postingsBatchAfterStream(spark, sf3)._1.count()
+      === post5.count(), "re-entry re-landed epoch 5")
+    val scratch5 = post5.groupBy($"w").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(df5.as[(String, Long)].collect().toMap === scratch5,
+      "df epoch 5 diverges from a from-scratch derive")
+    // readers at every high-water stay pruned to their epoch: the
+    // ep<=3 reader never sees the later tail, the ep<=2 reader never
+    // sees any streamed row
+    val (p3b, _) = LlmSim.streamedPostingsIngest(spark, sf3)
+    assert(p3b.filter($"doc_id" >= 4L * LlmSim.ArrivalIdBase)
+      .count() === 0L, "an ep<=3 reader leaked the later tail")
+    val (p2b, _) = LlmSim.postingsEpoch(spark, sf3, 2)
+    assert(p2b.filter($"doc_id" >= 3L * LlmSim.ArrivalIdBase)
+      .count() === 0L, "an ep<=2 reader leaked streamed rows")
   }
 
   test("streamed vector segment: crash mid-wave resumes exactly-once, committed cells untouched, twin surfaces") {
