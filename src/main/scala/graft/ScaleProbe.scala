@@ -491,6 +491,59 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Dense-BFS repeat-path A/B (r16): the gated q_graph_bfs_dense
+    * persists BOTH the id mapping and the ENCODED EDGES as bucketed
+    * artifacts, so only the FIRST call pays the two encode joins —
+    * every repeat BFS/CC/PageRank on the same node set reads the
+    * artifacts. One line: cold (build) vs warm (median of 3) wall. */
+  private def denseAbProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Engine.session("graft-densab")
+    import spark.implicits._
+    def run(): Unit = {
+      SparkEntry.queries("q_graph_bfs_dense")(spark, sfDir)
+        .collect(); ()
+    }
+    val tFirst = time(run()) // cold: mapping + encoded-edges build
+    val tRepeat = Seq.fill(3)(time(run())).sorted.apply(1)
+    // the r15 repeat shape, for the A/B: mapping persisted but edges
+    // encoded INLINE per call (two joins before the BFS)
+    val n = Engine.table(spark, sfDir, "customer").count()
+    val raw = Engine.table(spark, sfDir, "orders")
+      .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+        greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+      .filter($"a" =!= $"b").distinct()
+    def sp(c: org.apache.spark.sql.Column) = c * lit(1000003L) + lit(17L)
+    val sraw = raw.select(sp($"a").as("a"), sp($"b").as("b"))
+    val sedges = sraw.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(sraw.select($"b".as("src"), $"a".as("dst")))
+    val sources = spark.range(1, 2).select(sp($"id").as("node"))
+    val mapT = spark.table(
+      s"graft_dense_map_${math.abs(sfDir.hashCode)}")
+    def runInline(): Unit = {
+      val enc = sedges
+        .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),
+          Seq("src"))
+        .join(mapT.select($"orig".as("dst"), $"dense_id".as("ddst")),
+          Seq("dst"))
+        .select($"dsrc".as("src"), $"ddst".as("dst"))
+      val dsrc = sources.join(mapT, sources("node") === mapT("orig"))
+        .select($"dense_id".as("node"))
+      graft.operators.Bfs.hopDistanceBitmap(enc, dsrc,
+          maxHops = 8, maxId = mapT.count())
+        .join(mapT, $"node" === mapT("dense_id"))
+        .select($"orig", $"d")
+        .groupBy($"d")
+        .agg(count(lit(1)), sum($"orig")).collect(); ()
+    }
+    runInline()
+    val tInline = Seq.fill(3)(time(runInline())).sorted.apply(1)
+    println(f"""{"dense_ab":"$sfDir","first_sec":$tFirst%.3f,""" +
+      f""""repeat_sec":$tRepeat%.3f,"inline_repeat_sec":$tInline%.3f,""" +
+      f""""repeat_speedup":${tInline / tRepeat}%.2f}""")
+    spark.stop()
+  }
+
   /** Filtered-ANN shape probe — two claims on one line each:
     * (a) the POOL-TARGET grid: recall@3 vs the exact filtered brute
     *     over nQ queries for poolTarget ∈ {32, 48, 64} at this sfDir,
@@ -623,6 +676,8 @@ object ScaleProbe {
       return filteredShapeProbe(args.drop(1))
     if (args.headOption.contains("bfsab"))
       return bfsAbProbe(args.drop(1))
+    if (args.headOption.contains("densab"))
+      return denseAbProbe(args.drop(1))
     if (args.headOption.contains("maint"))
       return maintShapeProbe(args.drop(1))
     if (args.headOption.contains("postings"))

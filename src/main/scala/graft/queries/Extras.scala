@@ -345,12 +345,20 @@ object Extras extends QueryModule {
         val mapT = LlmText.writeOnceTable(s,
           s"graft_dense_map_${math.abs(dir.hashCode)}", Seq("orig"),
           graft.operators.Densify.mapping(nodes, "id"))
-        val enc = sedges
-          .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),
-            Seq("src"))
-          .join(mapT.select($"orig".as("dst"), $"dense_id".as("ddst")),
-            Seq("dst"))
-          .select($"dsrc".as("src"), $"ddst".as("dst"))
+        // the ENCODED EDGES persist beside the mapping (r16): the two
+        // encode joins are build-once work exactly like the mapping
+        // itself — every repeat BFS/CC/PageRank call on the same node
+        // set reads the bucketed artifact and pays NEITHER join (the
+        // r15 perf note: 2 of the dense demo's 3 joins were repeat
+        // cost; A/B in PLANS.md r16)
+        val enc = LlmText.writeOnceTable(s,
+          s"graft_dense_edges_${math.abs(dir.hashCode)}", Seq("src"),
+          sedges
+            .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),
+              Seq("src"))
+            .join(mapT.select($"orig".as("dst"), $"dense_id".as("ddst")),
+              Seq("dst"))
+            .select($"dsrc".as("src"), $"ddst".as("dst")))
         val dsrc = sources
           .join(mapT, sources("node") === mapT("orig"))
           .select($"dense_id".as("node"))
@@ -379,6 +387,122 @@ object Extras extends QueryModule {
           FROM walk w JOIN edges e ON e.src = w.node
           WHERE w.d < 8)
         SELECT d, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_node
+        FROM (SELECT node, min(d) AS d FROM walk GROUP BY node)
+        GROUP BY d""")),
+
+    // STRING-ID DENSIFICATION — the type the operator's scaladoc
+    // promises ("hashes, UUIDs, or sparse keys") gated on its hardest
+    // case: Densify.mapping preserves the orig column's TYPE, so a
+    // VARCHAR-keyed node set densifies through the same
+    // range-repartition + zipWithIndex pass (rank = ascending rank in
+    // BINARY string order — the one order both engines share). This
+    // gate pins the mapping itself: (orig, dense_id) hash-exact
+    // against row_number() OVER (ORDER BY id) − 1 on VARCHAR ids. The
+    // spec pins NULL-string rejection (ascending sort would otherwise
+    // rank NULL first and shift every real rank).
+    "q_graph_densify_str" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val n = Engine.table(s, dir, "customer").count()
+        val raw = Engine.table(s, dir, "orders")
+          .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+            greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+          .filter($"a" =!= $"b")
+          .distinct()
+        def sid(c: org.apache.spark.sql.Column) =
+          concat(lit("u"), lpad(c.cast("string"), 12, "0"))
+        val nodes = raw.select(sid($"a").as("id"))
+          .unionByName(raw.select(sid($"b").as("id")))
+        LlmText.writeOnceTable(s,
+          s"graft_dense_smap_${math.abs(dir.hashCode)}", Seq("orig"),
+          graft.operators.Densify.mapping(nodes, "id"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT DISTINCT
+            least(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS a,
+            greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS b
+          FROM orders
+          WHERE least(o_custkey, o_orderkey % (SELECT count(*) FROM customer))
+            <> greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer))),
+        ids AS (
+          SELECT DISTINCT id FROM (
+            SELECT 'u' || lpad(CAST(a AS VARCHAR), 12, '0') AS id FROM raw
+            UNION ALL
+            SELECT 'u' || lpad(CAST(b AS VARCHAR), 12, '0') FROM raw))
+        SELECT id AS orig,
+          CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS dense_id
+        FROM ids""")),
+
+    // BFS OVER STRING IDS — the densify round-trip on a VARCHAR-keyed
+    // graph: mapping → encode → bitmap BFS on [0, N) → inverse,
+    // result decoded back to the original string ids. The oracle
+    // walks the STRING graph directly (recursive CTE on VARCHAR) and
+    // never sees the mapping — lossless round-trip, not mere
+    // self-consistency. min/max over the per-distance node sets are
+    // the string-typed stand-ins for the long gate's sum_node.
+    "q_graph_bfs_dense_str" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val n = Engine.table(s, dir, "customer").count()
+        val raw = Engine.table(s, dir, "orders")
+          .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+            greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+          .filter($"a" =!= $"b")
+          .distinct()
+        def sid(c: org.apache.spark.sql.Column) =
+          concat(lit("u"), lpad(c.cast("string"), 12, "0"))
+        val sraw = raw.select(sid($"a").as("a"), sid($"b").as("b"))
+        val sedges = sraw.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(sraw.select($"b".as("src"), $"a".as("dst")))
+        val sources = s.range(1, 2).select(sid($"id").as("node"))
+        val nodes = sedges.select($"src".as("id"))
+          .unionByName(sedges.select($"dst".as("id")))
+          .unionByName(sources.select($"node".as("id")))
+        val mapT = LlmText.writeOnceTable(s,
+          s"graft_dense_smap_g_${math.abs(dir.hashCode)}", Seq("orig"),
+          graft.operators.Densify.mapping(nodes, "id"))
+        val enc = LlmText.writeOnceTable(s,
+          s"graft_dense_sedges_${math.abs(dir.hashCode)}", Seq("src"),
+          sedges
+            .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),
+              Seq("src"))
+            .join(mapT.select($"orig".as("dst"), $"dense_id".as("ddst")),
+              Seq("dst"))
+            .select($"dsrc".as("src"), $"ddst".as("dst")))
+        val dsrc = sources
+          .join(mapT, sources("node") === mapT("orig"))
+          .select($"dense_id".as("node"))
+        val dres = graft.operators.Bfs.hopDistanceBitmap(enc, dsrc,
+          maxHops = 8, maxId = mapT.count())
+        dres.join(mapT, dres("node") === mapT("dense_id"))
+          .select($"orig".as("node"), $"d")
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_nodes"),
+            min($"node").as("min_node"), max($"node").as("max_node"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE raw AS (
+          SELECT DISTINCT
+            least(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS a,
+            greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS b
+          FROM orders
+          WHERE least(o_custkey, o_orderkey % (SELECT count(*) FROM customer))
+            <> greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer))),
+        edges AS (
+          SELECT 'u' || lpad(CAST(a AS VARCHAR), 12, '0') AS src,
+                 'u' || lpad(CAST(b AS VARCHAR), 12, '0') AS dst FROM raw
+          UNION ALL
+          SELECT 'u' || lpad(CAST(b AS VARCHAR), 12, '0'),
+                 'u' || lpad(CAST(a AS VARCHAR), 12, '0') FROM raw),
+        walk(node, d) AS (
+          SELECT 'u' || lpad('1', 12, '0') AS node, 0 AS d
+          UNION
+          SELECT e.dst, w.d + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.d < 8)
+        SELECT d, count(*) AS n_nodes,
+          min(node) AS min_node, max(node) AS max_node
         FROM (SELECT node, min(d) AS d FROM walk GROUP BY node)
         GROUP BY d""")),
 

@@ -3775,6 +3775,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("NULL id") ||
       Option(ex.getCause).exists(_.getMessage.contains("NULL id")),
       s"wrong failure: ${ex.getMessage.take(200)}")
+    // ...and on the STRING path too (the gated q_graph_densify_str
+    // type): a NULL VARCHAR id must fail the same way, not rank first
+    val exS = intercept[org.apache.spark.SparkException] {
+      Densify.mapping(
+        Seq(Some("b"), None, Some("a")).toDF("id"), "id").collect()
+    }
+    assert(exS.getMessage.contains("NULL id") ||
+      Option(exS.getCause).exists(_.getMessage.contains("NULL id")),
+      s"wrong string-NULL failure: ${exS.getMessage.take(200)}")
   }
 
   test("LshSig equals the composed when(dot>=0) sum bit-for-bit, codegen and interpreted, including the NULL-input quirk") {
