@@ -6744,5 +6744,16 @@ object LlmSim extends QueryModule {
   private[graft] def annArtifactBuilds(
       s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "lsh_idx" -> (() => { persistedLshIdx(s, dir); () }),
-    "bq_sig" -> (() => { persistedBqSigs(s, dir); () }))
+    "bq_sig" -> (() => { persistedBqSigs(s, dir); () }),
+    // the two lifecycle ESTATES (r16): whoever touches a chain first
+    // pays its whole build, which made the stage table's per-query
+    // job counts depend on bench ordering (the r15→r16 health diff:
+    // 57→112 jobs, all first-toucher) — land the builds on their own
+    // labeled lines so every gated query's group measures its READ
+    // plan. Each forces its full dependency chain (fold codes →
+    // fold → segments → commit; batch-after-stream → wave 2 → wave 1
+    // → batch epochs).
+    "ivf_estate" -> (() => { segFoldRpqCodes(s, dir); () }),
+    "postings_estate" -> (() =>
+      { postingsBatchAfterStream(s, dir); () }))
 }
