@@ -513,13 +513,15 @@ object ScaleProbe {
       .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
         greatest($"o_custkey", $"o_orderkey" % n).as("b"))
       .filter($"a" =!= $"b").distinct()
-    def sp(c: org.apache.spark.sql.Column) = c * lit(1000003L) + lit(17L)
+    // id transform + mapping-table name come FROM the gate's module —
+    // fixture drift would silently time a different graph
+    def sp(c: org.apache.spark.sql.Column) =
+      graft.queries.Extras.denseSparseId(c)
     val sraw = raw.select(sp($"a").as("a"), sp($"b").as("b"))
     val sedges = sraw.select($"a".as("src"), $"b".as("dst"))
       .unionByName(sraw.select($"b".as("src"), $"a".as("dst")))
     val sources = spark.range(1, 2).select(sp($"id").as("node"))
-    val mapT = spark.table(
-      s"graft_dense_map_${math.abs(sfDir.hashCode)}")
+    val mapT = spark.table(graft.queries.Extras.denseMapTable(sfDir))
     def runInline(): Unit = {
       val enc = sedges
         .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),

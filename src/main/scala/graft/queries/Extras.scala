@@ -10,6 +10,76 @@ import org.apache.spark.sql.functions._
   */
 object Extras extends QueryModule {
 
+  /** The sparse-LONG id transform of the dense-BFS gates — shared
+    * with ScaleProbe's densab A/B so the probe times the same graph
+    * the gate probes (fixture drift would silently compare two
+    * different graphs). */
+  private[graft] def denseSparseId(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c * lit(1000003L) + lit(17L)
+
+  /** The VARCHAR id transform of the string-id gates. */
+  private def denseStrId(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("u"), lpad(c.cast("string"), 12, "0"))
+
+  /** The long-id dense mapping's table name — ScaleProbe's densab
+    * reads it; a rename lands on both or neither. */
+  private[graft] def denseMapTable(dir: String): String =
+    s"graft_dense_map_${math.abs(dir.hashCode)}"
+
+  /** The dense-BFS pipeline shared by the long- and string-id gates:
+    * orders-derived edges through `idOf` (any type), node set =
+    * endpoints ∪ source, mapping AND encoded edges persisted as
+    * bucketed write-once artifacts (repeat graph calls on the same
+    * node set pay neither encode join — r16), bitmap BFS on [0, N),
+    * result decoded to original ids as (node, d). One skeleton, so a
+    * fix to the round-trip lands on every id type or none. */
+  private def denseBfs(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      idOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val n = Engine.table(s, dir, "customer").count()
+    val raw = Engine.table(s, dir, "orders")
+      .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
+        greatest($"o_custkey", $"o_orderkey" % n).as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+    val sraw = raw.select(idOf($"a").as("a"), idOf($"b").as("b"))
+    val sedges = sraw.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(sraw.select($"b".as("src"), $"a".as("dst")))
+    val sources = s.range(1, 2).select(idOf($"id").as("node"))
+    // node set = edge endpoints ∪ sources (a source outside the edge
+    // relation must still densify — it settles at d=0)
+    val nodes = sedges.select($"src".as("id"))
+      .unionByName(sedges.select($"dst".as("id")))
+      .unionByName(sources.select($"node".as("id")))
+    val mapT = LlmText.writeOnceTable(s,
+      s"graft_dense_${tag}map_${math.abs(dir.hashCode)}", Seq("orig"),
+      graft.operators.Densify.mapping(nodes, "id"))
+    // the ENCODED EDGES persist beside the mapping (r16): the two
+    // encode joins are build-once work exactly like the mapping
+    // itself — every repeat BFS/CC/PageRank call on the same node
+    // set reads the bucketed artifact and pays NEITHER join (the
+    // r15 perf note; A/B in PLANS.md r16 densab)
+    val enc = LlmText.writeOnceTable(s,
+      s"graft_dense_${tag}edges_${math.abs(dir.hashCode)}", Seq("src"),
+      sedges
+        .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),
+          Seq("src"))
+        .join(mapT.select($"orig".as("dst"), $"dense_id".as("ddst")),
+          Seq("dst"))
+        .select($"dsrc".as("src"), $"ddst".as("dst")))
+    val dsrc = sources
+      .join(mapT, sources("node") === mapT("orig"))
+      .select($"dense_id".as("node"))
+    val dres = graft.operators.Bfs.hopDistanceBitmap(enc, dsrc,
+      maxHops = 8, maxId = mapT.count())
+    dres.join(mapT, dres("node") === mapT("dense_id"))
+      .select($"orig".as("node"), $"d")
+  }
+
   def defs: Vector[(String, QueryDef)] = Vector(
 
     // Pivot (conditional aggregation under the hood; oracle spells it out).
@@ -325,47 +395,7 @@ object Extras extends QueryModule {
     "q_graph_bfs_dense" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        val n = Engine.table(s, dir, "customer").count()
-        val raw = Engine.table(s, dir, "orders")
-          .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
-            greatest($"o_custkey", $"o_orderkey" % n).as("b"))
-          .filter($"a" =!= $"b")
-          .distinct()
-        def sp(c: org.apache.spark.sql.Column) =
-          c * lit(1000003L) + lit(17L)
-        val sraw = raw.select(sp($"a").as("a"), sp($"b").as("b"))
-        val sedges = sraw.select($"a".as("src"), $"b".as("dst"))
-          .unionByName(sraw.select($"b".as("src"), $"a".as("dst")))
-        val sources = s.range(1, 2).select(sp($"id").as("node"))
-        // node set = edge endpoints ∪ sources (a source outside the
-        // edge relation must still densify — it settles at d=0)
-        val nodes = sedges.select($"src".as("id"))
-          .unionByName(sedges.select($"dst".as("id")))
-          .unionByName(sources.select($"node".as("id")))
-        val mapT = LlmText.writeOnceTable(s,
-          s"graft_dense_map_${math.abs(dir.hashCode)}", Seq("orig"),
-          graft.operators.Densify.mapping(nodes, "id"))
-        // the ENCODED EDGES persist beside the mapping (r16): the two
-        // encode joins are build-once work exactly like the mapping
-        // itself — every repeat BFS/CC/PageRank call on the same node
-        // set reads the bucketed artifact and pays NEITHER join (the
-        // r15 perf note: 2 of the dense demo's 3 joins were repeat
-        // cost; A/B in PLANS.md r16)
-        val enc = LlmText.writeOnceTable(s,
-          s"graft_dense_edges_${math.abs(dir.hashCode)}", Seq("src"),
-          sedges
-            .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),
-              Seq("src"))
-            .join(mapT.select($"orig".as("dst"), $"dense_id".as("ddst")),
-              Seq("dst"))
-            .select($"dsrc".as("src"), $"ddst".as("dst")))
-        val dsrc = sources
-          .join(mapT, sources("node") === mapT("orig"))
-          .select($"dense_id".as("node"))
-        val dres = graft.operators.Bfs.hopDistanceBitmap(enc, dsrc,
-          maxHops = 8, maxId = mapT.count())
-        dres.join(mapT, dres("node") === mapT("dense_id"))
-          .select($"orig".as("node"), $"d")
+        denseBfs(s, dir, tag = "", denseSparseId)
           .groupBy($"d")
           .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"))
       },
@@ -409,10 +439,8 @@ object Extras extends QueryModule {
             greatest($"o_custkey", $"o_orderkey" % n).as("b"))
           .filter($"a" =!= $"b")
           .distinct()
-        def sid(c: org.apache.spark.sql.Column) =
-          concat(lit("u"), lpad(c.cast("string"), 12, "0"))
-        val nodes = raw.select(sid($"a").as("id"))
-          .unionByName(raw.select(sid($"b").as("id")))
+        val nodes = raw.select(denseStrId($"a").as("id"))
+          .unionByName(raw.select(denseStrId($"b").as("id")))
         LlmText.writeOnceTable(s,
           s"graft_dense_smap_${math.abs(dir.hashCode)}", Seq("orig"),
           graft.operators.Densify.mapping(nodes, "id"))
@@ -444,39 +472,7 @@ object Extras extends QueryModule {
     "q_graph_bfs_dense_str" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        val n = Engine.table(s, dir, "customer").count()
-        val raw = Engine.table(s, dir, "orders")
-          .select(least($"o_custkey", $"o_orderkey" % n).as("a"),
-            greatest($"o_custkey", $"o_orderkey" % n).as("b"))
-          .filter($"a" =!= $"b")
-          .distinct()
-        def sid(c: org.apache.spark.sql.Column) =
-          concat(lit("u"), lpad(c.cast("string"), 12, "0"))
-        val sraw = raw.select(sid($"a").as("a"), sid($"b").as("b"))
-        val sedges = sraw.select($"a".as("src"), $"b".as("dst"))
-          .unionByName(sraw.select($"b".as("src"), $"a".as("dst")))
-        val sources = s.range(1, 2).select(sid($"id").as("node"))
-        val nodes = sedges.select($"src".as("id"))
-          .unionByName(sedges.select($"dst".as("id")))
-          .unionByName(sources.select($"node".as("id")))
-        val mapT = LlmText.writeOnceTable(s,
-          s"graft_dense_smap_g_${math.abs(dir.hashCode)}", Seq("orig"),
-          graft.operators.Densify.mapping(nodes, "id"))
-        val enc = LlmText.writeOnceTable(s,
-          s"graft_dense_sedges_${math.abs(dir.hashCode)}", Seq("src"),
-          sedges
-            .join(mapT.select($"orig".as("src"), $"dense_id".as("dsrc")),
-              Seq("src"))
-            .join(mapT.select($"orig".as("dst"), $"dense_id".as("ddst")),
-              Seq("dst"))
-            .select($"dsrc".as("src"), $"ddst".as("dst")))
-        val dsrc = sources
-          .join(mapT, sources("node") === mapT("orig"))
-          .select($"dense_id".as("node"))
-        val dres = graft.operators.Bfs.hopDistanceBitmap(enc, dsrc,
-          maxHops = 8, maxId = mapT.count())
-        dres.join(mapT, dres("node") === mapT("dense_id"))
-          .select($"orig".as("node"), $"d")
+        denseBfs(s, dir, tag = "s_", denseStrId)
           .groupBy($"d")
           .agg(count(lit(1)).as("n_nodes"),
             min($"node").as("min_node"), max($"node").as("max_node"))

@@ -2145,17 +2145,21 @@ object LlmSim extends QueryModule {
           .crossJoin(post5.agg(count(lit(1)).as("post5_rows")))
           .crossJoin(seg.agg(count(lit(1)).as("seg_rows")))
           // the FOLD front (r16): derived from the persisted fold
-          // artifact (one bucketed table read), not by re-running the
-          // chain — the report's cost must not grow with each estate
+          // artifact in ONE scan (per-cid partials carry all three
+          // sums; the global agg folds them) — not by re-running the
+          // chain, and not by re-reading the table per column family:
+          // the report's cost must not grow with each estate
           // extension (the r15 judge's job-count trend note)
-          .crossJoin(fold.groupBy($"cid").agg(count(lit(1)).as("fcn"))
+          .crossJoin(fold.groupBy($"cid").agg(
+              count(lit(1)).as("fcn"),
+              sum(when($"vec_id" >= 2 * ArrivalIdBase, 1L)
+                .otherwise(0L)).as("fsr"),
+              sum(when($"split", 1L).otherwise(0L)).as("frs"))
             .agg(count(lit(1)).as("fold_cells"),
               sum(when($"fcn" > IvfPSplitRows, 1L).otherwise(0L))
-                .as("fold_overgrown")))
-          .crossJoin(fold.agg(
-            sum(when($"vec_id" >= 2 * ArrivalIdBase, 1L).otherwise(0L))
-              .as("fold_seg_rows"),
-            sum(when($"split", 1L).otherwise(0L)).as("fold_resplit")))
+                .as("fold_overgrown"),
+              sum($"fsr").as("fold_seg_rows"),
+              sum($"frs").as("fold_resplit")))
           .select($"n_cells", $"n_rows", $"n_tomb",
             ($"n_rows" - $"n_tomb").as("live_rows"),
             $"max_cell", $"overgrown_cells", $"split_children",
@@ -4675,7 +4679,7 @@ object LlmSim extends QueryModule {
         // rmTree, so a cross-process resume pairs checkpoint and
         // source correctly (see materializeWave)
         val srcDir = materializeWave(s, segDir, "w",
-          ivfStreamWave(s, dir))
+          ivfStreamWave(s, dir), key = "vec_id")
         val schema = s.read.parquet(srcDir.getAbsolutePath).schema
         val ckpt = new java.io.File(segDir, "_graft_stream_ckpt")
         val q = s.readStream.schema(schema)
@@ -5660,17 +5664,25 @@ object LlmSim extends QueryModule {
     * deterministic name IN SORTED ORDER — a re-entry re-stages and
     * moves only the targets still missing, never perturbing a file
     * the checkpoint may already have listed (a consumed file must
-    * keep its bytes; repartition's row routing is deterministic in
-    * the input, so a re-staged part i carries the same rows). The
-    * `<tag>.done` marker caps the sequence; a crash between the last
-    * move and the marker re-stages into all-existing targets and
-    * just re-caps. LATER waves append new tags into the SAME dir —
-    * the resumed checkpoint treats them as newly-arrived files on
-    * the one source it already tracks (the high-water-advancing
-    * story, not a second stream). Returns the source dir. */
+    * keep its rows). Rows route to staged parts by HASH of `key`
+    * (`repartition(parts, key)`) — a function of the VALUES, so a
+    * resume under different scan parallelism (another process,
+    * another SPARK_GRAFT_CPUS) re-stages the identical row-to-file
+    * assignment; the default round-robin repartition routes by input
+    * partition boundaries and would let a kept old target and a
+    * re-staged sibling double-carry or drop rows across the crash
+    * window. The `<tag>.done` marker caps the sequence; a crash
+    * between the last move and the marker re-stages into
+    * all-existing targets and just re-caps, and a racing identical
+    * creator losing the marker observes the winner's files
+    * (MarkerCreate's win-or-observe discipline). LATER waves append
+    * new tags into the SAME dir — the resumed checkpoint treats them
+    * as newly-arrived files on the one source it already tracks (the
+    * high-water-advancing story, not a second stream). Returns the
+    * source dir. */
   private def materializeWave(s: SparkSession,
                               tableDir: java.io.File, tag: String,
-                              wave: => DataFrame,
+                              wave: => DataFrame, key: String,
                               parts: Int = 4): java.io.File = {
     val root = new java.io.File(tableDir, "_graft_stream_src")
     val srcDir = new java.io.File(root, "in")
@@ -5679,12 +5691,14 @@ object LlmSim extends QueryModule {
     if (!done.exists()) {
       val stage = new java.io.File(root, s"stage_$tag")
       graft.operators.TxnMarker.rmTree(stage)
-      wave.repartition(parts)
+      wave.repartition(parts, col(key))
         .write.mode("overwrite").parquet(stage.getAbsolutePath)
-      val staged = stage.listFiles()
+      val staged = Option(stage.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("part-")
           && f.getName.endsWith(".parquet"))
         .sortBy(_.getName)
+      require(staged.nonEmpty,
+        s"materializeWave($tag): staging produced no part files")
       staged.zipWithIndex.foreach { case (src, i) =>
         val dst = new java.io.File(srcDir, s"${tag}_$i.parquet")
         if (!dst.exists())
@@ -5692,7 +5706,10 @@ object LlmSim extends QueryModule {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
       }
       graft.operators.TxnMarker.rmTree(stage)
-      java.nio.file.Files.createFile(done.toPath): Unit
+      try java.nio.file.Files.createFile(done.toPath): Unit
+      catch { // a racing identical creator won; its files are ours
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     }
     srcDir
   }
@@ -5767,14 +5784,26 @@ object LlmSim extends QueryModule {
     * the per-wave epoch lambda safe: every caller drains wave e−1 to
     * its published pointer BEFORE materializing wave e's files, so
     * no file of an earlier wave can be in flight when a later wave's
-    * lambda runs. */
+    * lambda runs.
+    *
+    * CONCURRENCY BOUNDARY, same as [[postingsEpoch]]'s: the
+    * cross-process property this runner claims is SEQUENTIAL resume
+    * (a later process picks up a dead one's checkpoint and source,
+    * which now reset together) — NOT concurrent writers. Two LIVE
+    * processes streaming against one checkpoint would each assign
+    * their own batch ids for the same files and the per-(epoch,
+    * batchId) markers would stop deduplicating; `postLock` fences a
+    * JVM, and fencing processes needs a store-level lease on the
+    * checkpoint dir (the MarkerCreate conditional-put seam's
+    * deployment posture), out of scope for the same reason the
+    * bucketed-table rebuild is single-writer. */
   private def runPostingsWave(s: SparkSession, dir: String, e: Int,
                               chaos: Long => Unit): Unit = {
     import s.implicits._
     val postT = postTableName(dir)
     val tdir = graft.operators.TxnMarker.managedTableDir(s, postT)
     val srcDir = materializeWave(s, tdir, s"w$e",
-      postingsDeltaDocs(s, dir, e))
+      postingsDeltaDocs(s, dir, e), key = "doc_id")
     val schema = s.read.parquet(srcDir.getAbsolutePath).schema
     val ckpt = new java.io.File(tdir, "_graft_stream_ckpt")
     val q = s.readStream.schema(schema)
