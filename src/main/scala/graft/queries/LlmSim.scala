@@ -2122,6 +2122,7 @@ object LlmSim extends QueryModule {
         // mid-lifecycle would be run-order-dependent)
         val (post5, _) = postingsBatchAfterStream(s, dir)
         val seg = streamedIvfSegment(s, dir)
+        val segAll = streamedIvfSegmentAll(s, dir)
         val fold = persistedSegFold(s, dir)
         mCells.groupBy($"cid").agg(count(lit(1)).as("cn"))
           .agg(
@@ -2144,6 +2145,9 @@ object LlmSim extends QueryModule {
           .crossJoin(post3.agg(count(lit(1)).as("post3_rows")))
           .crossJoin(post5.agg(count(lit(1)).as("post5_rows")))
           .crossJoin(seg.agg(count(lit(1)).as("seg_rows")))
+          .crossJoin(segAll
+            .filter($"vec_id" >= IvfSegSeal1Bound)
+            .agg(count(lit(1)).as("seg_tail_rows")))
           // the FOLD front (r16): derived from the persisted fold
           // artifact in ONE scan (per-cid partials carry all three
           // sums; the global agg folds them) — not by re-running the
@@ -2171,7 +2175,7 @@ object LlmSim extends QueryModule {
             lit(postStreamEpochOf(s, dir).toLong).as("stream_epoch"),
             ($"post3_rows" - $"posting_rows").as("stream_rows"),
             ($"post5_rows" - $"post3_rows").as("tail_rows"),
-            $"seg_rows",
+            $"seg_rows", $"seg_tail_rows",
             $"fold_cells", $"fold_overgrown", $"fold_seg_rows",
             $"fold_resplit")
       },
@@ -2225,6 +2229,8 @@ object LlmSim extends QueryModule {
           GROUP BY doc_id, w)),
         sgr AS (SELECT CAST(count(*) AS BIGINT) AS seg_rows
           FROM e WHERE vec_id % 7 = 5),
+        sgt AS (SELECT CAST(count(*) AS BIGINT) AS seg_tail_rows
+          FROM e WHERE vec_id % 7 = 6),
         -- the post-stream TAIL (r16): wave 2 (batch 4, streamed) and
         -- the batch-after-stream epoch (batch 5) — the rows landed
         -- past the first streamed high-water
@@ -2269,11 +2275,11 @@ object LlmSim extends QueryModule {
           CAST($PostingsBatchAfterStream AS BIGINT) AS post_epoch,
           posting_rows, vocab_size, df_drift, post_tomb, post_live_rows,
           CAST($PostingsStreamEpoch2 AS BIGINT) AS stream_epoch,
-          stream_rows, tail_rows, seg_rows,
+          stream_rows, tail_rows, seg_rows, seg_tail_rows,
           fold_cells, fold_overgrown, fold_seg_rows, fold_resplit
         FROM agg0 CROSS JOIN tq CROSS JOIN pstat CROSS JOIN ptq
           CROSS JOIN plr CROSS JOIN ssr CROSS JOIN t45 CROSS JOIN sgr
-          CROSS JOIN hagg CROSS JOIN hseg""")),
+          CROSS JOIN sgt CROSS JOIN hagg CROSS JOIN hseg""")),
 
     // MAINTENANCE CYCLE 2 — the health report's finding RESOLVED as a
     // gate, not prose: the committed epoch can hold overgrown merge
@@ -2445,6 +2451,95 @@ object LlmSim extends QueryModule {
           SELECT * FROM cells UNION ALL SELECT * FROM nscells),
         ${ivfProbeTailSql("cent", "allcells", 19, 24)}""")),
 
+    // SECOND STREAMED VECTOR WAVE — the segment's seal ADVANCING
+    // (1 → 2), the vector twin of the postings side's wave 2: wave
+    // 2's files land in the same source dir, the SAME durable
+    // checkpoint resumes over them (batch ids continue; the per-batch
+    // markers keep exactly-once across the resume — chaos-spec'd),
+    // and the seal pointer swings to 2. Every seal-1 reader — the
+    // five gated seal-1 probes AND the fold, whose cut point seal 1
+    // is — pins the as-of band (vec_id < 3·base: monotone id bands
+    // are the segment's epochs, the postings `ep <=` discipline) and
+    // stays deterministic whichever gate ran first. This probe reads
+    // committed ∪ BOTH waves; query 19's wave-1 twin and query 20's
+    // wave-2 twin must each surface at rank 1.
+    "q_stream_ivf_ingest2" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cells = persistedIvfCells(s, dir)
+          .unionByName(streamedIvfSegmentAll(s, dir))
+        ivfProbeOf(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          persistedIvfCent(s, dir), cells, nprobe = IvfPNprobe)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        ${waveCellsSql()},
+        ${waveCellsSql(out = "ns2cells", wave = 2)},
+        allcells AS (
+          SELECT * FROM cells
+          UNION ALL SELECT * FROM nscells
+          UNION ALL SELECT * FROM ns2cells),
+        ${ivfProbeTailSql("cent", "allcells", 19, 24)}""")),
+
+    // POST-FOLD TAIL — the lifecycle CONTINUING after a fold: the
+    // fold absorbed the segment at its cut point (seal 1); wave 2
+    // lands after the cut and rides the segment until the next fold
+    // (exactly the postings catch-up posture on the vector side).
+    // The serving read is (folded index) ∪ (post-cut tail routed AT
+    // PROBE TIME against the SERVING centroids — the fold's, one
+    // map-only broadcast pass over the delta-sized tail), maintained
+    // tombstones anti-joined live. Query 19's twin is served from
+    // INSIDE the folded index, query 20's from the tail — one probe,
+    // both generations, under one oracle hash.
+    "q_llm_fold_tail_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val fCent = segFoldCentroids(s, dir)
+        val tail = ivfCellsOf(
+          streamedIvfSegmentAll(s, dir)
+            .filter($"vec_id" >= IvfSegSeal1Bound)
+            .select($"vec_id", $"v"),
+          fCent).select($"cid", $"vec_id", $"v")
+        val tomb = persistedMaintTombstones(s, dir).select($"vec_id")
+        ivfProbeOf(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          fCent,
+          persistedSegFold(s, dir).select($"cid", $"vec_id", $"v")
+            .unionByName(tail)
+            .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+          nprobe = IvfPNprobe)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        $maintDropsSql,
+        ${waveCellsSql("mcent", "fsc")},
+        fall AS MATERIALIZED (
+          SELECT cid, vec_id, v FROM relab
+          UNION ALL SELECT cid, vec_id, v FROM fsc),
+        ${splitRoundsSql(MaintSplitRounds,
+          roundBase = 2 * MaintSplitRounds,
+          input = "fall", pfx = "g", out = "gpost")},
+        fchg AS MATERIALIZED (SELECT DISTINCT cid FROM gpost
+          WHERE split OR vec_id >= ${2 * ArrivalIdBase}),
+        ${quantMeanSql("gpost r JOIN fchg USING (cid)", "fref")},
+        fcent AS MATERIALIZED (
+          SELECT cid, cv FROM mcent
+           WHERE cid NOT IN (SELECT cid FROM fchg)
+          UNION ALL SELECT cid, cv FROM fref),
+        ${waveCellsSql("fcent", "tail2", wave = 2)},
+        gall AS (
+          SELECT cid, vec_id, v FROM gpost
+          UNION ALL SELECT cid, vec_id, v FROM tail2),
+        glive AS (SELECT * FROM gall
+          WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
+        ${ivfProbeTailSql("fcent", "glive", 19, 24)}""")),
+
     // SEGMENT FOLD — the background-merge half of the realtime-
     // segment posture, as a gate instead of prose: the streamed
     // segment's vectors RE-ROUTE against the committed epoch's
@@ -2593,28 +2688,55 @@ object LlmSim extends QueryModule {
           FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
         ${pqSqlFrom("resid")},
         ${waveCellsSql()},
-        nsresid AS (
-          SELECT nc.cid, nc.vec_id,
-            list_transform(range(1, ${PqM * PqSubDim + 1}),
-              i -> nc.v[i] - ct.cv[i]) AS v
-          FROM nscells nc JOIN cent ct ON ct.cid = nc.cid),
-        nssubs AS (
-          SELECT vec_id, m,
-            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
-          FROM nsresid CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
-        nscodes AS (
-          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
-            SELECT u0.vec_id, u0.m, c0.code,
-              row_number() OVER (PARTITION BY u0.vec_id, u0.m
-                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
-            FROM nssubs u0 JOIN pcb c0 ON u0.m = c0.m)
-          WHERE rn = 1
-          GROUP BY vec_id),
+        ${waveRpqCodesSql("nscells", "ns")},
         allidx AS (
           SELECT vec_id, codes FROM pidx
           UNION ALL SELECT vec_id, codes FROM nscodes),
         allcells AS (
           SELECT * FROM cells UNION ALL SELECT * FROM nscells),
+        ${rpqProbeTailSql("cent", "allcells", "allidx", 19, 24)}""")),
+
+    // COMPRESSED PATH AT SEAL 2 — the two-stage ADC probe over the
+    // committed codes ∪ BOTH sealed code waves, reranked against the
+    // committed cells ∪ both cell waves: the second vector wave made
+    // first-class on the read path a probe actually scans at 100 TB.
+    // Query 19's wave-1 twin and query 20's wave-2 twin must each
+    // survive the ADC shortlist; the oracle re-derives BOTH waves'
+    // frozen-codebook encodings from one factored CTE shape.
+    "q_llm_rpq_stream_probe2" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val idx = persistedRpqIdx(s, dir)
+          .unionByName(streamedRpqSegmentAll(s, dir))
+        val cells = persistedIvfCells(s, dir)
+          .unionByName(streamedIvfSegmentAll(s, dir))
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          persistedIvfCent(s, dir), idx, cells, rpqCbArr(s, dir),
+          PqTopR, residual = true)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        resid AS (
+          SELECT cl.cid, cl.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> cl.v[i] - ct.cv[i]) AS v
+          FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
+        ${pqSqlFrom("resid")},
+        ${waveCellsSql()},
+        ${waveCellsSql(out = "ns2cells", wave = 2)},
+        ${waveRpqCodesSql("nscells", "ns")},
+        ${waveRpqCodesSql("ns2cells", "nt")},
+        allidx AS (
+          SELECT vec_id, codes FROM pidx
+          UNION ALL SELECT vec_id, codes FROM nscodes
+          UNION ALL SELECT vec_id, codes FROM ntcodes),
+        allcells AS (
+          SELECT * FROM cells
+          UNION ALL SELECT * FROM nscells
+          UNION ALL SELECT * FROM ns2cells),
         ${rpqProbeTailSql("cent", "allcells", "allidx", 19, 24)}""")),
 
     // FOLD CASCADE ON THE COMPRESSED PATH — the r15 judge's #1 made a
@@ -4322,17 +4444,51 @@ object LlmSim extends QueryModule {
     * streamed-front oracle (ingest probe, hybrid stream, compressed
     * probe, and — routed against `mcent` — the segment fold). */
   private def waveCellsSql(cent: String = "cent",
-                           out: String = "nscells"): String = s"""ns AS (
-          SELECT vec_id + ${2 * ArrivalIdBase} AS vec_id,
+                           out: String = "nscells",
+                           wave: Int = 1): String = {
+    // wave fixtures share the perturbation; each lives in its own
+    // residue + id band (wave 1: residue 5, +2·base; wave 2:
+    // residue 6, +3·base — [[ivfStreamWave]]/[[ivfStreamWave2]])
+    val (res, shift, in) =
+      if (wave == 1) (5, 2L * ArrivalIdBase, "ns")
+      else (6, 3L * ArrivalIdBase, "ns2")
+    s"""$in AS (
+          SELECT vec_id + $shift AS vec_id,
             list_transform(v, x -> x * 0.9 + 0.01) AS v
-          FROM e WHERE vec_id % 7 = 5),
+          FROM e WHERE vec_id % 7 = $res),
         $out AS (
           SELECT vec_id, v, cid FROM (
-            SELECT ns.vec_id, ns.v, c.cid,
-              row_number() OVER (PARTITION BY ns.vec_id ORDER BY
-                ${d2Sql("ns.v", "c.cv")}, c.cid) AS rn
-            FROM ns CROSS JOIN $cent c)
+            SELECT $in.vec_id, $in.v, c.cid,
+              row_number() OVER (PARTITION BY $in.vec_id ORDER BY
+                ${d2Sql(s"$in.v", "c.cv")}, c.cid) AS rn
+            FROM $in CROSS JOIN $cent c)
           WHERE rn = 1)"""
+  }
+
+  /** A streamed wave's FROZEN-CODEBOOK residual encoding in SQL —
+    * route (already done by the wave-cells CTE `cellsCte`), subtract
+    * the base centroid, code each sub-vector against `pcb`. ONE shape
+    * for both waves (defines `<pfx>resid`/`<pfx>subs`/`<pfx>codes`);
+    * requires [[pqSqlFrom]]'s `pcb` and [[ivfCellsSql]]'s `cent` in
+    * scope. */
+  private def waveRpqCodesSql(cellsCte: String, pfx: String): String =
+    s"""${pfx}resid AS (
+          SELECT nc.cid, nc.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> nc.v[i] - ct.cv[i]) AS v
+          FROM $cellsCte nc JOIN cent ct ON ct.cid = nc.cid),
+        ${pfx}subs AS (
+          SELECT vec_id, m,
+            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM ${pfx}resid CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        ${pfx}codes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u0.vec_id, u0.m, c0.code,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM ${pfx}subs u0 JOIN pcb c0 ON u0.m = c0.m)
+          WHERE rn = 1
+          GROUP BY vec_id)"""
 
   /** The quantized-mean centroid REFRESH in SQL — floor(x·1e7)
     * integral sums per (cid, dim), dims reassembled in order: the ONE
@@ -4598,6 +4754,24 @@ object LlmSim extends QueryModule {
         transform($"v", x => x * lit(0.9) + lit(0.01)).as("v"))
   }
 
+  /** The SECOND streamed vector wave (r16) — residue 6, its own id
+    * band (+3·base), the shared perturbation: the segment's seal
+    * advancing past its first mark, the vector twin of the postings
+    * side's wave 2. Query 20 (residue 6) is the gate's twin anchor. */
+  private[graft] def ivfStreamWave2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embDoubles(s, dir).filter($"vec_id" % 7 === 6)
+      .select(($"vec_id" + lit(3L * ArrivalIdBase)).as("vec_id"),
+        transform($"v", x => x * lit(0.9) + lit(0.01)).as("v"))
+  }
+
+  /** The id band boundary between segment seal generations: wave 1
+    * ids live in [2·base, 3·base), wave 2 in [3·base, 4·base) — an
+    * as-of-seal-1 read is the band predicate, exactly as a postings
+    * as-of read is its `ep <=` partition predicate (monotone id bands
+    * are the segment's epochs; row-group min/max stats prune them). */
+  private[graft] val IvfSegSeal1Bound: Long = 3L * ArrivalIdBase
+
   private def ivfSegTableName(dir: String): String =
     s"graft_ivf_seg_${math.abs(dir.hashCode)}"
 
@@ -4628,12 +4802,30 @@ object LlmSim extends QueryModule {
     * crash+resume path is driven in the spec. */
   private[graft] def streamedIvfSegment(
       s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => ()): DataFrame = {
+    import s.implicits._
+    // AS-OF SEAL 1: the read every seal-1 gate (and the fold, whose
+    // cut point this is) pins — deterministic whether or not a later
+    // wave has advanced the seal, the postings `ep <=` discipline on
+    // the segment's id bands
+    ivfSegmentRun(s, dir, gen = 1, chaos)
+      .filter($"vec_id" < IvfSegSeal1Bound)
+  }
+
+  /** The FULL live segment — both sealed waves (runs wave 2 if the
+    * seal has not advanced yet). The read the seal-2 gates take. */
+  private[graft] def streamedIvfSegmentAll(
+      s: SparkSession, dir: String,
       chaos: Long => Unit = _ => ()): DataFrame =
+    ivfSegmentRun(s, dir, gen = 2, chaos)
+
+  private def ivfSegmentRun(s: SparkSession, dir: String, gen: Int,
+                            chaos: Long => Unit): DataFrame =
     streamedVectorSegment(s, dir, ivfSegTableName(dir),
       "ivf-stream-seg", () => {
         val cent = persistedIvfCent(s, dir)
         ivfCellsOf(_, cent)
-      }, chaos)
+      }, chaos, gen)
 
   /** The SEGMENT-LANDING skeleton shared by the exact-cells segment
     * ([[streamedIvfSegment]]) and the compressed-codes segment
@@ -4656,9 +4848,10 @@ object LlmSim extends QueryModule {
   private def streamedVectorSegment(
       s: SparkSession, dir: String, segT: String, txnPrefix: String,
       mkEncode: () => DataFrame => DataFrame,
-      chaos: Long => Unit): DataFrame =
+      chaos: Long => Unit, gen: Int = 1): DataFrame =
     ivfSegLock.synchronized {
       import s.implicits._
+      require(gen >= 1 && gen <= 2, s"unknown segment seal generation $gen")
       val encode = mkEncode()
       val segDir = graft.operators.TxnMarker.managedTableDir(s, segT)
       val sealedF = new java.io.File(segDir, "_graft_seg_sealed")
@@ -4673,45 +4866,64 @@ object LlmSim extends QueryModule {
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "cid").sortBy("cid").saveAsTable(segT)
       }
-      if (epochPointerOf(sealedF) < 1) {
-        // deterministic source under the segment table dir — wiped
-        // with checkpoint, markers, and files by the fresh-catalog
-        // rmTree, so a cross-process resume pairs checkpoint and
-        // source correctly (see materializeWave)
-        val srcDir = materializeWave(s, segDir, "w",
-          ivfStreamWave(s, dir), key = "vec_id")
-        val schema = s.read.parquet(srcDir.getAbsolutePath).schema
-        val ckpt = new java.io.File(segDir, "_graft_stream_ckpt")
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(srcDir.getAbsolutePath)
-          .writeStream
-          .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-            val txn = s"$txnPrefix-b$batchId"
-            if (!graft.operators.TxnMarker.isCommitted(segDir, txn)) {
-              val routed = encode(bdf).localCheckpoint()
-              try
-                graft.operators.TxnMarker.appendOnce(segDir,
-                  txn = txn,
-                  doAppend = () => routed
-                    .write.mode("append").format("parquet")
-                    .bucketBy(8, "cid").sortBy("cid").saveAsTable(segT),
-                  presentRows = () => s.table(segT)
-                    .join(routed.select($"vec_id").distinct(),
-                      Seq("vec_id"), "semi").count(),
-                  expectedRows = () => routed.count())
-              finally
-                org.apache.spark.sql.graftbridge.SqlBridge
-                  .checkpointRdd(routed)
-                  .foreach(_.unpersist(blocking = false))
+      // SEAL GENERATIONS (r16): each wave drains through the SAME
+      // durable checkpoint (wave g's files materialize only after
+      // wave g−1 sealed — the postings wave-ordering invariant, held
+      // here by the loop; batch ids continue across waves so the
+      // per-batch txn markers stay unique) and advances the seal
+      // pointer by one. A crash mid-wave leaves the pointer at g−1;
+      // the resume re-enters the loop, re-delivers the in-flight
+      // batch against its committed marker, and seals.
+      (1 to gen).foreach { g =>
+        if (epochPointerOf(sealedF) < g) {
+          // deterministic source under the segment table dir — wiped
+          // with checkpoint, markers, and files by the fresh-catalog
+          // rmTree, so a cross-process resume pairs checkpoint and
+          // source correctly (see materializeWave)
+          val srcDir = materializeWave(s, segDir,
+            if (g == 1) "w" else s"w$g",
+            if (g == 1) ivfStreamWave(s, dir) else ivfStreamWave2(s, dir),
+            key = "vec_id")
+          val schema = s.read.parquet(srcDir.getAbsolutePath).schema
+          val ckpt = new java.io.File(segDir, "_graft_stream_ckpt")
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcDir.getAbsolutePath)
+            .writeStream
+            .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+              val txn = s"$txnPrefix-b$batchId"
+              if (!graft.operators.TxnMarker.isCommitted(segDir, txn)) {
+                val routed = encode(bdf).localCheckpoint()
+                try
+                  graft.operators.TxnMarker.appendOnce(segDir,
+                    txn = txn,
+                    doAppend = () => routed
+                      .write.mode("append").format("parquet")
+                      .bucketBy(8, "cid").sortBy("cid").saveAsTable(segT),
+                    presentRows = () => s.table(segT)
+                      .join(routed.select($"vec_id").distinct(),
+                        Seq("vec_id"), "semi").count(),
+                    expectedRows = () => routed.count())
+                finally
+                  org.apache.spark.sql.graftbridge.SqlBridge
+                    .checkpointRdd(routed)
+                    .foreach(_.unpersist(blocking = false))
+              }
+              chaos(batchId)
             }
-            chaos(batchId)
-          }
-          .option("checkpointLocation", ckpt.getAbsolutePath)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        publishEpochPointer(sealedF, 1)
+            .option("checkpointLocation", ckpt.getAbsolutePath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // a session that already READ the seal-(g−1) table holds a
+          // cached file listing that append-mode saveAsTable does NOT
+          // invalidate for an unpartitioned bucketed table (the
+          // partitioned postings table re-lists per query via its
+          // CatalogFileIndex; this one would serve the stale seal
+          // silently — caught by the wave-2 gate's twin assert)
+          s.catalog.refreshTable(segT)
+          publishEpochPointer(sealedF, g)
+        }
       }
       s.table(segT)
     }
@@ -4734,9 +4946,23 @@ object LlmSim extends QueryModule {
   private[graft] def streamedRpqSegment(
       s: SparkSession, dir: String,
       chaos: Long => Unit = _ => ()): DataFrame = {
+    import s.implicits._
+    // as-of seal 1, like the cells segment's read
+    rpqSegmentRun(s, dir, gen = 1, chaos)
+      .filter($"vec_id" < IvfSegSeal1Bound)
+  }
+
+  /** Both sealed code waves — the seal-2 compressed read. */
+  private[graft] def streamedRpqSegmentAll(
+      s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => ()): DataFrame =
+    rpqSegmentRun(s, dir, gen = 2, chaos)
+
+  private def rpqSegmentRun(s: SparkSession, dir: String, gen: Int,
+                            chaos: Long => Unit): DataFrame = {
     persistedRpqIdx(s, dir): Unit // frozen codebooks + committed codes
     streamedVectorSegment(s, dir, ivfSegRpqTableName(dir),
-      "ivf-stream-segrpq", () => rpqEncoder(s, dir), chaos)
+      "ivf-stream-segrpq", () => rpqEncoder(s, dir), chaos, gen)
   }
 
   // ---- Committed index maintenance (split/merge writeback) ----------
@@ -6782,7 +7008,12 @@ object LlmSim extends QueryModule {
     // plan. Each forces its full dependency chain (fold codes →
     // fold → segments → commit; batch-after-stream → wave 2 → wave 1
     // → batch epochs).
-    "ivf_estate" -> (() => { segFoldRpqCodes(s, dir); () }),
+    "ivf_estate" -> (() => {
+      segFoldRpqCodes(s, dir)
+      streamedIvfSegmentAll(s, dir) // seal 2 on both segment encodings
+      streamedRpqSegmentAll(s, dir)
+      ()
+    }),
     "postings_estate" -> (() =>
       { postingsBatchAfterStream(s, dir); () }))
 }

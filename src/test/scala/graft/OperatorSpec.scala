@@ -1784,6 +1784,59 @@ class OperatorSpec extends AnyFunSuite {
       s"query 19's streamed twin not at rank 1: ${top.mkString(",")}")
   }
 
+  test("second vector wave: seal 1→2 across the resumed checkpoint, as-of-seal-1 reads stable, twins served per generation") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf4 = mkAlias("graft_sf_stream_alias4")
+    // wave 1 seals; pin the as-of-seal-1 read and the fold (whose cut
+    // point seal 1 is) BEFORE the seal advances
+    val n1 = LlmSim.streamedIvfSegment(spark, sf4).count()
+    val fold1 = LlmSim.persistedSegFold(spark, sf4).count()
+    // wave 2 with a mid-wave crash: batch ids continue from the
+    // resumed checkpoint (wave 1 consumed 0..3), the cut lands after
+    // wave 2's second batch — the at-least-once window across a
+    // checkpoint RESUME, on the vector side
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[Exception] {
+      LlmSim.streamedIvfSegmentAll(spark, sf4, chaos = id =>
+        if (id == 5 && boom.compareAndSet(false, true))
+          throw new RuntimeException("graft-chaos: cut mid wave 2"))
+    }
+    assert(boom.get, "chaos never fired — wave 2 had fewer batches")
+    val all = LlmSim.streamedIvfSegmentAll(spark, sf4)
+    val w2 = all.filter($"vec_id" >= LlmSim.IvfSegSeal1Bound).count()
+    assert(w2 === LlmSim.ivfStreamWave2(spark, sf4).count(),
+      "wave 2 landed short or long (dup or loss through the crash)")
+    assert(all.select($"vec_id").distinct().count() === all.count(),
+      "a re-delivered wave-2 micro-batch double-appended")
+    assert(all.count() === n1 + w2,
+      "wave 2 disturbed the sealed wave-1 rows")
+    // the as-of-seal-1 reads are STABLE after the seal advanced —
+    // the determinism every seal-1 gate (and the fold) rests on
+    assert(LlmSim.streamedIvfSegment(spark, sf4).count() === n1,
+      "the as-of-seal-1 read leaked the later wave")
+    assert(LlmSim.persistedSegFold(spark, sf4).count() === fold1,
+      "the fold's cut-point read moved after the seal advanced")
+    // one probe, both generations: query 19's twin served from INSIDE
+    // the folded index, query 20's from the post-cut tail
+    val probe = SparkEntry.queries("q_llm_fold_tail_probe")(spark, sf4)
+    val t19 = probe.filter($"q_id" === 19 && $"rank" === 1)
+      .select($"vec_id").as[Long].collect()
+    assert(t19.sameElements(Array(19L + 2 * LlmSim.ArrivalIdBase)),
+      s"query 19's folded twin lost: ${t19.mkString(",")}")
+    val t20 = probe.filter($"q_id" === 20 && $"rank" === 1)
+      .select($"vec_id").as[Long].collect()
+    assert(t20.sameElements(Array(20L + 3L * LlmSim.ArrivalIdBase)),
+      s"query 20's tail twin lost: ${t20.mkString(",")}")
+    // ...and the seal-2 ADC path shortlists the wave-2 twin too
+    val adc = SparkEntry.queries("q_llm_rpq_stream_probe2")(spark, sf4)
+      .filter($"q_id" === 20 && $"rank" === 1)
+      .select($"vec_id").as[Long].collect()
+    assert(adc.sameElements(Array(20L + 3L * LlmSim.ArrivalIdBase)),
+      s"query 20's twin lost by the seal-2 ADC cut: ${adc.mkString(",")}")
+  }
+
   test("segment fold: row conservation, segment absorbed whole, parent recovery stays in the committed space") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
