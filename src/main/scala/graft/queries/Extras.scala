@@ -23,10 +23,11 @@ object Extras extends QueryModule {
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit("u"), lpad(c.cast("string"), 12, "0"))
 
-  /** The long-id dense mapping's table name — ScaleProbe's densab
-    * reads it; a rename lands on both or neither. */
-  private[graft] def denseMapTable(dir: String): String =
-    s"graft_dense_map_${math.abs(dir.hashCode)}"
+  /** The dense mapping's table name (tag "" = the long-id gate's) —
+    * [[denseBfs]] writes it and ScaleProbe's densab reads it; a
+    * rename lands on both or neither. */
+  private[graft] def denseMapTable(dir: String, tag: String = ""): String =
+    s"graft_dense_${tag}map_${math.abs(dir.hashCode)}"
 
   /** The dense-BFS pipeline shared by the long- and string-id gates:
     * orders-derived edges through `idOf` (any type), node set =
@@ -55,9 +56,8 @@ object Extras extends QueryModule {
     val nodes = sedges.select($"src".as("id"))
       .unionByName(sedges.select($"dst".as("id")))
       .unionByName(sources.select($"node".as("id")))
-    val mapT = LlmText.writeOnceTable(s,
-      s"graft_dense_${tag}map_${math.abs(dir.hashCode)}", Seq("orig"),
-      graft.operators.Densify.mapping(nodes, "id"))
+    val mapT = LlmText.writeOnceTable(s, denseMapTable(dir, tag),
+      Seq("orig"), graft.operators.Densify.mapping(nodes, "id"))
     // the ENCODED EDGES persist beside the mapping (r16): the two
     // encode joins are build-once work exactly like the mapping
     // itself — every repeat BFS/CC/PageRank call on the same node

@@ -2121,7 +2121,6 @@ object LlmSim extends QueryModule {
         // JVM (the pointers are monotonic; a report that read them
         // mid-lifecycle would be run-order-dependent)
         val (post5, _) = postingsBatchAfterStream(s, dir)
-        val seg = streamedIvfSegment(s, dir)
         val segAll = streamedIvfSegmentAll(s, dir)
         val fold = persistedSegFold(s, dir)
         mCells.groupBy($"cid").agg(count(lit(1)).as("cn"))
@@ -2144,10 +2143,13 @@ object LlmSim extends QueryModule {
             .agg(count(lit(1)).as("post_dead_rows")))
           .crossJoin(post3.agg(count(lit(1)).as("post3_rows")))
           .crossJoin(post5.agg(count(lit(1)).as("post5_rows")))
-          .crossJoin(seg.agg(count(lit(1)).as("seg_rows")))
-          .crossJoin(segAll
-            .filter($"vec_id" >= IvfSegSeal1Bound)
-            .agg(count(lit(1)).as("seg_tail_rows")))
+          // both seal generations from ONE segment scan (the fold
+          // columns' single-pass discipline)
+          .crossJoin(segAll.agg(
+            sum(when($"vec_id" < IvfSegSeal1Bound, 1L).otherwise(0L))
+              .as("seg_rows"),
+            sum(when($"vec_id" >= IvfSegSeal1Bound, 1L).otherwise(0L))
+              .as("seg_tail_rows")))
           // the FOLD front (r16): derived from the persisted fold
           // artifact in ONE scan (per-cid partials carry all three
           // sums; the global agg folds them) — not by re-running the
@@ -4418,6 +4420,17 @@ object LlmSim extends QueryModule {
     * residual index was built" (the maintenance cascade's re-encode
     * set) derives membership from the committed base-epoch codes
     * themselves — see [[maintainIvfCommit]]. */
+  /** The id-band stride of every synthetic ingest fixture: batch or
+    * wave k's ids live in [k·base, (k+1)·base). This makes base a
+    * DECLARED CEILING on raw corpus ids (vec_id and doc_id < base) —
+    * every band predicate (the vector segment's as-of-seal reads, the
+    * postings estates' doc_id splits, appendOnce's disjoint-recovery
+    * premise) is load-bearing on it. The vector segment GUARDS its
+    * bands at wave-build time ([[streamedVectorSegment]]); a corpus
+    * past the ceiling fails loudly there rather than silently
+    * cross-contaminating bands. (Real deployments version real
+    * epochs, not id arithmetic — the bands are the FIXTURE's epoch
+    * encoding.) */
   private[graft] val ArrivalIdBase = 500000L
 
   /** The deterministic "new arrival" batch the incremental-ANN surface
@@ -4449,6 +4462,8 @@ object LlmSim extends QueryModule {
     // wave fixtures share the perturbation; each lives in its own
     // residue + id band (wave 1: residue 5, +2·base; wave 2:
     // residue 6, +3·base — [[ivfStreamWave]]/[[ivfStreamWave2]])
+    require(wave == 1 || wave == 2,
+      s"unknown wave $wave — the streamedVectorSegment gen guard's twin")
     val (res, shift, in) =
       if (wave == 1) (5, 2L * ArrivalIdBase, "ns")
       else (6, 3L * ArrivalIdBase, "ns2")
@@ -4880,10 +4895,24 @@ object LlmSim extends QueryModule {
           // with checkpoint, markers, and files by the fresh-catalog
           // rmTree, so a cross-process resume pairs checkpoint and
           // source correctly (see materializeWave)
+          val wave =
+            if (g == 1) ivfStreamWave(s, dir) else ivfStreamWave2(s, dir)
+          // band guard (one tiny agg per wave BUILD): wave g's ids
+          // must stay inside [(g+1)·base, (g+2)·base) — a corpus with
+          // ≥ ArrivalIdBase raw ids would spill wave 1 into wave 2's
+          // band, silently dropping rows from every as-of-seal-1
+          // reader and breaking the markers' disjoint-recovery
+          // premise. Fail loudly at the declared ceiling instead.
+          val Array(bandRow) = wave
+            .agg(min($"vec_id"), max($"vec_id")).collect()
+          require(bandRow.getLong(0) >= (g + 1) * ArrivalIdBase &&
+              bandRow.getLong(1) < (g + 2) * ArrivalIdBase,
+            s"wave $g ids [${bandRow.getLong(0)}, ${bandRow.getLong(1)}] " +
+              s"outside band [${(g + 1) * ArrivalIdBase}, " +
+              s"${(g + 2) * ArrivalIdBase}) — raw corpus ids exceed " +
+              "the ArrivalIdBase ceiling (see its scaladoc)")
           val srcDir = materializeWave(s, segDir,
-            if (g == 1) "w" else s"w$g",
-            if (g == 1) ivfStreamWave(s, dir) else ivfStreamWave2(s, dir),
-            key = "vec_id")
+            if (g == 1) "w" else s"w$g", wave, key = "vec_id")
           val schema = s.read.parquet(srcDir.getAbsolutePath).schema
           val ckpt = new java.io.File(segDir, "_graft_stream_ckpt")
           val q = s.readStream.schema(schema)

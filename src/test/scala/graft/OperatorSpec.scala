@@ -1684,12 +1684,14 @@ class OperatorSpec extends AnyFunSuite {
     // after wave 2's second batch — the same at-least-once window as
     // the wave-1 chaos test, now across a checkpoint RESUME
     val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
-    intercept[Exception] {
-      LlmSim.streamedPostingsWave2(spark, sf3, chaos = id =>
-        if (id == 5 && boom.compareAndSet(false, true))
-          throw new RuntimeException("graft-chaos: cut mid wave 2"))
-    }
+    val cut =
+      try { LlmSim.streamedPostingsWave2(spark, sf3, chaos = id =>
+          if (id == 5 && boom.compareAndSet(false, true))
+            throw new RuntimeException("graft-chaos: cut mid wave 2"))
+        false }
+      catch { case _: Exception => true }
     assert(boom.get, "chaos never fired — wave 2 had fewer batches")
+    assert(cut, "chaos fired but the stream did not propagate the cut")
     assert(LlmSim.postStreamEpochOf(spark, sf3) === 3,
       "wave-2 pointer published despite the mid-wave crash")
     val (post4, df4) = LlmSim.streamedPostingsWave2(spark, sf3)
@@ -1798,12 +1800,17 @@ class OperatorSpec extends AnyFunSuite {
     // wave 2's second batch — the at-least-once window across a
     // checkpoint RESUME, on the vector side
     val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
-    intercept[Exception] {
-      LlmSim.streamedIvfSegmentAll(spark, sf4, chaos = id =>
-        if (id == 5 && boom.compareAndSet(false, true))
-          throw new RuntimeException("graft-chaos: cut mid wave 2"))
-    }
+    val cut =
+      try { LlmSim.streamedIvfSegmentAll(spark, sf4, chaos = id =>
+          if (id == 5 && boom.compareAndSet(false, true))
+            throw new RuntimeException("graft-chaos: cut mid wave 2"))
+        false }
+      catch { case _: Exception => true }
+    // boom checked FIRST: with hash-keyed staging the per-wave file
+    // count is data-dependent, and "batch id 5 never existed" should
+    // read as this message, not as a generic missing-exception
     assert(boom.get, "chaos never fired — wave 2 had fewer batches")
+    assert(cut, "chaos fired but the stream did not propagate the cut")
     val all = LlmSim.streamedIvfSegmentAll(spark, sf4)
     val w2 = all.filter($"vec_id" >= LlmSim.IvfSegSeal1Bound).count()
     assert(w2 === LlmSim.ivfStreamWave2(spark, sf4).count(),
