@@ -1842,6 +1842,40 @@ class OperatorSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect()
     assert(adc.sameElements(Array(20L + 3L * LlmSim.ArrivalIdBase)),
       s"query 20's twin lost by the seal-2 ADC cut: ${adc.mkString(",")}")
+    // plan discipline, per union arm: the FOLD scan stays a bucketed
+    // read (cid is its join key); the TAIL scan reads only (vec_id, v)
+    // for the map-only re-route — bucketing on the unread cid column
+    // is rightly bypassed, but the seal band predicate must reach its
+    // PushedFilters (the as-of read is a scan-level prune, not a
+    // post-scan filter). Neither arm may be fed by a shuffle.
+    probe.write.format("noop").mode("overwrite").save()
+    val plan = probe.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    def scansOf(t: String) = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("FileScan") && l.contains(t) => i }
+    def noShuffleAbove(i: Int): Unit = {
+      val above = lines.slice(math.max(0, i - 5), i)
+      assert(!above.exists(_.contains("Exchange hashpartitioning")),
+        s"a shuffle feeds an index-side scan:\n${above.mkString("\n")}")
+    }
+    val foldScans = scansOf("graft_ivf_segf_me")
+    assert(foldScans.nonEmpty, s"fold-tail probe lost the fold scan:\n${
+      plan.take(1500)}")
+    foldScans.foreach { i =>
+      assert(lines(i).contains("Bucketed: true"),
+        s"the fold scan lost bucketing:\n${lines(i)}")
+      noShuffleAbove(i)
+    }
+    val tailScans = scansOf("graft_ivf_seg_")
+    assert(tailScans.nonEmpty, s"fold-tail probe lost the tail scan:\n${
+      plan.take(1500)}")
+    tailScans.foreach { i =>
+      assert(lines(i).contains(
+          s"GreaterThanOrEqual(vec_id,${LlmSim.IvfSegSeal1Bound})"),
+        s"the seal band predicate is not pushed to the tail scan:\n${
+          lines(i)}")
+      noShuffleAbove(i)
+    }
   }
 
   test("segment fold: row conservation, segment absorbed whole, parent recovery stays in the committed space") {
