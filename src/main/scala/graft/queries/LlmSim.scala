@@ -2251,16 +2251,10 @@ object LlmSim extends QueryModule {
             SELECT doc_id, unnest(string_split(text, ' ')) AS w
             FROM t45d)
           GROUP BY doc_id, w)),
-        -- the FOLD front (r16): the q_llm_seg_fold chain's summary
+        -- the FOLD front (r16): the shared fold derivation's summary
         -- numbers surfaced on the dashboard
-        ${waveCellsSql("mcent", "hfsc")},
-        hfall AS MATERIALIZED (
-          SELECT cid, vec_id, v FROM relab
-          UNION ALL SELECT cid, vec_id, v FROM hfsc),
-        ${splitRoundsSql(MaintSplitRounds,
-          roundBase = 2 * MaintSplitRounds,
-          input = "hfall", pfx = "h", out = "hpost")},
-        hsz AS (SELECT cid, count(*) AS cn FROM hpost GROUP BY cid),
+        $foldPostSql,
+        hsz AS (SELECT cid, count(*) AS cn FROM gpost GROUP BY cid),
         hagg AS (SELECT
             CAST(count(*) AS BIGINT) AS fold_cells,
             CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
@@ -2271,7 +2265,7 @@ object LlmSim extends QueryModule {
               THEN 1 ELSE 0 END) AS BIGINT) AS fold_seg_rows,
             CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
               AS fold_resplit
-          FROM hpost)
+          FROM gpost)
         SELECT n_cells, n_rows, n_tomb, n_rows - n_tomb AS live_rows,
           max_cell, overgrown_cells, split_children,
           CAST($PostingsBatchAfterStream AS BIGINT) AS post_epoch,
@@ -2520,20 +2514,7 @@ object LlmSim extends QueryModule {
         WITH $ivfCellsSql,
         $maintChainSql,
         $maintDropsSql,
-        ${waveCellsSql("mcent", "fsc")},
-        fall AS MATERIALIZED (
-          SELECT cid, vec_id, v FROM relab
-          UNION ALL SELECT cid, vec_id, v FROM fsc),
-        ${splitRoundsSql(MaintSplitRounds,
-          roundBase = 2 * MaintSplitRounds,
-          input = "fall", pfx = "g", out = "gpost")},
-        fchg AS MATERIALIZED (SELECT DISTINCT cid FROM gpost
-          WHERE split OR vec_id >= ${2 * ArrivalIdBase}),
-        ${quantMeanSql("gpost r JOIN fchg USING (cid)", "fref")},
-        fcent AS MATERIALIZED (
-          SELECT cid, cv FROM mcent
-           WHERE cid NOT IN (SELECT cid FROM fchg)
-          UNION ALL SELECT cid, cv FROM fref),
+        $foldChainSql,
         ${waveCellsSql("fcent", "tail2", wave = 2)},
         gall AS (
           SELECT cid, vec_id, v FROM gpost
@@ -2577,13 +2558,7 @@ object LlmSim extends QueryModule {
       oracle = Some(s"""
         WITH $ivfCellsSql,
         $maintChainSql,
-        ${waveCellsSql("mcent", "fsc")},
-        fall AS MATERIALIZED (
-          SELECT cid, vec_id, v FROM relab
-          UNION ALL SELECT cid, vec_id, v FROM fsc),
-        ${splitRoundsSql(MaintSplitRounds,
-          roundBase = 2 * MaintSplitRounds,
-          input = "fall", pfx = "g", out = "gpost")},
+        $foldPostSql,
         gsz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
           FROM gpost GROUP BY cid),
         gagg AS (SELECT
@@ -2636,20 +2611,7 @@ object LlmSim extends QueryModule {
         WITH $ivfCellsSql,
         $maintChainSql,
         $maintDropsSql,
-        ${waveCellsSql("mcent", "fsc")},
-        fall AS MATERIALIZED (
-          SELECT cid, vec_id, v FROM relab
-          UNION ALL SELECT cid, vec_id, v FROM fsc),
-        ${splitRoundsSql(MaintSplitRounds,
-          roundBase = 2 * MaintSplitRounds,
-          input = "fall", pfx = "g", out = "gpost")},
-        fchg AS MATERIALIZED (SELECT DISTINCT cid FROM gpost
-          WHERE split OR vec_id >= ${2 * ArrivalIdBase}),
-        ${quantMeanSql("gpost r JOIN fchg USING (cid)", "fref")},
-        fcent AS MATERIALIZED (
-          SELECT cid, cv FROM mcent
-           WHERE cid NOT IN (SELECT cid FROM fchg)
-          UNION ALL SELECT cid, cv FROM fref),
+        $foldChainSql,
         glive AS (SELECT * FROM gpost
           WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
         ${ivfProbeTailSql("fcent", "glive", 19, 24)}""")),
@@ -2785,20 +2747,7 @@ object LlmSim extends QueryModule {
         ${pqSqlFrom("resid")},
         $maintChainSql,
         $maintDropsSql,
-        ${waveCellsSql("mcent", "fsc")},
-        fall AS MATERIALIZED (
-          SELECT cid, vec_id, v FROM relab
-          UNION ALL SELECT cid, vec_id, v FROM fsc),
-        ${splitRoundsSql(MaintSplitRounds,
-          roundBase = 2 * MaintSplitRounds,
-          input = "fall", pfx = "g", out = "gpost")},
-        fchg AS MATERIALIZED (SELECT DISTINCT cid FROM gpost
-          WHERE split OR vec_id >= ${2 * ArrivalIdBase}),
-        ${quantMeanSql("gpost r JOIN fchg USING (cid)", "fref")},
-        fcent AS MATERIALIZED (
-          SELECT cid, cv FROM mcent
-           WHERE cid NOT IN (SELECT cid FROM fchg)
-          UNION ALL SELECT cid, cv FROM fref),
+        $foldChainSql,
         glive AS MATERIALIZED (SELECT * FROM gpost
           WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
         gres AS (
@@ -4480,6 +4429,35 @@ object LlmSim extends QueryModule {
           WHERE rn = 1)"""
   }
 
+  /** The FOLDED frame in SQL — the streamed wave routed by the
+    * maintained centroids, unioned with the committed frame, re-split
+    * in the third cid namespace. Requires [[maintChainSql]]'s
+    * relab/mcent (and [[ivfCellsSql]]'s e) in scope; defines fsc,
+    * fall, gpost. ONE derivation for every fold-reading oracle (the
+    * maintChainSql discipline at the fold layer). */
+  private def foldPostSql: String =
+    s"""${waveCellsSql("mcent", "fsc")},
+        fall AS MATERIALIZED (
+          SELECT cid, vec_id, v FROM relab
+          UNION ALL SELECT cid, vec_id, v FROM fsc),
+        ${splitRoundsSql(MaintSplitRounds,
+          roundBase = 2 * MaintSplitRounds,
+          input = "fall", pfx = "g", out = "gpost")}"""
+
+  /** The SERVABLE fold chain — [[foldPostSql]] plus the incremental
+    * centroid refresh: adds fchg, fref, fcent. Shared by the exact
+    * fold probe, the fold-cascade ADC probe, and the post-fold tail
+    * probe. */
+  private def foldChainSql: String =
+    s"""$foldPostSql,
+        fchg AS MATERIALIZED (SELECT DISTINCT cid FROM gpost
+          WHERE split OR vec_id >= ${2 * ArrivalIdBase}),
+        ${quantMeanSql("gpost r JOIN fchg USING (cid)", "fref")},
+        fcent AS MATERIALIZED (
+          SELECT cid, cv FROM mcent
+           WHERE cid NOT IN (SELECT cid FROM fchg)
+          UNION ALL SELECT cid, cv FROM fref)"""
+
   /** A streamed wave's FROZEN-CODEBOOK residual encoding in SQL —
     * route (already done by the wave-cells CTE `cellsCte`), subtract
     * the base centroid, code each sub-vector against `pcb`. ONE shape
@@ -5457,6 +5435,17 @@ object LlmSim extends QueryModule {
     * full recompute) applied to the fold. With these, a probe routes
     * over the folded index directly: [[q_llm_seg_fold_probe]] is the
     * gate. Epoch-named and vacuumed with its cascade. */
+  /** The fold's CHANGED-cell set — wave receivers + split families,
+    * nlist-bounded (distinct cids): the ONE changed-set expression the
+    * centroid refresh ([[segFoldCentroids]]) and the codes re-encode
+    * ([[segFoldRpqCodes]]) must share, or the codes re-base somewhere
+    * the centroids didn't refresh (silent ADC degradation). */
+  private def segFoldChanged(f: DataFrame): DataFrame = {
+    import f.sparkSession.implicits._
+    f.filter($"split" || $"vec_id" >= 2 * ArrivalIdBase)
+      .select($"cid").distinct()
+  }
+
   private[graft] def segFoldCentroids(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -5466,12 +5455,10 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf_cent_me${e}_${math.abs(dir.hashCode)}",
       Seq("cid"), {
-        // chg is nlist-bounded (distinct cids) — broadcast both the
-        // fold-side semi and the mCent anti like every delta-sized
-        // set in the maintenance family
-        val chg = f
-          .filter($"split" || $"vec_id" >= 2 * ArrivalIdBase)
-          .select($"cid").distinct()
+        // chg is nlist-bounded — broadcast both the fold-side semi
+        // and the mCent anti like every delta-sized set in the
+        // maintenance family
+        val chg = segFoldChanged(f)
         refreshedCentroids(
             f.join(broadcast(chg), Seq("cid")).select($"cid", $"v"))
           .unionByName(
@@ -5509,12 +5496,9 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf_rpq_me${e}_${math.abs(dir.hashCode)}",
       Seq("cid"), {
-        // the SAME changed-set expression as segFoldCentroids — the
-        // codes re-encode exactly where the centroids refreshed, or
-        // ADC ordering silently degrades
-        val chg = f
-          .filter($"split" || $"vec_id" >= 2 * ArrivalIdBase)
-          .select($"cid").distinct()
+        // the SHARED changed-set — the codes re-encode exactly where
+        // the centroids refreshed, or ADC ordering silently degrades
+        val chg = segFoldChanged(f)
         val keep = f.join(broadcast(chg), Seq("cid"), "left_anti")
           .join(s.table(rpqT).select($"vec_id", $"codes"),
             Seq("vec_id"))
@@ -5712,45 +5696,18 @@ object LlmSim extends QueryModule {
         s.table(postT).filter($"ep" === 0)
           .groupBy($"w").agg(count(lit(1)).as("df")))
       (1 to upTo).foreach { b =>
-        val dfT = postDfTableName(dir, b)
-        if (postEpochOf(s, dir) < b || !s.catalog.tableExists(dfT)) {
-          // the delta postings materialize ONCE and feed the append,
-          // the df merge, and the recovery-path row count alike;
-          // RELEASED after the last consumer (the r14 form pinned
-          // delta-sized blocks for the JVM's life)
-          val delta = postTok(postingsDeltaDocs(s, dir, b))
-            .localCheckpoint()
-          try {
-            graft.operators.TxnMarker.appendOnce(tdir,
-              txn = s"postings-ingest-e$b",
-              doAppend = () => delta.withColumn("ep", lit(b))
-                .write.mode("append").format("parquet")
-                .partitionBy("ep")
-                .bucketBy(8, "w").sortBy("w").saveAsTable(postT),
-              presentRows = () =>
-                s.table(postT).filter($"ep" === b).count(),
-              expectedRows = () => delta.count())
-            LlmText.writeOnceTable(s, dfT, Seq("w"),
-              s.table(postDfTableName(dir, b - 1))
-                .select($"w", $"df".as("df0"))
-                .join(delta.groupBy($"w")
-                  .agg(count(lit(1)).as("dfd")), Seq("w"), "full")
-                .select($"w",
-                  (coalesce($"df0", lit(0L)) + coalesce($"dfd", lit(0L)))
-                    .as("df")))
-            if (postEpochOf(s, dir) < b) publishPostEpoch(s, dir, b)
-            // vacuum df epochs past the grace window: keep b (new),
-            // b-1 (grace for in-flight readers), and 0 (the permanent
-            // base-snapshot reference)
-            (1 until b - 1).foreach { old =>
-              val t = postDfTableName(dir, old)
-              if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
-              else graft.operators.TxnMarker.rmTree(
-                graft.operators.TxnMarker.managedTableDir(s, t))
-            }
-          } finally
-            org.apache.spark.sql.graftbridge.SqlBridge
-              .checkpointRdd(delta).foreach(_.unpersist(blocking = false))
+        if (postEpochOf(s, dir) < b ||
+            !s.catalog.tableExists(postDfTableName(dir, b))) {
+          mintPostingsEpoch(s, dir, b)
+          // vacuum df epochs past the grace window: keep b (new),
+          // b-1 (grace for in-flight readers), and 0 (the permanent
+          // base-snapshot reference)
+          (1 until b - 1).foreach { old =>
+            val t = postDfTableName(dir, old)
+            if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
+            else graft.operators.TxnMarker.rmTree(
+              graft.operators.TxnMarker.managedTableDir(s, t))
+          }
         }
       }
       (s.table(postT).filter($"ep" <= upTo).drop("ep"),
@@ -5758,6 +5715,45 @@ object LlmSim extends QueryModule {
     }
 
   private val postLock = new Object
+
+  /** Mint ONE batch epoch — the batch verb's whole body, shared by
+    * the initial epochs ([[postingsEpoch]]'s loop, which adds its
+    * grace-window vacuum) and the batch-after-stream epoch: the delta
+    * postings materialize ONCE and feed the append, the df merge, and
+    * the recovery-path row count alike (RELEASED after the last
+    * consumer — the r14 form pinned delta-sized blocks for the JVM's
+    * life); marker-guarded exactly-once append into the ep=b
+    * partition; df epoch b = epoch (b−1) ⊕ delta counts; batch
+    * pointer advance. */
+  private def mintPostingsEpoch(s: SparkSession, dir: String,
+                                b: Int): Unit = {
+    import s.implicits._
+    val postT = postTableName(dir)
+    val tdir = graft.operators.TxnMarker.managedTableDir(s, postT)
+    val delta = postTok(postingsDeltaDocs(s, dir, b)).localCheckpoint()
+    try {
+      graft.operators.TxnMarker.appendOnce(tdir,
+        txn = s"postings-ingest-e$b",
+        doAppend = () => delta.withColumn("ep", lit(b))
+          .write.mode("append").format("parquet")
+          .partitionBy("ep")
+          .bucketBy(8, "w").sortBy("w").saveAsTable(postT),
+        presentRows = () =>
+          s.table(postT).filter($"ep" === b).count(),
+        expectedRows = () => delta.count())
+      LlmText.writeOnceTable(s, postDfTableName(dir, b), Seq("w"),
+        s.table(postDfTableName(dir, b - 1))
+          .select($"w", $"df".as("df0"))
+          .join(delta.groupBy($"w")
+            .agg(count(lit(1)).as("dfd")), Seq("w"), "full")
+          .select($"w",
+            (coalesce($"df0", lit(0L)) + coalesce($"dfd", lit(0L)))
+              .as("df")))
+      if (postEpochOf(s, dir) < b) publishPostEpoch(s, dir, b)
+    } finally
+      org.apache.spark.sql.graftbridge.SqlBridge
+        .checkpointRdd(delta).foreach(_.unpersist(blocking = false))
+  }
 
   private def postTableName(dir: String): String =
     s"graft_post_ep_${math.abs(dir.hashCode)}"
@@ -6130,36 +6126,17 @@ object LlmSim extends QueryModule {
       import s.implicits._
       val b = PostingsBatchAfterStream
       streamedPostingsWave2(s, dir) // epochs ≤ 4 committed, both pointers set
-      val postT = postTableName(dir)
-      val tdir = graft.operators.TxnMarker.managedTableDir(s, postT)
-      val dfT = postDfTableName(dir, b)
-      if (postEpochOf(s, dir) < b || !s.catalog.tableExists(dfT)) {
-        val delta = postTok(postingsDeltaDocs(s, dir, b))
-          .localCheckpoint()
-        try {
-          graft.operators.TxnMarker.appendOnce(tdir,
-            txn = s"postings-ingest-e$b",
-            doAppend = () => delta.withColumn("ep", lit(b))
-              .write.mode("append").format("parquet")
-              .partitionBy("ep")
-              .bucketBy(8, "w").sortBy("w").saveAsTable(postT),
-            presentRows = () =>
-              s.table(postT).filter($"ep" === b).count(),
-            expectedRows = () => delta.count())
-          LlmText.writeOnceTable(s, dfT, Seq("w"),
-            s.table(postDfTableName(dir, b - 1))
-              .select($"w", $"df".as("df0"))
-              .join(delta.groupBy($"w")
-                .agg(count(lit(1)).as("dfd")), Seq("w"), "full")
-              .select($"w",
-                (coalesce($"df0", lit(0L)) + coalesce($"dfd", lit(0L)))
-                  .as("df")))
-          if (postEpochOf(s, dir) < b) publishPostEpoch(s, dir, b)
-        } finally
-          org.apache.spark.sql.graftbridge.SqlBridge
-            .checkpointRdd(delta).foreach(_.unpersist(blocking = false))
-      }
-      (s.table(postT).filter($"ep" <= b).drop("ep"), s.table(dfT))
+      // the SAME mint body as the initial batch epochs — the fronts
+      // compose because its df merge reads epoch b−1, which here is
+      // the STREAM front's published artifact. Deliberately no vacuum
+      // (postingsEpoch's loop owns that): df epochs 1..4 stay pinned
+      // by gated probes / owned by the stream front — reclamation
+      // belongs to the next compaction cycle, not to this append.
+      if (postEpochOf(s, dir) < b ||
+          !s.catalog.tableExists(postDfTableName(dir, b)))
+        mintPostingsEpoch(s, dir, b)
+      (s.table(postTableName(dir)).filter($"ep" <= b).drop("ep"),
+        s.table(postDfTableName(dir, b)))
     }
 
   /** Oracle-side document estate INCLUDING the streamed wave: the
