@@ -5931,10 +5931,10 @@ object LlmSim extends QueryModule {
     * as newly-arrived files on the one source it already tracks (the
     * high-water-advancing story, not a second stream). Returns the
     * source dir. */
-  private def materializeWave(s: SparkSession,
-                              tableDir: java.io.File, tag: String,
-                              wave: => DataFrame, key: String,
-                              parts: Int = 4): java.io.File = {
+  private[graft] def materializeWave(s: SparkSession,
+                                     tableDir: java.io.File, tag: String,
+                                     wave: => DataFrame, key: String,
+                                     parts: Int = 4): java.io.File = {
     val root = new java.io.File(tableDir, "_graft_stream_src")
     val srcDir = new java.io.File(root, "in")
     srcDir.mkdirs()

@@ -1786,6 +1786,54 @@ class OperatorSpec extends AnyFunSuite {
       s"query 19's streamed twin not at rank 1: ${top.mkString(",")}")
   }
 
+  test("materializeWave: crash-window re-entry recreates only missing targets byte-identically, keeps consumed files, re-caps") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wave_spec").toFile
+    def wave = spark.range(0, 200)
+      .select(($"id" * 37 % 211).as("doc_id"),
+        concat(lit("t"), $"id").as("text"))
+    def files() = new java.io.File(root, "_graft_stream_src/in")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName ->
+        java.util.Arrays.hashCode(
+          java.nio.file.Files.readAllBytes(f.toPath)))
+      .toMap
+    LlmSim.materializeWave(spark, root, "wx", wave, key = "doc_id")
+    val first = files()
+    assert(first.nonEmpty, "no wave files staged")
+    // simulate the crash window: the done marker never landed and one
+    // target's move never happened
+    val done = new java.io.File(root, "_graft_stream_src/wx.done")
+    assert(done.exists()); assert(done.delete())
+    val victim = first.keys.toSeq.sorted.last
+    assert(new java.io.File(root, s"_graft_stream_src/in/$victim")
+      .delete())
+    // re-entry: re-stages, moves ONLY the missing target, and the
+    // recreated file is BYTE-IDENTICAL (hash-keyed routing is a
+    // function of the values, not of scan parallelism) while every
+    // kept file — possibly already consumed by a checkpoint — keeps
+    // its bytes
+    LlmSim.materializeWave(spark, root, "wx", wave, key = "doc_id")
+    val second = files()
+    assert(second.keySet === first.keySet,
+      s"re-entry changed the file set: ${second.keySet} vs ${first.keySet}")
+    first.foreach { case (n, h) =>
+      assert(second(n) === h, s"re-entry changed bytes of $n")
+    }
+    assert(done.exists(), "re-entry did not re-cap the done marker")
+    // capped: a third call is a pure no-op (mtimes untouched)
+    val mtimes = new java.io.File(root, "_graft_stream_src/in")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    LlmSim.materializeWave(spark, root, "wx", wave, key = "doc_id")
+    new java.io.File(root, "_graft_stream_src/in").listFiles()
+      .foreach(f => assert(f.lastModified() === mtimes(f.getName),
+        s"capped re-entry touched ${f.getName}"))
+    graft.operators.TxnMarker.rmTree(root)
+  }
+
   test("second vector wave: seal 1→2 across the resumed checkpoint, as-of-seal-1 reads stable, twins served per generation") {
     import graft.queries.LlmSim
     import org.apache.spark.sql.functions._
