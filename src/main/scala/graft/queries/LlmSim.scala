@@ -4883,6 +4883,11 @@ object LlmSim extends QueryModule {
           // premise. Fail loudly at the declared ceiling instead.
           val Array(bandRow) = wave
             .agg(min($"vec_id"), max($"vec_id")).collect()
+          require(!bandRow.isNullAt(0),
+            s"wave $g is EMPTY — no rows matched the wave predicate at " +
+              "this corpus size, so the band guard cannot validate ids. " +
+              "Fix the fixture (the wave residue classes must be " +
+              "non-empty) rather than proceeding with a zero-row wave.")
           require(bandRow.getLong(0) >= (g + 1) * ArrivalIdBase &&
               bandRow.getLong(1) < (g + 2) * ArrivalIdBase,
             s"wave $g ids [${bandRow.getLong(0)}, ${bandRow.getLong(1)}] " +
@@ -5861,7 +5866,7 @@ object LlmSim extends QueryModule {
     * partition — partition-pruned, never the corpus). */
   private[graft] def landPostingsMicroBatch(
       s: SparkSession, dir: String, bdf: DataFrame,
-      batchId: Long, epoch: Int = PostingsStreamEpoch): Unit =
+      batchId: Long, epoch: Int): Unit =
     landPostingsMicroBatchInto(s, postTableName(dir), epoch,
       s"postings-stream-e$epoch-b$batchId", bdf)
 
@@ -5940,23 +5945,36 @@ object LlmSim extends QueryModule {
     srcDir.mkdirs()
     val done = new java.io.File(root, s"$tag.done")
     if (!done.exists()) {
-      val stage = new java.io.File(root, s"stage_$tag")
-      graft.operators.TxnMarker.rmTree(stage)
-      wave.repartition(parts, col(key))
-        .write.mode("overwrite").parquet(stage.getAbsolutePath)
-      val staged = Option(stage.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-")
-          && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      require(staged.nonEmpty,
-        s"materializeWave($tag): staging produced no part files")
-      staged.zipWithIndex.foreach { case (src, i) =>
-        val dst = new java.io.File(srcDir, s"${tag}_$i.parquet")
-        if (!dst.exists())
-          java.nio.file.Files.move(src.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-      }
-      graft.operators.TxnMarker.rmTree(stage)
+      // Stage dir is ATTEMPT-scoped (uuid suffix): a racing identical
+      // creator stages into its own dir, so no attempt can delete or
+      // overwrite another's staged files mid-move. The only shared
+      // state is the deterministic destinations, where the hash-of-key
+      // routing makes both attempts' file i byte-equivalent in row-SET
+      // terms — a lost dst race is tolerated, not an error. A hard
+      // crash mid-attempt leaks its stage dir (bounded by crash count,
+      // outside the consumed `in/` dir); the attempt cleans its own
+      // dir in `finally` on every non-crash path.
+      val stage = new java.io.File(root,
+        s"stage_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        wave.repartition(parts, col(key))
+          .write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val staged = Option(stage.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        require(staged.nonEmpty,
+          s"materializeWave($tag): staging produced no part files")
+        staged.zipWithIndex.foreach { case (src, i) =>
+          val dst = new java.io.File(srcDir, s"${tag}_$i.parquet")
+          if (!dst.exists())
+            try java.nio.file.Files.move(src.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+            catch { // racing creator landed this dst first; same rows
+              case _: java.nio.file.FileAlreadyExistsException => ()
+            }
+        }
+      } finally graft.operators.TxnMarker.rmTree(stage)
       try java.nio.file.Files.createFile(done.toPath): Unit
       catch { // a racing identical creator won; its files are ours
         case _: java.nio.file.FileAlreadyExistsException => ()

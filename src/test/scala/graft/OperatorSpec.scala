@@ -1617,7 +1617,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(postC.count() === post3.count(), "re-entry re-landed the wave")
     LlmSim.landPostingsMicroBatch(spark, sf,
       Engine.table(spark, sf, "documents").limit(3)
-        .select($"doc_id", $"text"), batchId = 0L)
+        .select($"doc_id", $"text"), batchId = 0L,
+      epoch = LlmSim.PostingsStreamEpoch)
     assert(LlmSim.streamedPostingsIngest(spark, sf)._1.count()
       === post3.count(), "a re-delivered batch id re-appended")
   }
@@ -1809,20 +1810,27 @@ class OperatorSpec extends AnyFunSuite {
     val done = new java.io.File(root, "_graft_stream_src/wx.done")
     assert(done.exists()); assert(done.delete())
     val victim = first.keys.toSeq.sorted.last
-    assert(new java.io.File(root, s"_graft_stream_src/in/$victim")
-      .delete())
-    // re-entry: re-stages, moves ONLY the missing target, and the
-    // recreated file is BYTE-IDENTICAL (hash-keyed routing is a
-    // function of the values, not of scan parallelism) while every
-    // kept file — possibly already consumed by a checkpoint — keeps
-    // its bytes
+    val victimFile =
+      new java.io.File(root, s"_graft_stream_src/in/$victim")
+    // hash-keyed routing pins the row-to-file ASSIGNMENT, not the
+    // intra-file row ORDER — so the recreated victim is asserted
+    // row-SET-identical (the property exactly-once needs: a target
+    // carries the same rows), while the KEPT files — possibly already
+    // consumed by a checkpoint — must keep their literal bytes
+    // (re-entry must never rewrite an existing target at all)
+    val victimRows = spark.read.parquet(victimFile.getAbsolutePath)
+      .as[(Long, String)].collect().toSet
+    assert(victimFile.delete())
     LlmSim.materializeWave(spark, root, "wx", wave, key = "doc_id")
     val second = files()
     assert(second.keySet === first.keySet,
       s"re-entry changed the file set: ${second.keySet} vs ${first.keySet}")
-    first.foreach { case (n, h) =>
-      assert(second(n) === h, s"re-entry changed bytes of $n")
+    first.filter(_._1 != victim).foreach { case (n, h) =>
+      assert(second(n) === h, s"re-entry changed bytes of kept file $n")
     }
+    assert(spark.read.parquet(victimFile.getAbsolutePath)
+      .as[(Long, String)].collect().toSet === victimRows,
+      "recreated target's row set diverges from the original's")
     assert(done.exists(), "re-entry did not re-cap the done marker")
     // capped: a third call is a pure no-op (mtimes untouched)
     val mtimes = new java.io.File(root, "_graft_stream_src/in")
