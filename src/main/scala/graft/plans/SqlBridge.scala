@@ -36,6 +36,16 @@ object SqlBridge {
   def cloneSession(s: SparkSession): SparkSession =
     s.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** Drain the async listener bus so a SparkListener's counters are
+    * consistent with the jobs that already finished — Bench snapshots
+    * per-query job counts around each timed run and the delta is only
+    * attributable once queued events are delivered. `listenerBus` is
+    * private[spark]. Best-effort: a timeout must not fail a bench.
+    */
+  def waitListenerBus(s: SparkSession, timeoutMs: Long = 10000L): Unit =
+    try s.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: Exception => () }
+
   /** The RDD backing a localCheckpoint()'d frame. Needed for explicit
     * release in iterative fixpoints: Dataset.unpersist only clears
     * cacheManager entries (.cache/.persist) and does NOT touch the
