@@ -454,6 +454,141 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** FOLD-CASCADE shape: the fold's O(Σ|touched|) claim, measured — a
+    * FIXED wave folded into corpora at 1× and N×. The fold frame
+    * (union + bounded re-split) is persisted OUTSIDE the timed region
+    * like the engine's persistedSegFold; the timed CASCADE is the two
+    * delta terms — incremental centroid refresh over the touched
+    * cells, code re-encode over the touched cells against the frozen
+    * codebooks — which must track the touched rows, not the corpus.
+    * The keep-branch COPY (the full epoch-artifact rewrite every fold
+    * carries) is timed separately as `full_codes` and DOES scale with
+    * the corpus: at production scale that term is a file-granular COW
+    * rewrite of touched buckets (the TxLog MERGE posture), not a
+    * recompute — so the scaling claim that matters is
+    * `cascade_ratio` ≈ flat.
+    * Usage: tools/run.sh graft.ScaleProbe fold [sfDir] [n] */
+  private def foldShapeProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = Engine.session("graft-foldshape")
+    import spark.implicits._
+    import queries.LlmSim
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val e1 = Engine.table(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        graft.operators.VectorOps.toDouble($"embedding").as("v"))
+    def corpus(reps: Int): DataFrame =
+      if (reps == 1) e1
+      else (0 until reps).map(i => e1
+          .withColumn("vec_id", $"vec_id" + lit(i * 100000000L))
+          .withColumn("v", transform($"v", x => x + lit(i * 1e-3))))
+        .reduce(_ unionByName _)
+    // the FIXED wave — same rows at every scale, its own id band
+    val WaveBand = 10000000000L
+    val wave = e1.filter($"vec_id" % 7 === 5)
+      .select(($"vec_id" + WaveBand).as("vec_id"),
+        transform($"v", x => x * lit(0.9) + lit(0.01)).as("v"))
+    case class Est(foldT: String, centT: String, rpqT: String, rows: Long)
+    // frozen residual codebooks: trained ONCE (on the 1× residual
+    // frame) and ridden at every scale — the fold's own discipline
+    var cbs: Seq[Seq[(Int, Seq[Double])]] = null
+    def mk(tag: String, reps: Int): Est = {
+      val e = corpus(reps)
+      val rows = e.count()
+      val centT = writeBucketed(spark, s"sp_fd_cent_$tag", "cid",
+        LlmSim.ivfCentOf(e, LlmSim.ivfNlistFor(rows)))
+      val cellT = writeBucketed(spark, s"sp_fd_cells_$tag", "cid",
+        LlmSim.ivfCellsOf(e, spark.table(centT)))
+      def resid(c: DataFrame) = c
+        .join(broadcast(spark.table(centT)), Seq("cid"))
+        .select($"cid", $"vec_id",
+          zip_with($"v", $"cv", (x, y) => x - y).as("rv"))
+      if (cbs == null)
+        cbs = LlmSim.pqCbStructs(LlmSim.pqCodebooksOf(
+          resid(spark.table(cellT)).select($"vec_id", $"rv".as("v"))))
+      val rpqT = writeBucketed(spark, s"sp_fd_rpq_$tag", "cid",
+        resid(spark.table(cellT)).select($"cid", $"vec_id",
+          LlmSim.pqEncodeCol($"rv", cbs).as("codes")))
+      // the COMMITTED estate is pre-split (the engine folds into a
+      // maintained posture, not raw cells) — otherwise the fold's
+      // fixpoint would flag corpus-driven overgrowth as fold-touched
+      // and the probe would measure the wrong set
+      val postT = writeBucketed(spark, s"sp_fd_post_$tag", "cid",
+        LlmSim.splitCellsFixpoint(
+          spark.table(cellT).select($"cid", $"vec_id", $"v"),
+          LlmSim.IvfPSplitRows,
+          maxRounds = LlmSim.MaintSplitRounds)._1
+          .select($"cid", $"vec_id", $"v"))
+      val foldT = writeBucketed(spark, s"sp_fd_fold_$tag", "cid",
+        LlmSim.splitCellsFixpoint(
+          spark.table(postT).select($"cid", $"vec_id", $"v").unionByName(
+            LlmSim.ivfCellsOf(wave, spark.table(centT))
+              .select($"cid", $"vec_id", $"v")),
+          LlmSim.IvfPSplitRows, maxRounds = LlmSim.MaintSplitRounds,
+          roundBase = 2 * LlmSim.MaintSplitRounds)._1)
+      Est(foldT, centT, rpqT, rows)
+    }
+    val a1 = mk("1", 1)
+    val aN = mk(s"n$n", n)
+    def chg(a: Est): DataFrame = spark.table(a.foldT)
+      .filter($"split" || $"vec_id" >= WaveBand)
+      .select($"cid").distinct()
+    // the CASCADE under measurement: changed-set → incremental
+    // centroid refresh (touched cells only) → re-encode (touched
+    // cells only) — the fcent materialization stands in for the
+    // engine's centroid-table write
+    def cascade(a: Est): Unit = {
+      val f = spark.table(a.foldT)
+      val c = chg(a)
+      val fcent = LlmSim.refreshedCentroids(
+          f.join(broadcast(c), Seq("cid")).select($"cid", $"v"))
+        .unionByName(spark.table(a.centT)
+          .join(broadcast(c), Seq("cid"), "left_anti")
+          .select($"cid", $"cv"))
+        .localCheckpoint()
+      noop(f.join(broadcast(c), Seq("cid"), "left_semi")
+        .join(broadcast(fcent), Seq("cid"))
+        .select($"cid", $"vec_id",
+          LlmSim.pqEncodeCol(zip_with($"v", $"cv", (x, y) => x - y), cbs)
+            .as("codes")))
+      org.apache.spark.sql.graftbridge.SqlBridge.checkpointRdd(fcent)
+        .foreach(_.unpersist(blocking = false))
+    }
+    // the COPY term, timed separately: keep-branch pass-through of the
+    // untouched codes plus the re-encode — the full epoch artifact
+    def fullCodes(a: Est): Unit = {
+      val f = spark.table(a.foldT)
+      val c = chg(a)
+      noop(f.join(broadcast(c), Seq("cid"), "left_anti")
+        .join(spark.table(a.rpqT).select($"vec_id", $"codes"),
+          Seq("vec_id"))
+        .select($"cid", $"vec_id", $"codes"))
+    }
+    def med(f: => Unit): Double = Seq.fill(3)(time(f)).sorted.apply(1)
+    cascade(a1); cascade(aN); fullCodes(a1); fullCodes(aN) // warmup
+    val (t1, tN) = (med(cascade(a1)), med(cascade(aN)))
+    val (f1, fN) = (med(fullCodes(a1)), med(fullCodes(aN)))
+    val (w1, wN) = (spark.table(a1.foldT).filter($"vec_id" >= WaveBand)
+        .count(), spark.table(aN.foldT).filter($"vec_id" >= WaveBand)
+        .count())
+    val (c1, cN) = (chg(a1).count(), chg(aN).count())
+    def touchedRows(a: Est): Long = spark.table(a.foldT)
+      .join(broadcast(chg(a)), Seq("cid"), "left_semi").count()
+    val (tr1, trN) = (touchedRows(a1), touchedRows(aN))
+    println(f"""{"fold_shape":"$sfDir","scale":$n,""" +
+      s""""corpus_1x":${a1.rows},"corpus_Nx":${aN.rows},""" +
+      s""""wave_rows_1x":$w1,"wave_rows_Nx":$wN,""" +
+      s""""touched_cells_1x":$c1,"touched_cells_Nx":$cN,""" +
+      s""""touched_rows_1x":$tr1,"touched_rows_Nx":$trN,""" +
+      f""""cascade_1x":$t1%.3f,"cascade_Nx":$tN%.3f,""" +
+      f""""cascade_ratio":${tN / t1}%.2f,""" +
+      f""""full_codes_1x":$f1%.3f,"full_codes_Nx":$fN%.3f,""" +
+      f""""full_codes_ratio":${fN / f1}%.2f}""")
+    spark.stop()
+  }
+
   /** BFS A/B on the GATED q_graph_bfs graph: the join-frontier
     * formulation vs the bitmap-frontier one (domain = the graph's own
     * max node id — ~n_customers, so the bitmap is KBs). Median of 3
@@ -682,6 +817,8 @@ object ScaleProbe {
       return denseAbProbe(args.drop(1))
     if (args.headOption.contains("maint"))
       return maintShapeProbe(args.drop(1))
+    if (args.headOption.contains("fold"))
+      return foldShapeProbe(args.drop(1))
     if (args.headOption.contains("postings"))
       return postingsShapeProbe(args.drop(1))
     if (args.headOption.contains("stream"))

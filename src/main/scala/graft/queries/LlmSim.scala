@@ -2750,24 +2750,94 @@ object LlmSim extends QueryModule {
         $foldChainSql,
         glive AS MATERIALIZED (SELECT * FROM gpost
           WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
-        gres AS (
+        ${uniformRpqCodesSql("gpost", "fcent", "pcb", "g")},
+        ${rpqProbeTailSql("fcent", "glive", "gcodes", 19, 24)}""")),
+
+    // FOLD GENERATION 2 ON THE COMPRESSED PATH (r17) — the fold verb
+    // iterated, gated with the same discipline r16 applied to waves:
+    // the post-fold tail (wave 2, ids ≥ the seal-1 band) re-routes
+    // against fold 1's serving centroids, the union re-splits in the
+    // FOURTH cid namespace, centroids refresh incrementally over the
+    // gen-2 changed set (tail receivers + new split families), and
+    // the codes cascade AGAIN: touched cells re-encode v − g2cent
+    // with the frozen epoch-1 codebooks, untouched cells keep their
+    // gen-1 codes byte-identically (their gen-2 centroid IS their
+    // gen-1 centroid — the spec pins the byte-identity directly).
+    // The probe is the standard two-stage ADC over the twice-folded
+    // posture, tombstones anti-joined on both inputs. The oracle
+    // re-derives the ENTIRE chain — base → upsert → split → merge →
+    // commit → wave-1 route → fold 1 → refresh → wave-2 route →
+    // fold 2 → refresh → uniform re-encode → drops — under one hash.
+    "q_llm_rpq_fold2_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val tomb = persistedMaintTombstones(s, dir).select($"vec_id")
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          segFold2Centroids(s, dir),
+          segFold2RpqCodes(s, dir)
+            .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+          persistedSegFold2(s, dir)
+            .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+          rpqCbArr(s, dir), PqTopR, residual = true)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        resid AS (
           SELECT cl.cid, cl.vec_id,
             list_transform(range(1, ${PqM * PqSubDim + 1}),
-              i -> cl.v[i] - fc.cv[i]) AS rv
-          FROM gpost cl JOIN fcent fc ON fc.cid = cl.cid),
-        gsubs AS (
-          SELECT vec_id, m,
-            rv[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
-          FROM gres CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
-        gcodes AS (
-          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
-            SELECT u0.vec_id, u0.m, c0.code,
-              row_number() OVER (PARTITION BY u0.vec_id, u0.m
-                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
-            FROM gsubs u0 JOIN pcb c0 ON u0.m = c0.m)
-          WHERE rn = 1
-          GROUP BY vec_id),
-        ${rpqProbeTailSql("fcent", "glive", "gcodes", 19, 24)}""")),
+              i -> cl.v[i] - ct.cv[i]) AS v
+          FROM cells cl JOIN cent ct ON ct.cid = cl.cid),
+        ${pqSqlFrom("resid")},
+        $maintChainSql,
+        $maintDropsSql,
+        $foldChainSql,
+        $fold2ChainSql,
+        g2live AS MATERIALIZED (SELECT cid, vec_id, v FROM g2post
+          WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
+        ${uniformRpqCodesSql("g2post", "g2cent", "pcb", "j")},
+        ${rpqProbeTailSql("g2cent", "g2live", "jcodes", 19, 24)}""")),
+
+    // RESIDUAL-CODEBOOK RETRAIN (r17) — the one lifecycle verb the
+    // estate lacked: codebooks trained at the base build stay frozen
+    // through waves and folds, so quantization error drifts as the
+    // corpus departs the base distribution. The retrain verb versions
+    // the codebooks themselves — epoch-2 codebooks trained on the
+    // CURRENT survivor residuals (gen-2 fold posture, tombstones
+    // out, RANK seeding because survivor ids are sparse), the whole
+    // live estate re-encoded against them (the acknowledged O(corpus)
+    // rewrite — the one verb that cannot be O(delta), because every
+    // code's dictionary changed), and an atomic pointer swap with
+    // epoch 1 left intact as the grace window (reads-during-retrain
+    // pinned in the spec). The probe runs the ADC through the
+    // POINTER-resolved posture; the oracle re-derives the full chain
+    // INCLUDING the epoch-2 training — seeding, both Lloyd
+    // refinements, the re-encode — under one hash.
+    "q_llm_rpq_retrain_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        retrainRpqCodebooks(s, dir)
+        val (cent, codes, cbs) = servingRpqPosture(s, dir)
+        val tomb = persistedMaintTombstones(s, dir).select($"vec_id")
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          cent, codes,
+          persistedSegFold2(s, dir)
+            .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+          cbs, PqTopR, residual = true)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        $maintDropsSql,
+        $foldChainSql,
+        $fold2ChainSql,
+        $rpqRetrainSql,
+        ${rpqProbeTailSql("g2cent", "g2live", "rcodes", 19, 24)}""")),
 
     // STREAMING RESIDUAL ENCODE — the online form of the TEXTBOOK
     // IVF-PQ ingest: route each arrival to its cell (NearestCell
@@ -3620,10 +3690,12 @@ object LlmSim extends QueryModule {
   /** [[pqSql]] with the training/encode corpus parameterized — the
     * residual-PQ oracle feeds the `resid` CTE through the identical
     * chain (CTE names are shared, so only one chain per query). */
-  private def pqSqlFrom(src: String): String = {
-    // one Lloyd refinement: assign `subs` to codebook `prev`, then
-    // exact quantized means -> codebook `out`
-    def refine(prev: String, out: String): String = s"""$out AS (
+  /** One Lloyd refinement in SQL: assign `subsCte` to codebook `prev`,
+    * then exact quantized means → codebook `out` — shared by the base
+    * training chain ([[pqSqlFrom]]) and the retrain chain
+    * ([[rpqRetrainSql]]). */
+  private def pqRefineSql(subsCte: String, prev: String,
+                          out: String): String = s"""$out AS (
           SELECT m, code, list(mn ORDER BY dim) AS cv FROM (
             SELECT m, code, dim,
               CAST(sum(CAST(floor(x * 10000000) AS BIGINT)) AS DOUBLE)
@@ -3634,14 +3706,20 @@ object LlmSim extends QueryModule {
                 SELECT u.vec_id, u.m, c.code, u.sv,
                   row_number() OVER (PARTITION BY u.vec_id, u.m ORDER BY
                     ${d2Sql("u.sv", "c.cv")}, c.code) AS rn
-                FROM subs u JOIN $prev c ON u.m = c.m)
+                FROM $subsCte u JOIN $prev c ON u.m = c.m)
               WHERE rn = 1))
             GROUP BY m, code, dim)
           GROUP BY m, code)"""
-    val chain = (0 until PqTrainIters).map { i =>
-      refine(if (i == 0) "pseed" else s"pcb$i",
+
+  /** The [[PqTrainIters]] refine chain `seed` → … → `pcb`. */
+  private def pqRefineChainSql(subsCte: String, seed: String): String =
+    (0 until PqTrainIters).map { i =>
+      pqRefineSql(subsCte, if (i == 0) seed else s"pcb$i",
         if (i == PqTrainIters - 1) "pcb" else s"pcb${i + 1}")
     }.mkString(",\n        ")
+
+  private def pqSqlFrom(src: String): String = {
+    val chain = pqRefineChainSql("subs", "pseed")
     s"""subs AS (
           SELECT vec_id,  m,
             v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
@@ -3836,6 +3914,19 @@ object LlmSim extends QueryModule {
       cells0: DataFrame, threshold: Long,
       maxRounds: Int = 8, roundBase: Int = 0): (DataFrame, Int) = {
     import cells0.sparkSession.implicits._
+    // 32-bit cid-namespace ceiling, enforced instead of assumed: round
+    // r mints children at SplitCidOffset << (roundBase + r), and a
+    // final cid is base + a subset-sum of DISTINCT powers of two — the
+    // sum stays below Int.MaxValue iff the largest shift stays ≤ 30.
+    // Fold generation 2 (roundBase 9, 2 rounds) lands exactly at the
+    // ceiling; a FOURTH 3-round cycle would overflow into negative
+    // cids silently — fail loudly here instead (a production estate
+    // past this point widens cid to Long or renumbers at a major
+    // compaction; see persistedSegFold2's scaladoc).
+    require(Integer.numberOfTrailingZeros(SplitCidOffset)
+        + roundBase + maxRounds <= 31,
+      s"split-cid namespace exhausted: roundBase=$roundBase " +
+        s"maxRounds=$maxRounds would shift SplitCidOffset past 2^31")
     var cur = cells0.select($"cid", $"vec_id", $"v")
       .withColumn("split", lit(false))
     var r = 0
@@ -3989,8 +4080,40 @@ object LlmSim extends QueryModule {
   private[graft] def pqCodebooksOf(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val subs = pqSubsOf(e)
-    var cb = subs.filter($"vec_id" < PqKs)
-      .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("cv"))
+    pqLloyd(subs, subs.filter($"vec_id" < PqKs)
+      .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("cv")))
+  }
+
+  /** [[pqCodebooksOf]] with RANK-based seeding — codes 0..PqKs−1
+    * assigned to the PqKs SMALLEST vec_ids present in the frame, in id
+    * order. The base trainer's `vec_id < PqKs` rule presumes a dense
+    * id prefix; a retrain corpus (post-curation survivors, waves in
+    * high id bands) has no such guarantee, so the retrain seeds by
+    * rank instead — same determinism, no density assumption. The
+    * oracle mirrors it as row_number() OVER (ORDER BY vec_id) − 1
+    * over the distinct-id LIMIT PqKs prefix. */
+  private[graft] def pqCodebooksSeededOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val s = e.sparkSession
+    val subs = pqSubsOf(e)
+    // metadata-sized: PqKs ids to the driver, re-broadcast as the
+    // (vec_id → code) seed map
+    val sids = e.select($"vec_id").distinct()
+      .orderBy($"vec_id").limit(PqKs)
+      .collect().map(_.getLong(0)).sorted
+    val seedMap = s.createDataFrame(sids.zipWithIndex.toSeq
+      .map { case (id, c) => (id, c) }).toDF("vec_id", "code")
+    pqLloyd(subs, subs.join(broadcast(seedMap), Seq("vec_id"))
+      .select($"m", $"code".cast("int").as("code"), $"sv".as("cv")))
+  }
+
+  /** The fixed [[PqTrainIters]]-iteration quantized-Lloyd refinement
+    * shared by the base and rank-seeded trainers — assign `subs` to
+    * the current codebook via the map-only NearestCell argmin, exact
+    * quantized-integer means per (m, code, dim). */
+  private def pqLloyd(subs: DataFrame, seed: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
+    var cb = seed
     for (_ <- 0 until PqTrainIters) {
       val cbArr = cb
         .select($"m", $"code".as("cid"), $"cv")
@@ -4457,6 +4580,92 @@ object LlmSim extends QueryModule {
           SELECT cid, cv FROM mcent
            WHERE cid NOT IN (SELECT cid FROM fchg)
           UNION ALL SELECT cid, cv FROM fref)"""
+
+  /** Fold GENERATION 2 in SQL — [[foldChainSql]] iterated: the wave-2
+    * tail routed against fold 1's serving centroids, unioned with the
+    * gen-1 folded frame, re-split in the FOURTH cid namespace
+    * (roundBase 3·[[MaintSplitRounds]], [[Fold2SplitRounds]] rounds —
+    * the engine's Int-ceiling bound), incremental centroid refresh
+    * over the gen-2 changed set. Requires [[foldChainSql]]'s
+    * gpost/fcent in scope; defines tail2, g2all, g2post, g2chg,
+    * g2ref, g2cent. */
+  private def fold2ChainSql: String =
+    s"""${waveCellsSql("fcent", "tail2", wave = 2)},
+        g2all AS MATERIALIZED (
+          SELECT cid, vec_id, v FROM gpost
+          UNION ALL SELECT cid, vec_id, v FROM tail2),
+        ${splitRoundsSql(Fold2SplitRounds,
+          roundBase = 3 * MaintSplitRounds,
+          input = "g2all", pfx = "h", out = "g2post")},
+        g2chg AS MATERIALIZED (SELECT DISTINCT cid FROM g2post
+          WHERE split OR vec_id >= $IvfSegSeal1Bound),
+        ${quantMeanSql("g2post r JOIN g2chg USING (cid)", "g2ref")},
+        g2cent AS MATERIALIZED (
+          SELECT cid, cv FROM fcent
+           WHERE cid NOT IN (SELECT cid FROM g2chg)
+          UNION ALL SELECT cid, cv FROM g2ref)"""
+
+  /** UNIFORM residual re-encode in SQL: every row of `cells` coded as
+    * encode(v − `cent`(cid)) against codebook CTE `cb` — the oracle
+    * side of the fold cascades' identity argument (untouched cells'
+    * kept codes equal the uniform definition because their centroid
+    * did not move). Defines <pfx>res / <pfx>subs / <pfx>codes. */
+  private def uniformRpqCodesSql(cells: String, cent: String,
+                                 cb: String, pfx: String): String =
+    s"""${pfx}res AS (
+          SELECT cl.cid, cl.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> cl.v[i] - fc.cv[i]) AS rv
+          FROM $cells cl JOIN $cent fc ON fc.cid = cl.cid),
+        ${pfx}subs AS (
+          SELECT vec_id, m,
+            rv[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM ${pfx}res CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        ${pfx}codes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u0.vec_id, u0.m, c0.code,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM ${pfx}subs u0 JOIN $cb c0 ON u0.m = c0.m)
+          WHERE rn = 1
+          GROUP BY vec_id)"""
+
+  /** The RETRAIN chain in SQL — survivor residuals against the gen-2
+    * centroids, RANK-seeded epoch-2 codebook training (the engine's
+    * [[pqCodebooksSeededOf]]: codes 0..PqKs−1 to the PqKs smallest
+    * survivor ids in id order), the shared refine chain, and the
+    * full-estate re-encode. Requires g2post/g2cent/mdrops in scope;
+    * defines g2live, rsurv, subs, pseed, pcb (the epoch-2 codebook —
+    * the name [[rpqProbeTailSql]] scores against), rcodes. */
+  private def rpqRetrainSql: String =
+    s"""g2live AS MATERIALIZED (
+          SELECT cid, vec_id, v FROM g2post
+          WHERE vec_id NOT IN (SELECT vec_id FROM mdrops)),
+        rsurv AS MATERIALIZED (
+          SELECT g.cid, g.vec_id,
+            list_transform(range(1, ${PqM * PqSubDim + 1}),
+              i -> g.v[i] - c.cv[i]) AS v
+          FROM g2live g JOIN g2cent c ON c.cid = g.cid),
+        subs AS MATERIALIZED (
+          SELECT vec_id, m,
+            v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+          FROM rsurv CROSS JOIN (SELECT unnest(range($PqM)) AS m)),
+        pseed AS (
+          SELECT s.m, CAST(r.code AS INT) AS code, s.sv AS cv
+          FROM (SELECT vec_id,
+                  row_number() OVER (ORDER BY vec_id) - 1 AS code
+                FROM (SELECT DISTINCT vec_id FROM rsurv
+                      ORDER BY vec_id LIMIT $PqKs)) r
+          JOIN subs s ON s.vec_id = r.vec_id),
+        ${pqRefineChainSql("subs", "pseed")},
+        rcodes AS (
+          SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+            SELECT u.vec_id, u.m, c.code,
+              row_number() OVER (PARTITION BY u.vec_id, u.m ORDER BY
+                ${d2Sql("u.sv", "c.cv")}, c.code) AS rn
+            FROM subs u JOIN pcb c ON u.m = c.m)
+          WHERE rn = 1
+          GROUP BY vec_id)"""
 
   /** A streamed wave's FROZEN-CODEBOOK residual encoding in SQL —
     * route (already done by the wave-cells CTE `cellsCte`), subtract
@@ -5283,7 +5492,13 @@ object LlmSim extends QueryModule {
             s"graft_ivf_mcells_d1_me${e}_$h",
             s"graft_ivf_c2_me${e}_$h",
             s"graft_ivf_segf_me${e}_$h",
-            s"graft_ivf_segf_cent_me${e}_$h")).foreach { t =>
+            s"graft_ivf_segf_cent_me${e}_$h",
+            s"graft_ivf_segf_rpq_me${e}_$h",
+            s"graft_ivf_segf2_me${e}_$h",
+            s"graft_ivf_segf2_cent_me${e}_$h",
+            s"graft_ivf_segf2_rpq_me${e}_$h",
+            s"graft_rpq_cb2_me${e}_$h",
+            s"graft_rpq_cbe2_codes_me${e}_$h")).foreach { t =>
             if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
             else graft.operators.TxnMarker.rmTree(
               graft.operators.TxnMarker.managedTableDir(s, t))
@@ -5517,6 +5732,223 @@ object LlmSim extends QueryModule {
                 .as("codes")))
       })
   }
+
+  /** FOLD GENERATION 2 (r17) — the fold verb ITERATED, absorbing the
+    * post-fold tail exactly as fold 1 absorbed the sealed segment:
+    * wave-2 rows (ids ≥ [[IvfSegSeal1Bound]] — their segment cids are
+    * provisional, routed at stream time against the frozen BASE
+    * centroids) re-route against fold 1's SERVING centroids
+    * ([[segFoldCentroids]] — one map-only broadcast pass over the
+    * delta-sized tail), union with the fold-1 cells, and the bounded
+    * split fixpoint re-splits exactly what the tail grew past
+    * threshold. Child cids land in the FOURTH offset namespace
+    * (roundBase 3·[[MaintSplitRounds]]) — which EXHAUSTS the 32-bit
+    * cid space at [[Fold2SplitRounds]] = 2 rounds (max shift 2^30;
+    * worst-case cid = 2^31 − 1 — the arithmetic in
+    * [[splitCellsFixpoint]]'s guard). A production estate folding
+    * further renumbers at a major compaction or widens cid to Long;
+    * the guard makes the boundary loud, not silent. Generation
+    * artifacts are epoch-named like fold 1's; fold 1 stays readable
+    * as the GRACE generation (its gates pin it) until
+    * [[vacuumSegFold1]] drops it once gen-2 readers own the estate. */
+  private[graft] val Fold2SplitRounds = 2
+
+  private[graft] def persistedSegFold2(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = persistedSegFold(s, dir)
+    val fCent = segFoldCentroids(s, dir)
+    val e = maintEpochOf(s, dir)
+    val tbl = s"graft_ivf_segf2_me${e}_${math.abs(dir.hashCode)}"
+    if (!s.catalog.tableExists(tbl)) {
+      val tail = ivfCellsOf(
+        streamedIvfSegmentAll(s, dir)
+          .filter($"vec_id" >= IvfSegSeal1Bound)
+          .select($"vec_id", $"v"),
+        fCent).select($"cid", $"vec_id", $"v")
+      val fx = splitCellsFixpoint(
+        f.select($"cid", $"vec_id", $"v").unionByName(tail),
+        IvfPSplitRows, maxRounds = Fold2SplitRounds,
+        roundBase = 3 * MaintSplitRounds)._1
+      try LlmText.writeOnceTable(s, tbl, Seq("cid"), fx): Unit
+      finally org.apache.spark.sql.graftbridge.SqlBridge
+        .checkpointRdd(fx).foreach(_.unpersist(blocking = false))
+    }
+    s.table(tbl)
+  }
+
+  /** Fold 2's changed-cell set — tail receivers + fold-2 split
+    * families, nlist-bounded: the ONE changed-set the gen-2 centroid
+    * refresh and codes re-encode share ([[segFoldChanged]]'s
+    * discipline at the next generation). */
+  private def segFold2Changed(f2: DataFrame): DataFrame = {
+    import f2.sparkSession.implicits._
+    f2.filter($"split" || $"vec_id" >= IvfSegSeal1Bound)
+      .select($"cid").distinct()
+  }
+
+  private[graft] def segFold2Centroids(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f2 = persistedSegFold2(s, dir)
+    val fCent = segFoldCentroids(s, dir)
+    val e = maintEpochOf(s, dir)
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_segf2_cent_me${e}_${math.abs(dir.hashCode)}",
+      Seq("cid"), {
+        val chg = segFold2Changed(f2)
+        refreshedCentroids(
+            f2.join(broadcast(chg), Seq("cid")).select($"cid", $"v"))
+          .unionByName(
+            fCent.join(broadcast(chg), Seq("cid"), "left_anti")
+              .select($"cid", $"cv"))
+      })
+  }
+
+  /** The gen-2 fold cascade on the COMPRESSED path — [[segFoldRpqCodes]]
+    * iterated: fold-2-touched cells re-encode v − gen2Centroid(cid)
+    * against the (still frozen, epoch-1) residual codebooks; untouched
+    * cells keep their gen-1 codes BYTE-IDENTICALLY — an untouched
+    * cell's gen-2 centroid IS its gen-1 centroid, so the kept code
+    * equals the uniform definition encode(v − g2cent(cid)) the oracle
+    * re-derives. O(Σ|touched|) encode work, generation over
+    * generation. */
+  private[graft] def segFold2RpqCodes(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f2 = persistedSegFold2(s, dir)
+    val f2Cent = segFold2Centroids(s, dir)
+    val gen1 = segFoldRpqCodes(s, dir)
+    val e = maintEpochOf(s, dir)
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_segf2_rpq_me${e}_${math.abs(dir.hashCode)}",
+      Seq("cid"), {
+        val chg = segFold2Changed(f2)
+        val keep = f2.join(broadcast(chg), Seq("cid"), "left_anti")
+          .join(gen1.select($"vec_id", $"codes"), Seq("vec_id"))
+          .select($"cid", $"vec_id", $"codes")
+        val cbs = pqCbStructs(persistedRpqCb(s, dir))
+        keep.unionByName(
+          f2.join(broadcast(chg), Seq("cid"), "left_semi")
+            .join(broadcast(f2Cent), Seq("cid"))
+            .select($"cid", $"vec_id",
+              pqEncodeCol(zip_with($"v", $"cv", (x, y) => x - y), cbs)
+                .as("codes")))
+      })
+  }
+
+  /** VACUUM the superseded fold-1 generation — the cleanup half of
+    * the generation story: once gen 2 owns the serving reads, gen 1's
+    * three artifacts (cells, centroids, codes) are dead weight. In
+    * THIS corpus gen 1 stays pinned by its own gates (the epoch
+    * grace-window discipline: never vacuum what a reader still
+    * serves), so the gated lifecycle does not call this; the spec
+    * drives it and proves a post-vacuum gen-1 read re-derives
+    * hash-identically (write-once tables rebuild from the maintained
+    * epoch, so a vacuum can never strand a grace reader
+    * permanently). */
+  private[graft] def vacuumSegFold1(s: SparkSession, dir: String): Unit = {
+    val e = maintEpochOf(s, dir)
+    val h = math.abs(dir.hashCode)
+    Seq(s"graft_ivf_segf_me${e}_$h",
+        s"graft_ivf_segf_cent_me${e}_$h",
+        s"graft_ivf_segf_rpq_me${e}_$h").foreach { t =>
+      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
+      else graft.operators.TxnMarker.rmTree(
+        graft.operators.TxnMarker.managedTableDir(s, t))
+    }
+  }
+
+  // ---- Residual-codebook RETRAIN (r17, codebook epoch 2) -----------
+  // The one lifecycle verb the estate lacked: the PQ/RPQ codebooks
+  // train ONCE at the base build and every wave/fold re-bases
+  // residuals against them — correct, but quantization error drifts
+  // as the corpus departs the base distribution. The retrain verb
+  // versions the CODEBOOKS themselves: train epoch-2 codebooks on the
+  // CURRENT survivor residuals (gen-2 fold posture, tombstones out),
+  // re-encode the WHOLE live estate against them — the acknowledged
+  // O(corpus) rewrite, the one verb that cannot be O(delta) because
+  // every code's dictionary changed — and swing an atomic pointer.
+  // Epoch-1 artifacts are never touched: a reader that resolved the
+  // pointer before the swap serves epoch 1 end-to-end (write-once
+  // tables are immutable), which is the reads-during-retrain guarantee
+  // the spec pins.
+
+  private def rpqCbPointerFile(s: SparkSession, dir: String): java.io.File =
+    new java.io.File(graft.operators.TxnMarker.managedTableDir(s,
+      s"graft_ivf_maint_${math.abs(dir.hashCode)}"), "_graft_rpq_cb_epoch")
+
+  /** The SERVING codebook epoch: 1 = the frozen base codebooks
+    * ([[persistedRpqCb]]) — the state before any retrain — else the
+    * published retrain epoch. */
+  private[graft] def rpqCbEpochOf(s: SparkSession, dir: String): Int =
+    math.max(1, epochPointerOf(rpqCbPointerFile(s, dir)))
+
+  private[graft] def rpqRetrainTables(
+      s: SparkSession, dir: String): (String, String) = {
+    val e = maintEpochOf(s, dir)
+    val h = math.abs(dir.hashCode)
+    (s"graft_rpq_cb2_me${e}_$h", s"graft_rpq_cbe2_codes_me${e}_$h")
+  }
+
+  /** The RETRAIN verb. Survivor set = the gen-2 folded cells minus
+    * the maintained tombstones (what the estate currently serves);
+    * residuals are taken against the gen-2 centroids (the serving
+    * geometry — ADC at epoch 2 probes with q − g2cent(cid), so codes
+    * must describe v − g2cent(cid)). Seeding is RANK-based
+    * ([[pqCodebooksSeededOf]]) because the survivor ids are sparse.
+    * Both artifacts land as write-once tables BEFORE the pointer
+    * swings ([[publishEpochPointer]]'s ATOMIC_MOVE) — a crash between
+    * the writes and the swap leaves epoch 1 serving and the re-entry
+    * completes the missing suffix, the maintenance cascade's recovery
+    * discipline. Idempotent: re-entry with the pointer already at 2
+    * and both tables present is a no-op. */
+  private[graft] def retrainRpqCodebooks(s: SparkSession, dir: String): Unit =
+    maintLock.synchronized {
+      import s.implicits._
+      // fold 2 FIRST: it settles this session's maintained epoch (a
+      // fresh catalog mints the next one) — the retrain tables are
+      // epoch-named, so resolving them earlier would name a stale epoch
+      val f2 = persistedSegFold2(s, dir)
+      val f2Cent = segFold2Centroids(s, dir)
+      val (cbT, codesT) = rpqRetrainTables(s, dir)
+      val tomb = persistedMaintTombstones(s, dir).select($"vec_id")
+      def resid: DataFrame = f2
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .join(broadcast(f2Cent), Seq("cid"))
+        .select($"cid", $"vec_id",
+          zip_with($"v", $"cv", (x, y) => x - y).as("rv"))
+      LlmText.writeOnceTable(s, cbT, Seq("m"),
+        pqCodebooksSeededOf(resid.select($"vec_id", $"rv".as("v"))))
+      LlmText.writeOnceTable(s, codesT, Seq("cid"), {
+        // the O(corpus) re-encode: every live row, new dictionary —
+        // map-only (broadcast codebooks + centroids), one pass
+        val cbs = pqCbStructs(s.table(cbT))
+        resid.select($"cid", $"vec_id",
+          pqEncodeCol($"rv", cbs).as("codes"))
+      })
+      if (rpqCbEpochOf(s, dir) < 2)
+        publishEpochPointer(rpqCbPointerFile(s, dir), 2)
+    }
+
+  /** The POINTER-RESOLVED compressed serving posture:
+    * (centroids, codes, codebook arrays) at the published codebook
+    * epoch — epoch 1 reads the gen-2 fold cascade against the frozen
+    * base codebooks, epoch 2 the retrained pair. Cells side is the
+    * gen-2 fold either way (the retrain rewrites CODES, not
+    * membership). */
+  private[graft] def servingRpqPosture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[Seq[Seq[Double]]]) =
+    if (rpqCbEpochOf(s, dir) >= 2) {
+      // settle the session's maintained epoch before resolving the
+      // epoch-named retrain tables (the retrainRpqCodebooks ordering)
+      val cent = segFold2Centroids(s, dir)
+      val (cbT, codesT) = rpqRetrainTables(s, dir)
+      (cent, s.table(codesT),
+        cbArrOf(s"rpq2:$dir:${maintEpochOf(s, dir)}", s.table(cbT)))
+    } else
+      (segFold2Centroids(s, dir), segFold2RpqCodes(s, dir),
+        rpqCbArr(s, dir))
 
   /** The maintained epoch with its tombstones FOLDED — compaction at
     * the epoch layer, same survivor set as the live-tombstone read
