@@ -5655,16 +5655,22 @@ object LlmSim extends QueryModule {
     * full recompute) applied to the fold. With these, a probe routes
     * over the folded index directly: [[q_llm_seg_fold_probe]] is the
     * gate. Epoch-named and vacuumed with its cascade. */
-  /** The fold's CHANGED-cell set — wave receivers + split families,
-    * nlist-bounded (distinct cids): the ONE changed-set expression the
-    * centroid refresh ([[segFoldCentroids]]) and the codes re-encode
-    * ([[segFoldRpqCodes]]) must share, or the codes re-base somewhere
-    * the centroids didn't refresh (silent ADC degradation). */
-  private def segFoldChanged(f: DataFrame): DataFrame = {
+  /** A fold generation's CHANGED-cell set — receivers of rows at or
+    * above the generation's absorbed id band, plus this generation's
+    * split families. nlist-bounded (distinct cids): the ONE
+    * changed-set expression each generation's centroid refresh and
+    * codes re-encode must share, or the codes re-base somewhere the
+    * centroids didn't refresh (silent ADC degradation). Gen 1 absorbs
+    * the sealed segment (band 2·base), gen 2 the post-fold tail
+    * (band [[IvfSegSeal1Bound]]). */
+  private def foldChangedCids(f: DataFrame, idBand: Long): DataFrame = {
     import f.sparkSession.implicits._
-    f.filter($"split" || $"vec_id" >= 2 * ArrivalIdBase)
+    f.filter($"split" || $"vec_id" >= idBand)
       .select($"cid").distinct()
   }
+
+  private def segFoldChanged(f: DataFrame): DataFrame =
+    foldChangedCids(f, 2 * ArrivalIdBase)
 
   private[graft] def segFoldCentroids(
       s: SparkSession, dir: String): DataFrame = {
@@ -5781,11 +5787,8 @@ object LlmSim extends QueryModule {
     * families, nlist-bounded: the ONE changed-set the gen-2 centroid
     * refresh and codes re-encode share ([[segFoldChanged]]'s
     * discipline at the next generation). */
-  private def segFold2Changed(f2: DataFrame): DataFrame = {
-    import f2.sparkSession.implicits._
-    f2.filter($"split" || $"vec_id" >= IvfSegSeal1Bound)
-      .select($"cid").distinct()
-  }
+  private def segFold2Changed(f2: DataFrame): DataFrame =
+    foldChangedCids(f2, IvfSegSeal1Bound)
 
   private[graft] def segFold2Centroids(
       s: SparkSession, dir: String): DataFrame = {
