@@ -2093,13 +2093,17 @@ object LlmSim extends QueryModule {
     // realtime vector segment's rows — how much tail is riding ahead
     // of the next fold/compaction. r16 extends to the FINAL estate:
     // the epoch columns force the full lifecycle first (second
-    // streamed wave, batch-after-stream epoch — monotonic pointers
-    // read mid-lifecycle would be run-order-dependent), tail_rows
-    // counts the post-stream tail (epochs 4-5), and the FOLD front's
-    // summary lands beside the segment's (fold cell count, post-fold
-    // overgrown count, absorbed segment rows, resplit rows — read
-    // from the persisted fold artifact, not by re-running the chain:
-    // the report's cost must not grow with each estate extension).
+    // streamed wave, batch-after-stream epoch, fold generation 2,
+    // the codebook retrain — monotonic pointers read mid-lifecycle
+    // would be run-order-dependent), tail_rows counts the post-stream
+    // tail (epochs 4-5), and BOTH fold generations' summaries land
+    // beside the segment's (cell count, overgrown count, absorbed
+    // rows, resplit rows per generation — read from the persisted
+    // fold artifacts, not by re-running the chains: the report's cost
+    // must not grow with each estate extension; OperatorSpec pins a
+    // job ceiling). cb_epoch + retrain_rows surface the r17 codebook
+    // front: the serving dictionary version and the O(corpus) rewrite
+    // the retrain paid, as numbers.
     // Every added column is DATA-derived and oracle-gated; the vector
     // side's epoch/grace/vacuum counters are deliberately NOT here —
     // their values depend on how many processes have visited the
@@ -2123,6 +2127,13 @@ object LlmSim extends QueryModule {
         val (post5, _) = postingsBatchAfterStream(s, dir)
         val segAll = streamedIvfSegmentAll(s, dir)
         val fold = persistedSegFold(s, dir)
+        // the r17 fronts: fold generation 2 and the codebook epoch —
+        // forced like every other pointer so the report reads the
+        // FINAL estate's high-waters; columns read from the persisted
+        // artifacts, the report's single-scan discipline
+        retrainRpqCodebooks(s, dir)
+        val fold2 = persistedSegFold2(s, dir)
+        val retrainCodes = s.table(rpqRetrainTables(s, dir)._2)
         mCells.groupBy($"cid").agg(count(lit(1)).as("cn"))
           .agg(
             count(lit(1)).as("n_cells"),
@@ -2166,6 +2177,20 @@ object LlmSim extends QueryModule {
                 .as("fold_overgrown"),
               sum($"fsr").as("fold_seg_rows"),
               sum($"frs").as("fold_resplit")))
+          // fold GENERATION 2 (r17), same single-scan shape
+          .crossJoin(fold2.groupBy($"cid").agg(
+              count(lit(1)).as("f2cn"),
+              sum(when($"vec_id" >= IvfSegSeal1Bound, 1L)
+                .otherwise(0L)).as("f2tr"),
+              sum(when($"split", 1L).otherwise(0L)).as("f2rs"))
+            .agg(count(lit(1)).as("fold2_cells"),
+              sum(when($"f2cn" > IvfPSplitRows, 1L).otherwise(0L))
+                .as("fold2_overgrown"),
+              sum($"f2tr").as("fold2_tail_rows"),
+              sum($"f2rs").as("fold2_resplit")))
+          // the retrain's O(corpus) rewrite as a number: every live
+          // row re-coded against codebook epoch 2
+          .crossJoin(retrainCodes.agg(count(lit(1)).as("retrain_rows")))
           .select($"n_cells", $"n_rows", $"n_tomb",
             ($"n_rows" - $"n_tomb").as("live_rows"),
             $"max_cell", $"overgrown_cells", $"split_children",
@@ -2179,7 +2204,11 @@ object LlmSim extends QueryModule {
             ($"post5_rows" - $"post3_rows").as("tail_rows"),
             $"seg_rows", $"seg_tail_rows",
             $"fold_cells", $"fold_overgrown", $"fold_seg_rows",
-            $"fold_resplit")
+            $"fold_resplit",
+            $"fold2_cells", $"fold2_overgrown", $"fold2_tail_rows",
+            $"fold2_resplit",
+            lit(rpqCbEpochOf(s, dir).toLong).as("cb_epoch"),
+            $"retrain_rows")
       },
       oracle = Some(s"""
         WITH $ivfCellsSql,
@@ -2251,9 +2280,12 @@ object LlmSim extends QueryModule {
             SELECT doc_id, unnest(string_split(text, ' ')) AS w
             FROM t45d)
           GROUP BY doc_id, w)),
-        -- the FOLD front (r16): the shared fold derivation's summary
-        -- numbers surfaced on the dashboard
-        $foldPostSql,
+        -- the FOLD fronts (r16 gen 1, r17 gen 2 + retrain): the
+        -- shared fold-chain derivations' summary numbers surfaced on
+        -- the dashboard (the full chain — gen 2's tail routes against
+        -- the gen-1 serving centroids, so fcent must exist here)
+        $foldChainSql,
+        $fold2ChainSql,
         hsz AS (SELECT cid, count(*) AS cn FROM gpost GROUP BY cid),
         hagg AS (SELECT
             CAST(count(*) AS BIGINT) AS fold_cells,
@@ -2265,17 +2297,35 @@ object LlmSim extends QueryModule {
               THEN 1 ELSE 0 END) AS BIGINT) AS fold_seg_rows,
             CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
               AS fold_resplit
-          FROM gpost)
+          FROM gpost),
+        h2sz AS (SELECT cid, count(*) AS cn FROM g2post GROUP BY cid),
+        h2agg AS (SELECT
+            CAST(count(*) AS BIGINT) AS fold2_cells,
+            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
+              AS BIGINT) AS fold2_overgrown
+          FROM h2sz),
+        h2seg AS (SELECT
+            CAST(sum(CASE WHEN vec_id >= $IvfSegSeal1Bound
+              THEN 1 ELSE 0 END) AS BIGINT) AS fold2_tail_rows,
+            CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
+              AS fold2_resplit
+          FROM g2post),
+        rr AS (SELECT CAST(count(*) AS BIGINT) AS retrain_rows
+          FROM g2post
+          WHERE vec_id NOT IN (SELECT vec_id FROM mdrops))
         SELECT n_cells, n_rows, n_tomb, n_rows - n_tomb AS live_rows,
           max_cell, overgrown_cells, split_children,
           CAST($PostingsBatchAfterStream AS BIGINT) AS post_epoch,
           posting_rows, vocab_size, df_drift, post_tomb, post_live_rows,
           CAST($PostingsStreamEpoch2 AS BIGINT) AS stream_epoch,
           stream_rows, tail_rows, seg_rows, seg_tail_rows,
-          fold_cells, fold_overgrown, fold_seg_rows, fold_resplit
+          fold_cells, fold_overgrown, fold_seg_rows, fold_resplit,
+          fold2_cells, fold2_overgrown, fold2_tail_rows, fold2_resplit,
+          CAST(2 AS BIGINT) AS cb_epoch, retrain_rows
         FROM agg0 CROSS JOIN tq CROSS JOIN pstat CROSS JOIN ptq
           CROSS JOIN plr CROSS JOIN ssr CROSS JOIN t45 CROSS JOIN sgr
-          CROSS JOIN sgt CROSS JOIN hagg CROSS JOIN hseg""")),
+          CROSS JOIN sgt CROSS JOIN hagg CROSS JOIN hseg
+          CROSS JOIN h2agg CROSS JOIN h2seg CROSS JOIN rr""")),
 
     // MAINTENANCE CYCLE 2 — the health report's finding RESOLVED as a
     // gate, not prose: the committed epoch can hold overgrown merge
@@ -5905,8 +5955,14 @@ object LlmSim extends QueryModule {
     * the writes and the swap leaves epoch 1 serving and the re-entry
     * completes the missing suffix, the maintenance cascade's recovery
     * discipline. Idempotent: re-entry with the pointer already at 2
-    * and both tables present is a no-op. */
-  private[graft] def retrainRpqCodebooks(s: SparkSession, dir: String): Unit =
+    * and both tables present is a no-op. `chaos` is the
+    * fault-injection seam (the TxnMarker.MarkerCreate precedent):
+    * called between the artifact writes and the pointer publish —
+    * the crash window where both epoch-2 tables exist but epoch 1
+    * still serves; tests throw from it to prove the re-entry
+    * completes exactly the missing suffix (the swap). */
+  private[graft] def retrainRpqCodebooks(s: SparkSession, dir: String,
+                                         chaos: () => Unit = () => ()): Unit =
     maintLock.synchronized {
       import s.implicits._
       // fold 2 FIRST: it settles this session's maintained epoch (a
@@ -5930,6 +5986,7 @@ object LlmSim extends QueryModule {
         resid.select($"cid", $"vec_id",
           pqEncodeCol($"rv", cbs).as("codes"))
       })
+      chaos()
       if (rpqCbEpochOf(s, dir) < 2)
         publishEpochPointer(rpqCbPointerFile(s, dir), 2)
     }

@@ -4208,6 +4208,27 @@ class OperatorSpec extends AnyFunSuite {
       .filter(!($"c1" <=> $"c2")).count()
     assert(recoded > 0, "retrain produced byte-identical codes — vacuous")
 
+    // ---- retrain crash window: artifacts written, pointer not yet
+    // swapped (re-create the exact state by resetting the pointer —
+    // both epoch-2 tables exist) — a chaos'd attempt dies INSIDE the
+    // window, epoch 1 must keep serving; the re-entry completes
+    // exactly the missing suffix (the swap)
+    java.nio.file.Files.deleteIfExists(ptr.toPath): Unit
+    assert(LlmSim.rpqCbEpochOf(spark, sf5) === 1)
+    intercept[RuntimeException] {
+      LlmSim.retrainRpqCodebooks(spark, sf5, chaos = () =>
+        throw new RuntimeException("graft-chaos: die before the swap"))
+    }
+    assert(LlmSim.rpqCbEpochOf(spark, sf5) === 1,
+      "crashed retrain attempt published the pointer anyway")
+    assert(rowsOf(pinned) === baseline,
+      "epoch-1 read diverged inside the retrain crash window")
+    LlmSim.retrainRpqCodebooks(spark, sf5)
+    assert(LlmSim.rpqCbEpochOf(spark, sf5) === 2,
+      "re-entry did not complete the missing pointer swap")
+    assert(rowsOf(probeWith(LlmSim.servingRpqPosture(spark, sf5)))
+      === post, "post-recovery epoch-2 probe diverged")
+
     // ---- vacuum the superseded fold-1 generation (VERDICT #3) ------
     // retrain reads only gen 2, so gen 1 is now unpinned ON THIS
     // ALIAS; the verb drops it and a grace reader re-derives the
