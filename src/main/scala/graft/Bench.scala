@@ -166,12 +166,13 @@ object Bench {
     def drainBus(): Unit =
       org.apache.spark.sql.graftbridge.SqlBridge.waitListenerBus(spark)
 
-    def runOnce(name: String): (Double, Long) = {
+    def runOnce(name: String): (Double, Long, Long) = {
       // job-group tag: when the driver box runs with event logs, every
       // stage in the log carries the query name — an inflation window
       // (see PLANS.md r8) becomes attributable without re-measurement
       drainBus()
       val j0 = jobCount.get()
+      val k0 = taskCount.get()
       spark.sparkContext.setJobGroup(name, name)
       val t =
         try time {
@@ -180,7 +181,7 @@ object Bench {
         } finally spark.sparkContext.clearJobGroup()
       spark.catalog.clearCache() // streaming replays cache their sinks
       drainBus()
-      (t, jobCount.get() - j0)
+      (t, jobCount.get() - j0, taskCount.get() - k0)
     }
 
     // Rolling box probe: a fixed 60-ms pure-codegen kernel timed every
@@ -227,7 +228,7 @@ object Bench {
     // driver always runs with no args = full corpus)
     val only = args.toSet
     val headlines = SparkEntry.headlines.toSet
-    case class QRes(name: String, t: Double, jobs: Long,
+    case class QRes(name: String, t: Double, jobs: Long, tasks: Long,
         tMin: Double, start: Double)
     val toRun = SparkEntry.all
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -239,17 +240,17 @@ object Bench {
         val runs = Seq.fill(3)(runOnce(name))
         val ts = runs.map(_._1).sorted
         val med = ts(1)
-        // the job count OF the median-producing run (all three should
-        // match; a divergence would itself be a finding)
-        val jobs = runs.minBy(r => math.abs(r._1 - med))._2
-        QRes(name, med, jobs, ts.head, start)
+        // the job/task counts OF the median-producing run (all three
+        // should match; a divergence would itself be a finding)
+        val m = runs.minBy(r => math.abs(r._1 - med))
+        QRes(name, med, m._2, m._3, ts.head, start)
       } catch {
         case e: Throwable =>
           // Never swallow: a silent -1 cost round 6 its bench. The
           // driver captures stderr, so the stack trace is auditable.
           System.err.println(s"[bench] $name FAILED: $e")
           e.printStackTrace()
-          QRes(name, -1.0, -1L, -1.0, start)
+          QRes(name, -1.0, -1L, -1L, -1.0, start)
       }
     }
     rollingProbe(toRun.size)
@@ -268,7 +269,7 @@ object Bench {
     val ref = refTimes(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_full.json"))
     val retimed = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Long, Double, Long)]
+      .empty[String, (Double, Long, Long, Double, Long, Long)]
     val cands = measured.filter(_.t >= 0).flatMap { r =>
       ref.get(r.name) match {
         case Some(h) if r.t > 3 * h && r.t - h > 0.5 =>
@@ -282,17 +283,18 @@ object Bench {
       s"[bench] re-timing ${cands.size} burst suspects: " +
         cands.map { case (r, x) => f"${r.name}(${x}%.1fx)" }.mkString(" "))
     cands.foreach { case (r, _) =>
-      val (rt, rj) =
+      val (rt, rj, rk) =
         try runOnce(r.name)
         catch { case e: Throwable =>
           System.err.println(s"[bench] retime ${r.name} FAILED: $e")
-          (-1.0, -1L)
+          (-1.0, -1L, -1L)
         }
-      retimed(r.name) = (r.t, r.jobs, rt, rj)
+      retimed(r.name) = (r.t, r.jobs, r.tasks, rt, rj, rk)
     }
     val results: Seq[(String, Double)] = measured.map { r =>
       r.name -> (retimed.get(r.name) match {
-        case Some((first, _, rt, _)) if rt >= 0 => math.min(first, rt)
+        case Some((first, _, _, rt, _, _)) if rt >= 0 =>
+          math.min(first, rt)
         case _ => r.t
       })
     }
@@ -309,12 +311,13 @@ object Bench {
     // Burst-defense evidence (summary on the stdout line, detail in the
     // sidecar): which queries were re-timed, what they first measured,
     // how much the retry recovered, and the rolling probe's spread.
-    val retimesJson = retimed.map { case (n, (f, jf, rt, jr)) =>
-      s""""$n":{"first":${r4(f)},"jobs_first":$jf,""" +
-        s""""retry":${r4(rt)},"jobs_retry":$jr}"""
+    val retimesJson = retimed.map { case (n, (f, jf, kf, rt, jr, kr)) =>
+      s""""$n":{"first":${r4(f)},"jobs_first":$jf,"tasks_first":$kf,""" +
+        s""""retry":${r4(rt)},"jobs_retry":$jr,"tasks_retry":$kr}"""
     }.mkString("{", ",", "}")
-    val retimeSaved = retimed.valuesIterator.map { case (f, _, rt, _) =>
-      if (rt >= 0) math.max(0.0, f - math.min(f, rt)) else 0.0 }.sum
+    val retimeSaved = retimed.valuesIterator
+      .map { case (f, _, _, rt, _, _) =>
+        if (rt >= 0) math.max(0.0, f - math.min(f, rt)) else 0.0 }.sum
     val rollingJson = rolling
       .map { case (i, t, p) => s"[$i,$t,$p]" }.mkString("[", ",", "]")
     val rollingSpread =
@@ -358,6 +361,8 @@ object Bench {
         s""""starts":${measured.map(r => s""""${r.name}":${r.start}""")
           .mkString("{", ",", "}")},""" +
           s""""jobs":${measured.map(r => s""""${r.name}":${r.jobs}""")
+            .mkString("{", ",", "}")},""" +
+          s""""tasks":${measured.map(r => s""""${r.name}":${r.tasks}""")
             .mkString("{", ",", "}")},""" +
           s""""rolling":$rollingJson,"retimes":$retimesJson,"""
       java.nio.file.Files.write(

@@ -4608,14 +4608,36 @@ object LlmSim extends QueryModule {
     * relab/mcent (and [[ivfCellsSql]]'s e) in scope; defines fsc,
     * fall, gpost. ONE derivation for every fold-reading oracle (the
     * maintChainSql discipline at the fold layer). */
+  /** Generation-generic fold SQL, cells half: wave routed against the
+    * previous generation's centroids, union, the generation's own
+    * split-round namespace — ONE shape for every fold generation (the
+    * engine's [[foldCellsInto]], mirrored). */
+  private def foldGenPostSql(prevCells: String, prevCent: String,
+      wave: Int, tail: String, allCte: String, pfx: String,
+      out: String, rounds: Int, roundBase: Int): String =
+    s"""${waveCellsSql(prevCent, tail, wave)},
+        $allCte AS MATERIALIZED (
+          SELECT cid, vec_id, v FROM $prevCells
+          UNION ALL SELECT cid, vec_id, v FROM $tail),
+        ${splitRoundsSql(rounds, roundBase = roundBase,
+          input = allCte, pfx = pfx, out = out)}"""
+
+  /** Generation-generic fold SQL, serving half: the changed-set and
+    * the incremental centroid refresh ([[foldCentroidsBody]],
+    * mirrored). */
+  private def foldGenCentSql(out: String, chg: String, ref: String,
+      cent: String, prevCent: String, band: Long): String =
+    s"""$chg AS MATERIALIZED (SELECT DISTINCT cid FROM $out
+          WHERE split OR vec_id >= $band),
+        ${quantMeanSql(s"$out r JOIN $chg USING (cid)", ref)},
+        $cent AS MATERIALIZED (
+          SELECT cid, cv FROM $prevCent
+           WHERE cid NOT IN (SELECT cid FROM $chg)
+          UNION ALL SELECT cid, cv FROM $ref)"""
+
   private def foldPostSql: String =
-    s"""${waveCellsSql("mcent", "fsc")},
-        fall AS MATERIALIZED (
-          SELECT cid, vec_id, v FROM relab
-          UNION ALL SELECT cid, vec_id, v FROM fsc),
-        ${splitRoundsSql(MaintSplitRounds,
-          roundBase = 2 * MaintSplitRounds,
-          input = "fall", pfx = "g", out = "gpost")}"""
+    foldGenPostSql("relab", "mcent", 1, "fsc", "fall", "g", "gpost",
+      MaintSplitRounds, 2 * MaintSplitRounds)
 
   /** The SERVABLE fold chain — [[foldPostSql]] plus the incremental
     * centroid refresh: adds fchg, fref, fcent. Shared by the exact
@@ -4623,37 +4645,22 @@ object LlmSim extends QueryModule {
     * probe. */
   private def foldChainSql: String =
     s"""$foldPostSql,
-        fchg AS MATERIALIZED (SELECT DISTINCT cid FROM gpost
-          WHERE split OR vec_id >= ${2 * ArrivalIdBase}),
-        ${quantMeanSql("gpost r JOIN fchg USING (cid)", "fref")},
-        fcent AS MATERIALIZED (
-          SELECT cid, cv FROM mcent
-           WHERE cid NOT IN (SELECT cid FROM fchg)
-          UNION ALL SELECT cid, cv FROM fref)"""
+        ${foldGenCentSql("gpost", "fchg", "fref", "fcent", "mcent",
+          2 * ArrivalIdBase)}"""
 
-  /** Fold GENERATION 2 in SQL — [[foldChainSql]] iterated: the wave-2
-    * tail routed against fold 1's serving centroids, unioned with the
-    * gen-1 folded frame, re-split in the FOURTH cid namespace
-    * (roundBase 3·[[MaintSplitRounds]], [[Fold2SplitRounds]] rounds —
-    * the engine's Int-ceiling bound), incremental centroid refresh
-    * over the gen-2 changed set. Requires [[foldChainSql]]'s
-    * gpost/fcent in scope; defines tail2, g2all, g2post, g2chg,
-    * g2ref, g2cent. */
+  /** Fold GENERATION 2 in SQL — [[foldChainSql]] iterated through the
+    * same two generation-generic halves: the wave-2 tail routed
+    * against fold 1's serving centroids, unioned with the gen-1
+    * folded frame, re-split in the FOURTH cid namespace (roundBase
+    * 3·[[MaintSplitRounds]], [[Fold2SplitRounds]] rounds — the
+    * engine's Int-ceiling bound), incremental centroid refresh over
+    * the gen-2 changed set. Requires [[foldChainSql]]'s gpost/fcent
+    * in scope; defines tail2, g2all, g2post, g2chg, g2ref, g2cent. */
   private def fold2ChainSql: String =
-    s"""${waveCellsSql("fcent", "tail2", wave = 2)},
-        g2all AS MATERIALIZED (
-          SELECT cid, vec_id, v FROM gpost
-          UNION ALL SELECT cid, vec_id, v FROM tail2),
-        ${splitRoundsSql(Fold2SplitRounds,
-          roundBase = 3 * MaintSplitRounds,
-          input = "g2all", pfx = "h", out = "g2post")},
-        g2chg AS MATERIALIZED (SELECT DISTINCT cid FROM g2post
-          WHERE split OR vec_id >= $IvfSegSeal1Bound),
-        ${quantMeanSql("g2post r JOIN g2chg USING (cid)", "g2ref")},
-        g2cent AS MATERIALIZED (
-          SELECT cid, cv FROM fcent
-           WHERE cid NOT IN (SELECT cid FROM g2chg)
-          UNION ALL SELECT cid, cv FROM g2ref)"""
+    s"""${foldGenPostSql("gpost", "fcent", 2, "tail2", "g2all", "h",
+          "g2post", Fold2SplitRounds, 3 * MaintSplitRounds)},
+        ${foldGenCentSql("g2post", "g2chg", "g2ref", "g2cent", "fcent",
+          IvfSegSeal1Bound)}"""
 
   /** UNIFORM residual re-encode in SQL: every row of `cells` coded as
     * encode(v − `cent`(cid)) against codebook CTE `cb` — the oracle
@@ -5675,25 +5682,76 @@ object LlmSim extends QueryModule {
     * [[splitCellsFixpoint]] scaladoc's bound). Epoch-named like every
     * maintenance artifact; cells-only like cycle 2 (tombstones keep
     * riding the probe-side anti-join). */
+  /** The generation-generic fold CELLS body: route the absorbed rows
+    * against the previous generation's serving centroids (one
+    * map-only broadcast pass over the delta), union with the previous
+    * generation's frame, re-split in the generation's own cid
+    * namespace, persist write-once. ONE body for every fold
+    * generation — a fix to the cascade discipline (broadcast shape,
+    * the unpersist-in-finally pattern) lands once. */
+  private def foldCellsInto(s: SparkSession, tbl: String,
+                            prev: DataFrame, routeCent: DataFrame,
+                            absorbed: DataFrame, maxRounds: Int,
+                            roundBase: Int): DataFrame = {
+    import s.implicits._
+    if (!s.catalog.tableExists(tbl)) {
+      val routed = ivfCellsOf(absorbed, routeCent)
+      val fx = splitCellsFixpoint(
+        prev.select($"cid", $"vec_id", $"v")
+          .unionByName(routed.select($"cid", $"vec_id", $"v")),
+        IvfPSplitRows, maxRounds = maxRounds, roundBase = roundBase)._1
+      try LlmText.writeOnceTable(s, tbl, Seq("cid"), fx): Unit
+      finally org.apache.spark.sql.graftbridge.SqlBridge
+        .checkpointRdd(fx).foreach(_.unpersist(blocking = false))
+    }
+    s.table(tbl)
+  }
+
+  /** The generation-generic fold CENTROID refresh: quantized means
+    * for exactly the generation's changed cells, the previous
+    * generation's centroids passed through everywhere else. */
+  private def foldCentroidsBody(f: DataFrame, prevCent: DataFrame,
+                                band: Long): DataFrame = {
+    import f.sparkSession.implicits._
+    val chg = foldChangedCids(f, band)
+    refreshedCentroids(
+        f.join(broadcast(chg), Seq("cid")).select($"cid", $"v"))
+      .unionByName(
+        prevCent.join(broadcast(chg), Seq("cid"), "left_anti")
+          .select($"cid", $"cv"))
+  }
+
+  /** The generation-generic fold CODES cascade: changed cells
+    * re-encode v − genCentroid(cid) against the frozen codebooks,
+    * untouched cells keep the previous generation's codes
+    * byte-identically (their centroid did not move — the identity
+    * that lets every fold oracle re-derive uniformly). */
+  private def foldCodesBody(s: SparkSession, dir: String, f: DataFrame,
+                            cent: DataFrame, prevCodes: DataFrame,
+                            band: Long): DataFrame = {
+    import s.implicits._
+    val chg = foldChangedCids(f, band)
+    val keep = f.join(broadcast(chg), Seq("cid"), "left_anti")
+      .join(prevCodes.select($"vec_id", $"codes"), Seq("vec_id"))
+      .select($"cid", $"vec_id", $"codes")
+    val cbs = pqCbStructs(persistedRpqCb(s, dir))
+    keep.unionByName(
+      f.join(broadcast(chg), Seq("cid"), "left_semi")
+        .join(broadcast(cent), Seq("cid"))
+        .select($"cid", $"vec_id",
+          pqEncodeCol(zip_with($"v", $"cv", (x, y) => x - y), cbs)
+            .as("codes")))
+  }
+
   private[graft] def persistedSegFold(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (mCells, mCent) = maintainIvfCommit(s, dir)
     val seg = streamedIvfSegment(s, dir)
     val e = maintEpochOf(s, dir)
-    val tbl = s"graft_ivf_segf_me${e}_${math.abs(dir.hashCode)}"
-    if (!s.catalog.tableExists(tbl)) {
-      val routed = ivfCellsOf(seg.select($"vec_id", $"v"), mCent)
-      val fx = splitCellsFixpoint(
-        mCells.select($"cid", $"vec_id", $"v")
-          .unionByName(routed.select($"cid", $"vec_id", $"v")),
-        IvfPSplitRows, maxRounds = MaintSplitRounds,
-        roundBase = 2 * MaintSplitRounds)._1
-      try LlmText.writeOnceTable(s, tbl, Seq("cid"), fx): Unit
-      finally org.apache.spark.sql.graftbridge.SqlBridge
-        .checkpointRdd(fx).foreach(_.unpersist(blocking = false))
-    }
-    s.table(tbl)
+    foldCellsInto(s, s"graft_ivf_segf_me${e}_${math.abs(dir.hashCode)}",
+      mCells, mCent, seg.select($"vec_id", $"v"),
+      maxRounds = MaintSplitRounds, roundBase = 2 * MaintSplitRounds)
   }
 
   /** Centroids that make the fold SERVABLE — refreshed quantized
@@ -5719,28 +5777,14 @@ object LlmSim extends QueryModule {
       .select($"cid").distinct()
   }
 
-  private def segFoldChanged(f: DataFrame): DataFrame =
-    foldChangedCids(f, 2 * ArrivalIdBase)
-
   private[graft] def segFoldCentroids(
       s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val f = persistedSegFold(s, dir)
     val mCent = maintainIvfCommit(s, dir)._2
     val e = maintEpochOf(s, dir)
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf_cent_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"), {
-        // chg is nlist-bounded — broadcast both the fold-side semi
-        // and the mCent anti like every delta-sized set in the
-        // maintenance family
-        val chg = segFoldChanged(f)
-        refreshedCentroids(
-            f.join(broadcast(chg), Seq("cid")).select($"cid", $"v"))
-          .unionByName(
-            mCent.join(broadcast(chg), Seq("cid"), "left_anti")
-              .select($"cid", $"cv"))
-      })
+      Seq("cid"), foldCentroidsBody(f, mCent, 2 * ArrivalIdBase))
   }
 
   /** The fold CASCADE on the COMPRESSED path — the r15 judge's #1:
@@ -5763,7 +5807,6 @@ object LlmSim extends QueryModule {
     * Epoch-named and vacuumed with its cascade. */
   private[graft] def segFoldRpqCodes(
       s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val f = persistedSegFold(s, dir)
     val fCent = segFoldCentroids(s, dir)
     maintainIvfCommit(s, dir)
@@ -5771,22 +5814,8 @@ object LlmSim extends QueryModule {
     val e = maintEpochOf(s, dir)
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf_rpq_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"), {
-        // the SHARED changed-set — the codes re-encode exactly where
-        // the centroids refreshed, or ADC ordering silently degrades
-        val chg = segFoldChanged(f)
-        val keep = f.join(broadcast(chg), Seq("cid"), "left_anti")
-          .join(s.table(rpqT).select($"vec_id", $"codes"),
-            Seq("vec_id"))
-          .select($"cid", $"vec_id", $"codes")
-        val cbs = pqCbStructs(persistedRpqCb(s, dir))
-        keep.unionByName(
-          f.join(broadcast(chg), Seq("cid"), "left_semi")
-            .join(broadcast(fCent), Seq("cid"))
-            .select($"cid", $"vec_id",
-              pqEncodeCol(zip_with($"v", $"cv", (x, y) => x - y), cbs)
-                .as("codes")))
-      })
+      Seq("cid"),
+      foldCodesBody(s, dir, f, fCent, s.table(rpqT), 2 * ArrivalIdBase))
   }
 
   /** FOLD GENERATION 2 (r17) — the fold verb ITERATED, absorbing the
@@ -5815,47 +5844,22 @@ object LlmSim extends QueryModule {
     val f = persistedSegFold(s, dir)
     val fCent = segFoldCentroids(s, dir)
     val e = maintEpochOf(s, dir)
-    val tbl = s"graft_ivf_segf2_me${e}_${math.abs(dir.hashCode)}"
-    if (!s.catalog.tableExists(tbl)) {
-      val tail = ivfCellsOf(
-        streamedIvfSegmentAll(s, dir)
-          .filter($"vec_id" >= IvfSegSeal1Bound)
-          .select($"vec_id", $"v"),
-        fCent).select($"cid", $"vec_id", $"v")
-      val fx = splitCellsFixpoint(
-        f.select($"cid", $"vec_id", $"v").unionByName(tail),
-        IvfPSplitRows, maxRounds = Fold2SplitRounds,
-        roundBase = 3 * MaintSplitRounds)._1
-      try LlmText.writeOnceTable(s, tbl, Seq("cid"), fx): Unit
-      finally org.apache.spark.sql.graftbridge.SqlBridge
-        .checkpointRdd(fx).foreach(_.unpersist(blocking = false))
-    }
-    s.table(tbl)
+    foldCellsInto(s, s"graft_ivf_segf2_me${e}_${math.abs(dir.hashCode)}",
+      f, fCent,
+      streamedIvfSegmentAll(s, dir)
+        .filter($"vec_id" >= IvfSegSeal1Bound)
+        .select($"vec_id", $"v"),
+      maxRounds = Fold2SplitRounds, roundBase = 3 * MaintSplitRounds)
   }
-
-  /** Fold 2's changed-cell set — tail receivers + fold-2 split
-    * families, nlist-bounded: the ONE changed-set the gen-2 centroid
-    * refresh and codes re-encode share ([[segFoldChanged]]'s
-    * discipline at the next generation). */
-  private def segFold2Changed(f2: DataFrame): DataFrame =
-    foldChangedCids(f2, IvfSegSeal1Bound)
 
   private[graft] def segFold2Centroids(
       s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val f2 = persistedSegFold2(s, dir)
     val fCent = segFoldCentroids(s, dir)
     val e = maintEpochOf(s, dir)
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf2_cent_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"), {
-        val chg = segFold2Changed(f2)
-        refreshedCentroids(
-            f2.join(broadcast(chg), Seq("cid")).select($"cid", $"v"))
-          .unionByName(
-            fCent.join(broadcast(chg), Seq("cid"), "left_anti")
-              .select($"cid", $"cv"))
-      })
+      Seq("cid"), foldCentroidsBody(f2, fCent, IvfSegSeal1Bound))
   }
 
   /** The gen-2 fold cascade on the COMPRESSED path — [[segFoldRpqCodes]]
@@ -5868,26 +5872,14 @@ object LlmSim extends QueryModule {
     * generation. */
   private[graft] def segFold2RpqCodes(
       s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val f2 = persistedSegFold2(s, dir)
     val f2Cent = segFold2Centroids(s, dir)
     val gen1 = segFoldRpqCodes(s, dir)
     val e = maintEpochOf(s, dir)
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf2_rpq_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"), {
-        val chg = segFold2Changed(f2)
-        val keep = f2.join(broadcast(chg), Seq("cid"), "left_anti")
-          .join(gen1.select($"vec_id", $"codes"), Seq("vec_id"))
-          .select($"cid", $"vec_id", $"codes")
-        val cbs = pqCbStructs(persistedRpqCb(s, dir))
-        keep.unionByName(
-          f2.join(broadcast(chg), Seq("cid"), "left_semi")
-            .join(broadcast(f2Cent), Seq("cid"))
-            .select($"cid", $"vec_id",
-              pqEncodeCol(zip_with($"v", $"cv", (x, y) => x - y), cbs)
-                .as("codes")))
-      })
+      Seq("cid"),
+      foldCodesBody(s, dir, f2, f2Cent, gen1, IvfSegSeal1Bound))
   }
 
   /** VACUUM the superseded fold-1 generation — the cleanup half of
@@ -6000,8 +5992,13 @@ object LlmSim extends QueryModule {
   private[graft] def servingRpqPosture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[Seq[Seq[Double]]]) =
     if (rpqCbEpochOf(s, dir) >= 2) {
-      // settle the session's maintained epoch before resolving the
-      // epoch-named retrain tables (the retrainRpqCodebooks ordering)
+      // The POINTER survives JVMs but the epoch-named tables rebuild
+      // per catalog (a fresh session also mints a NEW maintained
+      // epoch, renaming them) — so a pointer-at-2 read must go
+      // through the idempotent verb, which settles the epoch and
+      // completes any missing artifact before serving (the write-once
+      // rebuild discipline every other artifact read follows).
+      retrainRpqCodebooks(s, dir)
       val cent = segFold2Centroids(s, dir)
       val (cbT, codesT) = rpqRetrainTables(s, dir)
       (cent, s.table(codesT),
@@ -6459,9 +6456,15 @@ object LlmSim extends QueryModule {
           s"materializeWave($tag): staging produced no part files")
         staged.zipWithIndex.foreach { case (src, i) =>
           val dst = new java.io.File(srcDir, s"${tag}_$i.parquet")
+          // Publish via hard LINK, not rename: on Linux ATOMIC_MOVE is
+          // rename(2), which silently REPLACES an existing dst — a
+          // racing creator could rewrite an already-landed (possibly
+          // checkpoint-consumed) file's bytes. link(2) is the atomic
+          // no-replace publish: it fails with EEXIST if dst exists,
+          // so the first creator's bytes are immutable once landed.
+          // The staged source is removed by the finally's rmTree.
           if (!dst.exists())
-            try java.nio.file.Files.move(src.toPath, dst.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+            try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
             catch { // racing creator landed this dst first; same rows
               case _: java.nio.file.FileAlreadyExistsException => ()
             }

@@ -4177,20 +4177,38 @@ class OperatorSpec extends AnyFunSuite {
     val baseline = rowsOf(pinned)
     assert(baseline.nonEmpty)
     @volatile var werr: Throwable = null
+    // the chaos seam doubles as a rendezvous: the writer parks INSIDE
+    // the publish window (artifacts written, pointer not yet swapped)
+    // until the reader has completed at least one read there — the
+    // concurrency pin cannot silently degrade to sequential
+    // before/after checks on a fast writer (warm estate)
+    val inWindow = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
     val writer = new Thread(() =>
-      try LlmSim.retrainRpqCodebooks(spark, sf5)
+      try LlmSim.retrainRpqCodebooks(spark, sf5, chaos = () => {
+        inWindow.countDown()
+        assert(release.await(120, java.util.concurrent.TimeUnit.SECONDS),
+          "reader never released the publish window")
+      })
       catch { case t: Throwable => werr = t })
     writer.start()
     // the reader RUNS while the retrain trains, re-encodes, and swings
     // the pointer: every read must serve epoch 1, end-to-end
     var reads = 0
-    while (writer.isAlive && reads < 1000) {
+    while (writer.isAlive && reads < 1000 && inWindow.getCount > 0) {
       assert(rowsOf(pinned) === baseline,
         "pinned epoch-1 reader diverged mid-retrain")
       reads += 1
     }
+    assert(inWindow.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "writer never reached the publish window")
+    assert(rowsOf(pinned) === baseline,
+      "pinned epoch-1 reader diverged INSIDE the publish window")
+    reads += 1
+    release.countDown()
     writer.join()
     assert(werr == null, s"retrain failed: $werr")
+    assert(reads > 0, "no read ran concurrent with the retrain")
     info(s"pinned reads during retrain: $reads")
     assert(LlmSim.rpqCbEpochOf(spark, sf5) === 2,
       "pointer did not swing to epoch 2")
