@@ -2889,6 +2889,80 @@ object LlmSim extends QueryModule {
         $rpqRetrainSql,
         ${rpqProbeTailSql("g2cent", "g2live", "rcodes", 19, 24)}""")),
 
+    // MAJOR COMPACTION: cid-namespace RENUMBER (r18) — fold gen 2
+    // exhausted the 32-bit cid space (its children mint at 2^30; the
+    // splitCellsFixpoint guard makes a third fold a loud hard stop),
+    // and a 100 TB estate folds continually: the lifecycle needs the
+    // escape the guard's message names. The verb collapses the fold
+    // lineage to a DENSE namespace-0 space — survivors only (the
+    // compaction folds the tombstones: note the probe below carries
+    // NO anti-join, the first ADC gate that doesn't), old cid →
+    // rank(old cid), keys moved but geometry and codes byte-identical
+    // per cell/row (the spec pins both) — behind the estate's
+    // write-once + atomic-pointer crash discipline. The probe runs
+    // the standard two-stage ADC over the renumbered posture at the
+    // epoch-2 dictionary; the oracle re-derives base → maintain →
+    // folds → retrain → RENUMBER under one hash. Results must equal
+    // the retrain probe's (same queries, same geometry, re-keyed) —
+    // which is itself the re-key-moves-nothing claim, hash-gated.
+    "q_llm_rpq_renumber_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (rnCells, rnCent, rnCodes) = renumberedEstate(s, dir)
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          rnCent, rnCodes, rnCells,
+          servingRpqPosture(s, dir)._3, PqTopR, residual = true)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        $maintDropsSql,
+        $foldChainSql,
+        $fold2ChainSql,
+        $rpqRetrainSql,
+        $renumberSql,
+        ${rpqProbeTailSql("rncent", "rncells", "rncodes", 19, 24)}""")),
+
+    // FOLD GENERATION 3 (r18) — the proof the renumber actually
+    // reopened the namespace: a third fold, structurally impossible
+    // pre-renumber (roundBase 11 trips the ceiling guard — the spec
+    // drives that exact error), absorbs the wave-3 tail over the
+    // dense space at roundBase 0 with FULL MaintSplitRounds width.
+    // Same generation-generic bodies as folds 1-2; the codes cascade
+    // extends the renumbered epoch-2 codes against the retrained
+    // dictionary (untouched cells byte-identical — the uniform-oracle
+    // identity, third generation). The oracle re-derives the LONGEST
+    // chain in the corpus: base → upsert → split → merge → commit →
+    // wave 1 → fold 1 → wave 2 → fold 2 → epoch-2 TRAINING →
+    // re-encode → renumber → wave-3 route → fold 3 → refresh →
+    // uniform re-encode — under one hash.
+    "q_llm_rpq_fold3_probe" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        pqProbeCore(
+          embDoubles(s, dir)
+            .filter($"vec_id" >= 19 && $"vec_id" < 24)
+            .select($"vec_id".as("q_id"), $"v".as("qv")),
+          segFold3Centroids(s, dir),
+          segFold3RpqCodes(s, dir),
+          persistedSegFold3(s, dir),
+          servingRpqPosture(s, dir)._3, PqTopR, residual = true)
+      },
+      oracle = Some(s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        $maintDropsSql,
+        $foldChainSql,
+        $fold2ChainSql,
+        $rpqRetrainSql,
+        $renumberSql,
+        $fold3ChainSql,
+        ${uniformRpqCodesSql("g3post", "g3cent", "pcb", "u")},
+        ${rpqProbeTailSql("g3cent", "g3post", "ucodes", 19, 24)}""")),
+
     // STREAMING RESIDUAL ENCODE — the online form of the TEXTBOOK
     // IVF-PQ ingest: route each arrival to its cell (NearestCell
     // against the centroid literal), subtract that cell's centroid,
@@ -4583,12 +4657,15 @@ object LlmSim extends QueryModule {
                            wave: Int = 1): String = {
     // wave fixtures share the perturbation; each lives in its own
     // residue + id band (wave 1: residue 5, +2·base; wave 2:
-    // residue 6, +3·base — [[ivfStreamWave]]/[[ivfStreamWave2]])
-    require(wave == 1 || wave == 2,
+    // residue 6, +3·base; wave 3 — the post-renumber batch tail —
+    // residue 4, +4·base: [[ivfStreamWave]]/[[ivfStreamWave2]]/
+    // [[ivfWave3]])
+    require(wave >= 1 && wave <= 3,
       s"unknown wave $wave — the streamedVectorSegment gen guard's twin")
     val (res, shift, in) =
       if (wave == 1) (5, 2L * ArrivalIdBase, "ns")
-      else (6, 3L * ArrivalIdBase, "ns2")
+      else if (wave == 2) (6, 3L * ArrivalIdBase, "ns2")
+      else (4, 4L * ArrivalIdBase, "ns3")
     s"""$in AS (
           SELECT vec_id + $shift AS vec_id,
             list_transform(v, x -> x * 0.9 + 0.01) AS v
@@ -4723,6 +4800,39 @@ object LlmSim extends QueryModule {
             FROM subs u JOIN pcb c ON u.m = c.m)
           WHERE rn = 1
           GROUP BY vec_id)"""
+
+  /** The RENUMBER in SQL — [[renumberEstate]] mirrored: dense mapping
+    * = rank-by-old-cid over the survivors' distinct cids; cells,
+    * centroids and epoch-2 codes re-keyed through it (codes pick
+    * their new cid off the re-keyed cells row — [[rpqRetrainSql]]'s
+    * rcodes is already the survivor set). Requires g2live/g2cent/
+    * rcodes in scope; defines rnmap, rncells, rncent, rncodes. */
+  private def renumberSql: String = s"""rnmap AS MATERIALIZED (
+          SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT)
+            AS ncid
+          FROM (SELECT DISTINCT cid FROM g2live)),
+        rncells AS MATERIALIZED (
+          SELECT m.ncid AS cid, g.vec_id, g.v
+          FROM g2live g JOIN rnmap m USING (cid)),
+        rncent AS MATERIALIZED (
+          SELECT m.ncid AS cid, c.cv
+          FROM g2cent c JOIN rnmap m USING (cid)),
+        rncodes AS MATERIALIZED (
+          SELECT cl.cid, r.vec_id, r.codes
+          FROM rcodes r JOIN rncells cl ON cl.vec_id = r.vec_id)"""
+
+  /** Fold GENERATION 3 in SQL — the generation-generic halves over
+    * the RENUMBERED estate at roundBase 0 (the namespace reset is the
+    * whole point): wave-3 tail routed against the renumbered
+    * centroids, union, [[MaintSplitRounds]] full-width rounds,
+    * incremental refresh over the gen-3 changed set. Requires
+    * [[renumberSql]]'s rncells/rncent in scope; defines tail3, g3all,
+    * g3post, g3chg, g3ref, g3cent. */
+  private def fold3ChainSql: String =
+    s"""${foldGenPostSql("rncells", "rncent", 3, "tail3", "g3all", "k",
+          "g3post", MaintSplitRounds, 0)},
+        ${foldGenCentSql("g3post", "g3chg", "g3ref", "g3cent", "rncent",
+          IvfWave3Band)}"""
 
   /** A streamed wave's FROZEN-CODEBOOK residual encoding in SQL —
     * route (already done by the wave-cells CTE `cellsCte`), subtract
@@ -5722,19 +5832,23 @@ object LlmSim extends QueryModule {
   }
 
   /** The generation-generic fold CODES cascade: changed cells
-    * re-encode v − genCentroid(cid) against the frozen codebooks,
-    * untouched cells keep the previous generation's codes
-    * byte-identically (their centroid did not move — the identity
-    * that lets every fold oracle re-derive uniformly). */
+    * re-encode v − genCentroid(cid) against the frozen codebooks —
+    * `cb` names WHICH frozen dictionary (the epoch-1 base for
+    * generations 1-2; the epoch-2 retrained pair for the post-
+    * renumber generation 3, whose previous codes were themselves
+    * written at epoch 2) — untouched cells keep the previous
+    * generation's codes byte-identically (their centroid did not
+    * move — the identity that lets every fold oracle re-derive
+    * uniformly). */
   private def foldCodesBody(s: SparkSession, dir: String, f: DataFrame,
                             cent: DataFrame, prevCodes: DataFrame,
-                            band: Long): DataFrame = {
+                            band: Long, cb: DataFrame): DataFrame = {
     import s.implicits._
     val chg = foldChangedCids(f, band)
     val keep = f.join(broadcast(chg), Seq("cid"), "left_anti")
       .join(prevCodes.select($"vec_id", $"codes"), Seq("vec_id"))
       .select($"cid", $"vec_id", $"codes")
-    val cbs = pqCbStructs(persistedRpqCb(s, dir))
+    val cbs = pqCbStructs(cb)
     keep.unionByName(
       f.join(broadcast(chg), Seq("cid"), "left_semi")
         .join(broadcast(cent), Seq("cid"))
@@ -5815,7 +5929,8 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf_rpq_me${e}_${math.abs(dir.hashCode)}",
       Seq("cid"),
-      foldCodesBody(s, dir, f, fCent, s.table(rpqT), 2 * ArrivalIdBase))
+      foldCodesBody(s, dir, f, fCent, s.table(rpqT), 2 * ArrivalIdBase,
+        persistedRpqCb(s, dir)))
   }
 
   /** FOLD GENERATION 2 (r17) — the fold verb ITERATED, absorbing the
@@ -5879,7 +5994,8 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf2_rpq_me${e}_${math.abs(dir.hashCode)}",
       Seq("cid"),
-      foldCodesBody(s, dir, f2, f2Cent, gen1, IvfSegSeal1Bound))
+      foldCodesBody(s, dir, f2, f2Cent, gen1, IvfSegSeal1Bound,
+        persistedRpqCb(s, dir)))
   }
 
   /** VACUUM the superseded fold-1 generation — the cleanup half of
@@ -6006,6 +6122,190 @@ object LlmSim extends QueryModule {
     } else
       (segFold2Centroids(s, dir), segFold2RpqCodes(s, dir),
         rpqCbArr(s, dir))
+
+  // ---- MAJOR COMPACTION: cid-namespace RENUMBER (r18) --------------
+  // Fold generation 2 EXHAUSTS the 32-bit cid namespace: its children
+  // mint at SplitCidOffset << 10 and a worst-case subset-sum cid lands
+  // at 2^31 − 1 — the splitCellsFixpoint guard makes a third fold a
+  // loud hard stop instead of silent negative-cid corruption, but a
+  // 100 TB estate folds CONTINUALLY, so the lifecycle needs the escape
+  // the guard's message names: renumber at a major compaction. The
+  // verb collapses the whole fold lineage back to a DENSE namespace-0
+  // cid space: survivors only (the compaction folds the tombstones —
+  // after it, the probe-side anti-join has nothing to subtract), each
+  // surviving cell re-keyed old-cid → rank(old cid) ∈ [0, n_cells).
+  // The re-key moves KEYS, never geometry or payloads: a cell's
+  // centroid and every row's codes are byte-identical under the new
+  // cid (the spec pins both identities), so the renumbered estate
+  // serves the exact results the gen-2 posture served — and the split
+  // offset arithmetic is whole again (dense cids ≪ SplitCidOffset, so
+  // roundBase 0 is collision-free by the same subset-sum argument the
+  // base build uses). Work: the mapping is the distinct-cid set
+  // (nlist-bounded, broadcast); cells and codes relabel in one
+  // map-only pass each — O(corpus) file rewrite, which is what "major
+  // compaction" means, with zero shuffles (broadcast joins only).
+  // Crash discipline is the retrain verb's: all three artifacts land
+  // write-once BEFORE the namespace pointer swings atomically; `chaos`
+  // is the same fault-injection seam; re-entry completes the missing
+  // suffix; pre-swap readers serve the gen-2 lineage end-to-end (never
+  // touched — it remains the grace lineage until vacuumed).
+
+  private def nsGenPointerFile(s: SparkSession, dir: String): java.io.File =
+    new java.io.File(graft.operators.TxnMarker.managedTableDir(s,
+      s"graft_ivf_maint_${math.abs(dir.hashCode)}"), "_graft_ns_gen")
+
+  /** The SERVING cid-namespace generation: 1 = the fold-lineage
+    * namespaces (the state before any renumber), 2 = the dense
+    * renumbered space. */
+  private[graft] def nsGenOf(s: SparkSession, dir: String): Int =
+    math.max(1, epochPointerOf(nsGenPointerFile(s, dir)))
+
+  private[graft] def renumberTables(
+      s: SparkSession, dir: String): (String, String, String) = {
+    val e = maintEpochOf(s, dir)
+    val h = math.abs(dir.hashCode)
+    (s"graft_ivf_rn_me${e}_$h", s"graft_ivf_rn_cent_me${e}_$h",
+      s"graft_ivf_rn_rpq_me${e}_$h")
+  }
+
+  /** The MAJOR-COMPACTION verb. Input posture = the pointer-resolved
+    * serving estate (gen-2 fold cells/centroids, epoch-2 retrained
+    * codes — the verb forces the retrain first, so "renumber" always
+    * compacts the NEWEST dictionary's codes, not a superseded one).
+    * Survivor set = cells minus maintained tombstones; the dense
+    * mapping is rank-by-old-cid over the survivors' distinct cids —
+    * deterministic, nlist-bounded (the row_number window runs over a
+    * metadata-sized frame: ≤ nlist + total split children rows — the
+    * same class as every probe's collected cid set), broadcast to
+    * each relabel pass. Idempotent re-entry; `chaos` fires between
+    * the artifact writes and the pointer publish. */
+  private[graft] def renumberEstate(s: SparkSession, dir: String,
+                                    chaos: () => Unit = () => ()): Unit =
+    maintLock.synchronized {
+      import s.implicits._
+      retrainRpqCodebooks(s, dir)
+      val f2 = persistedSegFold2(s, dir)
+      val (cent, codes, _) = servingRpqPosture(s, dir)
+      val (cellsT, centT, codesT) = renumberTables(s, dir)
+      val tomb = persistedMaintTombstones(s, dir).select($"vec_id")
+      def live = f2.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .select($"cid", $"vec_id", $"v")
+      // pure derivation, recomputed per artifact write (each write is
+      // its own job; a shared reference would not make them cheaper —
+      // the mapping is metadata-sized either way)
+      def rnMap = live.select($"cid").distinct().withColumn("ncid",
+        (row_number().over(Window.orderBy($"cid")) - 1).cast("int"))
+      LlmText.writeOnceTable(s, cellsT, Seq("cid"),
+        live.join(broadcast(rnMap), Seq("cid"))
+          .select($"ncid".as("cid"), $"vec_id", $"v"))
+      LlmText.writeOnceTable(s, centT, Seq("cid"),
+        cent.join(broadcast(rnMap), Seq("cid"))
+          .select($"ncid".as("cid"), $"cv"))
+      LlmText.writeOnceTable(s, codesT, Seq("cid"),
+        codes.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .join(broadcast(rnMap), Seq("cid"))
+          .select($"ncid".as("cid"), $"vec_id", $"codes"))
+      chaos()
+      if (nsGenOf(s, dir) < 2)
+        publishEpochPointer(nsGenPointerFile(s, dir), 2)
+    }
+
+  /** The renumbered serving triple (cells, centroids, codes), settled
+    * through the idempotent verb — the servingRpqPosture discipline:
+    * the pointer survives JVMs, the epoch-named tables rebuild per
+    * catalog, so every read goes through the verb. */
+  private[graft] def renumberedEstate(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    renumberEstate(s, dir)
+    val (cellsT, centT, codesT) = renumberTables(s, dir)
+    (s.table(cellsT), s.table(centT), s.table(codesT))
+  }
+
+  // ---- FOLD GENERATION 3 (r18) — the ceiling is actually gone ------
+  // The proof the renumber buys anything: a THIRD fold, structurally
+  // impossible pre-renumber (roundBase 11 fails the splitCellsFixpoint
+  // guard — the spec drives that error path), runs over the dense
+  // space at roundBase 0 with the FULL MaintSplitRounds width —
+  // headroom for another ~8 generations before the next major
+  // compaction, vs the two the original namespace afforded in total.
+  // Same generation-generic bodies as folds 1-2; the codes cascade
+  // encodes against the SERVING epoch-2 codebooks (the renumbered
+  // codes it extends were written at epoch 2).
+
+  /** The third absorbed tail — residue-4 corpus vectors at +4·base,
+    * the shared 0.9x+0.01 perturbation: the wave-1/2 fixture shape in
+    * the next id band. Lands as a BATCH tail (the streaming landing
+    * protocol is already proven on waves 1-2; these gates exercise
+    * the NAMESPACE lifecycle, which is orthogonal to how the tail
+    * arrived). */
+  private[graft] def ivfWave3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embDoubles(s, dir).filter($"vec_id" % 7 === 4)
+      .select(($"vec_id" + lit(4L * ArrivalIdBase)).as("vec_id"),
+        transform($"v", x => x * lit(0.9) + lit(0.01)).as("v"))
+  }
+
+  /** Fold-3 changed-set band: wave-3 ids live in [4·base, 5·base). */
+  private[graft] val IvfWave3Band: Long = 4L * ArrivalIdBase
+
+  private[graft] def persistedSegFold3(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (rnCells, rnCent, _) = renumberedEstate(s, dir)
+    val e = maintEpochOf(s, dir)
+    foldCellsInto(s, s"graft_ivf_segf3_me${e}_${math.abs(dir.hashCode)}",
+      rnCells, rnCent, ivfWave3(s, dir).select($"vec_id", $"v"),
+      maxRounds = MaintSplitRounds, roundBase = 0)
+  }
+
+  private[graft] def segFold3Centroids(
+      s: SparkSession, dir: String): DataFrame = {
+    val f3 = persistedSegFold3(s, dir)
+    val rnCent = renumberedEstate(s, dir)._2
+    val e = maintEpochOf(s, dir)
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_segf3_cent_me${e}_${math.abs(dir.hashCode)}",
+      Seq("cid"), foldCentroidsBody(f3, rnCent, IvfWave3Band))
+  }
+
+  /** The gen-3 fold cascade on the compressed path — the generic
+    * codes body over the EPOCH-2 dictionary: fold-3-touched cells
+    * re-encode v − g3cent(cid) against the retrained codebooks;
+    * untouched cells keep their renumbered epoch-2 codes
+    * byte-identically (untouched g3cent = renumbered centroid =
+    * g2cent per cell — the uniform-oracle identity, third time). */
+  private[graft] def segFold3RpqCodes(
+      s: SparkSession, dir: String): DataFrame = {
+    val f3 = persistedSegFold3(s, dir)
+    val f3Cent = segFold3Centroids(s, dir)
+    val rnCodes = renumberedEstate(s, dir)._3
+    val e = maintEpochOf(s, dir)
+    LlmText.writeOnceTable(s,
+      s"graft_ivf_segf3_rpq_me${e}_${math.abs(dir.hashCode)}",
+      Seq("cid"),
+      foldCodesBody(s, dir, f3, f3Cent, rnCodes, IvfWave3Band,
+        s.table(rpqRetrainTables(s, dir)._1)))
+  }
+
+  /** VACUUM the pre-renumber fold lineage — gen 1 and gen 2 artifacts
+    * plus the pre-renumber epoch-2 codes (all superseded by the
+    * renumbered estate, kept only as the grace lineage). Spec-driven
+    * like [[vacuumSegFold1]]: in THIS corpus the generations stay
+    * pinned by their own gates; the spec proves post-vacuum reads
+    * re-derive hash-identically and a double run no-ops. */
+  private[graft] def vacuumFoldLineage(s: SparkSession, dir: String): Unit = {
+    val e = maintEpochOf(s, dir)
+    val h = math.abs(dir.hashCode)
+    vacuumSegFold1(s, dir)
+    Seq(s"graft_ivf_segf2_me${e}_$h",
+        s"graft_ivf_segf2_cent_me${e}_$h",
+        s"graft_ivf_segf2_rpq_me${e}_$h",
+        rpqRetrainTables(s, dir)._2).foreach { t =>
+      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
+      else graft.operators.TxnMarker.rmTree(
+        graft.operators.TxnMarker.managedTableDir(s, t))
+    }
+  }
 
   /** The maintained epoch with its tombstones FOLDED — compaction at
     * the epoch layer, same survivor set as the live-tombstone read
@@ -6467,6 +6767,24 @@ object LlmSim extends QueryModule {
             try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
             catch { // racing creator landed this dst first; same rows
               case _: java.nio.file.FileAlreadyExistsException => ()
+              // hard links are a filesystem capability, not a given
+              // (object-store mounts, some network filesystems): fall
+              // back to copy + no-replace move — CREATE_NEW on the tmp
+              // name keeps the two-creator race on the copy private,
+              // and the final ATOMIC_MOVE is guarded by the dst
+              // re-check; a lost race replaces with byte-equivalent
+              // rows (the hash-of-key routing argument above), which
+              // the link path tolerates too.
+              case _: UnsupportedOperationException =>
+                val tmp = new java.io.File(srcDir,
+                  s".${tag}_${i}_${java.util.UUID.randomUUID()
+                    .toString.take(8)}.tmp")
+                java.nio.file.Files.copy(src.toPath, tmp.toPath): Unit
+                try {
+                  if (!dst.exists())
+                    java.nio.file.Files.move(tmp.toPath, dst.toPath,
+                      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+                } finally { tmp.delete(): Unit }
             }
         }
       } finally graft.operators.TxnMarker.rmTree(stage)
@@ -7531,6 +7849,14 @@ object LlmSim extends QueryModule {
       segFoldRpqCodes(s, dir)
       streamedIvfSegmentAll(s, dir) // seal 2 on both segment encodings
       streamedRpqSegmentAll(s, dir)
+      // the r17/r18 tail of the chain (ADVICE r17): gen-2 fold, the
+      // O(corpus) retrain, the renumbering compaction and fold gen 3
+      // — without these the first sweep query touching them pays the
+      // whole build in its own timed job group (the exact
+      // first-toucher attribution problem this entry exists to fix)
+      segFold2RpqCodes(s, dir)
+      retrainRpqCodebooks(s, dir)
+      segFold3RpqCodes(s, dir)
       ()
     }),
     "postings_estate" -> (() =>

@@ -4273,6 +4273,209 @@ class OperatorSpec extends AnyFunSuite {
       "post-vacuum fold-1 codes rebuild diverged")
   }
 
+  test("cid-namespace renumber: ceiling guard fires clean, re-key moves keys not geometry, pinned reader stable under concurrent renumber, fold 3 reopens the namespace") {
+    import graft.queries.LlmSim
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val sf5 = sfRetrainData
+    // deterministic full lifecycle on every run: reset both cross-JVM
+    // pointers (tables rebuild per catalog; the pointers are the only
+    // state that survives)
+    val metaDir = graft.operators.TxnMarker.managedTableDir(spark,
+      s"graft_ivf_maint_${math.abs(sf5.hashCode)}")
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(metaDir, "_graft_rpq_cb_epoch").toPath): Unit
+    val nsPtr = new java.io.File(metaDir, "_graft_ns_gen")
+    java.nio.file.Files.deleteIfExists(nsPtr.toPath): Unit
+    assert(LlmSim.nsGenOf(spark, sf5) === 1)
+
+    // ---- the ceiling guard's ERROR path (VERDICT r17 #6) -----------
+    // a fold-3 attempt WITHOUT the renumber sits at roundBase 11
+    // (3 maintenance rounds ×3 cycles + 2 fold-2 rounds); even ONE
+    // more round shifts SplitCidOffset past 2^31. The guard must fire
+    // with the documented message BEFORE any work — no job, no table,
+    // no torn artifact at the ceiling.
+    val f2 = LlmSim.persistedSegFold2(spark, sf5)
+    val tablesBefore = spark.catalog.listTables().count()
+    val ex = intercept[IllegalArgumentException] {
+      LlmSim.splitCellsFixpoint(
+        f2.select($"cid", $"vec_id", $"v"), LlmSim.IvfPSplitRows,
+        maxRounds = 1,
+        roundBase = 3 * LlmSim.MaintSplitRounds + LlmSim.Fold2SplitRounds)
+    }
+    assert(ex.getMessage.contains("split-cid namespace exhausted"),
+      s"guard fired with the wrong message: ${ex.getMessage}")
+    assert(spark.catalog.listTables().count() === tablesBefore,
+      "the ceiling attempt left a torn artifact")
+
+    // ---- pinned gen-2 reader runs WHILE the renumber compacts ------
+    def rowsOf(df: DataFrame): Seq[(Long, Int, Long)] = df
+      .select($"q_id", $"rank", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sorted
+    val q = Engine.table(spark, sf5, "embeddings")
+      .filter($"vec_id" >= 19 && $"vec_id" < 24)
+      .select($"vec_id".as("q_id"),
+        graft.operators.VectorOps.toDouble($"embedding").as("qv"))
+    val tomb = LlmSim.persistedMaintTombstones(spark, sf5)
+      .select($"vec_id")
+    LlmSim.retrainRpqCodebooks(spark, sf5) // settle epoch 2 first
+    val posture2 = LlmSim.servingRpqPosture(spark, sf5)
+    val pinned = LlmSim.pqProbeCore(q, posture2._1,
+      posture2._2.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+      f2.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+      posture2._3, LlmSim.PqTopR, residual = true)
+    val baseline = rowsOf(pinned)
+    assert(baseline.nonEmpty)
+    @volatile var werr: Throwable = null
+    val inWindow = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() =>
+      try LlmSim.renumberEstate(spark, sf5, chaos = () => {
+        inWindow.countDown()
+        assert(release.await(120, java.util.concurrent.TimeUnit.SECONDS),
+          "reader never released the publish window")
+      })
+      catch { case t: Throwable => werr = t })
+    writer.start()
+    var reads = 0
+    while (writer.isAlive && reads < 1000 && inWindow.getCount > 0) {
+      assert(rowsOf(pinned) === baseline,
+        "pinned gen-2 reader diverged mid-renumber")
+      reads += 1
+    }
+    assert(inWindow.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "writer never reached the publish window")
+    assert(rowsOf(pinned) === baseline,
+      "pinned gen-2 reader diverged INSIDE the publish window")
+    release.countDown()
+    writer.join()
+    assert(werr == null, s"renumber failed: $werr")
+    assert(LlmSim.nsGenOf(spark, sf5) === 2,
+      "pointer did not swing to namespace gen 2")
+    assert(rowsOf(pinned) === baseline,
+      "gen-2 grace read diverged after the namespace swap")
+
+    // ---- re-key moves KEYS, never geometry or payloads -------------
+    val (rnCells, rnCent, rnCodes) = LlmSim.renumberedEstate(spark, sf5)
+    val live = f2.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    // density: new cids are exactly 0..n-1, far below SplitCidOffset
+    val cids = rnCells.select($"cid").distinct()
+      .as[Int].collect().sorted
+    assert(cids.toSeq === (0 until cids.length),
+      "renumbered cids are not dense 0..n-1")
+    assert(cids.length < LlmSim.SplitCidOffset,
+      "dense space overlaps the split offset — namespace not reset")
+    // the mapping observed from the data IS rank-by-old-cid
+    val mapping = live.select($"cid".as("old"), $"vec_id")
+      .join(rnCells.select($"cid".as("nu"), $"vec_id"), Seq("vec_id"))
+      .select($"old", $"nu").distinct()
+      .as[(Int, Int)].collect().sortBy(_._1)
+    assert(mapping.map(_._2).toSeq === (0 until mapping.length),
+      "re-key mapping is not rank-by-old-cid")
+    // per-cell centroid byte-identity through the mapping
+    val mapDf = mapping.toSeq.toDF("old", "nu")
+    assert(posture2._1.join(mapDf, $"cid" === $"old")
+      .join(rnCent.select($"cid".as("nu2"), $"cv".as("cv2")),
+        $"nu" === $"nu2")
+      .filter(!($"cv" <=> $"cv2")).count() === 0L,
+      "renumber moved a surviving cell's centroid")
+    // per-row code byte-identity (keys moved, payloads did not)
+    assert(posture2._2.select($"vec_id", $"codes".as("c1"))
+      .join(rnCodes.select($"vec_id", $"codes".as("c2")), Seq("vec_id"))
+      .filter(!($"c1" <=> $"c2")).count() === 0L,
+      "renumber rewrote a code payload")
+    // row conservation: every survivor row crossed, nothing else
+    assert(rnCells.count() === live.count(),
+      "renumber lost or invented rows")
+    // the compaction FOLDED the tombstones: no renumbered row is dead
+    assert(rnCells.join(tomb, Seq("vec_id"), "left_semi").count() === 0L,
+      "a tombstoned row survived the major compaction")
+    // serving results unchanged by the re-key (no tombstone anti-join
+    // needed anymore — the estate is all-live by construction)
+    val rnProbe = LlmSim.pqProbeCore(q, rnCent, rnCodes, rnCells,
+      posture2._3, LlmSim.PqTopR, residual = true)
+    assert(rowsOf(rnProbe) === baseline,
+      "the renumbered estate serves different results")
+
+    // ---- idempotent re-entry: artifacts byte-stable -----------------
+    val cellsBefore = rnCells.select($"cid", $"vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    LlmSim.renumberEstate(spark, sf5)
+    assert(LlmSim.renumberedEstate(spark, sf5)._1
+      .select($"cid", $"vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet === cellsBefore,
+      "renumber re-entry rewrote the estate")
+
+    // ---- crash window: artifacts written, pointer not swapped ------
+    java.nio.file.Files.deleteIfExists(nsPtr.toPath): Unit
+    assert(LlmSim.nsGenOf(spark, sf5) === 1)
+    intercept[RuntimeException] {
+      LlmSim.renumberEstate(spark, sf5, chaos = () =>
+        throw new RuntimeException("graft-chaos: die before the swap"))
+    }
+    assert(LlmSim.nsGenOf(spark, sf5) === 1,
+      "crashed renumber attempt published the pointer anyway")
+    assert(rowsOf(pinned) === baseline,
+      "gen-2 read diverged inside the renumber crash window")
+    LlmSim.renumberEstate(spark, sf5)
+    assert(LlmSim.nsGenOf(spark, sf5) === 2,
+      "re-entry did not complete the missing pointer swap")
+
+    // ---- fold 3: the namespace is actually reopened -----------------
+    val f3 = LlmSim.persistedSegFold3(spark, sf5)
+    val w3n = LlmSim.ivfWave3(spark, sf5).count()
+    assert(w3n > 0, "empty wave-3 tail — fixture degenerate")
+    assert(f3.count() === rnCells.count() + w3n,
+      "fold 3 lost or doubled rows absorbing the tail")
+    // every gen-3 cid is non-negative and within the roundBase-0
+    // subset-sum bound — the corruption the ceiling guard prevents
+    // cannot occur in the dense space
+    val maxCid3 = f3.agg(max($"cid"), min($"cid")).head()
+    assert(maxCid3.getInt(1) >= 0, "fold 3 minted a negative cid")
+    assert(maxCid3.getInt(0) <
+      (LlmSim.SplitCidOffset << LlmSim.MaintSplitRounds) +
+        LlmSim.SplitCidOffset,
+      "fold-3 cid outside the roundBase-0 offset space")
+    // the untouched-cell identity, third generation: cells fold 3
+    // did not touch keep their renumbered epoch-2 codes byte-for-byte
+    val chg3 = f3
+      .filter($"split" || $"vec_id" >= LlmSim.IvfWave3Band)
+      .select($"cid").distinct()
+    val untouched3 = f3.join(chg3, Seq("cid"), "left_anti")
+      .select($"cid", $"vec_id")
+    assert(untouched3.count() > 0,
+      "every cell fold-3-touched — identity pin vacuous at this corpus")
+    val f3codes = LlmSim.segFold3RpqCodes(spark, sf5)
+      .select($"vec_id", $"codes".as("c3"))
+    assert(untouched3
+      .join(rnCodes.select($"vec_id", $"codes".as("c2")), Seq("vec_id"))
+      .join(f3codes, Seq("vec_id"))
+      .filter(!($"c2" <=> $"c3")).count() === 0L,
+      "fold 3 rewrote an untouched cell's codes")
+
+    // ---- vacuum the superseded pre-renumber lineage -----------------
+    // fold 3 reads only the renumbered estate, so gens 1-2 and the
+    // pre-renumber epoch-2 codes are grace-only on this alias; the
+    // verb drops them, a double run no-ops, and a grace reader
+    // re-derives hash-identically (write-once rebuild)
+    val c2Before = LlmSim.segFold2RpqCodes(spark, sf5)
+      .select($"vec_id", $"codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val e5 = LlmSim.maintEpochOf(spark, sf5)
+    val h5 = math.abs(sf5.hashCode)
+    LlmSim.vacuumFoldLineage(spark, sf5)
+    Seq(s"graft_ivf_segf_me${e5}_$h5", s"graft_ivf_segf2_me${e5}_$h5",
+        s"graft_ivf_segf2_rpq_me${e5}_$h5").foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"vacuum left $t"))
+    LlmSim.vacuumFoldLineage(spark, sf5) // double-run no-op
+    assert(LlmSim.segFold2RpqCodes(spark, sf5)
+      .select($"vec_id", $"codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap === c2Before,
+      "post-vacuum fold-2 codes rebuild diverged")
+  }
+
   test("index health report: steady-state job count stays under the pinned ceiling") {
     import org.apache.spark.sql.functions.lit
     // settle every chain artifact first (the report's steady state —
