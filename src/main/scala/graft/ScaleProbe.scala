@@ -624,14 +624,16 @@ object ScaleProbe {
     // frozen serving geometry (the retrain trains RESIDUALS against
     // the serving centroids; geometry does not scale with the corpus)
     val centT = writeBucketed(spark, "sp_rt_cent", "cid",
-      LlmSim.ivfCentOf(e1, LlmSim.ivfNlistFor(e1.count())))
+      LlmSim.ivfCentOf(e1, LlmSim.ivfNlistFor(e1.count())), force = true)
     case class Est(residT: String, rows: Long, mod: Long, sample: Long)
     def mk(tag: String, reps: Int): Est = {
+      // force: probe re-invocations with different scales/corpora must
+      // not silently reuse a stale artifact under freshly-printed labels
       val residT = writeBucketed(spark, s"sp_rt_resid_$tag", "cid",
         LlmSim.ivfCellsOf(corpus(reps), spark.table(centT))
           .join(broadcast(spark.table(centT)), Seq("cid"))
           .select($"cid", $"vec_id",
-            zip_with($"v", $"cv", (x, y) => x - y).as("rv")))
+            zip_with($"v", $"cv", (x, y) => x - y).as("rv")), force = true)
       val rows = spark.table(residT).count()
       val mod = LlmSim.retrainTrainModFor(rows)
       val sample = spark.table(residT)

@@ -2251,15 +2251,17 @@ object LlmSim extends QueryModule {
             $"fold3_cells", $"fold3_overgrown", $"fold3_tail_rows",
             $"fold3_resplit",
             $"cb_distortion",
-            // what a vacuumEstate at the default horizon reclaims,
-            // as ROWS (bytes are encoder-specific and not
-            // cross-engine derivable; rows measure the same mass
-            // oracle-gateably): the pre-renumber fold lineage — both
+            // what vacuumEstate(keep = 1)'s fold-family sweep — the
+            // FULL pre-renumber lineage, the estate's dominant
+            // reclaimable mass — drops, as ROWS (bytes are
+            // encoder-specific and not cross-engine derivable; rows
+            // measure the same mass oracle-gateably): both
             // generations' cells+codes (codes row-count = cells
             // row-count by the cascade's construction), their
             // centroid sets, and the pre-renumber epoch-2 codes —
             // derived arithmetically from sums this report already
-            // carries, zero extra scans
+            // carries, zero extra scans. The default keep=2 sweep
+            // reclaims only generation 1's share.
             (lit(2L) * ($"n_rows" + $"seg_rows") + $"fold_cells"
               + lit(2L) * ($"n_rows" + $"seg_rows" + $"seg_tail_rows")
               + $"fold2_cells" + $"retrain_rows")
@@ -5584,6 +5586,44 @@ object LlmSim extends QueryModule {
       s: SparkSession, dir: String): Seq[String] =
     maintainedTablesFor(dir, maintEpochOf(s, dir))
 
+  /** EVERY epoch-named artifact of maintenance epoch `e` — the five
+    * cascade tables plus the delete layer, cycle 2, all three fold
+    * generations, the epoch-2 codebook pair, and the renumbered
+    * triple (each versions with the cascade it was judged against).
+    * THE one list both epoch vacuums walk — the publish-time grace
+    * sweep and [[vacuumEstate]]'s dead-JVM straggler sweep; keeping
+    * two hand-maintained copies is how the r18 review found the
+    * straggler sweep already missing 12 of the 17. */
+  private def epochArtifactTables(dir: String, e: Int): Seq[String] = {
+    val h = math.abs(dir.hashCode)
+    maintainedTablesFor(dir, e) ++ Seq(
+      s"graft_ivf_mtomb_me${e}_$h",
+      s"graft_ivf_mcells_d1_me${e}_$h",
+      s"graft_ivf_c2_me${e}_$h",
+      s"graft_ivf_segf_me${e}_$h",
+      s"graft_ivf_segf_cent_me${e}_$h",
+      s"graft_ivf_segf_rpq_me${e}_$h",
+      s"graft_ivf_segf2_me${e}_$h",
+      s"graft_ivf_segf2_cent_me${e}_$h",
+      s"graft_ivf_segf2_rpq_me${e}_$h",
+      s"graft_rpq_cb2_me${e}_$h",
+      s"graft_rpq_cbe2_codes_me${e}_$h",
+      s"graft_ivf_rn_me${e}_$h",
+      s"graft_ivf_rn_cent_me${e}_$h",
+      s"graft_ivf_rn_rpq_me${e}_$h",
+      s"graft_ivf_segf3_me${e}_$h",
+      s"graft_ivf_segf3_cent_me${e}_$h",
+      s"graft_ivf_segf3_rpq_me${e}_$h")
+  }
+
+  /** Idempotent artifact drop — catalog DROP when registered, raw-dir
+    * rmTree for dead-JVM leftovers. THE one drop helper every vacuum
+    * verb uses. */
+  private def dropArtifact(s: SparkSession, t: String): Unit =
+    if (s.catalog.tableExists(t)) { s.sql(s"DROP TABLE $t"); () }
+    else graft.operators.TxnMarker.rmTree(
+      graft.operators.TxnMarker.managedTableDir(s, t))
+
   /** The epoch-pointer file under the maintenance meta dir. */
   private def maintPointerFile(s: SparkSession, dir: String): java.io.File =
     new java.io.File(graft.operators.TxnMarker.managedTableDir(s,
@@ -5759,32 +5799,7 @@ object LlmSim extends QueryModule {
         // still be serving `cur`) — drop catalog-registered tables,
         // rm raw dirs left by dead JVMs, and their commit markers
         (1 until cur).foreach { e =>
-          val h = math.abs(dir.hashCode)
-          (maintainedTablesFor(dir, e) ++ Seq(
-            // epoch-named delete-layer + cycle-2 artifacts version
-            // with the cascade they were judged against — vacuum them
-            // together
-            s"graft_ivf_mtomb_me${e}_$h",
-            s"graft_ivf_mcells_d1_me${e}_$h",
-            s"graft_ivf_c2_me${e}_$h",
-            s"graft_ivf_segf_me${e}_$h",
-            s"graft_ivf_segf_cent_me${e}_$h",
-            s"graft_ivf_segf_rpq_me${e}_$h",
-            s"graft_ivf_segf2_me${e}_$h",
-            s"graft_ivf_segf2_cent_me${e}_$h",
-            s"graft_ivf_segf2_rpq_me${e}_$h",
-            s"graft_rpq_cb2_me${e}_$h",
-            s"graft_rpq_cbe2_codes_me${e}_$h",
-            s"graft_ivf_rn_me${e}_$h",
-            s"graft_ivf_rn_cent_me${e}_$h",
-            s"graft_ivf_rn_rpq_me${e}_$h",
-            s"graft_ivf_segf3_me${e}_$h",
-            s"graft_ivf_segf3_cent_me${e}_$h",
-            s"graft_ivf_segf3_rpq_me${e}_$h")).foreach { t =>
-            if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
-            else graft.operators.TxnMarker.rmTree(
-              graft.operators.TxnMarker.managedTableDir(s, t))
-          }
+          epochArtifactTables(dir, e).foreach(dropArtifact(s, _))
           java.nio.file.Files.deleteIfExists(new java.io.File(
             new java.io.File(metaDir, "_graft_txn"),
             s"ivf-maintain-e$e.committed").toPath): Unit
@@ -5955,7 +5970,7 @@ object LlmSim extends QueryModule {
     * generation's codes byte-identically (their centroid did not
     * move — the identity that lets every fold oracle re-derive
     * uniformly). */
-  private def foldCodesBody(s: SparkSession, dir: String, f: DataFrame,
+  private def foldCodesBody(s: SparkSession, f: DataFrame,
                             cent: DataFrame, prevCodes: DataFrame,
                             band: Long, cb: DataFrame): DataFrame = {
     import s.implicits._
@@ -6044,7 +6059,7 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf_rpq_me${e}_${math.abs(dir.hashCode)}",
       Seq("cid"),
-      foldCodesBody(s, dir, f, fCent, s.table(rpqT), 2 * ArrivalIdBase,
+      foldCodesBody(s, f, fCent, s.table(rpqT), 2 * ArrivalIdBase,
         persistedRpqCb(s, dir)))
   }
 
@@ -6109,7 +6124,7 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf2_rpq_me${e}_${math.abs(dir.hashCode)}",
       Seq("cid"),
-      foldCodesBody(s, dir, f2, f2Cent, gen1, IvfSegSeal1Bound,
+      foldCodesBody(s, f2, f2Cent, gen1, IvfSegSeal1Bound,
         persistedRpqCb(s, dir)))
   }
 
@@ -6128,11 +6143,7 @@ object LlmSim extends QueryModule {
     val h = math.abs(dir.hashCode)
     Seq(s"graft_ivf_segf_me${e}_$h",
         s"graft_ivf_segf_cent_me${e}_$h",
-        s"graft_ivf_segf_rpq_me${e}_$h").foreach { t =>
-      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
-      else graft.operators.TxnMarker.rmTree(
-        graft.operators.TxnMarker.managedTableDir(s, t))
-    }
+        s"graft_ivf_segf_rpq_me${e}_$h").foreach(dropArtifact(s, _))
   }
 
   // ---- Residual-codebook RETRAIN (r17, codebook epoch 2) -----------
@@ -6475,7 +6486,7 @@ object LlmSim extends QueryModule {
     LlmText.writeOnceTable(s,
       s"graft_ivf_segf3_rpq_me${e}_${math.abs(dir.hashCode)}",
       Seq("cid"),
-      foldCodesBody(s, dir, f3, f3Cent, rnCodes, IvfWave3Band,
+      foldCodesBody(s, f3, f3Cent, rnCodes, IvfWave3Band,
         s.table(rpqRetrainTables(s, dir)._1)))
   }
 
@@ -6492,11 +6503,7 @@ object LlmSim extends QueryModule {
     Seq(s"graft_ivf_segf2_me${e}_$h",
         s"graft_ivf_segf2_cent_me${e}_$h",
         s"graft_ivf_segf2_rpq_me${e}_$h",
-        rpqRetrainTables(s, dir)._2).foreach { t =>
-      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t"): Unit
-      else graft.operators.TxnMarker.rmTree(
-        graft.operators.TxnMarker.managedTableDir(s, t))
-    }
+        rpqRetrainTables(s, dir)._2).foreach(dropArtifact(s, _))
   }
 
   /** UNIFIED retention sweep (r18, judge r17 #5): epochs accumulate
@@ -6518,9 +6525,10 @@ object LlmSim extends QueryModule {
     * vacuumSegFold1 argument, now estate-wide; the spec re-derives a
     * dropped generation and compares). A pinned reader of the
     * SERVING posture is untouched by construction. The health
-    * report's `vacuumable_rows` column prices the fold-family sweep
-    * (the dominant mass — the other families are vocabulary- or
-    * metadata-sized). */
+    * report's `vacuumable_rows` column prices the keep=1 fold-family
+    * sweep — the FULL pre-renumber lineage, the dominant mass; the
+    * other families are vocabulary- or metadata-sized (keep=2
+    * reclaims only generation 1's share of it). */
   private[graft] def vacuumEstate(s: SparkSession, dir: String,
                                   keep: Int = 2): Unit =
     maintLock.synchronized {
@@ -6528,12 +6536,8 @@ object LlmSim extends QueryModule {
         s"vacuumEstate keep=$keep — must retain the serving generation")
       val h = math.abs(dir.hashCode)
       val e = maintEpochOf(s, dir)
-      def drop(t: String): Unit =
-        if (s.catalog.tableExists(t)) { s.sql(s"DROP TABLE $t"); () }
-        else graft.operators.TxnMarker.rmTree(
-          graft.operators.TxnMarker.managedTableDir(s, t))
       def sweep(gens: Seq[Seq[String]]): Unit =
-        gens.dropRight(keep - 1).flatten.foreach(drop)
+        gens.dropRight(keep - 1).flatten.foreach(dropArtifact(s, _))
       // fold generations (serving = renumbered estate + fold 3)
       sweep(Seq(
         Seq(s"graft_ivf_segf_me${e}_$h",
@@ -6562,8 +6566,10 @@ object LlmSim extends QueryModule {
         .filter(_.forall(t => s.catalog.tableExists(t)
           || graft.operators.TxnMarker.managedTableDir(s, t).isDirectory)))
       // maintained epochs — publish-time vacuum already sweeps below
-      // the grace window; this catches stragglers from dead JVMs
-      sweep((1 until e).map(ep => maintainedTablesFor(dir, ep)))
+      // the grace window; this catches stragglers from dead JVMs,
+      // walking the SAME full per-epoch artifact list the publish
+      // sweep uses (one list, one divergence surface)
+      sweep((1 until e).map(epochArtifactTables(dir, _)))
     }
 
   /** The maintained epoch with its tombstones FOLDED — compaction at
@@ -7028,21 +7034,31 @@ object LlmSim extends QueryModule {
               case _: java.nio.file.FileAlreadyExistsException => ()
               // hard links are a filesystem capability, not a given
               // (object-store mounts, some network filesystems): fall
-              // back to copy + no-replace move — CREATE_NEW on the tmp
-              // name keeps the two-creator race on the copy private,
-              // and the final ATOMIC_MOVE is guarded by the dst
-              // re-check; a lost race replaces with byte-equivalent
-              // rows (the hash-of-key routing argument above), which
-              // the link path tolerates too.
+              // back to copy + NO-REPLACE move — the unique tmp name
+              // keeps the two-creator race on the copy private, and
+              // Files.move WITHOUT Replace/AtomicMove carries the
+              // no-replace contract (throws FileAlreadyExists if a
+              // racing creator landed dst first — caught and
+              // tolerated exactly like the link path's EEXIST).
+              // Deliberately NOT ATOMIC_MOVE: on POSIX that is
+              // rename(2), which silently REPLACES an existing dst —
+              // the precise hazard the link path exists to prevent.
+              // The residual window (the provider's internal
+              // exists-check → rename) is the no-link filesystem's
+              // best-effort boundary, and a lost race there replaces
+              // with byte-equivalent rows (the hash-of-key routing
+              // argument above).
               case _: UnsupportedOperationException =>
                 val tmp = new java.io.File(srcDir,
                   s".${tag}_${i}_${java.util.UUID.randomUUID()
                     .toString.take(8)}.tmp")
                 java.nio.file.Files.copy(src.toPath, tmp.toPath): Unit
                 try {
-                  if (!dst.exists())
-                    java.nio.file.Files.move(tmp.toPath, dst.toPath,
-                      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+                  try java.nio.file.Files.move(
+                    tmp.toPath, dst.toPath): Unit
+                  catch {
+                    case _: java.nio.file.FileAlreadyExistsException => ()
+                  }
                 } finally { tmp.delete(): Unit }
             }
         }
