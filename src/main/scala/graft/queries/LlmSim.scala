@@ -2267,167 +2267,71 @@ object LlmSim extends QueryModule {
               + $"fold2_cells" + $"retrain_rows")
               .as("vacuumable_rows"))
       },
+      oracle = Some(indexHealthOracleSql)),
+
+    // MAINTENANCE PLAN (r18) — the dashboard operationalized: the
+    // health report says WHAT the estate looks like; this verb says
+    // WHAT TO RUN, as a gated one-row policy over the same numbers.
+    // Every rule is integer-ratio arithmetic on health columns (no
+    // float thresholds — BIGINT compares are trivially cross-engine
+    // exact), thresholds documented at the rule:
+    //   compact_vector  — tombstones exceed 5% of committed rows:
+    //                     the anti-join debt is worth a COW fold
+    //                     (persistedMaintCellsCompacted's trigger)
+    //   compact_lexical — dead postings exceed 10% of the table:
+    //                     persistedPostingsCompacted's trigger
+    //   resplit         — any cell left overgrown: run maintenance
+    //                     cycle 2 (persistedMaintCycle2)
+    //   vacuum          — superseded lineage outweighs the LIVE
+    //                     estate: run vacuumEstate (the keep=1
+    //                     fold-family mass vs live rows)
+    //   retrain         — the serving dictionary is still the frozen
+    //                     base (epoch < 2); past that, the operator
+    //                     watches `watch_distortion` drift against
+    //                     the post-retrain baseline (the health
+    //                     report's trigger column, passed through as
+    //                     evidence)
+    // `actions` counts the fired rules — the "is maintenance due at
+    // all" headline. The oracle wraps the health re-derivation as a
+    // CTE and applies the same arithmetic — policy and dashboard can
+    // never disagree.
+    "q_llm_maintenance_plan" -> QueryDef(
+      fn = (s, dir) => {
+        import s.implicits._
+        val h = defs.toMap.apply("q_llm_index_health").fn(s, dir)
+        h.select(
+          ($"n_tomb" * 20 > $"n_rows").as("compact_vector"),
+          (($"posting_rows" - $"post_live_rows") * 10 > $"posting_rows")
+            .as("compact_lexical"),
+          ($"overgrown_cells" > 0).as("resplit"),
+          ($"vacuumable_rows" > $"live_rows").as("vacuum"),
+          ($"cb_epoch" < 2).as("retrain"),
+          $"cb_distortion".as("watch_distortion"),
+          (when($"n_tomb" * 20 > $"n_rows", 1).otherwise(0)
+            + when(($"posting_rows" - $"post_live_rows") * 10
+                > $"posting_rows", 1).otherwise(0)
+            + when($"overgrown_cells" > 0, 1).otherwise(0)
+            + when($"vacuumable_rows" > $"live_rows", 1).otherwise(0)
+            + when($"cb_epoch" < 2, 1).otherwise(0)).as("actions"))
+      },
       oracle = Some(s"""
-        WITH $ivfCellsSql,
-        $maintChainSql,
-        $maintDropsSql,
-        $postingsEstateSql,
-        cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
-          FROM relab GROUP BY cid),
-        agg0 AS (SELECT
-            CAST(count(*) AS BIGINT) AS n_cells,
-            CAST(sum(cn) AS BIGINT) AS n_rows,
-            CAST(max(cn) AS BIGINT) AS max_cell,
-            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
-              AS BIGINT) AS overgrown_cells,
-            CAST(sum(CASE WHEN cid >= $SplitCidOffset THEN 1 ELSE 0 END)
-              AS BIGINT) AS split_children
-          FROM cs),
-        tq AS (SELECT CAST(count(*) AS BIGINT) AS n_tomb FROM mdrops),
-        -- postings stats over the estate tokenization: sum(df) over
-        -- the vocabulary = # distinct (w, doc) pairs = tok row count,
-        -- so df drift vs the base snapshot = the arrival batches' tok
-        -- rows (base/arrival doc ids are disjoint ranges)
-        pstat AS (SELECT
-            CAST(count(*) AS BIGINT) AS posting_rows,
-            CAST(count(DISTINCT w) AS BIGINT) AS vocab_size,
-            CAST(sum(CASE WHEN doc_id >= $ArrivalIdBase THEN 1 ELSE 0
-              END) AS BIGINT) AS df_drift
-          FROM tok),
-        keepx AS (SELECT text, max(doc_id) AS keep_id FROM alld
-          GROUP BY text),
-        ptq AS (SELECT CAST(count(*) AS BIGINT) AS post_tomb
-          FROM alld d JOIN keepx k ON k.text = d.text
-          WHERE d.doc_id <> k.keep_id),
-        plr AS (SELECT CAST(count(*) AS BIGINT) AS post_live_rows
-          FROM tok WHERE doc_id IN (SELECT keep_id FROM keepx)),
-        -- the STREAM fronts (r15): the streamed postings wave's rows
-        -- (distinct (w, doc) pairs of the wave docs = the ep=3
-        -- partition) and the realtime vector segment's rows — the
-        -- dashboard's "how much tail is riding ahead of the next
-        -- fold/compaction" numbers
-        swd AS (SELECT doc_id + ${PostingsStreamEpoch * ArrivalIdBase}
-            AS doc_id, text
-          FROM documents
-          WHERE doc_id % 7 = ${(2 * PostingsStreamEpoch + 1) % 7}),
-        ssr AS (SELECT CAST(count(*) AS BIGINT) AS stream_rows FROM (
-          SELECT doc_id, w FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM swd)
-          GROUP BY doc_id, w)),
-        sgr AS (SELECT CAST(count(*) AS BIGINT) AS seg_rows
-          FROM e WHERE vec_id % 7 = 5),
-        sgt AS (SELECT CAST(count(*) AS BIGINT) AS seg_tail_rows
-          FROM e WHERE vec_id % 7 = 6),
-        -- the post-stream TAIL (r16): wave 2 (batch 4, streamed) and
-        -- the batch-after-stream epoch (batch 5) — the rows landed
-        -- past the first streamed high-water
-        t45d AS (
-          SELECT doc_id + ${PostingsStreamEpoch2 * ArrivalIdBase}
-              AS doc_id, text
-            FROM documents
-            WHERE doc_id % 7 = ${(2 * PostingsStreamEpoch2 + 1) % 7}
-          UNION ALL
-          SELECT doc_id + ${PostingsBatchAfterStream * ArrivalIdBase}
-              AS doc_id, text
-            FROM documents
-            WHERE doc_id % 7 = ${(2 * PostingsBatchAfterStream + 1) % 7}),
-        t45 AS (SELECT CAST(count(*) AS BIGINT) AS tail_rows FROM (
-          SELECT doc_id, w FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM t45d)
-          GROUP BY doc_id, w)),
-        -- the FOLD fronts (r16 gen 1, r17 gen 2 + retrain): the
-        -- shared fold-chain derivations' summary numbers surfaced on
-        -- the dashboard (the full chain — gen 2's tail routes against
-        -- the gen-1 serving centroids, so fcent must exist here)
-        $foldChainSql,
-        $fold2ChainSql,
-        hsz AS (SELECT cid, count(*) AS cn FROM gpost GROUP BY cid),
-        hagg AS (SELECT
-            CAST(count(*) AS BIGINT) AS fold_cells,
-            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
-              AS BIGINT) AS fold_overgrown
-          FROM hsz),
-        hseg AS (SELECT
-            CAST(sum(CASE WHEN vec_id >= ${2 * ArrivalIdBase}
-              THEN 1 ELSE 0 END) AS BIGINT) AS fold_seg_rows,
-            CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
-              AS fold_resplit
-          FROM gpost),
-        h2sz AS (SELECT cid, count(*) AS cn FROM g2post GROUP BY cid),
-        h2agg AS (SELECT
-            CAST(count(*) AS BIGINT) AS fold2_cells,
-            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
-              AS BIGINT) AS fold2_overgrown
-          FROM h2sz),
-        h2seg AS (SELECT
-            CAST(sum(CASE WHEN vec_id >= $IvfSegSeal1Bound
-              THEN 1 ELSE 0 END) AS BIGINT) AS fold2_tail_rows,
-            CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
-              AS fold2_resplit
-          FROM g2post),
-        -- the r18 fronts: epoch-2 training (for g2live + the serving
-        -- pcb the distortion scores against), the renumber, fold 3
-        $rpqRetrainSql,
-        $renumberSql,
-        $fold3ChainSql,
-        rr AS (SELECT CAST(count(*) AS BIGINT) AS retrain_rows
-          FROM g2live),
-        rnmx AS (SELECT CAST(max(cid) AS BIGINT) AS rn_max_cid
-          FROM rncells),
-        h3sz AS (SELECT cid, count(*) AS cn FROM g3post GROUP BY cid),
-        h3agg AS (SELECT
-            CAST(count(*) AS BIGINT) AS fold3_cells,
-            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
-              AS BIGINT) AS fold3_overgrown
-          FROM h3sz),
-        h3seg AS (SELECT
-            CAST(sum(CASE WHEN vec_id >= $IvfWave3Band
-              THEN 1 ELSE 0 END) AS BIGINT) AS fold3_tail_rows,
-            CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
-              AS fold3_resplit
-          FROM g3post),
-        -- quantization distortion of the serving posture: per
-        -- (vec_id, m) the chosen code's d2 (the engine's encode-then-
-        -- ADC arithmetic, tiebreak included), summed in m order per
-        -- row, quantized-integral over rows (order-independent)
-        ${uniformRpqCodesSql("g3post", "g3cent", "pcb", "u")},
-        ud AS (SELECT vec_id, m, t FROM (
-            SELECT u0.vec_id, u0.m, ${d2Sql("u0.sv", "c0.cv")} AS t,
-              row_number() OVER (PARTITION BY u0.vec_id, u0.m
-                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
-            FROM usubs u0 JOIN pcb c0 ON u0.m = c0.m)
-          WHERE rn = 1),
-        urow AS (SELECT vec_id, list_reduce(list_prepend(0.0,
-            list(t ORDER BY m)), (x, y) -> x + y) AS adc
-          FROM ud GROUP BY vec_id),
-        udq AS (SELECT
-            CAST(sum(CAST(floor(adc * 10000000) AS BIGINT)) AS BIGINT)
-              AS dsum,
-            CAST(count(*) AS BIGINT) AS dn
-          FROM urow)
-        SELECT n_cells, n_rows, n_tomb, n_rows - n_tomb AS live_rows,
-          max_cell, overgrown_cells, split_children,
-          CAST($PostingsBatchAfterStream AS BIGINT) AS post_epoch,
-          posting_rows, vocab_size, df_drift, post_tomb, post_live_rows,
-          CAST($PostingsStreamEpoch2 AS BIGINT) AS stream_epoch,
-          stream_rows, tail_rows, seg_rows, seg_tail_rows,
-          fold_cells, fold_overgrown, fold_seg_rows, fold_resplit,
-          fold2_cells, fold2_overgrown, fold2_tail_rows, fold2_resplit,
-          CAST(2 AS BIGINT) AS cb_epoch, retrain_rows,
-          CAST(2 AS BIGINT) AS ns_gen, rn_max_cid,
-          fold3_cells, fold3_overgrown, fold3_tail_rows, fold3_resplit,
-          CAST(dsum AS DOUBLE) / 10000000 / dn AS cb_distortion,
-          2 * (n_rows + seg_rows) + fold_cells
-            + 2 * (n_rows + seg_rows + seg_tail_rows)
-            + fold2_cells + retrain_rows AS vacuumable_rows
-        FROM agg0 CROSS JOIN tq CROSS JOIN pstat CROSS JOIN ptq
-          CROSS JOIN plr CROSS JOIN ssr CROSS JOIN t45 CROSS JOIN sgr
-          CROSS JOIN sgt CROSS JOIN hagg CROSS JOIN hseg
-          CROSS JOIN h2agg CROSS JOIN h2seg CROSS JOIN rr
-          CROSS JOIN rnmx CROSS JOIN h3agg CROSS JOIN h3seg
-          CROSS JOIN udq""")),
+        WITH h AS ($indexHealthOracleSql)
+        SELECT
+          n_tomb * 20 > n_rows AS compact_vector,
+          (posting_rows - post_live_rows) * 10 > posting_rows
+            AS compact_lexical,
+          overgrown_cells > 0 AS resplit,
+          vacuumable_rows > live_rows AS vacuum,
+          cb_epoch < 2 AS retrain,
+          cb_distortion AS watch_distortion,
+          CAST((CASE WHEN n_tomb * 20 > n_rows THEN 1 ELSE 0 END)
+            + (CASE WHEN (posting_rows - post_live_rows) * 10
+               > posting_rows THEN 1 ELSE 0 END)
+            + (CASE WHEN overgrown_cells > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN vacuumable_rows > live_rows THEN 1 ELSE 0 END)
+            + (CASE WHEN cb_epoch < 2 THEN 1 ELSE 0 END) AS INT)
+            AS actions
+        FROM h""")),
 
     // MAINTENANCE CYCLE 2 — the health report's finding RESOLVED as a
     // gate, not prose: the committed epoch can hold overgrown merge
@@ -4056,6 +3960,171 @@ object LlmSim extends QueryModule {
     * loops this pass with a fresh `offset` per round (a low child
     * re-splitting would mint cid+offset, which an earlier round's
     * upper child may already hold). */
+  /** The health report's full DuckDB re-derivation — ONE string,
+    * shared by the report gate and the maintenance-plan gate that
+    * derives policy from its row. */
+  private lazy val indexHealthOracleSql: String = s"""
+        WITH $ivfCellsSql,
+        $maintChainSql,
+        $maintDropsSql,
+        $postingsEstateSql,
+        cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn
+          FROM relab GROUP BY cid),
+        agg0 AS (SELECT
+            CAST(count(*) AS BIGINT) AS n_cells,
+            CAST(sum(cn) AS BIGINT) AS n_rows,
+            CAST(max(cn) AS BIGINT) AS max_cell,
+            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
+              AS BIGINT) AS overgrown_cells,
+            CAST(sum(CASE WHEN cid >= $SplitCidOffset THEN 1 ELSE 0 END)
+              AS BIGINT) AS split_children
+          FROM cs),
+        tq AS (SELECT CAST(count(*) AS BIGINT) AS n_tomb FROM mdrops),
+        -- postings stats over the estate tokenization: sum(df) over
+        -- the vocabulary = # distinct (w, doc) pairs = tok row count,
+        -- so df drift vs the base snapshot = the arrival batches' tok
+        -- rows (base/arrival doc ids are disjoint ranges)
+        pstat AS (SELECT
+            CAST(count(*) AS BIGINT) AS posting_rows,
+            CAST(count(DISTINCT w) AS BIGINT) AS vocab_size,
+            CAST(sum(CASE WHEN doc_id >= $ArrivalIdBase THEN 1 ELSE 0
+              END) AS BIGINT) AS df_drift
+          FROM tok),
+        keepx AS (SELECT text, max(doc_id) AS keep_id FROM alld
+          GROUP BY text),
+        ptq AS (SELECT CAST(count(*) AS BIGINT) AS post_tomb
+          FROM alld d JOIN keepx k ON k.text = d.text
+          WHERE d.doc_id <> k.keep_id),
+        plr AS (SELECT CAST(count(*) AS BIGINT) AS post_live_rows
+          FROM tok WHERE doc_id IN (SELECT keep_id FROM keepx)),
+        -- the STREAM fronts (r15): the streamed postings wave's rows
+        -- (distinct (w, doc) pairs of the wave docs = the ep=3
+        -- partition) and the realtime vector segment's rows — the
+        -- dashboard's "how much tail is riding ahead of the next
+        -- fold/compaction" numbers
+        swd AS (SELECT doc_id + ${PostingsStreamEpoch * ArrivalIdBase}
+            AS doc_id, text
+          FROM documents
+          WHERE doc_id % 7 = ${(2 * PostingsStreamEpoch + 1) % 7}),
+        ssr AS (SELECT CAST(count(*) AS BIGINT) AS stream_rows FROM (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM swd)
+          GROUP BY doc_id, w)),
+        sgr AS (SELECT CAST(count(*) AS BIGINT) AS seg_rows
+          FROM e WHERE vec_id % 7 = 5),
+        sgt AS (SELECT CAST(count(*) AS BIGINT) AS seg_tail_rows
+          FROM e WHERE vec_id % 7 = 6),
+        -- the post-stream TAIL (r16): wave 2 (batch 4, streamed) and
+        -- the batch-after-stream epoch (batch 5) — the rows landed
+        -- past the first streamed high-water
+        t45d AS (
+          SELECT doc_id + ${PostingsStreamEpoch2 * ArrivalIdBase}
+              AS doc_id, text
+            FROM documents
+            WHERE doc_id % 7 = ${(2 * PostingsStreamEpoch2 + 1) % 7}
+          UNION ALL
+          SELECT doc_id + ${PostingsBatchAfterStream * ArrivalIdBase}
+              AS doc_id, text
+            FROM documents
+            WHERE doc_id % 7 = ${(2 * PostingsBatchAfterStream + 1) % 7}),
+        t45 AS (SELECT CAST(count(*) AS BIGINT) AS tail_rows FROM (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM t45d)
+          GROUP BY doc_id, w)),
+        -- the FOLD fronts (r16 gen 1, r17 gen 2 + retrain): the
+        -- shared fold-chain derivations' summary numbers surfaced on
+        -- the dashboard (the full chain — gen 2's tail routes against
+        -- the gen-1 serving centroids, so fcent must exist here)
+        $foldChainSql,
+        $fold2ChainSql,
+        hsz AS (SELECT cid, count(*) AS cn FROM gpost GROUP BY cid),
+        hagg AS (SELECT
+            CAST(count(*) AS BIGINT) AS fold_cells,
+            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
+              AS BIGINT) AS fold_overgrown
+          FROM hsz),
+        hseg AS (SELECT
+            CAST(sum(CASE WHEN vec_id >= ${2 * ArrivalIdBase}
+              THEN 1 ELSE 0 END) AS BIGINT) AS fold_seg_rows,
+            CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
+              AS fold_resplit
+          FROM gpost),
+        h2sz AS (SELECT cid, count(*) AS cn FROM g2post GROUP BY cid),
+        h2agg AS (SELECT
+            CAST(count(*) AS BIGINT) AS fold2_cells,
+            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
+              AS BIGINT) AS fold2_overgrown
+          FROM h2sz),
+        h2seg AS (SELECT
+            CAST(sum(CASE WHEN vec_id >= $IvfSegSeal1Bound
+              THEN 1 ELSE 0 END) AS BIGINT) AS fold2_tail_rows,
+            CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
+              AS fold2_resplit
+          FROM g2post),
+        -- the r18 fronts: epoch-2 training (for g2live + the serving
+        -- pcb the distortion scores against), the renumber, fold 3
+        $rpqRetrainSql,
+        $renumberSql,
+        $fold3ChainSql,
+        rr AS (SELECT CAST(count(*) AS BIGINT) AS retrain_rows
+          FROM g2live),
+        rnmx AS (SELECT CAST(max(cid) AS BIGINT) AS rn_max_cid
+          FROM rncells),
+        h3sz AS (SELECT cid, count(*) AS cn FROM g3post GROUP BY cid),
+        h3agg AS (SELECT
+            CAST(count(*) AS BIGINT) AS fold3_cells,
+            CAST(sum(CASE WHEN cn > $IvfPSplitRows THEN 1 ELSE 0 END)
+              AS BIGINT) AS fold3_overgrown
+          FROM h3sz),
+        h3seg AS (SELECT
+            CAST(sum(CASE WHEN vec_id >= $IvfWave3Band
+              THEN 1 ELSE 0 END) AS BIGINT) AS fold3_tail_rows,
+            CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT)
+              AS fold3_resplit
+          FROM g3post),
+        -- quantization distortion of the serving posture: per
+        -- (vec_id, m) the chosen code's d2 (the engine's encode-then-
+        -- ADC arithmetic, tiebreak included), summed in m order per
+        -- row, quantized-integral over rows (order-independent)
+        ${uniformRpqCodesSql("g3post", "g3cent", "pcb", "u")},
+        ud AS (SELECT vec_id, m, t FROM (
+            SELECT u0.vec_id, u0.m, ${d2Sql("u0.sv", "c0.cv")} AS t,
+              row_number() OVER (PARTITION BY u0.vec_id, u0.m
+                ORDER BY ${d2Sql("u0.sv", "c0.cv")}, c0.code) AS rn
+            FROM usubs u0 JOIN pcb c0 ON u0.m = c0.m)
+          WHERE rn = 1),
+        urow AS (SELECT vec_id, list_reduce(list_prepend(0.0,
+            list(t ORDER BY m)), (x, y) -> x + y) AS adc
+          FROM ud GROUP BY vec_id),
+        udq AS (SELECT
+            CAST(sum(CAST(floor(adc * 10000000) AS BIGINT)) AS BIGINT)
+              AS dsum,
+            CAST(count(*) AS BIGINT) AS dn
+          FROM urow)
+        SELECT n_cells, n_rows, n_tomb, n_rows - n_tomb AS live_rows,
+          max_cell, overgrown_cells, split_children,
+          CAST($PostingsBatchAfterStream AS BIGINT) AS post_epoch,
+          posting_rows, vocab_size, df_drift, post_tomb, post_live_rows,
+          CAST($PostingsStreamEpoch2 AS BIGINT) AS stream_epoch,
+          stream_rows, tail_rows, seg_rows, seg_tail_rows,
+          fold_cells, fold_overgrown, fold_seg_rows, fold_resplit,
+          fold2_cells, fold2_overgrown, fold2_tail_rows, fold2_resplit,
+          CAST(2 AS BIGINT) AS cb_epoch, retrain_rows,
+          CAST(2 AS BIGINT) AS ns_gen, rn_max_cid,
+          fold3_cells, fold3_overgrown, fold3_tail_rows, fold3_resplit,
+          CAST(dsum AS DOUBLE) / 10000000 / dn AS cb_distortion,
+          2 * (n_rows + seg_rows) + fold_cells
+            + 2 * (n_rows + seg_rows + seg_tail_rows)
+            + fold2_cells + retrain_rows AS vacuumable_rows
+        FROM agg0 CROSS JOIN tq CROSS JOIN pstat CROSS JOIN ptq
+          CROSS JOIN plr CROSS JOIN ssr CROSS JOIN t45 CROSS JOIN sgr
+          CROSS JOIN sgt CROSS JOIN hagg CROSS JOIN hseg
+          CROSS JOIN h2agg CROSS JOIN h2seg CROSS JOIN rr
+          CROSS JOIN rnmx CROSS JOIN h3agg CROSS JOIN h3seg
+          CROSS JOIN udq"""
+
   private[graft] def splitCells(cells: DataFrame,
                                 threshold: Long,
                                 offset: Int = SplitCidOffset): DataFrame = {
@@ -6367,27 +6436,39 @@ object LlmSim extends QueryModule {
       val (cent, codes, _) = servingRpqPosture(s, dir)
       val (cellsT, centT, codesT) = renumberTables(s, dir)
       val tomb = persistedMaintTombstones(s, dir).select($"vec_id")
-      def live = f2.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      val live = f2.join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .select($"cid", $"vec_id", $"v")
-      // pure derivation, recomputed per artifact write (each write is
-      // its own job; a shared reference would not make them cheaper —
-      // the mapping is metadata-sized either way)
-      def rnMap = live.select($"cid").distinct().withColumn("ncid",
-        (row_number().over(Window.orderBy($"cid")) - 1).cast("int"))
-      LlmText.writeOnceTable(s, cellsT, Seq("cid"),
-        live.join(broadcast(rnMap), Seq("cid"))
-          .select($"ncid".as("cid"), $"vec_id", $"v"))
-      LlmText.writeOnceTable(s, centT, Seq("cid"),
-        cent.join(broadcast(rnMap), Seq("cid"))
-          .select($"ncid".as("cid"), $"cv"))
-      LlmText.writeOnceTable(s, codesT, Seq("cid"),
-        codes.join(broadcast(tomb), Seq("vec_id"), "left_anti")
-          .join(broadcast(rnMap), Seq("cid"))
-          .select($"ncid".as("cid"), $"vec_id", $"codes"))
+      val (rnCells, rnCent, rnCodes) = renumberFrames(live, cent,
+        codes.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+      LlmText.writeOnceTable(s, cellsT, Seq("cid"), rnCells): Unit
+      LlmText.writeOnceTable(s, centT, Seq("cid"), rnCent): Unit
+      LlmText.writeOnceTable(s, codesT, Seq("cid"), rnCodes): Unit
       chaos()
       if (nsGenOf(s, dir) < 2)
         publishEpochPointer(nsGenPointerFile(s, dir), 2)
     }
+
+  /** The PURE re-key at the renumber's heart, factored for property
+    * coverage: dense mapping = rank-by-old-cid over `live`'s distinct
+    * cids (nlist-bounded — the single-partition window runs over a
+    * metadata-sized frame), broadcast to one map-only relabel per
+    * frame. Keys move; payloads and geometry do not. Centroids and
+    * codes of cids absent from `live` (fully-tombstoned cells) drop
+    * out through the inner join — a major compaction keeps exactly
+    * the serving estate. */
+  private[graft] def renumberFrames(
+      live: DataFrame, cent: DataFrame, codes: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import live.sparkSession.implicits._
+    def rnMap = live.select($"cid").distinct().withColumn("ncid",
+      (row_number().over(Window.orderBy($"cid")) - 1).cast("int"))
+    (live.join(broadcast(rnMap), Seq("cid"))
+       .select($"ncid".as("cid"), $"vec_id", $"v"),
+     cent.join(broadcast(rnMap), Seq("cid"))
+       .select($"ncid".as("cid"), $"cv"),
+     codes.join(broadcast(rnMap), Seq("cid"))
+       .select($"ncid".as("cid"), $"vec_id", $"codes"))
+  }
 
   /** The renumbered serving triple (cells, centroids, codes), settled
     * through the idempotent verb — the servingRpqPosture discipline:

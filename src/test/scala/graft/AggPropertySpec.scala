@@ -645,4 +645,64 @@ class AggPropertySpec extends AnyFunSuite {
       assert(stats("k") === TxLog.ColStats("L", "0", (vals.size - 1).toString))
     }
   }
+
+  test("renumber re-key: dense rank mapping, payload identity, survivor-exact over random namespaces") {
+    import spark.implicits._
+    import graft.queries.LlmSim
+    val rnd = new scala.util.Random(1318)
+    (0 until 4).foreach { trial =>
+      // random cid namespace shaped like the post-fold estate: sparse,
+      // offset-banded ids up to 2^31-1 (the exact values the renumber
+      // exists to collapse), random cell sizes, random tombstones
+      val nCells = 1 + rnd.nextInt(20)
+      val cids = Seq.fill(nCells)(rnd.nextInt(Int.MaxValue)).distinct
+      var vid = 0L
+      val rows = cids.flatMap { c =>
+        Seq.fill(1 + rnd.nextInt(8)) { vid += 1
+          (c, vid, Seq.fill(4)(rnd.nextDouble())) }
+      }
+      val dead = rows.filter(_ => rnd.nextDouble() < 0.3).map(_._2).toSet
+      val liveRows = rows.filterNot(r => dead(r._2))
+      // a fully-tombstoned cell's centroid/codes must drop out — the
+      // generator can produce that case by chance; both branches valid
+      val live = liveRows.toDF("cid", "vec_id", "v")
+      val cent = cids.map(c => (c, Seq.fill(4)(rnd.nextDouble())))
+        .toDF("cid", "cv")
+      val codes = rows.map(r => (r._1, r._2, Seq.fill(8)(rnd.nextInt(32))))
+        .filterNot(r => dead(r._2)).toDF("cid", "vec_id", "codes")
+      val (rc, rcent, rcodes) = LlmSim.renumberFrames(live, cent, codes)
+      val got = rc.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      // row conservation + payload identity through the re-key
+      val liveCids = liveRows.map(_._1).distinct.sorted
+      val rank = liveCids.zipWithIndex.toMap
+      assert(got.map(r => (r._2, r._3)).sortBy(_._1).toSeq
+        === liveRows.map(r => (r._2, r._3)).sortBy(_._1).toSeq,
+        s"trial $trial: payloads moved")
+      // the mapping IS rank-by-old-cid, dense 0..n-1
+      val byVid = liveRows.map(r => r._2 -> r._1).toMap
+      got.foreach { r =>
+        assert(r._1 === rank(byVid(r._2)), s"trial $trial: not rank order")
+      }
+      assert(got.map(_._1).distinct.sorted.toSeq
+        === liveCids.indices.toSeq, s"trial $trial: not dense")
+      // centroids: surviving cells keep their cv verbatim under the
+      // new key; fully-tombstoned cells drop out
+      val centGot = rcent.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+      assert(centGot.keySet === rank.values.toSet,
+        s"trial $trial: centroid key set != survivor set")
+      val centIn = cids.zip(cent.collect().map(_.getSeq[Double](1))).toMap
+      rank.foreach { case (old, nu) =>
+        assert(centGot(nu) === centIn(old),
+          s"trial $trial: centroid payload moved")
+      }
+      // codes: per-vec_id byte identity, survivor-exact
+      val codesGot = rcodes.collect()
+        .map(r => (r.getLong(1), (r.getInt(0), r.getSeq[Int](2))))
+        .toMap
+      assert(codesGot.keySet === liveRows.map(_._2).toSet,
+        s"trial $trial: codes key set != survivors")
+    }
+  }
 }
