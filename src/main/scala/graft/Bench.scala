@@ -340,8 +340,19 @@ object Bench {
     val burstSummary =
       s""""n_retimed":${retimed.size},"retime_saved":${r4(retimeSaved)},""" +
         s""""rolling_spread":${r4(rollingSpread)},"""
+    // The box-normalized headline (r19, judge r18 #4): value divided
+    // by the start-calibration ratio — the number BASELINE.md's
+    // cross-round rule ("never compare raw totals across sittings")
+    // computes by hand. A reader compares value_equiv across rounds
+    // directly; the raw total stays the record of what this sitting
+    // actually cost. Guard: a degenerate calibration (ratio ≤ 0)
+    // falls back to the raw value rather than publishing a nonsense
+    // headline.
+    val valueEquiv =
+      if (calibStart._2 > 0) total / calibStart._2 else total
     def lineFor(qs: String, extra: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""value_equiv":${r4(valueEquiv)},"queries":$qs,""" +
         extra + burstSummary +
         s""""builds":${qsJson(builds, round = true)},""" +
         s""""failed":${failed.mkString("[", ",", "]")},""" +
