@@ -6320,6 +6320,47 @@ object LlmSim extends QueryModule {
     * namespace, persist write-once. ONE body for every fold
     * generation — a fix to the cascade discipline (broadcast shape,
     * the unpersist-in-finally pattern) lands once. */
+  /** Committed-read fast path shared by the lifecycle artifact
+    * readers (r19 optimization): an epoch-named artifact present in
+    * THIS session's catalog was written by this session's settled
+    * chain (epoch-named tables only enter the in-memory catalog via
+    * this session's own writeOnceTable), so re-entry resolves the
+    * table directly instead of re-walking the upstream verb chain
+    * the builder encodes. The re-walk constructs and eagerly
+    * ANALYZES every upstream DataFrame on every call — pure
+    * driver-side Catalyst work that grew linearly with the estate's
+    * generations (measured 10-11 s per fold-4 probe CALL with only
+    * ~0.3 s of actual jobs; the guide §7.3 Analyzer/CheckAnalysis
+    * signature). Committed reads must stay O(catalog lookup). On a
+    * fresh catalog the name resolves against a pre-settle epoch
+    * pointer, the lookup misses, and the builder runs — which
+    * settles the epoch and writes the correctly-named artifact,
+    * exactly as before. */
+  private def committedOr(s: SparkSession, tbl: String,
+      settle: () => Unit = () => ())
+      (build: => DataFrame): DataFrame =
+    if (s.catalog.tableExists(tbl)) { settle(); s.table(tbl) } else build
+
+  /** Pointer re-settle for committed READERS (r19): the committed
+    * fast path resolves artifact tables without walking the verb
+    * chain, but the crash-recovery contract ("re-entry completes
+    * exactly the missing suffix") lives in the VERBS' pointer
+    * publishes — so a committed reader of a generation-N artifact
+    * still settles the pointers its chain would have settled. In the
+    * normal case this is one or two pointer-FILE reads (no Spark
+    * work); only when a pointer is actually behind (deleted, or a
+    * crash before the publish) does the owning verb run — and its own
+    * committed fast path makes that re-entry table-rebuild-free,
+    * publishing generations strictly one step at a time (2 before 3,
+    * the monotonic N−1→N discipline). */
+  private def settleEstatePointers(s: SparkSession, dir: String,
+                                   nsGen: Int): Unit = {
+    if (rpqCbEpochOf(s, dir) < 2) retrainRpqCodebooks(s, dir)
+    (2 to nsGen).foreach { g =>
+      if (nsGenOf(s, dir) < g) renumberEstateGen(s, dir, g)
+    }
+  }
+
   private def foldCellsInto(s: SparkSession, tbl: String,
                             prev: DataFrame, routeCent: DataFrame,
                             absorbed: DataFrame, maxRounds: Int,
@@ -6382,12 +6423,15 @@ object LlmSim extends QueryModule {
   private[graft] def persistedSegFold(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (mCells, mCent) = maintainIvfCommit(s, dir)
-    val seg = streamedIvfSegment(s, dir)
-    val e = maintEpochOf(s, dir)
-    foldCellsInto(s, s"graft_ivf_segf_me${e}_${math.abs(dir.hashCode)}",
-      mCells, mCent, seg.select($"vec_id", $"v"),
-      maxRounds = MaintSplitRounds, roundBase = 2 * MaintSplitRounds)
+    committedOr(s, s"graft_ivf_segf_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}") {
+      val (mCells, mCent) = maintainIvfCommit(s, dir)
+      val seg = streamedIvfSegment(s, dir)
+      val e = maintEpochOf(s, dir)
+      foldCellsInto(s, s"graft_ivf_segf_me${e}_${math.abs(dir.hashCode)}",
+        mCells, mCent, seg.select($"vec_id", $"v"),
+        maxRounds = MaintSplitRounds, roundBase = 2 * MaintSplitRounds)
+    }
   }
 
   /** Centroids that make the fold SERVABLE — refreshed quantized
@@ -6414,14 +6458,16 @@ object LlmSim extends QueryModule {
   }
 
   private[graft] def segFoldCentroids(
-      s: SparkSession, dir: String): DataFrame = {
-    val f = persistedSegFold(s, dir)
-    val mCent = maintainIvfCommit(s, dir)._2
-    val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_segf_cent_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"), foldCentroidsBody(f, mCent, 2 * ArrivalIdBase))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    committedOr(s, s"graft_ivf_segf_cent_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}") {
+      val f = persistedSegFold(s, dir)
+      val mCent = maintainIvfCommit(s, dir)._2
+      val e = maintEpochOf(s, dir)
+      LlmText.writeOnceTable(s,
+        s"graft_ivf_segf_cent_me${e}_${math.abs(dir.hashCode)}",
+        Seq("cid"), foldCentroidsBody(f, mCent, 2 * ArrivalIdBase))
+    }
 
   /** The fold CASCADE on the COMPRESSED path — the r15 judge's #1:
     * a fold that refreshes cells and centroids but not the CODES
@@ -6442,18 +6488,20 @@ object LlmSim extends QueryModule {
     * residuals against the BASE centroids; the fold re-bases them).
     * Epoch-named and vacuumed with its cascade. */
   private[graft] def segFoldRpqCodes(
-      s: SparkSession, dir: String): DataFrame = {
-    val f = persistedSegFold(s, dir)
-    val fCent = segFoldCentroids(s, dir)
-    maintainIvfCommit(s, dir)
-    val rpqT = maintainedTables(s, dir)(4)
-    val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_segf_rpq_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"),
-      foldCodesBody(s, f, fCent, s.table(rpqT), 2 * ArrivalIdBase,
-        persistedRpqCb(s, dir)))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    committedOr(s, s"graft_ivf_segf_rpq_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}") {
+      val f = persistedSegFold(s, dir)
+      val fCent = segFoldCentroids(s, dir)
+      maintainIvfCommit(s, dir)
+      val rpqT = maintainedTables(s, dir)(4)
+      val e = maintEpochOf(s, dir)
+      LlmText.writeOnceTable(s,
+        s"graft_ivf_segf_rpq_me${e}_${math.abs(dir.hashCode)}",
+        Seq("cid"),
+        foldCodesBody(s, f, fCent, s.table(rpqT), 2 * ArrivalIdBase,
+          persistedRpqCb(s, dir)))
+    }
 
   /** FOLD GENERATION 2 (r17) — the fold verb ITERATED, absorbing the
     * post-fold tail exactly as fold 1 absorbed the sealed segment:
@@ -6478,26 +6526,31 @@ object LlmSim extends QueryModule {
   private[graft] def persistedSegFold2(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val f = persistedSegFold(s, dir)
-    val fCent = segFoldCentroids(s, dir)
-    val e = maintEpochOf(s, dir)
-    foldCellsInto(s, s"graft_ivf_segf2_me${e}_${math.abs(dir.hashCode)}",
-      f, fCent,
-      streamedIvfSegmentAll(s, dir)
-        .filter($"vec_id" >= IvfSegSeal1Bound)
-        .select($"vec_id", $"v"),
-      maxRounds = Fold2SplitRounds, roundBase = 3 * MaintSplitRounds)
+    committedOr(s, s"graft_ivf_segf2_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}") {
+      val f = persistedSegFold(s, dir)
+      val fCent = segFoldCentroids(s, dir)
+      val e = maintEpochOf(s, dir)
+      foldCellsInto(s, s"graft_ivf_segf2_me${e}_${math.abs(dir.hashCode)}",
+        f, fCent,
+        streamedIvfSegmentAll(s, dir)
+          .filter($"vec_id" >= IvfSegSeal1Bound)
+          .select($"vec_id", $"v"),
+        maxRounds = Fold2SplitRounds, roundBase = 3 * MaintSplitRounds)
+    }
   }
 
   private[graft] def segFold2Centroids(
-      s: SparkSession, dir: String): DataFrame = {
-    val f2 = persistedSegFold2(s, dir)
-    val fCent = segFoldCentroids(s, dir)
-    val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_segf2_cent_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"), foldCentroidsBody(f2, fCent, IvfSegSeal1Bound))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    committedOr(s, s"graft_ivf_segf2_cent_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}") {
+      val f2 = persistedSegFold2(s, dir)
+      val fCent = segFoldCentroids(s, dir)
+      val e = maintEpochOf(s, dir)
+      LlmText.writeOnceTable(s,
+        s"graft_ivf_segf2_cent_me${e}_${math.abs(dir.hashCode)}",
+        Seq("cid"), foldCentroidsBody(f2, fCent, IvfSegSeal1Bound))
+    }
 
   /** The gen-2 fold cascade on the COMPRESSED path — [[segFoldRpqCodes]]
     * iterated: fold-2-touched cells re-encode v − gen2Centroid(cid)
@@ -6508,17 +6561,19 @@ object LlmSim extends QueryModule {
     * re-derives. O(Σ|touched|) encode work, generation over
     * generation. */
   private[graft] def segFold2RpqCodes(
-      s: SparkSession, dir: String): DataFrame = {
-    val f2 = persistedSegFold2(s, dir)
-    val f2Cent = segFold2Centroids(s, dir)
-    val gen1 = segFoldRpqCodes(s, dir)
-    val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_segf2_rpq_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"),
-      foldCodesBody(s, f2, f2Cent, gen1, IvfSegSeal1Bound,
-        persistedRpqCb(s, dir)))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    committedOr(s, s"graft_ivf_segf2_rpq_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}") {
+      val f2 = persistedSegFold2(s, dir)
+      val f2Cent = segFold2Centroids(s, dir)
+      val gen1 = segFoldRpqCodes(s, dir)
+      val e = maintEpochOf(s, dir)
+      LlmText.writeOnceTable(s,
+        s"graft_ivf_segf2_rpq_me${e}_${math.abs(dir.hashCode)}",
+        Seq("cid"),
+        foldCodesBody(s, f2, f2Cent, gen1, IvfSegSeal1Bound,
+          persistedRpqCb(s, dir)))
+    }
 
   /** VACUUM the superseded fold-1 generation — the cleanup half of
     * the generation story: once gen 2 owns the serving reads, gen 1's
@@ -6626,6 +6681,24 @@ object LlmSim extends QueryModule {
                                          chaos: () => Unit = () => ()): Unit =
     maintLock.synchronized {
       import s.implicits._
+      // Fully-committed fast path (r19): all three epoch-named
+      // artifacts in THIS catalog ⇒ this session already settled the
+      // fold-2 chain and wrote them — re-entry needs no chain
+      // re-resolution at all (the chain re-walk was pure driver-side
+      // analysis cost on every posture read — see [[committedOr]]).
+      // chaos() and the pointer publish still run, preserving the
+      // crash-window re-entry contract exactly (the spec's state is
+      // "tables present, pointer behind", which lands here and must
+      // still fire the seam before the swap).
+      val preNames = rpqRetrainTables(s, dir)
+      if (s.catalog.tableExists(preNames._1) &&
+          s.catalog.tableExists(preNames._2) &&
+          s.catalog.tableExists(rpqDistortionBaseTable(s, dir))) {
+        chaos()
+        if (rpqCbEpochOf(s, dir) < 2)
+          publishEpochPointer(rpqCbPointerFile(s, dir), 2)
+        return
+      }
       // fold 2 FIRST: it settles this session's maintained epoch (a
       // fresh catalog mints the next one) — the retrain tables are
       // epoch-named, so resolving them earlier would name a stale epoch
@@ -6842,12 +6915,28 @@ object LlmSim extends QueryModule {
                                        chaos: () => Unit = () => ()): Unit =
     maintLock.synchronized {
       require(gen >= 2, s"renumber mints generation 2+ — got $gen")
-      val (live, cent, codes) = renumberInput(s, dir, gen)
-      val (cellsT, centT, codesT) = renumberTables(s, dir, gen)
-      val (rnCells, rnCent, rnCodes) = renumberFrames(live, cent, codes)
-      LlmText.writeOnceTable(s, cellsT, Seq("cid"), rnCells): Unit
-      LlmText.writeOnceTable(s, centT, Seq("cid"), rnCent): Unit
-      LlmText.writeOnceTable(s, codesT, Seq("cid"), rnCodes): Unit
+      // Committed fast path (r19): all three generation-indexed
+      // artifacts in THIS catalog ⇒ this session already forced the
+      // input chain and wrote them — skip re-resolving the chain and
+      // re-constructing the relabel frames (driver-side analysis that
+      // repeated on every read — see [[committedOr]]). chaos() + the
+      // monotonic publish still run (the crash-window spec's state is
+      // "artifacts present, pointer behind", which lands here). The
+      // pre-check resolves names against the CURRENT epoch pointer; a
+      // fresh catalog misses (nothing epoch-named exists yet) and the
+      // build path re-resolves the names AFTER the input chain has
+      // settled this session's epoch — name-before-settle was a real
+      // bug (wrote me<N>, read me<N+1>).
+      val pre = renumberTables(s, dir, gen)
+      if (!(s.catalog.tableExists(pre._1) && s.catalog.tableExists(pre._2)
+          && s.catalog.tableExists(pre._3))) {
+        val (live, cent, codes) = renumberInput(s, dir, gen)
+        val (cellsT, centT, codesT) = renumberTables(s, dir, gen)
+        val (rnCells, rnCent, rnCodes) = renumberFrames(live, cent, codes)
+        LlmText.writeOnceTable(s, cellsT, Seq("cid"), rnCells): Unit
+        LlmText.writeOnceTable(s, centT, Seq("cid"), rnCent): Unit
+        LlmText.writeOnceTable(s, codesT, Seq("cid"), rnCodes): Unit
+      }
       chaos()
       if (nsGenOf(s, dir) < gen)
         publishEpochPointer(nsGenPointerFile(s, dir), gen)
@@ -6945,22 +7034,29 @@ object LlmSim extends QueryModule {
   private[graft] def persistedSegFold3(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (rnCells, rnCent, _) = renumberedEstate(s, dir)
-    val e = maintEpochOf(s, dir)
-    foldCellsInto(s, s"graft_ivf_segf3_me${e}_${math.abs(dir.hashCode)}",
-      rnCells, rnCent, ivfWave3(s, dir).select($"vec_id", $"v"),
-      maxRounds = MaintSplitRounds, roundBase = 0, nsGen = 2)
+    committedOr(s, s"graft_ivf_segf3_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}",
+      settle = () => settleEstatePointers(s, dir, 2)) {
+      val (rnCells, rnCent, _) = renumberedEstate(s, dir)
+      val e = maintEpochOf(s, dir)
+      foldCellsInto(s, s"graft_ivf_segf3_me${e}_${math.abs(dir.hashCode)}",
+        rnCells, rnCent, ivfWave3(s, dir).select($"vec_id", $"v"),
+        maxRounds = MaintSplitRounds, roundBase = 0, nsGen = 2)
+    }
   }
 
   private[graft] def segFold3Centroids(
-      s: SparkSession, dir: String): DataFrame = {
-    val f3 = persistedSegFold3(s, dir)
-    val rnCent = renumberedEstate(s, dir)._2
-    val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_segf3_cent_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"), foldCentroidsBody(f3, rnCent, IvfWave3Band))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    committedOr(s, s"graft_ivf_segf3_cent_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}",
+      settle = () => settleEstatePointers(s, dir, 2)) {
+      val f3 = persistedSegFold3(s, dir)
+      val rnCent = renumberedEstate(s, dir)._2
+      val e = maintEpochOf(s, dir)
+      LlmText.writeOnceTable(s,
+        s"graft_ivf_segf3_cent_me${e}_${math.abs(dir.hashCode)}",
+        Seq("cid"), foldCentroidsBody(f3, rnCent, IvfWave3Band))
+    }
 
   /** The gen-3 fold cascade on the compressed path — the generic
     * codes body over the EPOCH-2 dictionary: fold-3-touched cells
@@ -6969,17 +7065,20 @@ object LlmSim extends QueryModule {
     * byte-identically (untouched g3cent = renumbered centroid =
     * g2cent per cell — the uniform-oracle identity, third time). */
   private[graft] def segFold3RpqCodes(
-      s: SparkSession, dir: String): DataFrame = {
-    val f3 = persistedSegFold3(s, dir)
-    val f3Cent = segFold3Centroids(s, dir)
-    val rnCodes = renumberedEstate(s, dir)._3
-    val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_segf3_rpq_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"),
-      foldCodesBody(s, f3, f3Cent, rnCodes, IvfWave3Band,
-        s.table(rpqRetrainTables(s, dir)._1)))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    committedOr(s, s"graft_ivf_segf3_rpq_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}",
+      settle = () => settleEstatePointers(s, dir, 2)) {
+      val f3 = persistedSegFold3(s, dir)
+      val f3Cent = segFold3Centroids(s, dir)
+      val rnCodes = renumberedEstate(s, dir)._3
+      val e = maintEpochOf(s, dir)
+      LlmText.writeOnceTable(s,
+        s"graft_ivf_segf3_rpq_me${e}_${math.abs(dir.hashCode)}",
+        Seq("cid"),
+        foldCodesBody(s, f3, f3Cent, rnCodes, IvfWave3Band,
+          s.table(rpqRetrainTables(s, dir)._1)))
+    }
 
   // ---- RENUMBER #2 + FOLD GENERATION 4 (r19) — the cycle iterates --
   // The proof the renumber is GENERATIONAL and not a one-shot fixture
@@ -7007,22 +7106,29 @@ object LlmSim extends QueryModule {
   private[graft] def persistedSegFold4(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (rn2Cells, rn2Cent, _) = renumberedEstateGen(s, dir, 3)
-    val e = maintEpochOf(s, dir)
-    foldCellsInto(s, s"graft_ivf_segf4_me${e}_${math.abs(dir.hashCode)}",
-      rn2Cells, rn2Cent, ivfWave4(s, dir).select($"vec_id", $"v"),
-      maxRounds = MaintSplitRounds, roundBase = 0, nsGen = 3)
+    committedOr(s, s"graft_ivf_segf4_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}",
+      settle = () => settleEstatePointers(s, dir, 3)) {
+      val (rn2Cells, rn2Cent, _) = renumberedEstateGen(s, dir, 3)
+      val e = maintEpochOf(s, dir)
+      foldCellsInto(s, s"graft_ivf_segf4_me${e}_${math.abs(dir.hashCode)}",
+        rn2Cells, rn2Cent, ivfWave4(s, dir).select($"vec_id", $"v"),
+        maxRounds = MaintSplitRounds, roundBase = 0, nsGen = 3)
+    }
   }
 
   private[graft] def segFold4Centroids(
-      s: SparkSession, dir: String): DataFrame = {
-    val f4 = persistedSegFold4(s, dir)
-    val rn2Cent = renumberedEstateGen(s, dir, 3)._2
-    val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_segf4_cent_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"), foldCentroidsBody(f4, rn2Cent, IvfWave4Band))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    committedOr(s, s"graft_ivf_segf4_cent_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}",
+      settle = () => settleEstatePointers(s, dir, 3)) {
+      val f4 = persistedSegFold4(s, dir)
+      val rn2Cent = renumberedEstateGen(s, dir, 3)._2
+      val e = maintEpochOf(s, dir)
+      LlmText.writeOnceTable(s,
+        s"graft_ivf_segf4_cent_me${e}_${math.abs(dir.hashCode)}",
+        Seq("cid"), foldCentroidsBody(f4, rn2Cent, IvfWave4Band))
+    }
 
   /** The gen-4 fold cascade on the compressed path — the generic
     * codes body over the (still-serving) EPOCH-2 dictionary:
@@ -7031,17 +7137,20 @@ object LlmSim extends QueryModule {
     * codes byte-identically (untouched g4cent = rn2 centroid per
     * cell — the uniform-oracle identity, fourth generation). */
   private[graft] def segFold4RpqCodes(
-      s: SparkSession, dir: String): DataFrame = {
-    val f4 = persistedSegFold4(s, dir)
-    val f4Cent = segFold4Centroids(s, dir)
-    val rn2Codes = renumberedEstateGen(s, dir, 3)._3
-    val e = maintEpochOf(s, dir)
-    LlmText.writeOnceTable(s,
-      s"graft_ivf_segf4_rpq_me${e}_${math.abs(dir.hashCode)}",
-      Seq("cid"),
-      foldCodesBody(s, f4, f4Cent, rn2Codes, IvfWave4Band,
-        s.table(rpqRetrainTables(s, dir)._1)))
-  }
+      s: SparkSession, dir: String): DataFrame =
+    committedOr(s, s"graft_ivf_segf4_rpq_me${maintEpochOf(s, dir)}_${
+        math.abs(dir.hashCode)}",
+      settle = () => settleEstatePointers(s, dir, 3)) {
+      val f4 = persistedSegFold4(s, dir)
+      val f4Cent = segFold4Centroids(s, dir)
+      val rn2Codes = renumberedEstateGen(s, dir, 3)._3
+      val e = maintEpochOf(s, dir)
+      LlmText.writeOnceTable(s,
+        s"graft_ivf_segf4_rpq_me${e}_${math.abs(dir.hashCode)}",
+        Seq("cid"),
+        foldCodesBody(s, f4, f4Cent, rn2Codes, IvfWave4Band,
+          s.table(rpqRetrainTables(s, dir)._1)))
+    }
 
   /** VACUUM the pre-renumber fold lineage — gen 1 and gen 2 artifacts
     * plus the pre-renumber epoch-2 codes (all superseded by the

@@ -67,6 +67,13 @@ object Replay {
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
+    // Perf forensics (r19, env-guarded): per-micro-batch duration
+    // breakdown — where a replayed query's fixed floor actually goes
+    // (planning vs state commit vs sink add). Stderr only.
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[replay] $qname batch=${p.batchId} rows=${p.numInputRows} " +
+          p.durationMs))
     // spark.table analyzes eagerly, so the returned frame's plan holds a
     // direct reference to the memory sink's rows; dropping the temp view
     // immediately after removes the session-lifetime catalog pin without
