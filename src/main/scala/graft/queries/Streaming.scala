@@ -128,7 +128,8 @@ object Streaming extends QueryModule {
         // Single-trigger replay (see q_stream_session note): join state
         // eviction by watermark must not race unordered file arrival.
         Replay.run(s, Replay.events(s, dir), mode = "append",
-          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir",
+          bigSink = true) { st =>
           val clicks = st.filter($"event_type" === "click")
             .select($"user_id".as("c_user"), $"ts".as("c_ts"),
               $"event_id".as("c_id"))
@@ -164,7 +165,8 @@ object Streaming extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         Replay.run(s, Replay.events(s, dir), mode = "append",
-          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir",
+          bigSink = true) { st =>
           val clicks = st.filter($"event_type" === "click")
             .select($"user_id".as("c_user"), $"ts".as("c_ts"),
               $"event_id".as("c_id"))
@@ -216,7 +218,8 @@ object Streaming extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         Replay.run(s, Replay.events(s, dir), mode = "append",
-          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir",
+          bigSink = true) { st =>
           val clicks = st.filter($"event_type" === "click")
             .select($"user_id".as("c_user"), $"ts".as("c_ts"),
               $"event_id".as("c_id"))
@@ -276,7 +279,8 @@ object Streaming extends QueryModule {
       fn = (s, dir) => {
         import s.implicits._
         Replay.run(s, Replay.events(s, dir), mode = "append",
-          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir") { st =>
+          filesPerTrigger = 1, nFiles = 1, cacheKey = s"events:$dir",
+          bigSink = true) { st =>
           val clicks = st.filter($"event_type" === "click")
             .select($"user_id".as("c_user"), $"ts".as("c_ts"))
             .withWatermark("c_ts", "2 hours")

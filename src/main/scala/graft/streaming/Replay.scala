@@ -36,7 +36,8 @@ object Replay {
       mode: String,
       filesPerTrigger: Int = 2,
       nFiles: Int = 4,
-      cacheKey: String = "")(build: DataFrame => DataFrame): DataFrame = {
+      cacheKey: String = "",
+      bigSink: Boolean = false)(build: DataFrame => DataFrame): DataFrame = {
     val key = if (cacheKey.isEmpty) s"anon_${counter.incrementAndGet()}"
       else s"$cacheKey/$nFiles"
     val (dir, schema) = inputCache.getOrElseUpdate(key, {
@@ -49,23 +50,45 @@ object Replay {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(s"$dir/in")
     val qname = s"graft_sink_${counter.incrementAndGet()}"
+    // Large append-mode sinks ride PARQUET on the scratch root instead
+    // of the memory sink (r19, guide §5 "the driver should do almost no
+    // data work"): the memory sink collects every batch's full output to
+    // the driver — for the stream-stream joins that is the 200k-row
+    // joined frame per replay, all through one driver thread inside
+    // addBatch — while the parquet sink writes from the executors in
+    // parallel and the drained result is read back as an ordinary scan.
+    // Identical rows (append emits each row exactly once in both sinks).
+    // Opt-in per call site (`bigSink`): for small outputs the parquet
+    // task-commit overhead exceeds the collect it saves (measured
+    // q_stream_dedup 1.0→1.2 s vs q_stream_join 3.0→2.5 s), and
+    // complete/update modes need the memory sink (parquet is
+    // append-only). SPARK_GRAFT_STREAM_PARQUET_SINK=0 forces the memory
+    // sink everywhere (A/B lever).
+    val parquetSink = mode == "append" && bigSink &&
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARQUET_SINK", "1") == "1"
+    val sinkDir = if (parquetSink) graft.Engine.scratchDir("sinkout") else ""
     // Stateful streaming ops create one state-store partition per shuffle
     // partition PER MICRO-BATCH; at replay scale 4 is plenty (a cluster
     // deployment would size this to executor count instead).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    var outSchema: org.apache.spark.sql.types.StructType = null
     val q =
-      try build(stream).writeStream
-        .format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        // fresh per-run scratch checkpoint (tmpfs when available): this
-        // replay drains once and discards; restart-durable checkpoints
-        // are exercised by q_stream_restart with an explicit location
-        .option("checkpointLocation", graft.Engine.scratchDir("ckpt"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val streamed = build(stream)
+        outSchema = streamed.schema
+        val writer = streamed.writeStream
+          .outputMode(mode)
+          // fresh per-run scratch checkpoint (tmpfs when available): this
+          // replay drains once and discards; restart-durable checkpoints
+          // are exercised by q_stream_restart with an explicit location
+          .option("checkpointLocation", graft.Engine.scratchDir("ckpt"))
+          .trigger(Trigger.AvailableNow())
+        if (parquetSink)
+          writer.format("parquet").option("path", s"$sinkDir/out").start()
+        else writer.format("memory").queryName(qname).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     // Perf forensics (r19, env-guarded): per-micro-batch duration
     // breakdown — where a replayed query's fixed floor actually goes
@@ -74,16 +97,23 @@ object Replay {
       q.recentProgress.foreach(p => System.err.println(
         s"[replay] $qname batch=${p.batchId} rows=${p.numInputRows} " +
           p.durationMs))
-    // spark.table analyzes eagerly, so the returned frame's plan holds a
-    // direct reference to the memory sink's rows; dropping the temp view
-    // immediately after removes the session-lifetime catalog pin without
-    // copying the data. The sink stays readable for as long as the caller
-    // references the frame and becomes GC-able afterwards — bench runs
-    // every streaming query 3x, so without this each run leaked one
-    // driver-resident sink for the life of the session.
-    val out = spark.table(qname)
-    spark.catalog.dropTempView(qname)
-    out
+    if (parquetSink)
+      // explicit schema: a replay whose every batch emitted zero rows
+      // leaves only _spark_metadata behind, and schema inference would
+      // fail on it; the streamed frame's schema is authoritative
+      spark.read.schema(outSchema).parquet(s"$sinkDir/out")
+    else {
+      // spark.table analyzes eagerly, so the returned frame's plan holds
+      // a direct reference to the memory sink's rows; dropping the temp
+      // view immediately after removes the session-lifetime catalog pin
+      // without copying the data. The sink stays readable for as long as
+      // the caller references the frame and becomes GC-able afterwards —
+      // bench runs every streaming query 3x, so without this each run
+      // leaked one driver-resident sink for the life of the session.
+      val out = spark.table(qname)
+      spark.catalog.dropTempView(qname)
+      out
+    }
   }
 
   /** Time-ordered replay of the events table. */
