@@ -325,17 +325,38 @@ object LlmText extends QueryModule {
     writeOnceTable(s, s"graft_cc_labels_${math.abs(dir.hashCode)}",
       Seq("id"), {
         import s.implicits._
-        // Pair generation rides the PREFIX-FILTERED pipeline (r19,
-        // guide §3 "reduce the big side before shuffling"): the
-        // θ=0.7 prefix filter provably yields the identical pair set
-        // as the all-pairs token self-join this build used before
-        // (any pair at jaccard ≥ 0.7 shares a rarest-prefix token —
-        // the shortened-prefix lemma at q_llm_threshold_sweep), while
-        // joining only each doc's ~30% rarest tokens: the candidate
-        // join's shuffle drops from Σ df(w)² over EVERY token to the
-        // prefix tokens' co-occurrences (527 → 38 MB shuffle write
-        // class, measured on the jaccard vs jaccard_pf gated pair).
-        val pairs = jaccardPf(s, withNearDups(s, dir))
+        // r19 A/B note: pair generation via the θ=0.7 prefix-filter
+        // pipeline (jaccardPf — identical pair set by the
+        // shortened-prefix lemma, 527 → 38 MB candidate shuffle) was
+        // built, oracle-gated PASS, and MEASURED SLOWER at sf0.1 on
+        // local[32] (+2.3 s on q_llm_dedup_clusters in a clean
+        // sitting): at this corpus size the pf pipeline's extra fixed
+        // stages (dfreq join, per-doc prefix slice, candidate
+        // distinct, verify re-join) dominate the shuffle it saves —
+        // exactly the measured contrast of the gated jaccard (1.20 s)
+        // vs jaccard_pf (1.55 s) pair. Kept on the all-pairs
+        // inverted-index form, which is cheapest at bench scale; the
+        // pf form remains the documented 100 TB escape when Σ df(w)²
+        // outgrows the cluster (the crossover the two gated queries
+        // pin).
+        val d = withNearDups(s, dir)
+          .select($"doc_id", $"source",
+            array_distinct(split($"text", " ")).as("ws"))
+          .withColumn("nw", size($"ws"))
+        val tok = d.select($"doc_id", $"source", $"nw",
+          explode($"ws").as("w"))
+          // CPU-dense byte-light self-join: pin to cluster parallelism
+          // (see q_llm_containment's rationale on AQE coalescing)
+          .repartition(s.sparkContext.defaultParallelism * 2,
+            $"source", $"w")
+        val pairs = tok.as("a").join(tok.as("b"),
+          $"a.w" === $"b.w" && $"a.source" === $"b.source"
+            && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.nw".as("na"), $"b.nw".as("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .filter($"inter".cast("double")
+            / ($"na" + $"nb" - $"inter") >= 0.7)
           .select($"doc_a", $"doc_b")
         graft.operators.ConnectedComponents.label(pairs, "doc_a", "doc_b")
       })
@@ -965,21 +986,33 @@ object LlmText extends QueryModule {
     "q_llm_dedup_clusters" -> QueryDef(
       fn = (s, dir) => {
         import s.implicits._
-        // Pair generation = the PREFIX-FILTERED θ=0.7 pipeline (r19
-        // optimization; was an all-pairs token self-join): tokens
-        // still ride as xxhash64(token, source), and the prefix
-        // filter yields the IDENTICAL pair set — any pair at
-        // jaccard ≥ 0.7 shares a rarest-prefix token (the
-        // shortened-prefix lemma at q_llm_threshold_sweep), and the
-        // surviving candidates verify with the exact intersection.
-        // The all-pairs form shuffled Σ df(w)² token co-occurrences
-        // (527 MB at sf0.1); the prefix join shuffles only the ~30%
-        // rarest tokens' co-occurrences (38 MB class) — guide §2.3
-        // "shuffle fewer bytes" on the query's dominant exchange.
-        // Oracle unchanged: the pair graph, and therefore the
-        // labeling, is equal by the lemma (gated hash-exact, and the
-        // jaccard vs jaccard_pf gated pair pins the equality class).
-        val pairs = jaccardPf(s, withNearDups(s, dir))
+        // tokens ride as xxhash64(token, source) — 8-byte posting keys
+        // with the same-source predicate folded into key equality (r8,
+        // same policy as the sweep/containment/jaccard_pf family; a
+        // ~2^-64 collision can only nudge one pair's intersection count)
+        // r19 A/B note: the prefix-filter pair generation (identical
+        // pair set by the shortened-prefix lemma) was gated PASS and
+        // measured SLOWER here (+2.3 s clean sitting) — see
+        // persistedLabels for the full negative-result record; the
+        // all-pairs inverted-index form stays because it is cheapest
+        // at this scale, with the pf crossover documented by the
+        // gated jaccard vs jaccard_pf pair.
+        val d = withNearDups(s, dir)
+          .select($"doc_id",
+            array_distinct(transform(split($"text", " "),
+              t => xxhash64(t, $"source"))).as("hs"))
+          .withColumn("nw", size($"hs"))
+        val tok = d.select($"doc_id", $"nw", explode($"hs").as("wh"))
+          // CPU-dense byte-light self-join: pin to cluster parallelism
+          // (see q_llm_containment's rationale on AQE coalescing)
+          .repartition(s.sparkContext.defaultParallelism * 2, $"wh")
+        val pairs = tok.as("a").join(tok.as("b"),
+          $"a.wh" === $"b.wh" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.nw".as("na"), $"b.nw".as("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .filter($"inter".cast("double")
+            / ($"na" + $"nb" - $"inter") >= 0.7)
           .select($"doc_a", $"doc_b")
         // simple fixpoint: near-dup graphs are dense blobs with tiny
         // diameter, where plain propagation beats star contraction by
