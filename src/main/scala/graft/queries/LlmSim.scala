@@ -8830,23 +8830,30 @@ object LlmSim extends QueryModule {
     // fold → segments → commit; batch-after-stream → wave 2 → wave 1
     // → batch epochs).
     "ivf_estate" -> (() => {
-      segFoldRpqCodes(s, dir)
-      streamedIvfSegmentAll(s, dir) // seal 2 on both segment encodings
-      streamedRpqSegmentAll(s, dir)
+      // per-stage stderr timing (r19): the estate build is the
+      // sitting's largest single build line — its breakdown should be
+      // readable from the record's stderr, not re-derived
+      def st[A](tag: String)(f: => A): Unit = {
+        val t0 = System.nanoTime(); f
+        System.err.println(
+          f"[build] ivf_estate/$tag ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      st("fold1")(segFoldRpqCodes(s, dir))
+      st("seg_waves")(streamedIvfSegmentAll(s, dir)) // seal 2, both encodings
+      st("rpq_waves")(streamedRpqSegmentAll(s, dir))
       // the r17/r18 tail of the chain (ADVICE r17): gen-2 fold, the
       // O(corpus) retrain, the renumbering compaction and fold gen 3
       // — without these the first sweep query touching them pays the
       // whole build in its own timed job group (the exact
       // first-toucher attribution problem this entry exists to fix)
-      segFold2RpqCodes(s, dir)
-      retrainRpqCodebooks(s, dir)
-      segFold3RpqCodes(s, dir)
+      st("fold2")(segFold2RpqCodes(s, dir))
+      st("retrain")(retrainRpqCodebooks(s, dir))
+      st("fold3")(segFold3RpqCodes(s, dir))
       // the r19 tail: renumber #2 + fold generation 4 (same
       // first-toucher-attribution argument as the lines above — the
       // fold-4 cascade forces the gen-3 renumbered estate and the
       // distortion baseline transitively)
-      segFold4RpqCodes(s, dir)
-      ()
+      st("fold4")(segFold4RpqCodes(s, dir))
     }),
     "postings_estate" -> (() =>
       { postingsBatchAfterStream(s, dir); () }))

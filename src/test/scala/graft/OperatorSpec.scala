@@ -4868,6 +4868,51 @@ class OperatorSpec extends AnyFunSuite {
         "persisted artifact?")
   }
 
+  test("committed estate reads resolve without running a single job") {
+    import graft.queries.LlmSim
+    // settle the full chain first (the committed steady state); the
+    // epoch-1 fold-2 codes are NOT in the health chain (the epoch-2
+    // estate serves the retrained codes), so settle them explicitly —
+    // their first build is legitimate work, not a fast-path miss
+    SparkEntry.queries("q_llm_index_health")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    LlmSim.segFold2RpqCodes(spark, sf): Unit
+    // r19 fast-path pin: with every artifact committed in this
+    // catalog, RESOLVING the lifecycle readers (the DataFrame
+    // construction a probe's fn does before its action) must run ZERO
+    // Spark jobs — the pre-r19 chain re-walk cost 10+ s of driver
+    // analysis per read and, when it leaked jobs, turned the ≤46-job
+    // health ceiling into a 154-job report. Job-group-scoped counter,
+    // same discipline as the ceiling spec above.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val group = "spec_committed_read"
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          { jobs.incrementAndGet(): Unit }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(group, group)
+      LlmSim.persistedSegFold4(spark, sf): Unit
+      LlmSim.segFold4Centroids(spark, sf): Unit
+      LlmSim.segFold4RpqCodes(spark, sf): Unit
+      LlmSim.renumberedEstateGen(spark, sf, 3): Unit
+      LlmSim.segFold3RpqCodes(spark, sf): Unit
+      LlmSim.segFold2RpqCodes(spark, sf): Unit
+      LlmSim.retrainRpqCodebooks(spark, sf)
+      org.apache.spark.sql.graftbridge.SqlBridge.waitListenerBus(spark)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    assert(jobs.get() === 0L,
+      s"committed estate reads ran ${jobs.get()} jobs — the O(1) " +
+        "fast path is re-walking (or re-building) a settled chain")
+  }
+
   test("read-only health: equals the forcing report on the built estate, reports a mid-lifecycle estate AS-IS, never publishes, never builds") {
     import graft.queries.LlmSim
     // built estate: the two postures must produce the identical row

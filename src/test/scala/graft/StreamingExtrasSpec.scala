@@ -195,6 +195,29 @@ class StreamingExtrasSpec extends AnyFunSuite {
       case None    => spark.conf.unset(confKey)
     }
   }
+
+  test("bigSink parquet replay equals the memory-sink replay row-for-row") {
+    import spark.implicits._
+    // r19: the stream-stream joins drain through a parquet sink
+    // (executor-parallel) instead of the memory sink's driver
+    // collect. Append mode emits each result row exactly once in both
+    // sinks, so the drained sets must be identical — pinned here on a
+    // replayed stateless append (the sink swap is orthogonal to what
+    // the query computes).
+    def drained(big: Boolean) = graft.streaming.Replay.run(
+        spark, graft.streaming.Replay.events(spark, sf)
+          .select(col("event_id"), col("event_type"), col("value")),
+        mode = "append", bigSink = big) { st =>
+        st.filter(col("event_type") =!= "click")
+          .withColumn("v2", col("value") * 2)
+      }.select(col("event_id"), col("event_type"), col("v2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val viaParquet = drained(big = true)
+    val viaMemory = drained(big = false)
+    assert(viaParquet.nonEmpty)
+    assert(viaParquet === viaMemory)
+  }
 }
 
 /** Per-key running count through the Spark-4 arbitrary-state API (test
