@@ -12,17 +12,28 @@ object ProbeTime {
     val sfDir = args(0)
     val n = args(1).toInt
     val spark = Engine.session("graft-probe")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobs.incrementAndGet(): Unit }
+      })
     def t[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
     args.drop(2).foreach { name =>
       (1 to n).foreach { i =>
+        val j0 = jobs.get()
         val (df, tBuild) = t(SparkEntry.queries(name)(spark, sfDir))
+        val jBuild = jobs.get() - j0
         val (_, tExec) = t {
           df.write.format("noop").mode("overwrite").save()
         }
-        println(f"[probe] $name run$i build=$tBuild%.2fs exec=$tExec%.2fs")
+        val jExec = jobs.get() - j0 - jBuild
+        println(f"[probe] $name run$i build=$tBuild%.2fs exec=$tExec%.2fs" +
+          s" jobs=$jBuild+$jExec")
       }
     }
     spark.stop()
