@@ -237,19 +237,34 @@ object RowOps extends QueryModule {
         val src = li.select($"l_orderkey", $"l_linenumber")
         val samp = li.sample(withReplacement = false, fraction = f, seed = 42L)
           .select($"l_orderkey", $"l_linenumber")
-        val nSrc = src.agg(count(lit(1)).as("n_total"))
-        val nSamp = samp.agg(count(lit(1)).as("n_samp"))
-        val notIn = samp.join(src, Seq("l_orderkey", "l_linenumber"), "left_anti")
-          .agg(count(lit(1)).as("not_in_src"))
-        val overM = samp.groupBy($"l_orderkey", $"l_linenumber")
+        // All four audit quantities from ONE full-outer join of the
+        // per-key counts (r20, guide §2.3: the old form ran four
+        // separate corpus passes — two bare counts, an anti-join, and
+        // a groupBy⋈groupBy — chained through three
+        // BroadcastNestedLoopJoins, 12 jobs/run). Equivalences, key =
+        // (l_orderkey, l_linenumber), ct/cs = per-key src/sample
+        // multiplicities: n_total = Σct; n_samp = Σcs; the anti-join's
+        // row count = Σcs over keys absent from src (ct null);
+        // over_mult's inner join + filter = keys present in both with
+        // cs > ct (a null ct fails the > predicate, exactly the inner
+        // join's exclusion). Same single row, same columns and types —
+        // oracle-gated hash-identical.
+        val ct = src.groupBy($"l_orderkey", $"l_linenumber")
+          .agg(count(lit(1)).as("ct"))
+        val cs = samp.groupBy($"l_orderkey", $"l_linenumber")
           .agg(count(lit(1)).as("cs"))
-          .join(src.groupBy($"l_orderkey", $"l_linenumber")
-            .agg(count(lit(1)).as("ct")), Seq("l_orderkey", "l_linenumber"))
-          .filter($"cs" > $"ct")
-          .agg(count(lit(1)).as("over_mult"))
+        val one = ct.join(cs, Seq("l_orderkey", "l_linenumber"),
+            "full_outer")
+          .agg(
+            coalesce(sum($"ct"), lit(0L)).as("n_total"),
+            coalesce(sum($"cs"), lit(0L)).as("n_samp"),
+            coalesce(sum(when($"ct".isNull, $"cs").otherwise(0L)),
+              lit(0L)).as("not_in_src"),
+            coalesce(sum(when($"cs" > $"ct", 1L).otherwise(0L)),
+              lit(0L)).as("over_mult"))
         val lo = col("n_total") * f - lit(6.0) * sqrt(col("n_total") * f * (1 - f))
         val hi = col("n_total") * f + lit(6.0) * sqrt(col("n_total") * f * (1 - f))
-        nSrc.crossJoin(nSamp).crossJoin(notIn).crossJoin(overM).select(
+        one.select(
           $"n_total", lo.as("lo"), hi.as("hi"),
           ($"n_samp" >= lo && $"n_samp" <= hi).as("in_bounds"),
           $"not_in_src", $"over_mult")
