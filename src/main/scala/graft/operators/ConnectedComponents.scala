@@ -16,86 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  import org.apache.spark.sql.graftbridge.SqlBridge
-
   /** Release a superseded localCheckpoint()'d frame's cached blocks.
     * Dataset.unpersist is a no-op for checkpoint persistence (it only
     * clears cacheManager entries), so reach the backing RDD directly.
     */
   private def release(df: DataFrame): Unit =
-    SqlBridge.checkpointRdd(df).foreach(_.unpersist(blocking = false))
-
-  /** Measured storage footprint of a localCheckpoint()'d frame's cached
-    * blocks (mem + disk), from the driver's storage status — metadata
-    * only, no job. -1 when unknown (no checkpoint RDD / no stats yet);
-    * callers must then assume LARGE, never small.
-    */
-  private def checkpointBytes(df: DataFrame): Long =
-    SqlBridge.checkpointRdd(df).flatMap { rdd =>
-      // storage info is fed by the async listener bus — drain it first
-      // or a just-materialized checkpoint can read back missing/0
-      SqlBridge.waitListenerBus(df.sparkSession)
-      df.sparkSession.sparkContext.getRDDStorageInfo
-        .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
-    }.getOrElse(-1L)
-
-  /** Per-round shuffle volume above which the fixpoint keeps the
-    * caller's AQE posture. Below it the loop runs the micro-graph
-    * posture (the [[graft.operators.Bfs]] `adaptive=false` discipline,
-    * r10 A/B grid): AQE's per-exchange re-planning submits ~6 stage-jobs
-    * per round, worth it only when rounds carry enough bytes for runtime
-    * coalescing/skew handling to matter — on a KB..MB label frame those
-    * submissions ARE the round's cost (measured 0.44 s/round at sf0.1,
-    * ~6 jobs each over a 100 KB frame). The micro loop plans each round
-    * statically on a CLONED session (AQE off, shuffle partitions derived
-    * from the measured edge bytes), one materialize job per round.
-    */
-  private val MicroBytes = 64L << 20
+    org.apache.spark.sql.graftbridge.SqlBridge.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false))
 
   /** Label the undirected graph given as one-directional `(a, b)` pairs.
     * Returns `(id, lab)` for every node incident to at least one pair.
-    *
-    * Scale-adaptive execution (r20, guide §2): the pair frame is
-    * checkpointed first, so its TRUE byte size is known before the loop
-    * plans. Small graphs (< [[MicroBytes]]) iterate on a cloned session
-    * with AQE off and an edge-byte-derived shuffle partition count —
-    * per-round cost drops from ~6 AQE stage-job submissions to one
-    * static job. Large graphs keep the caller's AQE posture unchanged
-    * (runtime coalescing + skew splitting matter exactly when rounds
-    * carry real data — the measured BFS r10 result, same trade). The
-    * returned frame is re-bound to the CALLER's session either way, so
-    * the micro posture never leaks into downstream plans.
     */
   def label(
       pairs: DataFrame,
       a: String,
       b: String,
       maxRounds: Int = 25): DataFrame = {
-    val caller = pairs.sparkSession
-    val p0 = pairs.select(col(a).as("pa"), col(b).as("pb")).localCheckpoint()
-    val pBytes = checkpointBytes(p0)
-    val micro = pBytes >= 0 && pBytes < MicroBytes
-    if (sys.env.get("GRAFT_CC_DEBUG").contains("1"))
-      System.err.println(s"[cc] pairBytes=$pBytes micro=$micro")
-    val loopSession =
-      if (!micro) caller
-      else {
-        val s2 = SqlBridge.cloneSession(caller)
-        s2.conf.set("spark.sql.adaptive.enabled", "false")
-        // partitions sized to ~1 MB of checkpointed pair bytes per
-        // task, floored at 1 — derived from the DATA, not the core
-        // count, so the same rule holds on any cluster. 1 MB, not the
-        // usual 32-128 MB: these rounds are CPU-dense, byte-light
-        // (per-pair join+min over hashed labels — the same doctrine as
-        // the token self-joins), so a 32 MB/task sizing measured here
-        // serialized the round on one core and LOST to AQE.
-        s2.conf.set("spark.sql.shuffle.partitions",
-          math.max(1L, (pBytes >> 20) + 1L).toString)
-        s2
-      }
-    val p =
-      if (micro) SqlBridge.ofRows(loopSession, p0.queryExecution.logical)
-      else p0
+    val p = pairs.select(col(a).as("pa"), col(b).as("pb")).localCheckpoint()
     val edges = p.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(p.select(col("pb").as("src"), col("pa").as("dst")))
     // `cur` tracks the round's checkpointed frame so the superseded
@@ -125,8 +62,7 @@ object ConnectedComponents {
     }
     require(converged,
       s"label propagation did not converge in $round rounds")
-    if (micro) SqlBridge.ofRows(caller, labels.queryExecution.logical)
-    else labels
+    labels
   }
 
   /** Alternating large-star / small-star components (Kiveris et al.,
